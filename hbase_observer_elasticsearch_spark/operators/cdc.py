@@ -1,0 +1,232 @@
+"""CDC state materialization — the reference's core computation, Spark-first.
+
+The reference mirrors each HBase mutation into ES as a keyed document
+upsert/delete (SURVEY §2.1; reference:
+src/main/java/org/eminem/hbase/observer6/HbaseDataSyncEsObserver.java:83-135).
+Its batch restatement is *last-write-wins state materialization over a
+changefeed*:
+
+- key extraction (rowkey → doc id, HbaseDataSyncEsObserver.java:87)
+- cell flatten {qualifier: value} discarding family (":93-102"), with
+  last-family-wins collisions
+- partial-doc upsert merge (setDocAsUpsert(true), ":109")
+- whole-document delete widening (":127-129")
+- the "info" envelope (":104") kept as an option
+
+Batch entry point: :func:`apply_changefeed`.  Streaming twin lives in
+``streaming/pipeline.py``.
+
+Scale notes (100 TB): everything here is one hash shuffle on the key
+(`rowkey`/`user_id`) followed by map-side work.  The window/row_number
+last-write-wins plan shuffles once; `max_by`-style aggregation would too.
+Skewed hot keys are handled by AQE skew-join/partition-split; no collect(),
+no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+from ..session import ensure_session_conf
+
+
+def latest_by_key(
+    df: DataFrame, key_cols: list[str], order_cols: list
+) -> DataFrame:
+    """Last-write-wins: keep the single latest record per key.
+
+    Spark restatement of the reference's idempotent doc upsert (#7): the
+    final ES doc state for a key is the merge of its mutations in order;
+    for whole-record mutations that is simply the latest record.  One
+    shuffle on ``key_cols``; survives 100 TB because state per key is O(1).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[c.desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship (t1 smoke): per-event-type summary of each user's latest state.
+# Treats `events` as a changefeed keyed by user_id (FIXTURES.md §1 events).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_last_state",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_type, value
+  FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) t
+  WHERE rn = 1
+)
+SELECT event_type,
+       COUNT(*) AS n_users,
+       {sum_value} AS sum_value,
+       {avg_value} AS avg_value
+FROM latest
+GROUP BY event_type
+""".format(sum_value=sql_dsum("value"), avg_value=sql_davg("value")),
+)
+def cdc_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest state per user (LWW over the events changefeed), summarized.
+
+    Mirrors reference upsert semantics (HbaseDataSyncEsObserver.java:109):
+    the state visible in ES for a key is its latest mutation.
+    """
+    ensure_session_conf(spark)
+    events = load_table(spark, sf_dir, "events")
+    latest = latest_by_key(events, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        dsum("value").alias("sum_value"),
+        davg("value").alias("avg_value"),
+    )
+
+
+@register(
+    "cdc_delete_widening",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_type, value
+  FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) t
+  WHERE rn = 1
+)
+SELECT COUNT(*) AS n_surviving,
+       {sum_value} AS sum_value
+FROM latest
+WHERE event_type <> 'error'
+""".format(sum_value=sql_dsum("value")),
+)
+def cdc_delete_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete widening (#8): a key whose latest mutation is a tombstone
+    (`error` stands in for Delete) is dropped wholesale, regardless of which
+    columns the delete named — mirroring prepareDelete(index,type,id)
+    (HbaseDataSyncEsObserver.java:129).
+    """
+    ensure_session_conf(spark)
+    events = load_table(spark, sf_dir, "events")
+    latest = latest_by_key(events, ["user_id"], [F.col("ts"), F.col("event_id")])
+    surviving = latest.filter(F.col("event_type") != "error")
+    return surviving.agg(
+        F.count(F.lit(1)).alias("n_surviving"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "cdc_doc_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       {rev} AS purchase_value
+FROM events
+GROUP BY user_id
+""".format(
+        rev="CAST(SUM(CASE WHEN event_type = 'purchase' "
+        "THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)"
+    ),
+)
+def cdc_doc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell flatten/pivot analog (#4): assemble a fixed-schema document per
+    key from its mutation cells — the static-schema variant of the
+    reference's {qualifier: value} map (HbaseDataSyncEsObserver.java:93-102),
+    expressed as conditional aggregation so Catalyst keeps it one shuffle.
+    """
+    ensure_session_conf(spark)
+    events = load_table(spark, sf_dir, "events")
+    is_t = lambda t: (F.col("event_type") == t).cast("long")  # noqa: E731
+    return events.groupBy("user_id").agg(
+        F.sum(is_t("click")).alias("n_click"),
+        F.sum(is_t("view")).alias("n_view"),
+        F.sum(is_t("purchase")).alias("n_purchase"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Full changefeed → state operator (FIXTURES.md §2 schema). Used by unit
+# tests and the streaming pipeline; not oracle-checkable (map output).
+# --------------------------------------------------------------------------
+
+
+def apply_changefeed(cf: DataFrame, info_envelope: bool = False) -> DataFrame:
+    """Replay a changefeed to its final state table.
+
+    Input schema (FIXTURES.md §2): seq, op('put'|'delete'), rowkey, family,
+    qualifier, value, ts.  Output: rowkey, doc MAP<STRING,STRING> for keys
+    whose latest full-row action is not a delete.
+
+    Semantics matched to the reference:
+    - partial upsert merge (#7): a put touches only its qualifiers; doc
+      state is the union of latest values per qualifier since the last
+      delete.
+    - delete widening (#8): a delete removes the whole document.
+    - qualifier collision (#4): same (ts, qualifier) in two families →
+      last family in byte order wins.
+    - ordering: by (ts, seq) — strictly better than the reference's
+      buffer-FIFO (SURVEY §2.2.5).
+
+    Plan shape: two window passes over the same hash partitioning on
+    rowkey + one groupBy(rowkey) — Spark reuses the exchange, so it is one
+    shuffle end-to-end at any scale.
+    """
+    order = [F.col("ts"), F.col("seq"), F.col("family")]
+    w_key = Window.partitionBy("rowkey").orderBy(*[c.desc() for c in order])
+
+    # Time of each key's latest delete (null if never deleted).
+    w_all = Window.partitionBy("rowkey")
+    with_del = cf.withColumn(
+        "last_del_ts",
+        F.max(F.when(F.col("op") == "delete", F.struct("ts", "seq"))).over(w_all),
+    )
+
+    # Puts that survive: strictly after the last delete (or no delete).
+    live_puts = with_del.filter(
+        (F.col("op") == "put")
+        & (
+            F.col("last_del_ts").isNull()
+            | (F.struct("ts", "seq") > F.col("last_del_ts"))
+        )
+    )
+
+    # Latest value per (rowkey, qualifier); family desc == "last family in
+    # byte order wins" for same-ts collisions (#4).
+    w_q = Window.partitionBy("rowkey", "qualifier").orderBy(*[c.desc() for c in order])
+    latest_cells = (
+        live_puts.withColumn("__rn", F.row_number().over(w_q))
+        .filter(F.col("__rn") == 1)
+        .select("rowkey", "qualifier", "value")
+    )
+
+    doc = latest_cells.groupBy("rowkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("qualifier", "value")))
+        ).alias("doc")
+    )
+    if info_envelope:
+        # The constant "info" envelope (HbaseDataSyncEsObserver.java:104).
+        doc = doc.select("rowkey", F.create_map(F.lit("info"), F.col("doc")).alias("doc"))
+    return doc

@@ -1,0 +1,74 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Every implemented operator registers a named query (a callable
+``(spark, sf_dir) -> DataFrame``) and, where ANSI-SQL-expressible, a DuckDB
+oracle SQL string computing the same result over the same parquet tables.
+``__spark_entry__.queries()`` / ``oracle_sql()`` read from here.
+
+Determinism rules every registered query follows (the driver hash-compares
+values against DuckDB):
+
+1. **Float sums/avgs go through decimals.**  Double addition is
+   non-associative, so parallel engines disagree in the last ulp.  We cast
+   operands to ``DECIMAL(p, s)`` before SUM (exact, order-independent) and
+   cast the final result back to DOUBLE.  A finite double can never be an
+   exact rounding tie at a decimal scale (ties need a factor of 5^s in the
+   denominator; doubles are p/2^q), so Spark's HALF_UP and DuckDB's
+   round-to-nearest agree on every input.
+2. **Every ORDER BY / window ORDER BY carries a unique tiebreaker.**
+3. **Aggregate/computed columns are aliased identically in both dialects**
+   (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+# Modules whose import registers queries (order = SURVEY §2 walk order).
+_OPERATOR_MODULES = (
+    "hbase_observer_elasticsearch_spark.operators.cdc",
+    "hbase_observer_elasticsearch_spark.operators.relational",
+    "hbase_observer_elasticsearch_spark.operators.windows",
+    "hbase_observer_elasticsearch_spark.operators.scalar_fns",
+    "hbase_observer_elasticsearch_spark.operators.dedup",
+    "hbase_observer_elasticsearch_spark.operators.similarity",
+    "hbase_observer_elasticsearch_spark.operators.text",
+    "hbase_observer_elasticsearch_spark.operators.time_windows",
+)
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``name`` with an optional oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+
+
+def queries() -> dict[str, QueryFn]:
+    _load()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLES)
