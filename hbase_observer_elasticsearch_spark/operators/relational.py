@@ -1,0 +1,738 @@
+"""Relational operator surface (SURVEY §2.3): projections, filters, joins of
+every flavor, aggregations, set ops, subqueries.
+
+The reference has *zero* relational operators (SURVEY §2.1: no joins, no
+aggregations beyond the per-row pivot) — this module is the [NORTH-STAR]
+analytics surface expressed as pure built-in DataFrame ops so Catalyst does
+pushdown/pruning/join-selection and everything stays in whole-stage codegen.
+
+Scale discipline:
+- dimension tables (region/nation/customer/supplier/part) are broadcast —
+  at 100 TB the fact tables (lineitem/orders/events) never shuffle for a
+  dim join;
+- fact-fact joins (orders⋈lineitem) are equi-joins on their natural keys →
+  sort-merge with AQE skew handling;
+- aggregates are partial+final automatically; decimal sums keep them
+  deterministic (functions/deterministic.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from ..functions.deterministic import davg, dec, dsum, sql_davg, sql_dsum
+from ..registry import register
+from ..session import ensure_session_conf
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# -- exact money arithmetic: cents-scale decimals so products stay inside
+#    DECIMAL(38) in both engines (see registry.py determinism rules).
+def _c2(col: str) -> F.Column:
+    return F.col(col).cast("decimal(12,2)")
+
+
+_SQL_C2 = "CAST({0} AS DECIMAL(12,2))"
+
+
+# --------------------------------------------------------------------------
+# Projection / filter battery
+# --------------------------------------------------------------------------
+
+
+@register(
+    "proj_filter_cast",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       CAST(l_quantity AS BIGINT) AS qty_int,
+       CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+       upper(l_returnflag) AS flag_u,
+       CAST(l_shipdate AS DATE) AS ship_day
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+  AND l_returnflag IN ('A', 'R')
+  AND l_quantity > 25
+  AND l_linestatus LIKE 'F%'
+""",
+)
+def proj_filter_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + typed cast + predicate battery (BETWEEN/IN/>/LIKE).
+
+    The reference's only 'projection' is byte→string decode
+    (HbaseDataSyncEsObserver.java:98-99); here the full typed surface.
+    Filters and the 6-column projection push down to the parquet scan.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1997-01-01", "1997-12-31")
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_quantity") > 25)
+            & F.col("l_linestatus").like("F%")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty_int"),
+            _c2("l_extendedprice").alias("price_dec"),
+            F.upper("l_returnflag").alias("flag_u"),
+            F.col("l_shipdate").cast("date").alias("ship_day"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped aggregation queries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_dsum("l_extendedprice")} AS sum_base_price,
+       CAST(SUM({_SQL_C2.format("l_extendedprice")}
+                * (1 - {_SQL_C2.format("l_discount")})) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_SQL_C2.format("l_extendedprice")}
+                * (1 - {_SQL_C2.format("l_discount")})
+                * (1 + {_SQL_C2.format("l_tax")})) AS DOUBLE) AS sum_charge,
+       {sql_davg("l_quantity")} AS avg_qty,
+       {sql_davg("l_extendedprice")} AS avg_price,
+       {sql_davg("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → 2-key hash agg with 8 measures.
+
+    Partial+final agg (map-side combine) is automatic; at 100 TB this is a
+    single shuffle of ~6 grouped rows per mapper.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _c2("l_extendedprice") * (F.lit(1) - _c2("l_discount"))
+    charge = disc_price * (F.lit(1) + _c2("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_unshipped",
+    oracle=f"""
+SELECT o.o_orderkey,
+       o.o_orderdate,
+       o.o_orderpriority,
+       CAST(SUM({_SQL_C2.format("l.l_extendedprice")}
+                * (1 - {_SQL_C2.format("l.l_discount")})) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+)
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered fact-fact join + agg + top-k.
+
+    customer is broadcast (dim); orders⋈lineitem stays a shuffled equi-join
+    on o_orderkey. Top-k via orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort materialization at scale.
+    """
+    ensure_session_conf(spark)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _c2("l_extendedprice") * (F.lit(1) - _c2("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(SUM({_SQL_C2.format("l.l_extendedprice")}
+                * (1 - {_SQL_C2.format("l.l_discount")})) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join.
+
+    All four dims broadcast; only the orders⋈lineitem equi-join shuffles.
+    The region filter prunes nations before the broadcast — classic
+    star-schema plan that survives 1000 executors unchanged.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    revenue = _c2("l_extendedprice") * (F.lit(1) - _c2("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join flavors
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_left_orders_per_customer",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def join_left_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (NULL-extended side
+    aggregates to 0 orders / NULL spend)."""
+    ensure_session_conf(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+            FROM customer GROUP BY c_nationkey),
+     sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+            FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+       COALESCE(cn.n_cust, 0) AS n_cust,
+       COALESCE(sn.n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations having customers, suppliers, or both."""
+    ensure_session_conf(spark)
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    # USING-style join coalesces the key into a single `nk` column.
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS: customers with at least one finished order."""
+    ensure_session_conf(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS — the batch analog of the reference's
+    whole-document delete (SURVEY §2.1 #8: state minus deleted keys)."""
+    ensure_session_conf(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey <> b.r_regionkey
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (tiny×tiny only — never cross a fact table at scale)."""
+    ensure_session_conf(spark)
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ak"), F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_regionkey").alias("bk"), F.col("r_name").alias("to_region"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ak") != F.col("bk"))
+        .select("from_region", "to_region")
+    )
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+SELECT s.s_suppkey,
+       COUNT(c.c_custkey) AS n_near,
+       CAST(MIN(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS min_bal
+FROM supplier s
+LEFT JOIN customer c
+  ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+GROUP BY s.s_suppkey
+""",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: customers whose balance is within ±100 of each
+    supplier's.
+
+    Spark executes non-equi joins as BroadcastNestedLoopJoin — fine because
+    one side is a broadcast dim. At 100 TB with two fact sides you bucketize
+    the range key and equi-join on bucket; see similarity.py for that
+    pattern.
+    """
+    ensure_session_conf(spark)
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    cond = F.col("c_acctbal").between(
+        F.col("s_acctbal") - 100, F.col("s_acctbal") + 100
+    )
+    return (
+        s.join(c, cond, "left")
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("c_custkey").alias("n_near"),
+            F.min(dec("c_acctbal")).cast("double").alias("min_bal"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT event_id,
+       user_id,
+       value AS purchase_value,
+       last_click_value
+FROM (
+  SELECT event_id, user_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_value
+  FROM events
+) t
+WHERE event_type = 'purchase'
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's latest prior click.
+
+    Spark has no native ASOF JOIN; the scalable composition is a union +
+    one window pass (single shuffle on the key), not a per-row lookup.
+    Equivalent to the reference's 'latest state at time T' enrichment.
+    """
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    clicks = F.when(F.col("event_type") == "click", F.col("value"))
+    return (
+        ev.withColumn("last_click_value", F.last(clicks, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").alias("purchase_value"),
+            "last_click_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation flavors
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (expand + two-phase agg under the hood)."""
+    ensure_session_conf(spark)
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). No oracle: DuckDB's HLL
+    differs by construction — driver records rows-only. The exactness
+    tradeoff is the point: at 100 TB, HLL is a map-side O(1)-state sketch
+    vs an expand+shuffle for exact distinct."""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT n.n_name,
+       c.c_mktsegment,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (nation → segment → grand total)."""
+    ensure_session_conf(spark)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of the two keys."""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint rollups in one pass)."""
+    ensure_session_conf(spark)
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_variance_manual",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,3))
+                * CAST(c_acctbal AS DECIMAL(12,3))) AS DOUBLE) AS sum_sq,
+       (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,3))
+                 * CAST(c_acctbal AS DECIMAL(12,3))) AS DOUBLE)
+        - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+          * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+       / (COUNT(*) - 1) AS var_samp_det
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance from exact decimal moments.
+
+    Built from order-independent decimal sums so it is deterministic across
+    engines/partitionings — unlike the streaming var_samp kernels, whose
+    float accumulation order varies.
+    """
+    ensure_session_conf(spark)
+    c = _t(spark, sf_dir, "customer")
+    sum_bal = F.sum(dec("c_acctbal")).cast("double")
+    s3 = F.col("c_acctbal").cast("decimal(12,3)")
+    sum_sq = F.sum(s3 * s3).cast("double")
+    n = F.count(F.lit(1))
+    return c.groupBy("c_mktsegment").agg(
+        n.alias("n"),
+        sum_bal.alias("sum_bal"),
+        sum_sq.alias("sum_sq"),
+        ((sum_sq - sum_bal * sum_bal / n) / (n - F.lit(1))).alias("var_samp_det"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    ensure_session_conf(spark)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "agg_case_bucketing",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n,
+       COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing feeding an aggregation."""
+    ensure_session_conf(spark)
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops / subqueries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topn",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: TakeOrderedAndProject (per-partition heap + driver
+    merge of N×partitions rows — no full sort at any scale)."""
+    ensure_session_conf(spark)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT 'f_only' AS which, COUNT(*) AS n FROM (SELECT * FROM f EXCEPT SELECT * FROM o) t
+UNION ALL
+SELECT 'both' AS which, COUNT(*) AS n FROM (SELECT * FROM f INTERSECT SELECT * FROM o) t
+UNION ALL
+SELECT 'either' AS which, COUNT(*) AS n FROM (SELECT * FROM f UNION SELECT * FROM o) t
+""",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION(distinct) over customer key sets."""
+    ensure_session_conf(spark)
+    o = _t(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    counts = [
+        f_keys.exceptAll(o_keys).agg(F.count(F.lit(1))).withColumn("which", F.lit("f_only")),
+        f_keys.intersect(o_keys).agg(F.count(F.lit(1))).withColumn("which", F.lit("both")),
+        f_keys.union(o_keys).distinct().agg(F.count(F.lit(1))).withColumn("which", F.lit("either")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.union(c)
+    return out.select("which", F.col("count(1)").alias("n"))
+
+
+@register(
+    "distinct_pairs",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates ≡ SELECT DISTINCT."""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+@register(
+    "subquery_scalar_in",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                 / COUNT(*) FROM orders)
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+""",
+)
+def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + IN-subquery (Catalyst rewrites IN to left-semi).
+
+    The scalar threshold uses the deterministic decimal avg in both
+    dialects so boundary rows cannot flip between engines.
+    """
+    ensure_session_conf(spark)
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                         / COUNT(*) FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'AUTOMOBILE')
+        """
+    )
