@@ -51,9 +51,9 @@ _SQL_C2 = "CAST({0} AS DECIMAL(12,2))"
 SELECT l_orderkey,
        l_linenumber,
        CAST(l_quantity AS BIGINT) AS qty_int,
-       CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_cents,
        upper(l_returnflag) AS flag_u,
-       CAST(l_shipdate AS DATE) AS ship_day
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_day
 FROM lineitem
 WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
   AND l_returnflag IN ('A', 'R')
@@ -81,9 +81,9 @@ def proj_filter_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             F.col("l_quantity").cast("bigint").alias("qty_int"),
-            _c2("l_extendedprice").alias("price_dec"),
+            _c2("l_extendedprice").cast("double").alias("price_cents"),
             F.upper("l_returnflag").alias("flag_u"),
-            F.col("l_shipdate").cast("date").alias("ship_day"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
         )
     )
 

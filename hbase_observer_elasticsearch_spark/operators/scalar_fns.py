@@ -1,0 +1,283 @@
+"""Scalar function batteries (SURVEY §2.3): string / date / math / array /
+map / higher-order / JSON — all built-in `pyspark.sql.functions`, all inside
+whole-stage codegen (zero Python in the hot path).
+
+Oracle-dialect notes are inline where Spark and DuckDB disagree on defaults
+(dayofweek origin, list indexing); queries are written to semantics both
+engines share exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..session import ensure_session_conf
+
+
+@register(
+    "string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_u,
+       lower(p_brand) AS brand_l,
+       substr(p_type, 1, 5) AS type5,
+       length(p_name) AS name_len,
+       concat(p_brand, ':', p_type) AS brand_type,
+       trim(concat('  ', p_name, '  ')) AS trimmed,
+       replace(p_name, ' ', '_') AS snake,
+       strpos(p_type, 'a') AS first_a,
+       regexp_extract(p_type, '([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+       reverse(p_brand) AS brand_rev,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       split_part(p_type, ' ', 1) AS type_head
+FROM part
+""",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery: case, substr, concat, trim, replace, position,
+    regexp extract/replace, reverse, pad, split_part."""
+    ensure_session_conf(spark)
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_u"),
+        F.lower("p_brand").alias("brand_l"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.instr("p_type", "a").cast("bigint").alias("first_a"),
+        F.regexp_extract("p_type", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       quarter(o_orderdate) AS qtr,
+       isodow(o_orderdate) AS iso_dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_day,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+""",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date battery: parts, ISO weekday, trunc, interval arithmetic,
+    last_day, datediff, epoch seconds, formatting.
+
+    Dialect traps handled: Spark `dayofweek` is 1=Sunday while DuckDB's is
+    0=Sunday — both sides use ISO day-of-week instead. `date_format` ↔
+    `strftime` for the %Y-%m rendering.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_day"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("eom"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       abs(l_discount - 0.05) AS abs_off,
+       round(l_extendedprice, 1) AS price_r1,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+       sqrt(l_quantity) AS qty_sqrt,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: abs/round/floor/ceil/mod/sqrt/sign/greatest/least.
+
+    Only IEEE-exact ops (sqrt is correctly rounded; no libm-dependent
+    exp/log whose last ulp differs across engines).
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_off"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_words,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       string_split(text, ' ')[1] AS first_word,
+       string_split(text, ' ')[-1] AS last_word,
+       list_sort(string_split(text, ' '))[1] AS min_word,
+       array_to_string(string_split(text, ' ')[1:3], '|') AS head3
+FROM documents
+""",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery over tokenized text: size, distinct, contains,
+    indexing (1-based both engines; -1 = last), sort, slice+join."""
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_uniq_words"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.element_at(F.array_sort(words), 1).alias("min_word"),
+        F.concat_ws("|", F.slice(words, 1, 3)).alias("head3"),
+    )
+
+
+@register(
+    "higher_order_funcs",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> len(x) > 5)) AS n_long_words,
+       CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS BIGINT) AS total_chars,
+       list_max(list_transform(string_split(text, ' '), x -> len(x))) AS max_word_len,
+       list_count(list_filter(string_split(text, ' '), x -> x = 'the')) AS n_the
+FROM documents
+""",
+)
+def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda battery: filter, transform+aggregate, max-reduce.
+
+    Integer lambdas only → exact in both engines. (Same machinery the
+    similarity module uses for dot products.)
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lens = F.transform(words, lambda x: F.length(x).cast("bigint"))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(words, lambda x: F.length(x) > 5))
+        .cast("bigint")
+        .alias("n_long_words"),
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "total_chars"
+        ),
+        F.array_max(lens).alias("max_word_len"),
+        F.size(F.filter(words, lambda x: x == "the")).cast("bigint").alias("n_the"),
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+SELECT user_id,
+       n_click + n_view AS n_interactions,
+       n_click AS clicks_via_map
+FROM (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+  FROM events
+  GROUP BY user_id
+) t
+""",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map assembly + lookup: build MAP<event_type, count> per user
+    (the reference's {qualifier: value} doc shape,
+    HbaseDataSyncEsObserver.java:93-104) and read counts back out via
+    element_at. The oracle computes identical scalars without the map —
+    the map is the machinery under test on the Spark side.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    doc = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    get = lambda k: F.coalesce(  # noqa: E731
+        F.element_at(F.col("type_counts"), k), F.lit(0).cast("bigint")
+    )
+    return doc.select(
+        "user_id",
+        (get("click") + get("view")).alias("n_interactions"),
+        get("click").alias("clicks_via_map"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.missing') AS missing_val,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+            THEN 'high' ELSE 'low' END AS k_bucket
+FROM events
+""",
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON battery over events.props: path extraction, missing-path NULL,
+    downstream predicate. (from_json with an explicit schema is the
+    schema-full variant; get_json_object is the schema-less one — both
+    stay JVM-side.)"""
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+        F.when(k > 50, "high").otherwise("low").alias("k_bucket"),
+    )
