@@ -1,0 +1,332 @@
+"""Deduplication operators for LLM training-data pipelines [NORTH-STAR].
+
+Exact (content hash), MinHash+LSH (shingle → minhash → band → bucket-join),
+SimHash, and n-gram Jaccard — all pure DataFrame ops on portable md5-derived
+hashes (functions/hashing.py), so every sketch is oracle-checkable.
+
+Scale design (100 TB):
+- shingling is map-side only (array transform, no window/shuffle per doc);
+- candidate generation is a *bucket equi-join* on (band, signature) —
+  never an all-pairs cross join; shuffle width = Σ bucket² which LSH keeps
+  near-linear for realistic near-dup densities;
+- verification joins touch only candidate pairs;
+- hot buckets (boilerplate docs) are the known skew risk → AQE skew-join
+  handles moderate cases; pathological buckets should be capped upstream
+  (drop buckets with > N members — they're boilerplate by definition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import hashing as H
+from ..registry import register
+from ..session import ensure_session_conf
+
+SHINGLE_W = 3  # 3-word shingles discriminate sharply on the fixture corpus
+JACCARD_T = 0.5
+
+# Shared SQL CTEs for the oracle side: distinct 3-word shingles per doc
+# (window formulation — same result as the Spark array formulation).
+_SQL_SHINGLES = """
+wp AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w) OVER win || ' ' || LEAD(w, 2) OVER win AS s
+  FROM wp
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+)
+"""
+
+
+def shingle_docs(docs: DataFrame, w: int = SHINGLE_W) -> DataFrame:
+    """(doc_id, s): distinct w-word shingles, computed map-side (no shuffle).
+
+    `sequence(1, n-w+1)` + element_at indexing instead of a posexplode +
+    window pass — at 100 TB this keeps shingling embarrassingly parallel.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (w - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + k) for k in range(w)]
+    )
+    arr = F.when(n >= w, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(arr)).alias("s"))
+
+
+def _coded_shingles(docs: DataFrame) -> DataFrame:
+    return shingle_docs(docs).select(
+        "doc_id", H.token_code(F.col("s")).alias("code"), "s"
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS content_hash,
+       md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS canon_hash,
+       COUNT(*) OVER (PARTITION BY md5(array_to_string(list_sort(string_split(text, ' ')), ' ')))
+           AS n_canon_copies
+FROM documents
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: raw content hash + canonicalized (sorted-bag-of-words)
+    hash, with per-cluster copy counts. Hash-groupBy — one shuffle on the
+    hash, O(1) state per group at any scale."""
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.md5(F.concat_ws(" ", F.array_sort(F.split(F.col("text"), " "))))
+    out = d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_hash"),
+        canon.alias("canon_hash"),
+    )
+    return out.withColumn(
+        "n_canon_copies", F.count(F.lit(1)).over(Window.partitionBy("canon_hash"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       n_shared * 1.0 / (sa.n + sb.n - n_shared) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= {JACCARD_T}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-word shingle) Jaccard near-dup pairs.
+
+    Candidates = pairs sharing ≥1 shingle via shingle equi-join (inverted
+    index), then exact Jaccard from integer set sizes — never all-pairs.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def _sql_minhash_sigs() -> str:
+    mins = ",\n         ".join(
+        f"MIN({H.sql_affine('code', j)}) AS h{j}" for j in range(H.MINHASH_K)
+    )
+    bands = ",\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS sig FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(H.BANDS)
+    )
+    return f"""
+coded AS (
+  SELECT doc_id, {H.sql_token_code('s')} AS code FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM coded GROUP BY doc_id
+),
+bands AS (
+{" UNION ALL ".join(chunk for chunk in bands.splitlines())}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+{_sql_minhash_sigs().strip().lstrip()}
+,
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       i.n_shared * 1.0 / (sa.n + sb.n - i.n_shared) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.n_shared * 1.0 / (sa.n + sb.n - i.n_shared) >= {JACCARD_T}
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH fuzzy dedup: shingle → 16 minhashes → 4 bands × 4 rows
+    → bucket-join candidates → exact-Jaccard verification.
+
+    The LSH band join is the 100 TB path: candidate generation cost follows
+    bucket occupancy, not n². The verification step touches only candidate
+    pairs. (Identical output contract to dedup_ngram_jaccard above the LSH
+    recall threshold — the fixture's near-dup pairs sit at J≈0.99 where
+    4×4 banding recall is ~1.)
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    coded = _coded_shingles(d)
+
+    sig = coded.groupBy("doc_id").agg(
+        *[
+            F.min(H.affine(F.col("code"), j)).alias(f"h{j}")
+            for j in range(H.MINHASH_K)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[f"h{b * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)]
+            ).alias("sig"),
+        )
+        for b in range(H.BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
+
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sh = coded.select("doc_id", "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _sql_simhash() -> str:
+    sums = ",\n         ".join(
+        f"SUM(2 * ({H.sql_affine('code', H.MINHASH_K + k)} % 2) - 1) AS s{k}"
+        for k in range(H.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(H.SIMHASH_BITS)
+    )
+    return f"""
+coded AS (
+  SELECT doc_id, {H.sql_token_code('s')} AS code FROM sh
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM coded GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+{_sql_simhash().strip()}
+SELECT doc_id, simhash,
+       COUNT(*) OVER (PARTITION BY simhash) AS n_cluster
+FROM sim
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures over shingles + exact-signature cluster
+    sizes. Sign-of-weighted-sum per bit, all integer arithmetic (portable).
+
+    At scale, near-dup retrieval over simhash = band the 32 bits into 4
+    bytes and bucket-join per band (hamming ≤ k ⇒ some band equal) — the
+    same LSH-join shape as MinHash, never pairwise hamming over n².
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    coded = _coded_shingles(d)
+    sums = coded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.lit(2) * (H.affine(F.col("code"), H.MINHASH_K + k) % 2) - 1
+            ).alias(f"s{k}")
+            for k in range(H.SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        [
+            F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(H.SIMHASH_BITS)
+        ],
+        start=F.lit(0),
+    ).cast("bigint")
+    sim = sums.select("doc_id", simhash.alias("simhash"))
+    return sim.withColumn(
+        "n_cluster", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    )

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns [NORTH-STAR].
+
+Brute-force cosine top-k (oracle-checked baseline) plus the scale paths:
+nearest-neighbor within a coarse partition (IVF-cell shape) and an
+IVF probe variant with computed centroids.
+
+Scale design (100 TB of vectors):
+- the broadcast side is always the small query set; candidates stream
+  partition-parallel with no shuffle until the final per-query top-k
+  (TakeOrderedAndProject-shaped window over ≤ |queries|×k rows);
+- the IVF variant prunes candidates to the best cells by centroid
+  similarity — candidate volume drops by ~n_cells× for the cost of a tiny
+  centroid table (computed once, broadcast);
+- cosine is JVM-side higher-order-function math (functions/vectors.py);
+  the deterministic sequential fold makes results oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import cosine, sql_cosine
+from ..registry import register
+from ..session import ensure_session_conf
+
+TOPK = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors in fixture queries
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id,
+         e.vec_id AS neighbor_id,
+         {sql_cosine('q.qv', 'e.embedding')} AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOPK}
+""",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × scan candidates.
+
+    The exact baseline every ANN variant is measured against. One pass
+    over the candidate set, no shuffle until the final tiny top-k window.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOPK)
+    )
+
+
+@register(
+    "similarity_nn_same_label",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+scored AS (
+  SELECT a.vec_id,
+         a.label,
+         b.vec_id AS nn_id,
+         {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, label, nn_id, cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, nn_id) AS rk
+  FROM scored
+) t
+WHERE rk = 1
+""",
+)
+def similarity_nn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: each vector's nearest neighbor within its
+    coarse cell (label = cluster id, FIXTURES.md).
+
+    The blocked all-pairs shape: candidates restricted to the same cell
+    (label equi-join) — the IVF-cell analog of LSH candidate banding; cost
+    is Σ cell² instead of n².
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select("vec_id", "label", F.col("embedding").alias("va"))
+    b = e.select(
+        F.col("vec_id").alias("nn_id"), "label", F.col("embedding").alias("vb")
+    )
+    scored = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .select(
+            "vec_id",
+            "label",
+            "nn_id",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+@register("similarity_topk_ivf")
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k: probe the 3 nearest cells by centroid, search
+    only their members. Rows-only check (approximate by construction —
+    recall < 1 is the accepted tradeoff vs similarity_topk_bruteforce).
+
+    Plan: centroids = one tiny agg (n_cells × dim), broadcast both the
+    query set and the probe map; candidate scan shrinks ~n_cells/probes×.
+    At 100 TB the cells would be a partition column so probe pruning
+    becomes partition pruning at the scan.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # centroids per cell: element-wise mean via posexplode + re-assemble
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pm", lambda s: s.m.cast("float")).alias("cv"),
+        )
+    )
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # probe selection: 3 best cells per query by centroid cosine
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("cell")
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qv", "cell", cosine(F.col("qv"), F.col("cv")).alias("c_sim")
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= 3)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = (
+        e.join(F.broadcast(probes), e.label == probes.cell)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOPK)
+    )

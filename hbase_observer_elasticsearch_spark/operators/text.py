@@ -1,0 +1,209 @@
+"""Text-analysis operators for LLM training-data pipelines [NORTH-STAR]:
+quality stats, token counting, language ID, document fingerprinting.
+
+Everything is built-in string/array/higher-order functions — map-side,
+zero shuffle except final aggregations, zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import hashing as H
+from ..registry import register
+from ..session import ensure_session_conf
+
+# A small shared stopword lexicon (per-language) for lang-ID scoring and
+# stopword-ratio quality signals.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+FP_P = H.P  # fingerprint modulus (same prime family as the sketches)
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT doc_id,
+       lang,
+       length(text) AS n_chars_m,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS BIGINT)
+         * 1.0 / len(string_split(text, ' ')) AS avg_token_len,
+       len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the','a','and','of','to','in','is','on','for','with')))
+         * 1.0 / len(string_split(text, ' ')) AS stopword_ratio,
+       len(list_distinct(string_split(text, ' ')))
+         * 1.0 / len(string_split(text, ' ')) AS ttr
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: char/token/unique counts, mean token
+    length, stopword ratio, type-token ratio.
+
+    These are the standard pre-training quality filters (cf. C4/Gopher
+    rules): all integer counts + deterministic int/int double divisions.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("bigint")
+    n_uniq = F.size(F.array_distinct(words)).cast("bigint")
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("bigint")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_m"),
+        n.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        (total_len * F.lit(1.0) / n).alias("avg_token_len"),
+        (n_stop * F.lit(1.0) / n).alias("stopword_ratio"),
+        (n_uniq * F.lit(1.0) / n).alias("ttr"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle="""
+WITH stats AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))
+           * 1.0 / len(string_split(text, ' ')) AS ttr
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE n_tokens >= 40 AND ttr >= 0.3) AS n_kept,
+       COUNT(*) FILTER (WHERE n_tokens < 40) AS n_too_short,
+       COUNT(*) FILTER (WHERE n_tokens >= 40 AND ttr < 0.3) AS n_repetitive
+FROM stats
+GROUP BY source
+""",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate funnel per source: kept vs rejected (too-short /
+    repetitive) — the shape of a corpus-curation report at 100 TB."""
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("bigint")
+    ttr = F.size(F.array_distinct(words)) * F.lit(1.0) / n
+    stats = d.select("doc_id", "source", n.alias("n_tokens"), ttr.alias("ttr"))
+    kept = (F.col("n_tokens") >= 40) & (F.col("ttr") >= 0.3)
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((F.col("n_tokens") < 40).cast("long")).alias("n_too_short"),
+        F.sum(((F.col("n_tokens") >= 40) & (F.col("ttr") < 0.3)).cast("long")).alias(
+            "n_repetitive"
+        ),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+SELECT source,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS whitespace_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpeish_tokens,
+       CAST(SUM(CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT)) AS BIGINT) AS char4_tokens
+FROM documents
+GROUP BY source
+""",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting three ways: whitespace, BPE-ish regex
+    (letter-runs / digit-runs / other), and the chars/4 heuristic —
+    the budget arithmetic of training-data pipelines."""
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bpeish = F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    char4 = F.ceil(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / 4.0)
+    return d.groupBy("source").agg(
+        F.sum(F.size(words)).alias("whitespace_tokens"),
+        F.sum(F.size(bpeish)).alias("bpeish_tokens"),
+        F.sum(char4).cast("bigint").alias("char4_tokens"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the','a','and','of','to','in','is','on','for','with')))
+           * 1.0 / len(string_split(text, ' ')) AS en_score
+  FROM documents
+)
+SELECT lang AS labeled_lang,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE en_score >= 0.05) AS n_pred_en,
+       CAST(SUM(CAST(en_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_en_score
+FROM scored
+GROUP BY lang
+""",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-lexicon hit ratio as an
+    is-English score, reported against the labeled lang column.
+
+    (Real lang-ID would use char n-gram profiles per language — same
+    map-side shape, bigger lexicon broadcast.)
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    en_score = (
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+        * F.lit(1.0)
+        / F.size(words)
+    )
+    scored = d.select("doc_id", "lang", en_score.alias("en_score"))
+    return scored.groupBy(F.col("lang").alias("labeled_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("en_score") >= 0.05).cast("long")).alias("n_pred_en"),
+        (
+            F.sum(F.col("en_score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_en_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH wp AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(SUM(({H.sql_token_code('w')} % {FP_P}) * (((i - 1) % 16) + 1)) % {FP_P}
+            AS BIGINT) AS fingerprint
+FROM wp
+GROUP BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling-hash document fingerprint (mod-prime
+    integer arithmetic over portable token codes) — order-sensitive, unlike
+    the bag-of-words hashes in dedup_exact."""
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    wp = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("i", "w")
+    )
+    term = (H.token_code(F.col("w")) % FP_P) * ((F.col("i") % 16) + 1)
+    return wp.groupBy("doc_id").agg((F.sum(term) % FP_P).alias("fingerprint"))
