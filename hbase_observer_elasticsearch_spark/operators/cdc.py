@@ -193,9 +193,6 @@ def apply_changefeed(cf: DataFrame, info_envelope: bool = False) -> DataFrame:
     rowkey + one groupBy(rowkey) — Spark reuses the exchange, so it is one
     shuffle end-to-end at any scale.
     """
-    order = [F.col("ts"), F.col("seq"), F.col("family")]
-    w_key = Window.partitionBy("rowkey").orderBy(*[c.desc() for c in order])
-
     # Time of each key's latest delete (null if never deleted).
     w_all = Window.partitionBy("rowkey")
     with_del = cf.withColumn(
@@ -213,8 +210,12 @@ def apply_changefeed(cf: DataFrame, info_envelope: bool = False) -> DataFrame:
     )
 
     # Latest value per (rowkey, qualifier); family desc == "last family in
-    # byte order wins" for same-ts collisions (#4).
-    w_q = Window.partitionBy("rowkey", "qualifier").orderBy(*[c.desc() for c in order])
+    # byte order wins" for same-ts collisions (#4).  Same ordering as the
+    # streaming compactor (streaming/pipeline.compact_epoch) so batch
+    # replay and streamed state agree exactly.
+    w_q = Window.partitionBy("rowkey", "qualifier").orderBy(
+        F.col("ts").desc(), F.col("family").desc(), F.col("seq").desc()
+    )
     latest_cells = (
         live_puts.withColumn("__rn", F.row_number().over(w_q))
         .filter(F.col("__rn") == 1)

@@ -1,0 +1,190 @@
+"""Idempotent document-state sink — the Spark restatement of the
+reference's ES bulk upsert/delete path (SURVEY §2.1 #7-#14).
+
+The reference buffers UpdateRequest/DeleteRequest and bulk-executes into
+Elasticsearch (observer6/ElasticSearchBulkOperator.java:79-101).  Without a
+live ES in this environment, the sink is a MERGE-emulating parquet state
+table with the same contract — but with *last-write-wins by mutation time*
+instead of the reference's arrival-order overwrite (SURVEY §2.2.5 flags
+arrival order as a defect; ordering by (ts, seq) is strictly better and is
+what makes the sink correct under ANY micro-batch partitioning of the
+changefeed).
+
+State is stored at cell granularity, versioned per cell:
+
+    (rowkey, qualifier, value, ts, seq)   — a live cell
+    (rowkey, NULL,      NULL,  ts, seq)   — a delete tombstone
+
+- an incoming cell wins iff its (ts, seq) beats the stored cell's;
+- a tombstone kills every cell with (ts, seq) ≤ the tombstone's and
+  PERSISTS, so a stale pre-delete put arriving epochs later cannot
+  resurrect a deleted document (at 100 TB you expire tombstones past the
+  source's max-lateness watermark; here they are kept);
+- replaying an epoch is a no-op by construction: max/row_number over the
+  same inputs — idempotent, so streaming checkpoint replay gives an
+  effectively exactly-once end state (stronger than all three reference
+  variants, SURVEY §2.1 #22).
+
+Config surface mirrors the coprocessor binding params
+(``es_cluster,es_host,es_port,es_index,es_type`` — README_zh.md:378) so a
+real ES connector (`df.write.format("es")`) can be swapped in by replacing
+`EmulatedEsSink` in one place.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("rowkey", T.StringType(), False),
+        T.StructField("qualifier", T.StringType(), True),  # NULL = tombstone
+        T.StructField("value", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class EsSinkConfig:
+    """Mirrors the reference's binding-parameter names
+    (observer6/HbaseDataSyncEsObserver.java:36-43)."""
+
+    es_cluster: str = "my-application"
+    es_host: str = "localhost"
+    es_port: int = 9300
+    es_index: str = "state"
+    es_type: str = "_doc"
+    extra: dict[str, str] = field(default_factory=dict)
+
+    def connector_options(self) -> dict[str, str]:
+        """What we would pass to the real elasticsearch-hadoop connector."""
+        return {
+            "es.nodes": self.es_host,
+            "es.port": str(self.es_port),
+            "es.resource": f"{self.es_index}/{self.es_type}",
+            "es.write.operation": "upsert",
+            "es.mapping.id": "rowkey",
+            "es.batch.size.entries": "10000",  # MAX_BULK_COUNT parity
+            **self.extra,
+        }
+
+
+class EmulatedEsSink:
+    """Versioned parquet cell-state dir with atomic pointer swap per epoch.
+
+    Layout: ``<root>/v=<n>/`` holds the full cell state; ``<root>/_CURRENT``
+    names the live version.  Each `apply` writes v=n+1 from v=n + batch,
+    then swaps the pointer — a crashed epoch leaves the old version live.
+
+    Scale shape: the MERGE is one hash shuffle on rowkey (union → window),
+    and at 100 TB the state table would be bucketed by rowkey so the merge
+    co-locates without reshuffling the stored side.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, config: EsSinkConfig | None = None
+    ):
+        self.spark = spark
+        self.root = root
+        self.config = config or EsSinkConfig()
+        os.makedirs(root, exist_ok=True)
+
+    # -- version plumbing ---------------------------------------------------
+    def _current_version(self) -> int:
+        p = os.path.join(self.root, "_CURRENT")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _set_version(self, v: int) -> None:
+        tmp = os.path.join(self.root, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.root, "_CURRENT"))
+
+    def read_cells(self) -> DataFrame:
+        v = self._current_version()
+        path = os.path.join(self.root, f"v={v}")
+        if v == 0 and not os.path.exists(path):
+            return self.spark.createDataFrame([], CELLS_SCHEMA)
+        return self.spark.read.parquet(path)
+
+    # -- the MERGE ----------------------------------------------------------
+    def apply(
+        self, cells: DataFrame, dels: DataFrame, epoch_id: int | None = None
+    ) -> None:
+        """LWW-merge one epoch into the state table.
+
+        cells: (rowkey, qualifier, value, ts, seq) — the epoch's latest put
+        per touched (rowkey, qualifier).
+        dels:  (rowkey, ts, seq) — the epoch's latest delete per key.
+        """
+        cur = self.read_cells()
+        cur_cells = cur.filter(F.col("qualifier").isNotNull())
+        cur_dels = cur.filter(F.col("qualifier").isNull()).select("rowkey", "ts", "seq")
+
+        all_cells = cur_cells.unionByName(
+            cells.select("rowkey", "qualifier", "value", "ts", "seq")
+        )
+        all_dels = (
+            cur_dels.unionByName(dels.select("rowkey", "ts", "seq"))
+            .groupBy("rowkey")
+            .agg(F.max(F.struct("ts", "seq")).alias("d"))
+            .select("rowkey", F.col("d.ts").alias("del_ts"), F.col("d.seq").alias("del_seq"))
+        )
+
+        live = all_cells.join(all_dels, "rowkey", "left").filter(
+            F.col("del_ts").isNull()
+            | (F.struct("ts", "seq") > F.struct(F.col("del_ts"), F.col("del_seq")))
+        )
+        w = Window.partitionBy("rowkey", "qualifier").orderBy(
+            F.col("ts").desc(), F.col("seq").desc()
+        )
+        latest = (
+            live.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("rowkey", "qualifier", "value", "ts", "seq")
+        )
+        tombstones = all_dels.select(
+            "rowkey",
+            F.lit(None).cast("string").alias("qualifier"),
+            F.lit(None).cast("string").alias("value"),
+            F.col("del_ts").alias("ts"),
+            F.col("del_seq").alias("seq"),
+        )
+        next_state = latest.unionByName(tombstones)
+
+        v = self._current_version()
+        out = os.path.join(self.root, f"v={v + 1}")
+        if os.path.exists(out):  # replayed epoch: rebuild deterministically
+            shutil.rmtree(out)
+        next_state.write.mode("overwrite").parquet(out)
+        self._set_version(v + 1)
+        # GC all but the previous version (kept for crash rollback)
+        for name in os.listdir(self.root):
+            if name.startswith("v=") and int(name[2:]) < v:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+    # -- document view ------------------------------------------------------
+    def read_state(self) -> DataFrame:
+        """(rowkey, doc MAP<STRING,STRING>): the ES-document view of the
+        live cells (what a search against the index would see)."""
+        return (
+            self.read_cells()
+            .filter(F.col("qualifier").isNotNull())
+            .groupBy("rowkey")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("qualifier", "value")))
+                ).alias("doc")
+            )
+        )

@@ -1,0 +1,98 @@
+"""Changefeed source: the engine's stand-in for the reference's mutation
+hooks (postPut/postDelete, observer6/HbaseDataSyncEsObserver.java:83,126).
+
+A changefeed record is one cell mutation (FIXTURES.md §2):
+(seq, op, rowkey, family, qualifier, value, ts).  In production this would
+be a Kafka topic or an HBase WAL tail; here it is (a) a deterministic
+synthetic fixture covering every semantic corner the reference implies, and
+(b) a derivation from the `events` fixture table for volume tests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHANGEFEED_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("rowkey", T.StringType(), False),
+        T.StructField("family", T.StringType(), True),
+        T.StructField("qualifier", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+# Covers (FIXTURES.md §2): upsert-then-update partial merge, delete-then-
+# reinsert, same-qualifier-two-families collision, out-of-order ts within a
+# key, puts in one flush window + delete in the next.
+FIXTURE_ROWS = [
+    # r1: plain upsert then partial update of one qualifier
+    (1, "put", "r1", "info", "c1", "v1", _ts(1)),
+    (2, "put", "r1", "info", "c2", "v2", _ts(1, 30)),
+    (3, "put", "r1", "info", "c1", "v1b", _ts(2)),
+    # r2: delete-then-reinsert — only post-delete cells survive
+    (4, "put", "r2", "info", "c1", "old", _ts(1)),
+    (5, "put", "r2", "info", "c2", "keepme-not", _ts(2)),
+    (6, "delete", "r2", None, None, None, _ts(3)),
+    (7, "put", "r2", "info", "c1", "new", _ts(4)),
+    # r3: same qualifier in two families at the same ts — last family in
+    # byte order wins (reference #4: HashMap overwrite in NavigableMap
+    # iteration order, HbaseDataSyncEsObserver.java:93-102)
+    (8, "put", "r3", "fam_a", "c1", "from_a", _ts(5)),
+    (9, "put", "r3", "fam_b", "c1", "from_b", _ts(5)),
+    # r4: out-of-order arrival — older ts arrives later in seq, must lose
+    (10, "put", "r4", "info", "c1", "late-but-old", _ts(1)),
+    (11, "put", "r4", "info", "c1", "winner", _ts(6)),
+    (12, "put", "r4", "info", "c1", "stale", _ts(3)),
+    # r5: deleted and never reinserted — absent from final state
+    (13, "put", "r5", "info", "c1", "gone", _ts(1)),
+    (14, "delete", "r5", None, None, None, _ts(7)),
+]
+
+# Golden final state for FIXTURE_ROWS (hand-derived; tests assert this).
+EXPECTED_STATE = {
+    "r1": {"c1": "v1b", "c2": "v2"},
+    "r2": {"c1": "new"},
+    "r3": {"c1": "from_b"},
+    "r4": {"c1": "winner"},
+}
+
+
+def fixture_changefeed(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(FIXTURE_ROWS, CHANGEFEED_SCHEMA)
+
+
+def events_as_changefeed(events: DataFrame) -> DataFrame:
+    """Derive a high-volume changefeed from the events fixture: each event
+    becomes a put of qualifier=event_type, value=value; 'error' events
+    become whole-row deletes (the tombstone convention used by the CDC
+    queries in operators/cdc.py)."""
+    is_del = F.col("event_type") == "error"
+    return events.select(
+        F.col("event_id").alias("seq"),
+        F.when(is_del, "delete").otherwise("put").alias("op"),
+        F.col("user_id").cast("string").alias("rowkey"),
+        F.when(~is_del, F.lit("info")).alias("family"),
+        F.when(~is_del, F.col("event_type")).alias("qualifier"),
+        F.when(~is_del, F.col("value").cast("string")).alias("value"),
+        F.col("ts"),
+    )
+
+
+def write_changefeed_stream_dir(
+    cf: DataFrame, path: str, n_files: int = 4
+) -> None:
+    """Lay a changefeed out as a file-stream source dir (ordered files so a
+    streaming read sees micro-batches in seq order)."""
+    cf.repartitionByRange(n_files, "seq").write.mode("overwrite").parquet(path)

@@ -1,0 +1,154 @@
+"""Streaming pipeline: stream/batch parity, epoch compaction, idempotent
+sink MERGE, checkpoint restart."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_observer_elasticsearch_spark.operators.cdc import apply_changefeed
+from hbase_observer_elasticsearch_spark.sinks.state_sink import EmulatedEsSink
+from hbase_observer_elasticsearch_spark.sources.changefeed import (
+    EXPECTED_STATE,
+    _ts,
+    fixture_changefeed,
+    write_changefeed_stream_dir,
+)
+from hbase_observer_elasticsearch_spark.streaming.pipeline import (
+    compact_epoch,
+    start_pipeline,
+)
+
+
+def state_as_dict(df) -> dict:
+    return {r["rowkey"]: dict(r["doc"]) for r in df.collect()}
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    """Drain the fixture changefeed through the streaming pipeline in
+    multiple micro-batches; final sink state must equal the batch replay."""
+    cf_dir = str(tmp_path / "cf")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cf = fixture_changefeed(spark)
+    write_changefeed_stream_dir(cf, cf_dir, n_files=4)
+
+    q = start_pipeline(
+        spark, cf_dir, state_dir, ckpt, trigger={"availableNow": True},
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    sink = EmulatedEsSink(spark, state_dir)
+    got = state_as_dict(sink.read_state())
+    assert got == EXPECTED_STATE
+    assert got == state_as_dict(apply_changefeed(cf))
+
+
+def test_stream_restart_idempotent(spark, tmp_path):
+    """Restarting from checkpoint with no new data must not change state."""
+    cf_dir = str(tmp_path / "cf")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files=2)
+
+    for _ in range(2):  # second run: nothing new to process
+        q = start_pipeline(
+            spark, cf_dir, state_dir, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+
+    sink = EmulatedEsSink(spark, state_dir)
+    assert state_as_dict(sink.read_state()) == EXPECTED_STATE
+
+
+def test_compact_epoch(spark):
+    """Epoch compaction: latest put per (rowkey, qualifier) + latest delete
+    per key, at cell granularity with versions."""
+    cf = fixture_changefeed(spark)
+    cells, dels = compact_epoch(cf)
+    got = {(r["rowkey"], r["qualifier"]): r["value"] for r in cells.collect()}
+    assert got[("r1", "c1")] == "v1b"
+    assert got[("r2", "c1")] == "new"  # latest, not the pre-delete value
+    assert got[("r3", "c1")] == "from_b"  # family byte-order collision
+    assert got[("r4", "c1")] == "winner"  # out-of-order resolved by ts
+    assert {r["rowkey"] for r in dels.collect()} == {"r2", "r5"}
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(
+        [(k, q, v, _ts(m), s) for (k, q, v, m, s) in rows],
+        "rowkey string, qualifier string, value string, ts timestamp, seq long",
+    )
+
+
+def _dels(spark, rows):
+    return spark.createDataFrame(
+        [(k, _ts(m), s) for (k, m, s) in rows],
+        "rowkey string, ts timestamp, seq long",
+    )
+
+
+def test_sink_lww_merge_semantics(spark, tmp_path):
+    """The MERGE is last-write-wins by (ts, seq), not by arrival epoch:
+    stale cells and late tombstones from earlier mutation times lose."""
+    sink = EmulatedEsSink(spark, str(tmp_path / "s"))
+    e = _dels(spark, [])
+    # epoch 1: two qualifiers
+    sink.apply(_cells(spark, [("a", "x", "1", 5, 50), ("a", "y", "2", 5, 51)]), e)
+    # epoch 2: newer y, plus a STALE x from an earlier mutation time → loses
+    sink.apply(_cells(spark, [("a", "y", "9", 6, 60), ("a", "x", "0", 1, 10)]), e)
+    assert state_as_dict(sink.read_state()) == {"a": {"x": "1", "y": "9"}}
+    # epoch 3: tombstone at minute 7 kills everything so far
+    sink.apply(_cells(spark, []), _dels(spark, [("a", 7, 70)]))
+    assert state_as_dict(sink.read_state()) == {}
+    # epoch 4: a stale pre-delete put arrives late → tombstone still wins
+    sink.apply(_cells(spark, [("a", "x", "ghost", 6, 65)]), e)
+    assert state_as_dict(sink.read_state()) == {}
+    # epoch 5: a genuinely newer put re-inserts the doc
+    sink.apply(_cells(spark, [("a", "x", "alive", 8, 80)]), e)
+    assert state_as_dict(sink.read_state()) == {"a": {"x": "alive"}}
+
+
+def test_stream_parity_any_file_split(spark, tmp_path):
+    """Final state must be invariant to how the feed splits into epochs
+    (the bug class the 4-file-only test missed: a 3-file split used to
+    let arrival order override mutation order)."""
+    for n_files in (1, 2, 3, 5):
+        cf_dir = str(tmp_path / f"cf{n_files}")
+        state_dir = str(tmp_path / f"state{n_files}")
+        ckpt = str(tmp_path / f"ckpt{n_files}")
+        write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files)
+        q = start_pipeline(
+            spark, cf_dir, state_dir, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+        got = state_as_dict(EmulatedEsSink(spark, state_dir).read_state())
+        assert got == EXPECTED_STATE, f"n_files={n_files}: {got}"
+
+
+def test_streaming_latest_state_query(spark, tmp_path):
+    """The declarative streaming LWW aggregation drains to the same
+    per-qualifier latest values as the batch replay."""
+    from hbase_observer_elasticsearch_spark.streaming.pipeline import (
+        streaming_latest_state,
+    )
+
+    cf_dir = str(tmp_path / "cf")
+    write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files=2)
+    q = (
+        streaming_latest_state(spark, cf_dir)
+        .writeStream.format("memory")
+        .queryName("lww")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["rowkey"], r["qualifier"]): r["value"]
+        for r in spark.sql("SELECT * FROM lww").collect()
+    }
+    # latest put per (rowkey, qualifier) — deletes are not modeled here
+    assert got[("r1", "c1")] == "v1b"
+    assert got[("r4", "c1")] == "winner"
+    assert got[("r2", "c1")] == "new"
