@@ -22,11 +22,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import hashing as H
+from ..functions.vectors import cosine, sql_cosine
 from ..registry import register
 from ..session import ensure_session_conf
 
 SHINGLE_W = 3  # 3-word shingles discriminate sharply on the fixture corpus
 JACCARD_T = 0.5
+COSINE_T = 0.35  # fixture vectors are near-orthogonal; real corpora use ~0.95
 
 # Shared SQL CTEs for the oracle side: distinct 3-word shingles per doc
 # (window formulation — same result as the Spark array formulation).
@@ -263,6 +265,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a,
+       b.vec_id AS vec_b,
+       a.label AS label,
+       {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_T}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by coarse cell (label).
+
+    The semantic-dedup step of an LLM data pipeline: two documents are
+    near-dups when their embeddings' cosine ≥ threshold. Candidates are
+    restricted to the same cell (label equi-join, the IVF/LSH blocking
+    shape) — cost Σ cell² instead of n², and at 100 TB the cell becomes a
+    partition column so the self-join is co-partitioned with no wide
+    shuffle. Cross-cell near-dups are the documented recall tradeoff
+    (mitigate with multi-probe assignment upstream).
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_T)
     )
 
 

@@ -1,0 +1,209 @@
+"""The Python UDF surface (SURVEY §2.3 "UDF surface").
+
+One oracle-checked query per UDF flavor, each used where that flavor is the
+*right* tool — and documented where it is not:
+
+- ``pandas_udf`` (Arrow-vectorized scalar): the default for custom logic
+  Spark built-ins can't express. Batch-columnar transfer, NumPy/str
+  vectorized kernels, ~10-100× over row-at-a-time.
+- ``applyInPandas`` (grouped map): whole-group custom aggregation — the
+  escape hatch for "Aggregator"-style logic. One shuffle on the group key,
+  group must fit in executor memory (bounded groups only at 100 TB).
+- row-at-a-time ``F.udf``: the SLOW path — per-row Python round-trip,
+  breaks whole-stage codegen. Demonstrated on a 25-row dimension table
+  only; anything in a 100 TB hot path uses built-ins or pandas_udf.
+- Python UDTF (Spark ≥ 3.5): table function via LATERAL join — one input
+  row fans out to many output rows with per-row Python state.
+
+Determinism discipline (registry rules): every UDF here does integer or
+string arithmetic only, so DuckDB oracles reproduce values exactly.
+
+Reference analog: none — the reference (a fixed-function Java coprocessor,
+observer6/HbaseDataSyncEsObserver.java:83-135) has no user-function
+extension point at all; this surface is pure [NORTH-STAR] engine scope.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..catalog import load_table
+from ..registry import register
+from ..session import ensure_session_conf
+
+
+# --------------------------------------------------------------------------
+# 1. Vectorized scalar pandas_udf (Arrow batches, the preferred custom path)
+# --------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def _quality_millis(text: pd.Series) -> pd.Series:
+    """Lexical-diversity score ×1000: unique_tokens * 1000 // tokens.
+
+    Integer-only so the DuckDB oracle matches bit-for-bit. Vectorized via
+    pandas str ops — one Arrow batch per ~10k rows, no per-row Python.
+    """
+    toks = text.str.split(" ")
+    n = toks.str.len()
+    uniq = toks.map(lambda ws: len(set(ws)))
+    return (uniq * 1000 // n).astype("int64")
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT doc_id,
+       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(list_distinct(string_split(text, ' '))) * 1000
+            // length(string_split(text, ' ')) AS BIGINT) AS quality_millis
+FROM documents
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf: per-document lexical diversity.
+
+    The custom-kernel path for 100 TB text pipelines: Arrow batch transfer,
+    pandas str kernels, fully partition-parallel, no shuffle.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        _quality_millis(F.col("text")).alias("quality_millis"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Grouped-map applyInPandas (whole-group custom aggregation)
+# --------------------------------------------------------------------------
+
+_GROUP_STATS_SCHEMA = StructType(
+    [
+        StructField("l_returnflag", StringType()),
+        StructField("l_linestatus", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("qty_cents", LongType()),
+        StructField("max_price_cents", LongType()),
+    ]
+)
+
+
+def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel: exact integer totals per (returnflag, linestatus).
+
+    Integer cents make the sum order-independent (group row order is not
+    deterministic across runs), so the result is oracle-exact.
+    """
+    qty = (pdf["l_quantity"] * 100).round().astype("int64")
+    price = (pdf["l_extendedprice"] * 100).round().astype("int64")
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+            "n_rows": [len(pdf)],
+            "qty_cents": [int(qty.sum())],
+            "max_price_cents": [int(price.max())],
+        }
+    )
+
+
+@register(
+    "udf_grouped_applyinpandas",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_price_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def udf_grouped_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: custom whole-group aggregation kernel.
+
+    The "Aggregator" escape hatch — the full group arrives as one pandas
+    DataFrame. Costs one shuffle on the key and requires the group to fit
+    in executor memory: at 100 TB use only on bounded-cardinality groups
+    (here: 6 flag×status groups), never on raw high-cardinality keys.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        _group_stats, schema=_GROUP_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. Row-at-a-time Python UDF (the slow path — small dims only)
+# --------------------------------------------------------------------------
+
+@F.udf(returnType=StringType())
+def _mirror_name(s):
+    return s[::-1] if s is not None else None
+
+
+@register(
+    "udf_scalar_python",
+    oracle="""
+SELECT n_nationkey, n_name, reverse(n_name) AS mirrored
+FROM nation
+""",
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — demonstrated, and deliberately confined
+    to the 25-row nation dim. Each row pays a Python round-trip and breaks
+    whole-stage codegen; on a 100 TB fact table this flavor is forbidden
+    in favor of built-ins (F.reverse exists!) or pandas_udf."""
+    ensure_session_conf(spark)
+    n = load_table(spark, sf_dir, "nation")
+    return n.select("n_nationkey", "n_name", _mirror_name("n_name").alias("mirrored"))
+
+
+# --------------------------------------------------------------------------
+# 4. Python UDTF (table function, Spark ≥ 3.5) via LATERAL join
+# --------------------------------------------------------------------------
+
+@udtf(returnType="pos: int, token: string")
+class _Tokenize:
+    """One input row → one output row per token, with position."""
+
+    def eval(self, text: str):  # noqa: ANN001
+        if text is None:
+            return
+        for i, tok in enumerate(text.split(" ")):
+            yield i, tok
+
+
+@register(
+    "udf_python_udtf",
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id < 20
+""",
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF fan-out: tokenize via LATERAL join (Spark ≥ 3.5).
+
+    The table-function shape for per-row fan-out with Python state (real
+    pipelines: sentence splitting, BPE encoding). Fan-out is map-side —
+    no shuffle; downstream aggs see ordinary rows.
+    """
+    ensure_session_conf(spark)
+    spark.udtf.register("hoes_tokenize", _Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("hoes_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM hoes_docs_udtf d, LATERAL hoes_tokenize(d.text) t
+        WHERE d.doc_id < 20
+        """
+    )

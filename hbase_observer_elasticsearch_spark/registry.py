@@ -42,6 +42,8 @@ _OPERATOR_MODULES = (
     "hbase_observer_elasticsearch_spark.operators.similarity",
     "hbase_observer_elasticsearch_spark.operators.text",
     "hbase_observer_elasticsearch_spark.operators.time_windows",
+    "hbase_observer_elasticsearch_spark.operators.udf_surface",
+    "hbase_observer_elasticsearch_spark.operators.multimodal",
 )
 
 
