@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator: per-key LWW doc assembly via
+``applyInPandasWithState`` (SURVEY §2.3 "stateful last-write-wins").
+
+The declarative pipeline (streaming/pipeline.py) rebuilds doc state with a
+foreachBatch MERGE against a state *table*; this operator instead keeps the
+doc in **Spark-managed keyed state**, the shape to use when consumers need
+the updated document pushed per micro-batch (e.g. straight into an ES bulk
+upsert) without re-reading a state table.
+
+Semantics are identical to the sink MERGE (tests assert parity with
+EXPECTED_STATE):
+- winner per (rowkey, qualifier) = max (ts, family, seq) — family byte-order
+  breaks same-ts collisions exactly like the reference's NavigableMap
+  iteration (observer6/HbaseDataSyncEsObserver.java:93-102);
+- a delete is a whole-doc tombstone at (ts, seq) (delete widening,
+  observer6/HbaseDataSyncEsObserver.java:127-129): cells at or before it are
+  dead, later cells survive (delete-then-reinsert works);
+- merge order across/within micro-batches is irrelevant (pure max-merge),
+  so the operator is replay/duplicate tolerant — exactly-once end state on
+  top of at-least-once delivery.
+
+Scale design (100 TB changefeed):
+- state is partitioned by rowkey across executors (one shuffle per batch,
+  same key partitioning reused every epoch by the state store);
+- per-key state is the current doc (bounded by row width), with dead cells
+  pruned on every tombstone application;
+- at real scale add a state TTL via ``GroupStateTimeout`` (keys idle past
+  the retention horizon are evicted and re-hydrated from the lakehouse
+  state table on next touch).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.changefeed import CHANGEFEED_SCHEMA
+
+# state: one JSON blob per key:
+#   {"cells": {qualifier: [value, ts_ns, family, seq]}, "tomb": [ts_ns, seq],
+#    "n": <total mutations merged so far>}
+# "n" is the emitted version stamp: per-key monotone across micro-batches
+# (the file source does NOT guarantee batch order = event order, and
+# max-merge doesn't need it — but consumers need to know which emission
+# is newest).
+_STATE_SCHEMA = "state_json string"
+_OUTPUT_SCHEMA = "rowkey string, doc_json string, version long"
+
+
+def _cell_key(ts_ns: int, family: str, seq: int) -> tuple:
+    return (ts_ns, family or "", seq)
+
+
+def _apply_mutations(state_doc: dict, pdf: pd.DataFrame) -> None:
+    """Max-merge one pandas chunk of mutations into the state dict."""
+    cells: dict = state_doc.setdefault("cells", {})
+    tomb = state_doc.get("tomb")
+    state_doc["n"] = state_doc.get("n", 0) + len(pdf)
+    ts_ns = pdf["ts"].astype("int64")  # pandas datetime64[ns] → ns since epoch
+    for op, qual, val, fam, seq, t in zip(
+        pdf["op"], pdf["qualifier"], pdf["value"], pdf["family"],
+        pdf["seq"], ts_ns,
+    ):
+        seq = int(seq)
+        t = int(t)
+        if op == "delete":
+            if tomb is None or (t, seq) > tuple(tomb):
+                tomb = [t, seq]
+        else:
+            old = cells.get(qual)
+            if old is None or _cell_key(t, fam, seq) > _cell_key(
+                old[1], old[2], old[3]
+            ):
+                cells[qual] = [val, t, fam, seq]
+    if tomb is not None:
+        state_doc["tomb"] = tomb
+        # prune cells killed by the tombstone (bounds state size)
+        dead = [q for q, c in cells.items() if (c[1], c[3]) <= (tomb[0], tomb[1])]
+        for q in dead:
+            del cells[q]
+
+
+def _lww_doc_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (rowkey,) = key
+    state_doc = json.loads(state.get[0]) if state.exists else {}
+    for pdf in pdfs:
+        _apply_mutations(state_doc, pdf)
+    state.update((json.dumps(state_doc),))
+    doc = {q: c[0] for q, c in state_doc.get("cells", {}).items()}
+    yield pd.DataFrame(
+        {"rowkey": [rowkey], "doc_json": [json.dumps(doc, sort_keys=True)],
+         "version": [state_doc["n"]]}
+    )
+
+
+def stateful_doc_state(
+    spark: SparkSession, changefeed_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming LWW document state with Spark-managed per-key state.
+
+    Emits (rowkey, doc_json, last_seq) for every key touched in each
+    micro-batch — doc_json "{}" marks a fully-deleted doc (the upsert/delete
+    discriminator a downstream ES writer needs).
+    """
+    cf = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changefeed_dir)
+    )
+    return cf.groupBy("rowkey").applyInPandasWithState(
+        _lww_doc_state,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -152,3 +152,36 @@ def test_streaming_latest_state_query(spark, tmp_path):
     assert got[("r1", "c1")] == "v1b"
     assert got[("r4", "c1")] == "winner"
     assert got[("r2", "c1")] == "new"
+
+
+def test_stateful_lww_applyinpandaswithstate(spark, tmp_path):
+    """applyInPandasWithState doc assembly: final emitted doc per key equals
+    the batch-replay golden state; deleted keys emit an empty doc."""
+    import json
+
+    from hbase_observer_elasticsearch_spark.streaming.stateful import (
+        stateful_doc_state,
+    )
+
+    cf_dir = str(tmp_path / "cf")
+    write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files=4)
+
+    q = (
+        stateful_doc_state(spark, cf_dir, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("lww_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql(
+        """SELECT rowkey, doc_json FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY rowkey
+                                          ORDER BY version DESC) rn
+             FROM lww_state) WHERE rn = 1"""
+    ).collect()
+    got = {r["rowkey"]: json.loads(r["doc_json"]) for r in rows}
+    assert {k: v for k, v in got.items() if v} == EXPECTED_STATE
+    assert got["r5"] == {}  # tombstoned key emits the delete marker
