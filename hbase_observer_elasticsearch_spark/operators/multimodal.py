@@ -57,7 +57,12 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     that rides next to every blob so planning-time filters (media_type,
     size caps) prune without touching payload bytes.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # one small file → one partition: spread blobs so the decode UDFs get
+    # all cores (and at scale, so a few huge files don't serialize decode).
+    # Explicit count — AQE would coalesce a small by-column shuffle to 1.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     mt = F.element_at(
         F.create_map(*[F.lit(x) for kv in _MEDIA_TYPES.items() for x in kv]),
         F.col("source"),

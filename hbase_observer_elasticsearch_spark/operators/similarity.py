@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vectors import cosine, sql_cosine
+from ..functions.vectors import cosine, dot, norm, sql_cosine
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -56,9 +56,13 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the candidate set, no shuffle until the final tiny top-k window.
     """
     ensure_session_conf(spark)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )  # candidate norm once per vector, not once per (query, candidate) pair
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         F.broadcast(q)
@@ -67,7 +71,8 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm")))
+            .alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -109,10 +114,13 @@ def similarity_nn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select("vec_id", "label", F.col("embedding").alias("va"))
-    b = e.select(
-        F.col("vec_id").alias("nn_id"), "label", F.col("embedding").alias("vb")
-    )
+    # norms once per vector before the pair join (same doubles, ~3× fewer
+    # HOF folds per pair than per-pair cosine())
+    en = e.withColumn("nrm", norm(F.col("embedding")))
+    a = en.select("vec_id", "label", F.col("embedding").alias("va"),
+                  F.col("nrm").alias("na"))
+    b = en.select(F.col("vec_id").alias("nn_id"), "label",
+                  F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
     scored = (
         a.join(b, "label")
         .filter(F.col("vec_id") != F.col("nn_id"))
@@ -120,7 +128,9 @@ def similarity_nn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "nn_id",
-            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
@@ -179,12 +189,14 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scored = (
-        e.join(F.broadcast(probes), e.label == probes.cell)
+        e.withColumn("nrm", norm(F.col("embedding")))
+        .join(F.broadcast(probes), e.label == probes.cell)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("embedding")) / (norm(F.col("qv")) * F.col("nrm")))
+            .alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
