@@ -57,6 +57,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a small single-file input across all cores.
+
+    The fixture tables are one parquet file → one partition, which would
+    serialize every downstream per-row compute (UDF decode, HOF vector
+    math, shingling) on one core; at 100 TB, skewed file splits do the
+    same. One cheap shuffle of the raw rows buys full parallelism for the
+    expensive part. The partition count is explicit because AQE would
+    coalesce a by-column repartition of a few MB right back to one
+    partition — correct for shuffle cost, wrong for compute parallelism.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions import hashing as H
 from ..functions.vectors import dot, norm, sql_cosine
 from ..registry import register
@@ -53,18 +53,10 @@ def shingle_docs(docs: DataFrame, w: int = SHINGLE_W) -> DataFrame:
     """(doc_id, s): distinct w-word shingles per doc.
 
     `sequence(1, n-w+1)` + element_at indexing instead of a posexplode +
-    window pass keeps shingling per-row. The input is first spread across
-    the cluster: the fixture table is one small parquet file → one
-    partition, which would serialize all shingle compute on one core (and
-    at 100 TB, skewed file splits do the same); one cheap doc_id shuffle
-    of the raw docs buys full parallelism for the expensive part. The
-    partition count is explicit because AQE would coalesce a by-column
-    repartition of a few MB right back to one partition — correct for
-    shuffle cost, wrong for compute parallelism.
+    window pass keeps shingling per-row; `spread` (catalog.py) buys
+    compute parallelism for the expensive md5/concat work.
     """
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(docs, "doc_id")
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(1), n - (w - 1))
@@ -81,6 +73,31 @@ def _coded_shingles(docs: DataFrame) -> DataFrame:
     return shingle_docs(docs).select(
         "doc_id", H.token_code(F.col("s")).alias("code"), "s"
     )
+
+
+def _pairs_from_groups(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """(doc_a, doc_b) with doc_a < doc_b: all pairs within each group's
+    sorted id array.
+
+    Pair generation via collect_list + row-wise combination fan-out
+    instead of a bucket self-join: the (expensive) subtree feeding the
+    groups is computed once, not once per join side, and no second
+    shuffle of the full bucket table is needed. At 100 TB, cap bucket
+    size before fan-out (buckets with thousands of members are
+    boilerplate by definition and would quadratically dominate).
+    """
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col(ids_col),
+                lambda x, i: F.transform(
+                    F.slice(F.col(ids_col), i + 2, F.size(F.col(ids_col))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+    ).alias("p")
+    return grouped.select(pair).select("p.doc_a", "p.doc_b")
 
 
 @register(
@@ -139,13 +156,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_docs(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # inverted index: shingle → sorted doc list → co-occurrence pairs.
+    # One pass over the shingle table (vs two for a self-join on s).
+    inv = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    inter = _pairs_from_groups(inv).groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
@@ -247,14 +266,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", "bs.band", "bs.sig")
 
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    cand = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # LSH buckets → in-bucket pairs (shingle→sig subtree computed once;
+    # a band self-join would compute it once per side)
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    cand = _pairs_from_groups(buckets).distinct()
 
     sh = coded.select("doc_id", "s")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -306,7 +325,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms once per vector BEFORE the pair join (numerically identical to
     # per-pair norms — same doubles — but ~3× fewer HOF folds per pair)
     en = e.withColumn("nrm", norm(F.col("embedding")))
-    a = en.select(
+    # probe side spread across cores so pair scoring parallelizes; the
+    # small build side broadcasts (Catalyst's choice — at scale this
+    # becomes a label-co-partitioned sort-merge join with the same code)
+    a = spread(en).select(
         F.col("vec_id").alias("vec_a"), "label",
         F.col("embedding").alias("va"), F.col("nrm").alias("na"),
     )

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -57,12 +57,9 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     that rides next to every blob so planning-time filters (media_type,
     size caps) prune without touching payload bytes.
     """
-    # one small file → one partition: spread blobs so the decode UDFs get
-    # all cores (and at scale, so a few huge files don't serialize decode).
-    # Explicit count — AQE would coalesce a small by-column shuffle to 1.
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # spread blobs so the decode UDFs get all cores (and at scale, so a
+    # few huge files don't serialize decode) — see catalog.spread
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     mt = F.element_at(
         F.create_map(*[F.lit(x) for kv in _MEDIA_TYPES.items() for x in kv]),
         F.col("source"),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions.vectors import cosine, dot, norm, sql_cosine
 from ..registry import register
 from ..session import ensure_session_conf
@@ -66,7 +66,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(e)
+        .crossJoin(spread(e))  # scoring runs on the candidate partitions
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -117,8 +117,12 @@ def similarity_nn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms once per vector before the pair join (same doubles, ~3× fewer
     # HOF folds per pair than per-pair cosine())
     en = e.withColumn("nrm", norm(F.col("embedding")))
-    a = en.select("vec_id", "label", F.col("embedding").alias("va"),
-                  F.col("nrm").alias("na"))
+    # probe side spread across cores: pair scoring then runs map-side on
+    # every partition (the build side is small enough that Catalyst
+    # broadcasts it here; at scale it becomes a label-co-partitioned join
+    # with the same code)
+    a = spread(en).select("vec_id", "label", F.col("embedding").alias("va"),
+                          F.col("nrm").alias("na"))
     b = en.select(F.col("vec_id").alias("nn_id"), "label",
                   F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
     scored = (
@@ -171,7 +175,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),  # query norm hoisted out of the scan
     )
     # probe selection: 3 best cells per query by centroid cosine
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -181,21 +187,22 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .crossJoin(F.broadcast(cent))
         .select(
-            "query_id", "qv", "cell", cosine(F.col("qv"), F.col("cv")).alias("c_sim")
+            "query_id", "qv", "qn", "cell",
+            cosine(F.col("qv"), F.col("cv")).alias("c_sim"),
         )
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= 3)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
 
+    cands = spread(e).withColumn("nrm", norm(F.col("embedding")))
     scored = (
-        e.withColumn("nrm", norm(F.col("embedding")))
-        .join(F.broadcast(probes), e.label == probes.cell)
+        cands.join(F.broadcast(probes), cands.label == probes.cell)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (dot(F.col("qv"), F.col("embedding")) / (norm(F.col("qv")) * F.col("nrm")))
+            (dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm")))
             .alias("cos_sim"),
         )
     )
