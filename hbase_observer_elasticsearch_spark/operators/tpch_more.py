@@ -1,0 +1,426 @@
+"""Extended TPC-H-shaped query battery (SURVEY §2.3 joins/aggs, widened).
+
+The reference has no relational surface at all (SURVEY §2.1); these queries
+document that the engine covers the standard decision-support shapes beyond
+relational.py's Q1/Q3/Q5: EXISTS/NOT-IN subqueries, single-row aggregates,
+bidirectional join predicates, conditional (CASE) aggregation, ratio-of-sums,
+multi-distinct group counts, and HAVING-gated join-backs.
+
+Fixture adaptations (TESTDATA.md schemas lack some TPC-H columns): p_type is
+a plain category so q14 uses equality instead of LIKE 'PROMO%'; there is no
+l_shipmode/l_commitdate, so q4 gates on returned lines and q12 buckets by
+o_orderpriority; there is no partsupp, so q16 treats lineitem as the
+part-supplier relation.
+
+Scale notes mirror relational.py: dims broadcast, fact-fact joins shuffle on
+natural keys, aggregates are partial+final, decimal-cast sums keep results
+deterministic (functions/deterministic.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..session import ensure_session_conf
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _c2(col: str) -> F.Column:
+    return F.col(col).cast("decimal(12,2)")
+
+
+_SQL_C2 = "CAST({0} AS DECIMAL(12,2))"
+
+
+def _rev(price: str = "l_extendedprice", disc: str = "l_discount") -> F.Column:
+    return F.sum(_c2(price) * (F.lit(1) - _c2(disc))).cast("double")
+
+
+def _sql_rev(price: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    return (
+        f"CAST(SUM({_SQL_C2.format(price)}"
+        f" * (1 - {_SQL_C2.format(disc)})) AS DOUBLE)"
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join → 1-key agg.
+
+    The semi join ships only the join key of the filtered lineitem side;
+    no payload columns cross the shuffle.
+    """
+    ensure_session_conf(spark)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT CAST(SUM({_SQL_C2.format('l_extendedprice')}
+              * {_SQL_C2.format('l_discount')}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, single output row.
+
+    Every predicate pushes to the parquet scan; the aggregate is one
+    partial per mapper + one final row — the cheapest possible 100 TB
+    query and the canonical pushdown check.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_c2("l_extendedprice") * _c2("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       {_sql_rev('l.l_extendedprice', 'l.l_discount')} AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two nation dims joined twice + disjunctive
+    cross-dimension predicate + year rollup.
+
+    Both nation copies broadcast; the disjunction is evaluated after the
+    (cheap) broadcast joins, never as a cross product.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_rev().alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey,
+       c.c_name,
+       n.n_name,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       {_sql_rev('l.l_extendedprice', 'l.l_discount')} AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+
+    customer/nation broadcast; orders⋈lineitem shuffles; top-k compiles
+    to TakeOrderedAndProject (no global sort materialization).
+    """
+    ensure_session_conf(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(_rev().alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+""",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional (CASE) aggregation over a fact-fact
+    join. (Fixture has no l_shipmode; o_orderpriority plays its role.)"""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle=f"""
+SELECT CAST(100.0 AS DOUBLE)
+         * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_SQL_C2.format('l.l_extendedprice')}
+                              * (1 - {_SQL_C2.format('l.l_discount')})
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / {_sql_rev('l.l_extendedprice', 'l.l_discount')} AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional sum to total sum.
+
+    Both sums are exact decimals cast to double *before* the division so
+    the ratio is bit-identical across engines and partitionings.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = _c2("l_extendedprice") * (F.lit(1) - _c2("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double") / _rev()
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q16_parts_suppliers",
+    oracle="""
+SELECT p.p_brand,
+       p.p_type,
+       p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN subquery (anti join) + 3-key distinct count.
+    (Fixture has no partsupp; lineitem is the part↔supplier relation.)"""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 350
+)
+SELECT c.c_custkey,
+       c.c_name,
+       o.o_orderkey,
+       o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN big   ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-gated aggregate subquery joined back to the
+    facts (the "large volume customer" pattern).
+
+    The `big` set is tiny after HAVING → broadcast back against orders;
+    lineitem re-joins on the already-shuffled l_orderkey key.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 350)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.big_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+SELECT {_sql_rev('l.l_extendedprice', 'l.l_discount')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 10)
+   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 20)
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicates across the
+    join (each arm constrains both sides).
+
+    The part-side arms of the disjunction still prune the broadcast
+    build side (Catalyst pushes the OR of the part-only predicates)."""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 10)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 20)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm1 | arm2)
+        .agg(_rev().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
