@@ -1,0 +1,160 @@
+"""Reshape + order-statistics operators: pivot, unpivot/melt, percentiles,
+right outer join (SURVEY §2.3 aggregations/set-ops surface, widened).
+
+The reference's only reshape is the per-row qualifier pivot
+(observer6/HbaseDataSyncEsObserver.java:93-102, SURVEY §2.1 #4); here the
+table-level equivalents: `groupBy().pivot()` (long→wide),
+`DataFrame.unpivot` (wide→long), and interpolated percentiles (exact
+`percentile`, which matches DuckDB's `quantile_cont` bit-for-bit because
+both linearly interpolate over the sorted doubles).
+
+Scale notes: pivot with an explicit value list is one shuffle + conditional
+aggregation (no second pass to discover values — at 100 TB always pass the
+list); unpivot is a map-side expression (no shuffle); percentile is a
+sort-based aggregate — prefer approx_percentile at extreme scale when ±ε
+is acceptable (agg_approx_distinct documents the same tradeoff for counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.deterministic import dsum
+from ..registry import register
+from ..session import ensure_session_conf
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_wide",
+    oracle=f"""
+SELECT user_id % 10 AS cohort,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+           f" AS {t}" for t in EVENT_TYPES
+       )}
+FROM events
+GROUP BY 1
+""",
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide: `groupBy().pivot(values).count()` over event types.
+
+    The explicit value list keeps it a single-shuffle conditional agg;
+    omitting it would trigger a distinct-values pre-pass (never at 100 TB).
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    # absent (cohort, type) combos pivot to null; the CASE-sum oracle says 0
+    return out.select(
+        "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS amount FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+""",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long: `DataFrame.unpivot` (melt) of three aggregate measures.
+
+    Unpivot is a pure map-side expression — rows×measures fan-out with no
+    shuffle beyond the feeding aggregation.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+
+
+@register(
+    "percentile_stats",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.90) AS p90,
+       min(value) AS vmin,
+       max(value) AS vmax
+FROM events
+GROUP BY event_type
+""",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (+ min/max).
+
+    Spark `percentile` and DuckDB `quantile_cont` both linearly
+    interpolate over the sorted values, so results match bit-for-bit. At
+    extreme scale swap in `approx_percentile` (t-digest, mergeable) — the
+    exact version sorts each group's values.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.50)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+        F.expr("percentile(value, 0.90)").alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM orders o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer equi-join: every customer survives, orderless ones with
+    n_orders = 0 (COUNT of the null-extended side).
+
+    Catalyst flips a right join of (big, broadcast-able) into a left
+    join with sides swapped — same plan as join_left_orders_per_customer.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )

@@ -119,3 +119,41 @@ def streaming_latest_state(spark: SparkSession, changefeed_dir: str) -> DataFram
         .groupBy("rowkey", "qualifier")
         .agg(F.max_by("value", F.struct("ts", "seq")).alias("value"))
     )
+
+
+def streaming_windowed_mutation_counts(
+    spark: SparkSession,
+    changefeed_dir: str,
+    window_duration: str = "1 minute",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Watermarked tumbling-window mutation rates per op type.
+
+    The streaming analog of operators/time_windows.window_tumbling: late
+    events beyond the watermark are dropped (the reference has no notion
+    of event time at all — its only clock is the 30 s flush beeper,
+    observer6/ElasticSearchBulkOperator.java:61). Append output mode:
+    a window emits exactly once, when the watermark passes its end —
+    at scale this is the shape that keeps state bounded (state size =
+    open windows × op types, independent of throughput).
+    """
+    cf = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changefeed_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        cf.groupBy(F.window("ts", window_duration), "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_mutations"),
+            F.approx_count_distinct("rowkey").alias("n_keys_approx"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "op",
+            "n_mutations",
+            "n_keys_approx",
+        )
+    )

@@ -185,3 +185,49 @@ def test_stateful_lww_applyinpandaswithstate(spark, tmp_path):
     got = {r["rowkey"]: json.loads(r["doc_json"]) for r in rows}
     assert {k: v for k, v in got.items() if v} == EXPECTED_STATE
     assert got["r5"] == {}  # tombstoned key emits the delete marker
+
+
+def test_streaming_windowed_counts_late_drop(spark, tmp_path):
+    """Watermarked tumbling-window agg: windows emit once (append mode)
+    when the watermark passes, and a row later than the watermark is
+    dropped rather than re-opening its window."""
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        CHANGEFEED_SCHEMA,
+    )
+    from hbase_observer_elasticsearch_spark.streaming.pipeline import (
+        streaming_windowed_mutation_counts,
+    )
+
+    cf_dir = tmp_path / "wcf"
+
+    def row(seq, minute, sec):
+        return (seq, "put", f"r{seq}", "info", "c", "v", _ts(minute, sec))
+
+    spark.createDataFrame(
+        [row(1, 0, 10), row(2, 0, 20), row(3, 5, 0)], CHANGEFEED_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(cf_dir))
+
+    q = (
+        streaming_windowed_mutation_counts(spark, str(cf_dir))
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # seq 4 is 3.5 min late (watermark sits at 4:00 after batch 1) →
+        # dropped; seq 5 advances the watermark so window [5:00,6:00) emits
+        spark.createDataFrame(
+            [row(4, 0, 30), row(5, 8, 0)], CHANGEFEED_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(cf_dir))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["win_start"].minute, r["op"]): r["n_mutations"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got[(0, "put")] == 2  # late seq-4 row NOT counted
+    assert got[(5, "put")] == 1
