@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "hbase_observer_elasticsearch_spark.operators.relational",
     "hbase_observer_elasticsearch_spark.operators.tpch_more",
     "hbase_observer_elasticsearch_spark.operators.reshape",
+    "hbase_observer_elasticsearch_spark.operators.skew_agg",
     "hbase_observer_elasticsearch_spark.operators.windows",
     "hbase_observer_elasticsearch_spark.operators.scalar_fns",
     "hbase_observer_elasticsearch_spark.operators.dedup",

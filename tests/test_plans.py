@@ -42,3 +42,36 @@ def test_agg_in_codegen(spark, sf_dir):
 def test_topn_uses_take_ordered(spark, sf_dir):
     df = QS["sort_limit_topn"](spark, sf_dir)
     assert "TakeOrderedAndProject" in plans.explain_str(df)
+
+
+def test_q6_full_pushdown(spark, sf_dir):
+    """Every q6 predicate reaches the parquet scan; only 4 columns read."""
+    df = QS["q6_forecast_revenue"](spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    cols = plans.scan_read_columns(df)[0]
+    assert cols.count(":") == 4  # quantity, extendedprice, discount, shipdate
+
+
+def test_q19_disjunction_pushes_to_both_sides(spark, sf_dir):
+    """The OR of per-side arms reaches each scan; part side broadcasts."""
+    df = QS["q19_discounted_revenue"](spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("p_brand" in p for p in pushed)  # part scan got its arms
+    assert any("l_quantity" in p for p in pushed)  # lineitem got the OR
+    assert plans.has_broadcast_join(df)
+
+
+def test_semi_and_anti_join_shapes(spark, sf_dir):
+    assert "LeftSemi" in plans.explain_str(QS["q4_order_priority"](spark, sf_dir))
+    assert "LeftAnti" in plans.explain_str(QS["q16_parts_suppliers"](spark, sf_dir))
+
+
+def test_salted_agg_stages(spark, sf_dir):
+    """Two-stage salted agg: the plan has no single-key wide shuffle of raw
+    rows — stage 1 groups by (key, salt)."""
+    df = QS["agg_salted_heavy_hitters"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert "__salt" in plan
+    assert not plans.has_cartesian_or_bnl(df)
