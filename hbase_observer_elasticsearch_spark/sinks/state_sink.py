@@ -65,14 +65,21 @@ class EsSinkConfig:
     extra: dict[str, str] = field(default_factory=dict)
 
     def connector_options(self) -> dict[str, str]:
-        """What we would pass to the real elasticsearch-hadoop connector."""
+        """What we would pass to the real elasticsearch-hadoop connector.
+
+        Variant B's multi-host surface (hosts split on '-' with random
+        pick + transport sniffing, polyinfo/EsClient.java:71-77,96-103,111)
+        maps to the connector's own `es.nodes` balancing — the random-pick
+        machinery dissolves, exactly as SURVEY §2.1 #19 prescribes.
+        """
         return {
-            "es.nodes": self.es_host,
+            "es.nodes": ",".join(self.es_host.split("-")),
             "es.port": str(self.es_port),
             "es.resource": f"{self.es_index}/{self.es_type}",
             "es.write.operation": "upsert",
             "es.mapping.id": "rowkey",
             "es.batch.size.entries": "10000",  # MAX_BULK_COUNT parity
+            "es.batch.write.retry.count": "3",  # reconnect+requeue (#14) analog
             **self.extra,
         }
 

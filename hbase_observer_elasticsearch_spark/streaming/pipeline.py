@@ -157,3 +157,34 @@ def streaming_windowed_mutation_counts(
             "n_keys_approx",
         )
     )
+
+
+def streaming_mutation_sessions(
+    spark: SparkSession,
+    changefeed_dir: str,
+    gap: str = "2 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Session windows per rowkey: mutation bursts separated by ≥ `gap`.
+
+    Sessions are the merging-window stateful shape (a new event can extend
+    or fuse open sessions); the watermark closes a session once no event
+    can extend it, so state stays bounded by the number of open sessions.
+    Batch twin: operators/time_windows.window_session.
+    """
+    cf = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changefeed_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        cf.groupBy(F.session_window("ts", gap), "rowkey")
+        .agg(F.count(F.lit(1)).alias("n_mutations"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "rowkey",
+            "n_mutations",
+        )
+    )

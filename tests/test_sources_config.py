@@ -1,0 +1,61 @@
+"""Connector config surfaces: Kafka reader options + record projection,
+ES connector option map (multi-host parity)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from hbase_observer_elasticsearch_spark.sinks.state_sink import EsSinkConfig
+from hbase_observer_elasticsearch_spark.sources.changefeed import CHANGEFEED_SCHEMA
+from hbase_observer_elasticsearch_spark.sources.kafka_changefeed import (
+    kafka_reader_options,
+    parse_kafka_changefeed,
+)
+
+
+def test_kafka_reader_options_size_trigger_parity():
+    opts = kafka_reader_options("k1:9092,k2:9092", "mutations")
+    assert opts["maxOffsetsPerTrigger"] == "10000"  # MAX_BULK_COUNT
+    assert opts["subscribe"] == "mutations"
+
+
+def test_parse_kafka_changefeed_projection(spark):
+    def rec(key: str, **payload) -> tuple:
+        return (
+            key.encode(),
+            json.dumps(payload, default=str).encode(),
+            dt.datetime(2024, 1, 1, 0, 0, 5),  # broker timestamp
+        )
+
+    records = spark.createDataFrame(
+        [
+            rec(
+                "r1", seq=1, op="put", family="f", qualifier="c1",
+                value="v1", ts="2024-01-01T00:00:01",
+            ),
+            rec("r2", seq=2, op="delete"),  # sparse payload, no event ts
+        ],
+        "key binary, value binary, timestamp timestamp",
+    )
+    out = parse_kafka_changefeed(records)
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in CHANGEFEED_SCHEMA.fields
+    ]
+    rows = {r["rowkey"]: r for r in out.collect()}
+    assert rows["r1"]["qualifier"] == "c1"
+    assert rows["r1"]["ts"] == dt.datetime(2024, 1, 1, 0, 0, 1)
+    assert rows["r2"]["op"] == "delete"
+    # no event-time in payload → broker timestamp keeps watermarks alive
+    assert rows["r2"]["ts"] == dt.datetime(2024, 1, 1, 0, 0, 5)
+
+
+def test_es_connector_options_multihost():
+    cfg = EsSinkConfig(es_host="es1-es2-es3", es_port=9200, es_index="docs")
+    opts = cfg.connector_options()
+    # variant B's '-'-separated host list (polyinfo/EsClient.java:73) maps
+    # to the connector's comma list; random-pick machinery dissolves
+    assert opts["es.nodes"] == "es1,es2,es3"
+    assert opts["es.resource"] == "docs/_doc"
+    assert opts["es.write.operation"] == "upsert"
+    assert opts["es.mapping.id"] == "rowkey"

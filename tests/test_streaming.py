@@ -231,3 +231,44 @@ def test_streaming_windowed_counts_late_drop(spark, tmp_path):
     }
     assert got[(0, "put")] == 2  # late seq-4 row NOT counted
     assert got[(5, "put")] == 1
+
+
+def test_streaming_session_windows_merge(spark, tmp_path):
+    """Bursts within the gap fuse into one session; a ≥gap pause splits."""
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        CHANGEFEED_SCHEMA,
+    )
+    from hbase_observer_elasticsearch_spark.streaming.pipeline import (
+        streaming_mutation_sessions,
+    )
+
+    cf_dir = tmp_path / "scf"
+
+    def row(seq, minute, sec=0):
+        return (seq, "put", "r1", "info", "c", "v", _ts(minute, sec))
+
+    # burst at 0:00-0:30 (3 events), pause > 2 min, burst at 5:00; a late
+    # closer row at minute 20 pushes the watermark past both sessions
+    spark.createDataFrame(
+        [row(1, 0, 0), row(2, 0, 30), row(3, 1, 0), row(4, 5, 0), row(5, 20, 0)],
+        CHANGEFEED_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(cf_dir))
+
+    q = (
+        streaming_mutation_sessions(spark, str(cf_dir))
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["sess_start"].minute, r["n_mutations"])
+        for r in spark.sql("SELECT * FROM sessions WHERE rowkey='r1'").collect()
+    }
+    assert (0, 3) in got  # three events fused into one session
+    assert (5, 1) in got  # separated burst is its own session
