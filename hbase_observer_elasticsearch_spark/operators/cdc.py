@@ -231,3 +231,36 @@ def apply_changefeed(cf: DataFrame, info_envelope: bool = False) -> DataFrame:
         # The constant "info" envelope (HbaseDataSyncEsObserver.java:104).
         doc = doc.select("rowkey", F.create_map(F.lit("info"), F.col("doc")).alias("doc"))
     return doc
+
+
+@register(
+    "cdc_nullsafe_tombstones",
+    oracle="""
+WITH cf AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CASE WHEN event_type = 'error' THEN NULL ELSE 'info' END AS family
+  FROM events
+)
+SELECT op,
+       family IS NOT DISTINCT FROM 'info' AS fam_is_info,
+       COUNT(*) AS n
+FROM cf
+GROUP BY 1, 2
+""",
+)
+def cdc_nullsafe_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>`) over the changefeed's nullable columns.
+
+    Tombstones carry NULL family/qualifier (sources/changefeed.py); plain
+    `=` would put them in a three-valued-logic limbo — `eqNullSafe` is the
+    predicate that routes them deterministically (SURVEY §2.3 filters row).
+    """
+    ensure_session_conf(spark)
+    from ..sources.changefeed import events_as_changefeed
+
+    cf = events_as_changefeed(load_table(spark, sf_dir, "events"))
+    return (
+        cf.select("op", F.col("family").eqNullSafe("info").alias("fam_is_info"))
+        .groupBy("op", "fam_is_info")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -42,6 +42,23 @@ def get_spark(
     return spark
 
 
+def config_info(spark: SparkSession, prefix: str = "spark.sql") -> dict[str, str]:
+    """Structured dump of session config for logs/diagnostics — the Spark
+    analog of the reference's reflection-based `ESClient.getInfo()`
+    (observer6/ESClient.java:41-53, SURVEY §2.1 #20)."""
+    return {
+        k: v for k, v in sorted(spark.sparkContext.getConf().getAll())
+        if k.startswith(prefix)
+    } | {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.session.timeZone",
+        )
+    }
+
+
 def ensure_session_conf(spark: SparkSession) -> SparkSession:
     """Pin runtime-mutable confs we rely on for oracle-exact results.
 

@@ -62,6 +62,9 @@ class EsSinkConfig:
     es_port: int = 9300
     es_index: str = "state"
     es_type: str = "_doc"
+    # variant C's read-your-writes refresh per bulk (README_zh.md:264,
+    # disabled in variant A at observer6/ElasticSearchBulkOperator.java:37)
+    refresh_on_bulk: bool = False
     extra: dict[str, str] = field(default_factory=dict)
 
     def connector_options(self) -> dict[str, str]:
@@ -80,6 +83,7 @@ class EsSinkConfig:
             "es.mapping.id": "rowkey",
             "es.batch.size.entries": "10000",  # MAX_BULK_COUNT parity
             "es.batch.write.retry.count": "3",  # reconnect+requeue (#14) analog
+            "es.batch.write.refresh": str(self.refresh_on_bulk).lower(),  # #21
             **self.extra,
         }
 

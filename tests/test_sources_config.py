@@ -59,3 +59,45 @@ def test_es_connector_options_multihost():
     assert opts["es.resource"] == "docs/_doc"
     assert opts["es.write.operation"] == "upsert"
     assert opts["es.mapping.id"] == "rowkey"
+
+
+def test_rate_changefeed_schema_and_generation(spark):
+    """Rate-source synthetic changefeed: schema matches, mutations flow."""
+    import time
+
+    from hbase_observer_elasticsearch_spark.sources.rate_changefeed import (
+        rate_changefeed,
+    )
+
+    cf = rate_changefeed(spark, rows_per_second=500, num_partitions=2)
+    assert [f.name for f in cf.schema.fields] == [
+        f.name for f in CHANGEFEED_SCHEMA.fields
+    ]
+    q = (
+        cf.writeStream.format("memory")
+        .queryName("rate_cf")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT COUNT(*) c FROM rate_cf").first()["c"]
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    ops = {r["op"] for r in spark.sql("SELECT DISTINCT op FROM rate_cf").collect()}
+    assert "put" in ops  # delete mix appears once value%8==0 rows arrive
+
+
+def test_config_info(spark):
+    from hbase_observer_elasticsearch_spark.session import config_info
+
+    info = config_info(spark)
+    assert info["spark.sql.session.timeZone"] == "UTC"
+    assert info["spark.sql.adaptive.enabled"] == "true"
