@@ -121,6 +121,27 @@ def streaming_latest_state(spark: SparkSession, changefeed_dir: str) -> DataFram
     )
 
 
+def streaming_dedup_within_watermark(
+    spark: SparkSession, changefeed_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Duplicate-delivery suppression: drop redundant (rowkey, seq) redeliveries
+    arriving within the watermark horizon.
+
+    An at-least-once upstream (Kafka with producer retries, or the
+    reference's variant-C retry loop — SURVEY §2.1 #22) re-delivers
+    mutations; `dropDuplicatesWithinWatermark` suppresses them with state
+    bounded by the watermark (unlike plain `dropDuplicates`, whose state
+    grows forever on an unbounded stream).
+    """
+    cf = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changefeed_dir)
+        .withWatermark("ts", watermark)
+    )
+    return cf.dropDuplicatesWithinWatermark(["rowkey", "seq"])
+
+
 def streaming_windowed_mutation_counts(
     spark: SparkSession,
     changefeed_dir: str,

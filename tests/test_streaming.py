@@ -272,3 +272,44 @@ def test_streaming_session_windows_merge(spark, tmp_path):
     }
     assert (0, 3) in got  # three events fused into one session
     assert (5, 1) in got  # separated burst is its own session
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Redelivered (rowkey, seq) mutations inside the watermark are
+    suppressed; distinct seqs all pass."""
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        CHANGEFEED_SCHEMA,
+    )
+    from hbase_observer_elasticsearch_spark.streaming.pipeline import (
+        streaming_dedup_within_watermark,
+    )
+
+    cf_dir = tmp_path / "dcf"
+
+    def row(seq, minute):
+        return (seq, "put", "r1", "info", "c", f"v{seq}", _ts(minute))
+
+    # seq 1 delivered three times (same batch and a later batch), seq 2 once
+    spark.createDataFrame(
+        [row(1, 0), row(1, 0), row(2, 1)], CHANGEFEED_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(cf_dir))
+
+    q = (
+        streaming_dedup_within_watermark(spark, str(cf_dir))
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [row(1, 2)], CHANGEFEED_SCHEMA  # redelivery, still in horizon
+        ).coalesce(1).write.mode("append").parquet(str(cf_dir))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT seq, COUNT(*) n FROM dedup_wm GROUP BY seq").collect()
+    got = {r["seq"]: r["n"] for r in rows}
+    assert got == {1: 1, 2: 1}
