@@ -145,6 +145,122 @@ def similarity_nn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_fit(e: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+    """Lloyd's k-means over ARRAY<FLOAT> embeddings in pure DataFrame ops.
+
+    The IVF coarse-quantizer trainer. Per iteration: assignment is a
+    map-side broadcast-crossJoin + `min_by` over k tiny centroids (no
+    shuffle of the vectors), update is one (cluster, dim) aggregation.
+    The driver loop only ever handles the k×dim centroid table — the
+    vectors never leave the cluster, so the same code runs at 100 TB with
+    k in the thousands.
+
+    Deterministic: seeded from the first k vec_ids, distance is the
+    sequential-fold HOF (functions/vectors.py), centroid means use exact
+    decimal sums, and the argmin tiebreak is (dist, cluster_id).
+    """
+    # centroids are MODEL state: k×dim floats live on the driver between
+    # iterations (what every production trainer does); the vectors
+    # themselves never shuffle — assignment is a pure map-side expression
+    # over literal centroids, update is one (cluster, dim) partial+final agg.
+    cents: list[tuple[int, list[float]]] = [
+        (int(r["cluster_id"]), list(r["cv"]))
+        for r in e.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").cast("int").alias("cluster_id"),
+            F.col("embedding").alias("cv"),
+        )
+        .collect()
+    ]
+    e = spread(e)  # assignment math parallelizes across all cores
+
+    def assign(cents) -> F.Column:
+        def d2(cv: list[float]) -> F.Column:
+            lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+            return F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    lit_cv,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        scored = F.array(
+            *[
+                F.struct(d2(cv).alias("d2"), F.lit(cid).alias("cid"))
+                for cid, cv in cents
+            ]
+        )
+        return F.array_min(scored).getField("cid")
+
+    for _ in range(iters):
+        assigned = e.select("vec_id", "embedding", assign(cents).alias("cluster_id"))
+        new_cent = (
+            assigned.select(
+                "cluster_id", F.posexplode("embedding").alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster_id",
+                F.transform("pm", lambda s: s.m.cast("float")).alias("cv"),
+            )
+        )
+        cents = [
+            (int(r["cluster_id"]), list(r["cv"])) for r in new_cent.collect()
+        ]
+        cents.sort()
+    return e.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cluster_id int, cv array<float>"
+    )
+
+
+@register("similarity_ivf_kmeans")
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with *trained* centroids: 3 Lloyd iterations, then cell
+    assignment sizes + within-cell mean cosine-to-centroid.
+
+    Rows-only check (iterative algorithm — not single-statement-SQL
+    expressible; DuckDB has no recursive-friendly formulation worth
+    maintaining). Row count = k non-empty cells, deterministic by
+    construction (see kmeans_fit).
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    # 2 Lloyd iterations: per-iteration wall cost is dominated by plan
+    # compile (data-size independent); at 100 TB you would run to
+    # convergence on a sample and only assign the full corpus once.
+    cent = kmeans_fit(e, k=8, iters=2)
+    sim = cosine(F.col("embedding"), F.col("cv"))
+    assigned = (
+        spread(e)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cluster_id", sim.alias("c_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cluster_id", F.struct("c_sim", F.col("cluster_id") * -1)).alias(
+                "cluster_id"
+            ),
+            F.max("c_sim").alias("best_sim"),
+        )
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("best_sim").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sum_best_sim"),
+    )
+
+
 @register("similarity_topk_ivf")
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-k: probe the 3 nearest cells by centroid, search

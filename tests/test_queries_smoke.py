@@ -31,7 +31,11 @@ def test_every_oracle_parses_and_oracle_coverage(sf_dir):
     assert set(ORACLES) <= set(QS)
     # rows-only queries are the documented exceptions, not the norm
     no_oracle = set(QS) - set(ORACLES)
-    assert no_oracle <= {"agg_approx_distinct", "similarity_topk_ivf"}
+    assert no_oracle <= {
+        "agg_approx_distinct",
+        "similarity_topk_ivf",
+        "similarity_ivf_kmeans",
+    }
 
 
 def test_entry_contract(spark):
