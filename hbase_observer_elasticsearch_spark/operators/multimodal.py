@@ -204,6 +204,72 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = 32  # fake "resize": stride-subsample payload to ≤32 bytes
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: byte-stride subsample standing in for image
+    resize (the real kernel swaps in PIL thumbnail/interpolation; the
+    batch contract — blob in, smaller blob out, 1:1 rows — is identical)."""
+    for pdf in batches:
+        def resize(b: bytes) -> bytes:
+            stride = max(1, -(-len(b) // RESIZE_TARGET))  # ceil div
+            return b[::stride]
+
+        resized = pdf["payload"].map(resize)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "orig_len": pdf["payload"].map(len).astype("int64"),
+                "resized_len": resized.map(len).astype("int64"),
+                "resized_md5": resized.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+WITH {_SQL_MEDIA},
+strided AS (
+  SELECT doc_id, media_type, byte_len, text,
+         greatest(1, CAST(ceil(byte_len * 1.0 / {RESIZE_TARGET}) AS BIGINT))
+             AS stride
+  FROM media
+),
+picked AS (
+  SELECT doc_id, media_type, byte_len, stride,
+         string_agg(substr(text, CAST(i AS BIGINT), 1), '' ORDER BY i) AS rz
+  FROM strided, unnest(generate_series(1, CAST(byte_len AS BIGINT), stride)) AS u(i)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, media_type,
+       byte_len AS orig_len,
+       CAST(length(rz) AS BIGINT) AS resized_len,
+       md5(rz) AS resized_md5
+FROM picked
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize a binary media column: stride-subsample each blob to ≤32
+    bytes via mapInPandas (1:1 rows, smaller payloads).
+
+    Map-side only, like the other media kernels — at 100 TB resize is the
+    classic pre-shuffle size reducer: run it BEFORE any repartition so the
+    wire carries thumbnails, never originals.
+    """
+    ensure_session_conf(spark)
+    m = media_table(spark, sf_dir)
+    return m.mapInPandas(
+        _resize_batches,
+        schema=(
+            "doc_id bigint, media_type string, orig_len bigint, "
+            "resized_len bigint, resized_md5 string"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # True-codec stubs: the one-function swap points for real decoders.
 # --------------------------------------------------------------------------
