@@ -1,0 +1,87 @@
+"""User-facing CDC replicator: the reference's one-sentence contract —
+"bind a table, get near-real-time search-index sync" — as one class.
+
+Reference lifecycle mapping (SURVEY §2.1 #16/#17):
+
+    alter 'table', 'coprocessor' => jar|class|…|es_cluster=…,es_host=…   →  CdcReplicator(spark, …, EsSinkConfig(…))
+    coprocessor start(env) / readConfiguration                           →  .start()
+    coprocessor stop(env) (close client, shutdown scheduler)             →  .stop()
+    the ES index the coprocessor fills                                   →  .state() / .cells()
+
+A user of the reference switches by pointing `changefeed_dir` at their
+mutation feed (file drop, or swap in sources/kafka_changefeed for a topic)
+and reading `.state()` instead of querying ES — same document shape
+(`{qualifier: value}` per rowkey, optional "info" envelope at the query
+layer), strictly better delivery semantics (checkpointed exactly-once end
+state vs the reference's at-most-once buffer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sinks.state_sink import EmulatedEsSink, EsSinkConfig
+from .streaming.pipeline import start_pipeline
+
+
+class CdcReplicator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        changefeed_dir: str,
+        state_dir: str,
+        checkpoint_dir: str,
+        config: EsSinkConfig | None = None,
+    ):
+        self.spark = spark
+        self.changefeed_dir = changefeed_dir
+        self.state_dir = state_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.config = config or EsSinkConfig()
+        self._query = None
+
+    # -- lifecycle (reference #16/#17) --------------------------------------
+    def start(self, **kwargs) -> "CdcReplicator":
+        """Begin replication. kwargs pass through to start_pipeline
+        (`trigger={"availableNow": True}` drains-and-stops for tests;
+        default is the reference-parity 30 s processing-time trigger)."""
+        if self._query is not None:
+            raise RuntimeError("replicator already started")
+        self._query = start_pipeline(
+            self.spark,
+            self.changefeed_dir,
+            self.state_dir,
+            self.checkpoint_dir,
+            config=self.config,
+            **kwargs,
+        )
+        return self
+
+    def stop(self, timeout_s: int | None = None) -> None:
+        """Graceful teardown (the reference leaks its scheduler thread if
+        this is skipped — README_zh.md:415; here stop is always safe and
+        restart resumes from the checkpoint)."""
+        if self._query is None:
+            return
+        if timeout_s is not None:
+            self._query.awaitTermination(timeout_s)
+        self._query.stop()
+        self._query = None
+
+    def await_drained(self, timeout_s: int = 120) -> None:
+        """Block until an availableNow run finishes (test convenience)."""
+        if self._query is not None:
+            self._query.awaitTermination(timeout_s)
+
+    @property
+    def is_active(self) -> bool:
+        return self._query is not None and self._query.isActive
+
+    # -- read side (what ES queries would see) ------------------------------
+    def state(self) -> DataFrame:
+        """(rowkey, doc): the live document view."""
+        return EmulatedEsSink(self.spark, self.state_dir, self.config).read_state()
+
+    def cells(self) -> DataFrame:
+        """Cell-level state incl. tombstones (debugging / audits)."""
+        return EmulatedEsSink(self.spark, self.state_dir, self.config).read_cells()

@@ -313,3 +313,24 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT seq, COUNT(*) n FROM dedup_wm GROUP BY seq").collect()
     got = {r["seq"]: r["n"] for r in rows}
     assert got == {1: 1, 2: 1}
+
+
+def test_cdc_replicator_facade(spark, tmp_path):
+    """Bind → start → drained → state == golden; stop is re-entrant."""
+    from hbase_observer_elasticsearch_spark.replicator import CdcReplicator
+
+    cf_dir = str(tmp_path / "cf")
+    write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files=4)
+
+    rep = CdcReplicator(
+        spark, cf_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    rep.start(trigger={"availableNow": True}, max_files_per_trigger=1)
+    rep.await_drained()
+    rep.stop()
+    rep.stop()  # idempotent
+
+    assert state_as_dict(rep.state()) == EXPECTED_STATE
+    # tombstoned key visible at cell level, absent from the doc view
+    cells = rep.cells()
+    assert cells.filter("rowkey = 'r5' AND qualifier IS NULL").count() == 1
