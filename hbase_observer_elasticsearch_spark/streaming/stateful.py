@@ -48,7 +48,7 @@ from ..sources.changefeed import CHANGEFEED_SCHEMA
 # max-merge doesn't need it — but consumers need to know which emission
 # is newest).
 _STATE_SCHEMA = "state_json string"
-_OUTPUT_SCHEMA = "rowkey string, doc_json string, version long"
+_OUTPUT_SCHEMA = "rowkey string, doc_json string, version long, evicted boolean"
 
 
 def _cell_key(ts_ns: int, family: str, seq: int) -> tuple:
@@ -84,39 +84,74 @@ def _apply_mutations(state_doc: dict, pdf: pd.DataFrame) -> None:
             del cells[q]
 
 
-def _lww_doc_state(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (rowkey,) = key
-    state_doc = json.loads(state.get[0]) if state.exists else {}
-    for pdf in pdfs:
-        _apply_mutations(state_doc, pdf)
-    state.update((json.dumps(state_doc),))
+def _emit(rowkey: str, state_doc: dict, evicted: bool) -> pd.DataFrame:
     doc = {q: c[0] for q, c in state_doc.get("cells", {}).items()}
-    yield pd.DataFrame(
-        {"rowkey": [rowkey], "doc_json": [json.dumps(doc, sort_keys=True)],
-         "version": [state_doc["n"]]}
+    return pd.DataFrame(
+        {
+            "rowkey": [rowkey],
+            "doc_json": [json.dumps(doc, sort_keys=True)],
+            "version": [state_doc.get("n", 0)],
+            "evicted": [evicted],
+        }
     )
 
 
+def _make_handler(ttl_ms: int | None):
+    def _lww_doc_state(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (rowkey,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            # retention horizon passed with no touch: emit the final doc
+            # flagged evicted, drop the keyed state. A later mutation
+            # re-hydrates from the lakehouse state table (sink side) —
+            # this bounds state by the ACTIVE key set, not the key space.
+            state_doc = json.loads(state.get[0]) if state.exists else {}
+            state.remove()
+            yield _emit(rowkey, state_doc, evicted=True)
+            return
+        state_doc = json.loads(state.get[0]) if state.exists else {}
+        for pdf in pdfs:
+            _apply_mutations(state_doc, pdf)
+        state.update((json.dumps(state_doc),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield _emit(rowkey, state_doc, evicted=False)
+
+    return _lww_doc_state
+
+
 def stateful_doc_state(
-    spark: SparkSession, changefeed_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    changefeed_dir: str,
+    max_files_per_trigger: int = 1,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming LWW document state with Spark-managed per-key state.
 
-    Emits (rowkey, doc_json, last_seq) for every key touched in each
-    micro-batch — doc_json "{}" marks a fully-deleted doc (the upsert/delete
-    discriminator a downstream ES writer needs).
+    Emits (rowkey, doc_json, version, evicted) for every key touched in
+    each micro-batch — doc_json "{}" marks a fully-deleted doc (the
+    upsert/delete discriminator a downstream ES writer needs).
+
+    ``ttl_ms`` arms a processing-time state TTL (SURVEY §7 "what's hard"
+    #1): keys idle past the horizon emit one final ``evicted=true`` row
+    and their state is dropped — the 100 TB requirement that keyed state
+    track the active working set instead of growing with key cardinality.
     """
     cf = (
         spark.readStream.schema(CHANGEFEED_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(changefeed_dir)
     )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return cf.groupBy("rowkey").applyInPandasWithState(
-        _lww_doc_state,
+        _make_handler(ttl_ms),
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -334,3 +334,66 @@ def test_cdc_replicator_facade(spark, tmp_path):
     # tombstoned key visible at cell level, absent from the doc view
     cells = rep.cells()
     assert cells.filter("rowkey = 'r5' AND qualifier IS NULL").count() == 1
+
+
+def test_stateful_ttl_eviction(spark, tmp_path):
+    """Keys idle past the TTL emit one final evicted=true row, state drops,
+    and a later mutation restarts from clean state.
+
+    NOTE: no processAllAvailable here — an armed ProcessingTimeTimeout
+    keeps the engine scheduling timeout-sweep batches, so 'all available'
+    never settles; poll the sink with deadlines instead.
+    """
+    import json
+    import time
+
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        CHANGEFEED_SCHEMA,
+    )
+    from hbase_observer_elasticsearch_spark.streaming.stateful import (
+        stateful_doc_state,
+    )
+
+    cf_dir = tmp_path / "tcf"
+
+    def put(seq, rowkey, qual, val, minute):
+        return (seq, "put", rowkey, "info", qual, val, _ts(minute))
+
+    def wait_for(sql_cond, deadline_s=60):
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            rows = spark.sql(
+                f"SELECT * FROM ttl_state WHERE {sql_cond}"
+            ).collect()
+            if rows:
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for: {sql_cond}")
+
+    spark.createDataFrame(
+        [put(1, "r1", "c1", "v1", 0)], CHANGEFEED_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(cf_dir))
+
+    q = (
+        stateful_doc_state(spark, str(cf_dir), ttl_ms=1000)
+        .writeStream.format("memory")
+        .queryName("ttl_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        wait_for("rowkey='r1' AND NOT evicted")
+        evicted = wait_for("rowkey='r1' AND evicted")  # TTL sweep fires
+        assert json.loads(evicted[0]["doc_json"]) == {"c1": "v1"}
+
+        spark.createDataFrame(
+            [put(3, "r1", "c2", "v2", 2)], CHANGEFEED_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(cf_dir))
+        fresh = wait_for(
+            "rowkey='r1' AND NOT evicted AND doc_json LIKE '%c2%'"
+        )
+        # state restarted post-eviction: only c2, version counter reset
+        assert json.loads(fresh[0]["doc_json"]) == {"c2": "v2"}
+        assert fresh[0]["version"] == 1
+    finally:
+        q.stop()
