@@ -161,7 +161,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
         .agg(_rev().alias("revenue"))
     )
@@ -423,4 +423,224 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(arm1 | arm2)
         .agg(_rev().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+WITH volume AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+            / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM volume
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — ratio of conditional to
+    total revenue per order-year across a 6-table star join."""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _c2("l_extendedprice") * (F.lit(1) - _c2("l_discount"))
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_1", vol
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_vol).cast("double") / F.sum(vol).cast("double")
+            ).cast("double").alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+WITH counts AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM counts
+GROUP BY c_count
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts — a
+    two-level aggregation over a left outer join (zero-order customers
+    land in bucket 0)."""
+    ensure_session_conf(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {{rev}} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""".format(rev=_sql_rev("l_extendedprice", "l_discount")),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar-subquery MAX against a derived revenue view
+    (the 'top supplier' pattern: aggregate → global max → filter-back)."""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _rev().alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle=f"""
+WITH avgq AS (
+  SELECT l_partkey, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM({_SQL_C2.format('l.l_extendedprice')}) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avgq  ON avgq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < 0.5 * avgq.aq
+""",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate join-back.
+
+    avg(quantity) is double division of a count — identical fp expression
+    both engines, and the 0.5× comparison is exact in doubles.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avgq = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avgq, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            (F.sum(_c2("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_global_sales",
+    oracle="""
+WITH eligible AS (
+  SELECT substr(c_name, 10, 1) AS cntrycode, c_acctbal
+  FROM customer c
+  WHERE c_acctbal > (
+          SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+    AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+        )
+)
+SELECT cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM eligible
+GROUP BY cntrycode
+""",
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-average subquery + NOT EXISTS anti join +
+    substring-derived grouping. (Fixture adaptation: every customer has
+    orders, so the anti-join target is urgent orders — 'above-average
+    customers who never ordered urgently'.)"""
+    ensure_session_conf(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.substring("c_name", 10, 1).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
     )
