@@ -75,3 +75,26 @@ def test_salted_agg_stages(spark, sf_dir):
     plan = plans.explain_str(df)
     assert "__salt" in plan
     assert not plans.has_cartesian_or_bnl(df)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A date-partitioned fact joined to a filtered dim scans only the
+    partitions the dim selects (Catalyst DPP — at 100 TB this is the
+    difference between scanning a day and scanning a decade)."""
+    from pyspark.sql import functions as F
+
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "om", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    fact_dir = str(tmp_path / "orders_part")
+    o.write.partitionBy("om").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+
+    dim = (
+        o.select("om").distinct().withColumn("keep", F.col("om").endswith("-01"))
+    )
+    j = fact.join(dim.filter("keep"), "om").groupBy("om").count()
+    plan = plans.explain_str(j)
+    assert "dynamicpruning" in plan.lower()
