@@ -88,6 +88,48 @@ class EsSinkConfig:
         }
 
 
+def merge_epoch(cur: DataFrame, cells: DataFrame, dels: DataFrame) -> DataFrame:
+    """Pure LWW merge of one epoch's (cells, dels) into the current cell
+    state; returns the next cell state (live cells + persistent
+    tombstones). Shared by both sink layouts; idempotent by construction
+    (max/row_number over the same inputs)."""
+    cur_cells = cur.filter(F.col("qualifier").isNotNull())
+    cur_dels = cur.filter(F.col("qualifier").isNull()).select("rowkey", "ts", "seq")
+
+    all_cells = cur_cells.unionByName(
+        cells.select("rowkey", "qualifier", "value", "ts", "seq")
+    )
+    all_dels = (
+        cur_dels.unionByName(dels.select("rowkey", "ts", "seq"))
+        .groupBy("rowkey")
+        .agg(F.max(F.struct("ts", "seq")).alias("d"))
+        .select(
+            "rowkey", F.col("d.ts").alias("del_ts"), F.col("d.seq").alias("del_seq")
+        )
+    )
+
+    live = all_cells.join(all_dels, "rowkey", "left").filter(
+        F.col("del_ts").isNull()
+        | (F.struct("ts", "seq") > F.struct(F.col("del_ts"), F.col("del_seq")))
+    )
+    w = Window.partitionBy("rowkey", "qualifier").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    latest = (
+        live.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("rowkey", "qualifier", "value", "ts", "seq")
+    )
+    tombstones = all_dels.select(
+        "rowkey",
+        F.lit(None).cast("string").alias("qualifier"),
+        F.lit(None).cast("string").alias("value"),
+        F.col("del_ts").alias("ts"),
+        F.col("del_seq").alias("seq"),
+    )
+    return latest.unionByName(tombstones)
+
+
 class EmulatedEsSink:
     """Versioned parquet cell-state dir with atomic pointer swap per epoch.
 
@@ -139,40 +181,7 @@ class EmulatedEsSink:
         per touched (rowkey, qualifier).
         dels:  (rowkey, ts, seq) — the epoch's latest delete per key.
         """
-        cur = self.read_cells()
-        cur_cells = cur.filter(F.col("qualifier").isNotNull())
-        cur_dels = cur.filter(F.col("qualifier").isNull()).select("rowkey", "ts", "seq")
-
-        all_cells = cur_cells.unionByName(
-            cells.select("rowkey", "qualifier", "value", "ts", "seq")
-        )
-        all_dels = (
-            cur_dels.unionByName(dels.select("rowkey", "ts", "seq"))
-            .groupBy("rowkey")
-            .agg(F.max(F.struct("ts", "seq")).alias("d"))
-            .select("rowkey", F.col("d.ts").alias("del_ts"), F.col("d.seq").alias("del_seq"))
-        )
-
-        live = all_cells.join(all_dels, "rowkey", "left").filter(
-            F.col("del_ts").isNull()
-            | (F.struct("ts", "seq") > F.struct(F.col("del_ts"), F.col("del_seq")))
-        )
-        w = Window.partitionBy("rowkey", "qualifier").orderBy(
-            F.col("ts").desc(), F.col("seq").desc()
-        )
-        latest = (
-            live.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("rowkey", "qualifier", "value", "ts", "seq")
-        )
-        tombstones = all_dels.select(
-            "rowkey",
-            F.lit(None).cast("string").alias("qualifier"),
-            F.lit(None).cast("string").alias("value"),
-            F.col("del_ts").alias("ts"),
-            F.col("del_seq").alias("seq"),
-        )
-        next_state = latest.unionByName(tombstones)
+        next_state = merge_epoch(self.read_cells(), cells, dels)
 
         v = self._current_version()
         out = os.path.join(self.root, f"v={v + 1}")

@@ -72,14 +72,18 @@ def start_pipeline(
     config: EsSinkConfig | None = None,
     trigger: dict | None = None,
     max_files_per_trigger: int = 1,
+    sink_cls: type = EmulatedEsSink,
 ):
     """Start the CDC replication stream: changefeed dir → doc state table.
 
     `trigger` defaults to the reference's 30 s flush period; pass
     ``{"availableNow": True}`` in tests to drain the backlog and stop.
     `max_files_per_trigger` is the size-cap analog of MAX_BULK_COUNT.
+    `sink_cls` selects the state layout: EmulatedEsSink (versioned full
+    rewrite, atomic) or sinks.bucketed_state_sink.BucketedStateSink
+    (incremental per-bucket IO — the 100 TB layout).
     """
-    sink = EmulatedEsSink(spark, state_dir, config)
+    sink = sink_cls(spark, state_dir, config)
 
     cf = (
         spark.readStream.schema(CHANGEFEED_SCHEMA)

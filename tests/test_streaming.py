@@ -397,3 +397,65 @@ def test_stateful_ttl_eviction(spark, tmp_path):
         assert fresh[0]["version"] == 1
     finally:
         q.stop()
+
+
+def test_bucketed_state_sink_parity_and_incrementality(spark, tmp_path):
+    """BucketedStateSink produces the same final state as EmulatedEsSink
+    over the same epochs, and an epoch leaves untouched buckets' files
+    alone (incremental IO)."""
+    import os
+
+    from hbase_observer_elasticsearch_spark.sinks.bucketed_state_sink import (
+        BucketedStateSink,
+    )
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        FIXTURE_ROWS,
+        fixture_changefeed,
+    )
+
+    sink = BucketedStateSink(spark, str(tmp_path / "bstate"), n_buckets=8)
+    cf = fixture_changefeed(spark)
+    # replay the fixture in two epochs split mid-stream
+    half = len(FIXTURE_ROWS) // 2
+    for lo, hi in [(0, half), (half, len(FIXTURE_ROWS) + 1)]:
+        batch = cf.filter(f"seq >= {lo} AND seq < {hi}")
+        cells, dels = compact_epoch(batch)
+        sink.apply(cells, dels)
+
+    assert state_as_dict(sink.read_state()) == EXPECTED_STATE
+
+    # incrementality: an epoch touching ONE key rewrites only its bucket
+    before = {
+        d: sorted(os.listdir(os.path.join(str(tmp_path / "bstate"), d)))
+        for d in os.listdir(str(tmp_path / "bstate"))
+        if d.startswith("bkt=")
+    }
+    one = spark.createDataFrame(
+        [(99, "put", "r1", "a", "c9", "x", _ts(9))], cf.schema
+    )
+    cells, dels = compact_epoch(one)
+    sink.apply(cells, dels)
+    after = {
+        d: sorted(os.listdir(os.path.join(str(tmp_path / "bstate"), d)))
+        for d in os.listdir(str(tmp_path / "bstate"))
+        if d.startswith("bkt=")
+    }
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1  # only r1's bucket rewritten
+    assert state_as_dict(sink.read_state())["r1"]["c9"] == "x"
+
+
+def test_bucketed_state_sink_replay_idempotent(spark, tmp_path):
+    """Re-applying the same epoch (checkpoint replay after crash) leaves
+    the state unchanged."""
+    from hbase_observer_elasticsearch_spark.sinks.bucketed_state_sink import (
+        BucketedStateSink,
+    )
+
+    sink = BucketedStateSink(spark, str(tmp_path / "bstate"), n_buckets=4)
+    cf = fixture_changefeed(spark)
+    cells, dels = compact_epoch(cf)
+    sink.apply(cells, dels)
+    first = state_as_dict(sink.read_state())
+    sink.apply(cells, dels)  # replay
+    assert state_as_dict(sink.read_state()) == first == EXPECTED_STATE
