@@ -736,3 +736,57 @@ def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
                             WHERE c_mktsegment = 'AUTOMOBILE')
         """
     )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+SELECT s.s_suppkey,
+       COUNT(c.c_custkey) AS n_near,
+       CAST(MIN(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS min_bal
+FROM supplier s
+LEFT JOIN customer c
+  ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+GROUP BY s.s_suppkey
+""",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same range join as join_range_theta, as a BINNED EQUI-JOIN —
+    the fact-fact scale path (no nested-loop, no broadcast requirement).
+
+    Each supplier interval [b-100, b+100] is exploded to the width-100
+    bins it overlaps (≤ 3); customers hash by their single bin; the
+    equi-join on bin prunes candidates to adjacent bins before the exact
+    BETWEEN filter. Every matching pair meets in exactly one bin (the
+    customer's), so no post-join dedup is needed. Shuffle width is
+    O(|s|·3 + |c|) instead of |s|·|c| — survives two fact-sized inputs.
+    """
+    ensure_session_conf(spark)
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    lo = F.floor((F.col("s_acctbal") - 100) / 100)
+    hi = F.floor((F.col("s_acctbal") + 100) / 100)
+    s_binned = s.withColumn("bin", F.explode(F.sequence(lo, hi)))
+    c_binned = c.withColumn("bin", F.floor(F.col("c_acctbal") / 100))
+    matches = (
+        s_binned.join(c_binned, "bin")
+        .filter(
+            F.col("c_acctbal").between(
+                F.col("s_acctbal") - 100, F.col("s_acctbal") + 100
+            )
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("c_custkey").alias("mn"),
+            F.min(dec("c_acctbal")).cast("double").alias("mb"),
+        )
+    )
+    # left-join semantics: suppliers with zero neighbors still appear
+    return (
+        s.join(matches, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce(F.col("mn"), F.lit(0)).alias("n_near"),
+            F.col("mb").alias("min_bal"),
+        )
+    )
