@@ -264,3 +264,60 @@ def cdc_nullsafe_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("op", "fam_is_info")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "cdc_es_bulk_lines",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events WHERE event_type <> 'error' GROUP BY 1, 2
+),
+doc AS (
+  SELECT user_id,
+         string_agg('"' || event_type || '":"' || n || '"', ','
+                    ORDER BY event_type) AS body
+  FROM counts GROUP BY 1
+),
+users AS (SELECT DISTINCT user_id FROM events)
+SELECT CAST(u.user_id AS VARCHAR) AS rowkey,
+       CASE WHEN d.body IS NULL
+            THEN '{"delete":{"_index":"events_idx","_type":"_doc","_id":"'
+                 || u.user_id || '"}}'
+            ELSE '{"update":{"_index":"events_idx","_type":"_doc","_id":"'
+                 || u.user_id || '"}}' END AS action_json,
+       CASE WHEN d.body IS NULL THEN NULL
+            ELSE '{"doc":{' || d.body || '},"doc_as_upsert":true}'
+            END AS doc_json
+FROM users u LEFT JOIN doc d USING (user_id)
+""",
+)
+def cdc_es_bulk_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual wire format: ES bulk-API NDJSON pairs
+    (action line + doc_as_upsert line) for every key's doc state
+    (sinks/bulk_format.py; ElasticSearchBulkOperator.java:84).
+
+    Users with only tombstone events get a delete action and no doc line
+    — the delete-widening path (#8) expressed in the bulk payload.
+    """
+    ensure_session_conf(spark)
+    from ..sinks.bulk_format import bulk_lines
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("string").alias("n"))
+    )
+    doc = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("doc")
+    )
+    state = (
+        ev.select("user_id")
+        .distinct()
+        .join(doc, "user_id", "left")
+        .select(F.col("user_id").cast("string").alias("rowkey"), "doc")
+    )
+    return bulk_lines(state, "events_idx")
