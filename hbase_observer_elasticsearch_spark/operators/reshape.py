@@ -158,3 +158,48 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+WITH counts AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY n DESC, o_orderpriority DESC) AS rk
+  FROM counts
+) t
+WHERE rk = 1
+""",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tiebreak (count
+    desc, then value desc) — built-in `mode()` tiebreaks are unspecified
+    in both engines, so the portable formulation is count + rank."""
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    counts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").desc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )

@@ -207,3 +207,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term = (H.token_code(F.col("w")) % FP_P) * ((F.col("i") % 16) + 1)
     return wp.groupBy("doc_id").agg((F.sum(term) % FP_P).alias("fingerprint"))
+
+
+@register(
+    "text_edit_distance_pairs",
+    oracle="""
+WITH vocab AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a,
+       b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM vocab a JOIN vocab b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical value pairs by Levenshtein distance, vocabulary-first.
+
+    The typo/variant-detection primitive. Scale path: collapse to the
+    DISTINCT value vocabulary BEFORE any pairwise work — 100 TB of rows
+    usually hold a vocabulary that fits one executor, and the distinct is
+    one shuffle. (For vocabularies that don't fit, block by length/prefix
+    buckets first — same bucket-join shape as dedup.py's LSH.)
+    Both engines implement classic integer Levenshtein — exact parity.
+    """
+    ensure_session_conf(spark)
+    p = load_table(spark, sf_dir, "part")
+    vocab = p.select("p_name").distinct()
+    a = vocab.select(F.col("p_name").alias("name_a"))
+    b = vocab.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= 3)
+    )
