@@ -55,15 +55,38 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf),
+    }
+    # Full detail to a file (r1's single long stdout line was tail-truncated
+    # by the capture — BENCH_r01.json recorded parsed: null).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+    # stdout: the full object first (for line-scanning parsers), then a
+    # SHORT final line that survives tail-capture intact — headline total
+    # plus the slowest queries at 2-decimal precision.
+    print(json.dumps(full, separators=(",", ":")))
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
                 "sf": float(sf),
-            }
+                "n_queries": len(per_query),
+                "queries": {k: round(v, 2) for k, v in slowest.items()},
+                "queries_full": "bench_out.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -29,6 +29,13 @@ from ..session import ensure_session_conf
 SHINGLE_W = 3  # 3-word shingles discriminate sharply on the fixture corpus
 JACCARD_T = 0.5
 COSINE_T = 0.35  # fixture vectors are near-orthogonal; real corpora use ~0.95
+# Hot-bucket cap: an LSH/shingle bucket with more members than this is
+# boilerplate by definition (its pair fan-out is quadratic and lands on one
+# reducer) and is dropped from candidate generation. Mirrored in the DuckDB
+# oracles, so the cap semantics themselves are oracle-checked. Fixture
+# maxima are 25 (shingle, sf0.1) and 4 (LSH band), so fixture output is
+# unchanged; at 100 TB this is the knob that bounds shuffle width.
+PAIR_BUCKET_CAP = 64
 
 # Shared SQL CTEs for the oracle side: distinct 3-word shingles per doc
 # (window formulation — same result as the Spark array formulation).
@@ -75,17 +82,31 @@ def _coded_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pairs_from_groups(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+def _pairs_from_groups(
+    grouped: DataFrame,
+    ids_col: str = "ids",
+    cap: int = PAIR_BUCKET_CAP,
+    observation=None,
+) -> DataFrame:
     """(doc_a, doc_b) with doc_a < doc_b: all pairs within each group's
-    sorted id array.
+    sorted id array, skipping hot buckets with more than ``cap`` members.
 
     Pair generation via collect_list + row-wise combination fan-out
     instead of a bucket self-join: the (expensive) subtree feeding the
     groups is computed once, not once per join side, and no second
-    shuffle of the full bucket table is needed. At 100 TB, cap bucket
-    size before fan-out (buckets with thousands of members are
-    boilerplate by definition and would quadratically dominate).
+    shuffle of the full bucket table is needed. The cap bounds the fan-out
+    at cap² per bucket — without it one boilerplate bucket at 100 TB is
+    quadratic and lands on a single reducer. Pass a ``pyspark.sql.
+    Observation`` to record how many buckets were dropped (map-side
+    metric, no extra job; read it after the action completes).
     """
+    if observation is not None:
+        grouped = grouped.observe(
+            observation,
+            F.sum((F.size(ids_col) > cap).cast("long")).alias("n_dropped_buckets"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    grouped = grouped.filter(F.size(ids_col) <= cap)
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -133,9 +154,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_SQL_SHINGLES},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cool AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {PAIR_BUCKET_CAP}),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM cool)
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_shared,
@@ -203,10 +226,14 @@ sig AS (
 bands AS (
 {" UNION ALL ".join(chunk for chunk in bands.splitlines())}
 ),
+coolb AS (
+  SELECT band, sig FROM bands GROUP BY band, sig HAVING COUNT(*) <= {PAIR_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN coolb c ON c.band = a.band AND c.sig = a.sig
 )
 """
 

@@ -209,6 +209,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wp.groupBy("doc_id").agg((F.sum(term) % FP_P).alias("fingerprint"))
 
 
+MAX_EDIT_DIST = 3
+_LEN_BAND = 4  # band width > MAX_EDIT_DIST ⇒ a close pair's bands differ ≤ 1
+
+
 @register(
     "text_edit_distance_pairs",
     oracle="""
@@ -221,24 +225,38 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 """,
 )
 def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-identical value pairs by Levenshtein distance, vocabulary-first.
+    """Near-identical value pairs by Levenshtein distance, vocabulary-first
+    and length-blocked.
 
     The typo/variant-detection primitive. Scale path: collapse to the
-    DISTINCT value vocabulary BEFORE any pairwise work — 100 TB of rows
-    usually hold a vocabulary that fits one executor, and the distinct is
-    one shuffle. (For vocabularies that don't fit, block by length/prefix
-    buckets first — same bucket-join shape as dedup.py's LSH.)
-    Both engines implement classic integer Levenshtein — exact parity.
+    DISTINCT value vocabulary BEFORE any pairwise work (100 TB of rows
+    usually hold a small vocabulary, and the distinct is one shuffle),
+    then block by length band: dist ≤ 3 implies |len(a)−len(b)| ≤ 3, so
+    with band = len div 4 a qualifying pair's bands differ by at most 1.
+    One side explodes to {band−1, band, band+1}, the other keeps its own
+    band, and the match is a shuffled EQUI-join on the band key — never an
+    all-pairs BroadcastNestedLoopJoin (asserted in tests/test_plans.py).
+    Each unordered pair matches exactly once (the b-side key is unique and
+    the a-side's three keys are distinct), so no distinct() is needed.
+    Both engines implement classic integer Levenshtein — exact parity; the
+    threshold form prunes the DP early on the Spark side.
     """
     ensure_session_conf(spark)
     p = load_table(spark, sf_dir, "part")
     vocab = p.select("p_name").distinct()
-    a = vocab.select(F.col("p_name").alias("name_a"))
-    b = vocab.select(F.col("p_name").alias("name_b"))
+    band = F.floor(F.length("p_name") / _LEN_BAND).cast("int")
+    a = vocab.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("blk"),
+    )
+    b = vocab.select(F.col("p_name").alias("name_b"), band.alias("blk"))
     return (
-        a.join(b, F.col("name_a") < F.col("name_b"))
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
         .withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+            "dist",
+            F.levenshtein("name_a", "name_b", MAX_EDIT_DIST).cast("bigint"),
         )
-        .filter(F.col("dist") <= 3)
+        .filter(F.col("dist") >= 0)
+        .select("name_a", "name_b", "dist")
     )

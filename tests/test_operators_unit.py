@@ -64,3 +64,71 @@ def test_cosine_known_values(spark):
     assert got[0] == 0.0
     assert abs(got[1] - 1.0) < 1e-12
     assert got[2] == 1.0
+
+
+def test_pair_fanout_caps_hot_buckets(spark):
+    """A bucket wider than the cap is dropped from pair generation (and
+    counted via the Observation metric); buckets at/below the cap fan out
+    every in-bucket pair."""
+    from pyspark.sql import Observation
+
+    from hbase_observer_elasticsearch_spark.operators.dedup import (
+        _pairs_from_groups,
+    )
+
+    grouped = spark.createDataFrame(
+        [
+            ("cool", [1, 2, 3]),
+            ("hot", list(range(100, 100 + 10))),  # > cap=4 → dropped
+        ],
+        "s string, ids array<long>",
+    )
+    obs = Observation("cap")
+    pairs = _pairs_from_groups(grouped, cap=4, observation=obs)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    assert obs.get["n_dropped_buckets"] == 1
+    assert obs.get["n_buckets"] == 2
+
+
+def test_edit_distance_band_blocking_matches_all_pairs(spark):
+    """Length-band blocking finds exactly the pairs the naive all-pairs
+    join finds — including pairs whose lengths straddle a band boundary."""
+    import itertools
+
+    names = ["abcd", "abcde", "abc", "abcdefg", "zzzz", "abqd", "ab"]
+    dist_le3 = {
+        tuple(sorted(p))
+        for p in itertools.combinations(names, 2)
+        if _lev(p[0], p[1]) <= 3
+    }
+    d = spark.createDataFrame([(n,) for n in names], "p_name string")
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from hbase_observer_elasticsearch_spark.operators.text import _LEN_BAND
+
+    band = F.floor(F.length("p_name") / _LEN_BAND).cast("int")
+    a = d.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("blk"),
+    )
+    b = d.select(F.col("p_name").alias("name_b"), band.alias("blk"))
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b", 3))
+        .filter(F.col("dist") >= 0)
+        .collect()
+    }
+    assert got == dist_le3
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

@@ -32,6 +32,13 @@ def test_lsh_candidates_not_cartesian(spark, sf_dir):
     assert not plans.has_cartesian_or_bnl(df)
 
 
+def test_edit_distance_not_all_pairs(spark, sf_dir):
+    """Length-banded blocking: the vocab self-match is an equi-join on the
+    band key, never a BroadcastNestedLoopJoin over V² pairs."""
+    df = QS["text_edit_distance_pairs"](spark, sf_dir)
+    assert not plans.has_cartesian_or_bnl(df)
+
+
 def test_agg_in_codegen(spark, sf_dir):
     df = QS["q1_pricing_summary"](spark, sf_dir)
     assert len(plans.wholestage_codegen_ids(df, execute=True)) >= 1
