@@ -39,20 +39,26 @@ class CdcReplicator:
         self.checkpoint_dir = checkpoint_dir
         self.config = config or EsSinkConfig()
         self._query = None
+        self._sink = None
 
     # -- lifecycle (reference #16/#17) --------------------------------------
-    def start(self, **kwargs) -> "CdcReplicator":
+    def start(self, sink_cls: type = EmulatedEsSink, **kwargs) -> "CdcReplicator":
         """Begin replication. kwargs pass through to start_pipeline
         (`trigger={"availableNow": True}` drains-and-stops for tests;
-        default is the reference-parity 30 s processing-time trigger)."""
+        default is the reference-parity 30 s processing-time trigger).
+        `sink_cls` selects the state layout (EmulatedEsSink or
+        BucketedStateSink); the constructed sink is kept so `state()` /
+        `cells()` read the layout this replicator actually writes."""
         if self._query is not None:
             raise RuntimeError("replicator already started")
+        self._sink = sink_cls(self.spark, self.state_dir, self.config)
         self._query = start_pipeline(
             self.spark,
             self.changefeed_dir,
             self.state_dir,
             self.checkpoint_dir,
             config=self.config,
+            sink=self._sink,
             **kwargs,
         )
         return self
@@ -78,10 +84,17 @@ class CdcReplicator:
         return self._query is not None and self._query.isActive
 
     # -- read side (what ES queries would see) ------------------------------
+    def _reader(self):
+        """The sink this replicator writes through (kept from start());
+        before any start(), default to the EmulatedEsSink layout."""
+        return self._sink or EmulatedEsSink(
+            self.spark, self.state_dir, self.config
+        )
+
     def state(self) -> DataFrame:
         """(rowkey, doc): the live document view."""
-        return EmulatedEsSink(self.spark, self.state_dir, self.config).read_state()
+        return self._reader().read_state()
 
     def cells(self) -> DataFrame:
         """Cell-level state incl. tombstones (debugging / audits)."""
-        return EmulatedEsSink(self.spark, self.state_dir, self.config).read_cells()
+        return self._reader().read_cells()

@@ -20,14 +20,22 @@ from pyspark.sql import functions as F
 def action_line(
     rowkey: Column, is_delete: Column, index: str, doc_type: str = "_doc"
 ) -> Column:
-    """`{"update"|"delete": {"_index": ..., "_type": ..., "_id": ...}}`"""
-    meta = F.concat(
-        F.lit('{"_index":"' + index + '","_type":"' + doc_type + '","_id":"'),
-        rowkey,
-        F.lit('"}}'),
+    """`{"update"|"delete": {"_index": ..., "_type": ..., "_id": ...}}`
+
+    The meta object goes through `to_json` so a rowkey containing `"` or
+    `\\` is JSON-escaped instead of corrupting the wire line (the doc line
+    was always safe via to_json; this makes the action line match)."""
+    meta = F.to_json(
+        F.struct(
+            F.lit(index).alias("_index"),
+            F.lit(doc_type).alias("_type"),
+            rowkey.alias("_id"),
+        )
     )
     return F.concat(
-        F.when(is_delete, F.lit('{"delete":')).otherwise(F.lit('{"update":')), meta
+        F.when(is_delete, F.lit('{"delete":')).otherwise(F.lit('{"update":')),
+        meta,
+        F.lit("}"),
     )
 
 

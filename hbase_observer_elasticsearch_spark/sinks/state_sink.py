@@ -12,10 +12,14 @@ changefeed).
 
 State is stored at cell granularity, versioned per cell:
 
-    (rowkey, qualifier, value, ts, seq)   — a live cell
-    (rowkey, NULL,      NULL,  ts, seq)   — a delete tombstone
+    (rowkey, qualifier, value, family, ts, seq)   — a live cell
+    (rowkey, NULL,      NULL,  NULL,   ts, seq)   — a delete tombstone
 
-- an incoming cell wins iff its (ts, seq) beats the stored cell's;
+- an incoming cell wins iff its (ts, family, seq) beats the stored
+  cell's — family byte-order breaks same-ts collisions exactly like the
+  reference's NavigableMap iteration (HbaseDataSyncEsObserver.java:93-102)
+  and the batch replay (operators/cdc.apply_changefeed), so streamed state
+  is invariant to how same-ts mutations split across micro-batches;
 - a tombstone kills every cell with (ts, seq) ≤ the tombstone's and
   PERSISTS, so a stale pre-delete put arriving epochs later cannot
   resurrect a deleted document (at 100 TB you expire tombstones past the
@@ -46,10 +50,22 @@ CELLS_SCHEMA = T.StructType(
         T.StructField("rowkey", T.StringType(), False),
         T.StructField("qualifier", T.StringType(), True),  # NULL = tombstone
         T.StructField("value", T.StringType(), True),
+        T.StructField("family", T.StringType(), True),  # NULL on tombstones
         T.StructField("ts", T.TimestampType(), False),
         T.StructField("seq", T.LongType(), False),
     ]
 )
+
+_CELL_COLS = ("rowkey", "qualifier", "value", "family", "ts", "seq")
+
+
+def _with_family(df: DataFrame) -> DataFrame:
+    """Tolerate cell frames without a family column (tombstone-only frames,
+    pre-family state tables): NULL family sorts last in the desc tiebreak,
+    matching the reference's 'last family in byte order wins' rule."""
+    if "family" in df.columns:
+        return df
+    return df.withColumn("family", F.lit(None).cast("string"))
 
 
 @dataclass
@@ -92,13 +108,15 @@ def merge_epoch(cur: DataFrame, cells: DataFrame, dels: DataFrame) -> DataFrame:
     """Pure LWW merge of one epoch's (cells, dels) into the current cell
     state; returns the next cell state (live cells + persistent
     tombstones). Shared by both sink layouts; idempotent by construction
-    (max/row_number over the same inputs)."""
+    (max/row_number over the same inputs). Same-ts collisions resolve by
+    (ts, family, seq) — identical to apply_changefeed / compact_epoch /
+    streaming.stateful, so final state is invariant to micro-batch
+    partitioning even across epochs."""
+    cur, cells = _with_family(cur), _with_family(cells)
     cur_cells = cur.filter(F.col("qualifier").isNotNull())
     cur_dels = cur.filter(F.col("qualifier").isNull()).select("rowkey", "ts", "seq")
 
-    all_cells = cur_cells.unionByName(
-        cells.select("rowkey", "qualifier", "value", "ts", "seq")
-    )
+    all_cells = cur_cells.unionByName(cells.select(*_CELL_COLS))
     all_dels = (
         cur_dels.unionByName(dels.select("rowkey", "ts", "seq"))
         .groupBy("rowkey")
@@ -113,17 +131,18 @@ def merge_epoch(cur: DataFrame, cells: DataFrame, dels: DataFrame) -> DataFrame:
         | (F.struct("ts", "seq") > F.struct(F.col("del_ts"), F.col("del_seq")))
     )
     w = Window.partitionBy("rowkey", "qualifier").orderBy(
-        F.col("ts").desc(), F.col("seq").desc()
+        F.col("ts").desc(), F.col("family").desc(), F.col("seq").desc()
     )
     latest = (
         live.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("rowkey", "qualifier", "value", "ts", "seq")
+        .select(*_CELL_COLS)
     )
     tombstones = all_dels.select(
         "rowkey",
         F.lit(None).cast("string").alias("qualifier"),
         F.lit(None).cast("string").alias("value"),
+        F.lit(None).cast("string").alias("family"),
         F.col("del_ts").alias("ts"),
         F.col("del_seq").alias("seq"),
     )

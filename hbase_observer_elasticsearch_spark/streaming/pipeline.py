@@ -38,7 +38,9 @@ def compact_epoch(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     cells: the latest put per touched (rowkey, qualifier), ordered by
     (ts, family, seq) — family byte-order breaks same-ts collisions exactly
     like the reference's NavigableMap iteration
-    (HbaseDataSyncEsObserver.java:93-102).
+    (HbaseDataSyncEsObserver.java:93-102). Family is CARRIED into the sink
+    state so the same tiebreak applies when the colliding puts land in
+    DIFFERENT micro-batches (merge_epoch orders by the same triple).
     dels: the latest delete per touched key.
 
     No epoch-local delete filtering is needed: the sink's persistent
@@ -53,7 +55,7 @@ def compact_epoch(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
         batch.filter(F.col("op") == "put")
         .withColumn("__rn", F.row_number().over(w_q))
         .filter(F.col("__rn") == 1)
-        .select("rowkey", "qualifier", "value", "ts", "seq")
+        .select("rowkey", "qualifier", "value", "family", "ts", "seq")
     )
     dels = (
         batch.filter(F.col("op") == "delete")
@@ -73,6 +75,7 @@ def start_pipeline(
     trigger: dict | None = None,
     max_files_per_trigger: int = 1,
     sink_cls: type = EmulatedEsSink,
+    sink=None,
 ):
     """Start the CDC replication stream: changefeed dir → doc state table.
 
@@ -81,9 +84,10 @@ def start_pipeline(
     `max_files_per_trigger` is the size-cap analog of MAX_BULK_COUNT.
     `sink_cls` selects the state layout: EmulatedEsSink (versioned full
     rewrite, atomic) or sinks.bucketed_state_sink.BucketedStateSink
-    (incremental per-bucket IO — the 100 TB layout).
+    (incremental per-bucket IO — the 100 TB layout); pass an already-built
+    `sink` instance instead to share it with a reader (CdcReplicator).
     """
-    sink = sink_cls(spark, state_dir, config)
+    sink = sink or sink_cls(spark, state_dir, config)
 
     cf = (
         spark.readStream.schema(CHANGEFEED_SCHEMA)

@@ -459,3 +459,71 @@ def test_bucketed_state_sink_replay_idempotent(spark, tmp_path):
     first = state_as_dict(sink.read_state())
     sink.apply(cells, dels)  # replay
     assert state_as_dict(sink.read_state()) == first == EXPECTED_STATE
+
+
+def test_cross_epoch_family_tiebreak(spark, tmp_path):
+    """Same-ts puts to one (rowkey, qualifier) from different families must
+    resolve by family byte order even when they land in DIFFERENT epochs
+    with seq order inverted — streamed state equals batch replay under any
+    epoch split (the r3 collision, split across epochs)."""
+    cols = "seq long, op string, rowkey string, family string, qualifier string, value string, ts timestamp"
+    row_z = (1, "put", "rx", "z", "c1", "vz", _ts(5))  # lower seq, family z
+    row_a = (2, "put", "rx", "a", "c1", "va", _ts(5))  # higher seq, family a
+
+    expected = state_as_dict(
+        apply_changefeed(spark.createDataFrame([row_z, row_a], cols))
+    )
+    assert expected == {"rx": {"c1": "vz"}}  # family byte order wins
+
+    for order in ([row_z, row_a], [row_a, row_z]):
+        sink = EmulatedEsSink(spark, str(tmp_path / f"s{order[0][0]}"))
+        for row in order:  # one epoch per mutation
+            cells, dels = compact_epoch(spark.createDataFrame([row], cols))
+            sink.apply(cells, dels)
+        assert state_as_dict(sink.read_state()) == expected
+
+
+def test_replicator_reads_through_configured_sink(spark, tmp_path):
+    """A replicator started with sink_cls=BucketedStateSink must read its
+    state back through the SAME layout (state()/cells() used to hardcode
+    EmulatedEsSink and silently return empty)."""
+    from hbase_observer_elasticsearch_spark.replicator import CdcReplicator
+    from hbase_observer_elasticsearch_spark.sinks.bucketed_state_sink import (
+        BucketedStateSink,
+    )
+
+    cf_dir = str(tmp_path / "cf")
+    write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files=2)
+    rep = CdcReplicator(
+        spark, cf_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    rep.start(
+        sink_cls=BucketedStateSink,
+        trigger={"availableNow": True},
+        max_files_per_trigger=1,
+    )
+    rep.await_drained()
+    rep.stop()
+    assert state_as_dict(rep.state()) == EXPECTED_STATE
+    assert rep.cells().filter("qualifier IS NULL").count() > 0  # tombstones
+
+
+def test_bulk_action_line_escapes_rowkey(spark):
+    """A rowkey containing quotes/backslashes must produce valid NDJSON on
+    the action line (previously raw-concatenated into the JSON literal)."""
+    import json
+
+    from hbase_observer_elasticsearch_spark.sinks.bulk_format import bulk_lines
+
+    state = spark.createDataFrame(
+        [('k"quote', {"a": "1"}), ("k\\back", {"b": "2"}), ("plain", None)],
+        "rowkey string, doc map<string,string>",
+    )
+    rows = {r["rowkey"]: r for r in bulk_lines(state, "idx").collect()}
+    for key, r in rows.items():
+        action = json.loads(r["action_json"])  # must parse
+        verb = "delete" if r["doc_json"] is None else "update"
+        assert action[verb]["_id"] == key
+        assert action[verb]["_index"] == "idx"
+        if r["doc_json"] is not None:
+            json.loads(r["doc_json"])
