@@ -267,6 +267,97 @@ def cdc_nullsafe_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_stateful_stream",
+    oracle="""
+WITH cf AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS rowkey,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS qualifier,
+         ts
+  FROM events
+),
+lastdel AS (
+  SELECT rowkey, ts, seq FROM (
+    SELECT rowkey, ts, seq,
+           ROW_NUMBER() OVER (PARTITION BY rowkey
+                              ORDER BY ts DESC, seq DESC) AS rn
+    FROM cf WHERE op = 'delete'
+  ) t
+  WHERE rn = 1
+),
+live AS (
+  SELECT c.rowkey, c.qualifier
+  FROM cf c LEFT JOIN lastdel d USING (rowkey)
+  WHERE c.op = 'put'
+    AND (d.ts IS NULL OR (c.ts, c.seq) > (d.ts, d.seq))
+),
+quals AS (
+  SELECT rowkey, list_sort(list(DISTINCT qualifier)) AS qualifiers
+  FROM live GROUP BY rowkey
+),
+nmut AS (
+  SELECT rowkey, CAST(COUNT(*) AS BIGINT) AS n_mutations FROM cf GROUP BY rowkey
+)
+SELECT n.rowkey,
+       COALESCE(q.qualifiers, CAST([] AS VARCHAR[])) AS qualifiers,
+       n.n_mutations
+FROM nmut n LEFT JOIN quals q USING (rowkey)
+""",
+)
+def cdc_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END check of the applyInPandasWithState operator
+    (streaming/stateful.py): drain the events-derived changefeed through
+    the streaming LWW doc-state operator in 4 micro-batches
+    (availableNow), keep each key's LAST emission, and compare the final
+    doc against the batch changefeed replay in DuckDB.
+
+    The checked contract per key: the set of live qualifiers (puts newer
+    than the last tombstone — delete widening #8, partial upsert #7) and
+    the total mutations merged (the operator's per-key version stamp).
+    This is the driver-visible proof that Spark-managed keyed state
+    converges to exactly the batch answer regardless of micro-batch
+    boundaries.
+    """
+    ensure_session_conf(spark)
+    import os
+    import tempfile
+    import uuid
+
+    from ..sources.changefeed import (
+        events_as_changefeed,
+        write_changefeed_stream_dir,
+    )
+    from ..streaming.stateful import stateful_doc_state
+
+    cf = events_as_changefeed(load_table(spark, sf_dir, "events"))
+    base = tempfile.mkdtemp(prefix="cdc_stateful_")
+    cf_dir = os.path.join(base, "cf")
+    write_changefeed_stream_dir(cf, cf_dir, n_files=4)
+
+    name = "stateful_emit_" + uuid.uuid4().hex[:8]
+    q = (
+        stateful_doc_state(spark, cf_dir, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    final = latest_by_key(spark.table(name), ["rowkey"], [F.col("version")])
+    return final.select(
+        "rowkey",
+        F.array_sort(
+            F.map_keys(F.from_json("doc_json", "map<string,string>"))
+        ).alias("qualifiers"),
+        F.col("version").cast("bigint").alias("n_mutations"),
+    )
+
+
+@register(
     "cdc_es_bulk_lines",
     oracle="""
 WITH counts AS (

@@ -32,9 +32,7 @@ def test_every_oracle_parses_and_oracle_coverage(sf_dir):
     # rows-only queries are the documented exceptions, not the norm
     no_oracle = set(QS) - set(ORACLES)
     assert no_oracle <= {
-        "agg_approx_distinct",
-        "similarity_topk_ivf",
-        "similarity_ivf_kmeans",
+        "similarity_ivf_kmeans",  # iterative (Lloyd) — no single-statement SQL
     }
 
 
