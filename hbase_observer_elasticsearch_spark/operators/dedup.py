@@ -149,10 +149,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-WITH {_SQL_SHINGLES},
+# Reusable oracle CTE chain: 3-word-shingle Jaccard pairs (jp) over the
+# capped inverted index — composed by both the pair query and the
+# connected-components clustering oracle.
+_SQL_JACCARD_PAIRS = f"""
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 cool AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {PAIR_BUCKET_CAP}),
 inter AS (
@@ -160,13 +160,24 @@ inter AS (
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   WHERE a.s IN (SELECT s FROM cool)
   GROUP BY 1, 2
+),
+jp AS (
+  SELECT doc_a, doc_b, n_shared,
+         n_shared * 1.0 / (sa.n + sb.n - n_shared) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= {JACCARD_T}
 )
-SELECT doc_a, doc_b, n_shared,
-       n_shared * 1.0 / (sa.n + sb.n - n_shared) AS jaccard
-FROM inter
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= {JACCARD_T}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+{_SQL_JACCARD_PAIRS.strip()}
+SELECT doc_a, doc_b, n_shared, jaccard FROM jp
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,4 +452,94 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = sums.select("doc_id", simhash.alias("simhash"))
     return sim.withColumn(
         "n_cluster", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS doc_id, rc.r
+  FROM edges e JOIN reach rc ON rc.doc_id = e.dst
+),
+base AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM base
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the Jaccard
+    near-dup graph via iterative min-label propagation; every document
+    gets (cluster_id = min doc_id in its component, cluster_size).
+
+    This is the step that turns pairwise dedup output into the keep-one-
+    per-cluster decision a training-data pipeline actually executes.
+
+    Spark shape: edges are the (cached) capped-bucket Jaccard pairs, both
+    directions; each round joins labels to neighbors and takes the min —
+    label sum is strictly decreasing until fixpoint, so the loop
+    terminates in ≤ graph-diameter rounds (near-dup components are tiny
+    dense cliques, so 2-3 rounds in practice). Driver state is two longs
+    per round (label sum + changed count); vectors/labels never collect.
+    At 100 TB swap the per-round join for the large-star/small-star
+    variant (alternating min-propagation that contracts chains in
+    O(log d) rounds) — same DataFrame skeleton.
+
+    Oracle: DuckDB WITH RECURSIVE transitive closure + MIN over reachable
+    ids (exact same fixpoint).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()  # reused every propagation round — materialize once
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+
+    prev_sum = None
+    while True:
+        nmin = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+            .select(F.col("src").alias("doc_id"), "nmin")
+        )
+        labels = (
+            labels.join(nmin, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()  # truncate the per-round lineage growth
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("cluster_size"),
     )

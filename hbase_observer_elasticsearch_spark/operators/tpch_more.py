@@ -19,7 +19,7 @@ deterministic (functions/deterministic.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -727,4 +727,244 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
+    )
+
+
+# Lineitem-as-partsupp restatements (the fixtures ship no partsupp table —
+# the same adaptation q16 uses): (l_partkey, l_suppkey) aggregates stand in
+# for partsupp rows, with min line price as supply cost and shipped
+# quantity as availqty. Closes the q2/q9/q11/q20 structural gaps.
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+),
+rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+reg AS (
+  SELECT ps.l_partkey, ps.cost_cents, rs.s_name, rs.s_acctbal, rs.n_name,
+         MIN(ps.cost_cents) OVER (PARTITION BY ps.l_partkey) AS min_cost
+  FROM ps JOIN rs ON rs.s_suppkey = ps.l_suppkey
+)
+SELECT r.s_acctbal, r.s_name, r.n_name, p.p_partkey, p.p_name,
+       CAST(r.cost_cents AS DOUBLE) / 100.0 AS supply_cost
+FROM reg r JOIN part p ON p.p_partkey = r.l_partkey
+WHERE r.cost_cents = r.min_cost
+ORDER BY r.s_acctbal DESC, r.s_name, p.p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (min-cost supplier per part in a region): the classic
+    correlated-MIN subquery becomes a window MIN over the part key —
+    computed on the already-joined region slice, so the whole query is one
+    l_partkey-partitioned pass plus broadcast dims and a TakeOrdered. The
+    partsupp relation is restated as (part, supplier) min line price in
+    integer cents (exact)."""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cost_cents"
+        )
+    )
+    rs = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    reg = ps.join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    reg = reg.withColumn("min_cost", F.min("cost_cents").over(w)).filter(
+        F.col("cost_cents") == F.col("min_cost")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        reg.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_cents").cast("double") / F.lit(100.0)).alias(
+                "supply_cost"
+            ),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS amount
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation and year): the 5-way
+    fact⋈fact⋈3-dim join with a LIKE-filtered part dim and a computed
+    (nation, year) grouping. Profit is restated as discounted revenue in
+    scaled-integer arithmetic (no ps_supplycost in the fixtures). part /
+    supplier / nation broadcast; lineitem⋈orders is the one fact shuffle."""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pcents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dcents = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(pcents * (F.lit(100) - dcents)).cast("double")
+                / F.lit(10000.0)
+            ).alias("amount")
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH ps AS (
+  SELECT l.l_partkey, CAST(round(l.l_extendedprice * 100) AS BIGINT) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+),
+tot AS (SELECT SUM(val) AS t FROM ps)
+SELECT l_partkey, CAST(SUM(val) AS DOUBLE) / 100.0 AS part_value
+FROM ps, tot
+GROUP BY l_partkey, tot.t
+HAVING CAST(SUM(val) AS DOUBLE) > 0.001 * CAST(t AS DOUBLE)
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock per nation): group + HAVING against a
+    scalar aggregate of the SAME relation. The scalar total rides along as
+    a broadcast single-row cross join (never a collect), and the value sums
+    are exact integer cents so the fraction threshold compares identically
+    across engines."""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps = li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("val"),
+    )
+    tot = ps.agg(F.sum("val").alias("t"))
+    return (
+        ps.groupBy("l_partkey")
+        .agg(F.sum("val").alias("sval"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("sval").cast("double") > F.lit(0.001) * F.col("t").cast("double"))
+        .select(
+            "l_partkey",
+            (F.col("sval").cast("double") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(round(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+ptot AS (SELECT l_partkey, SUM(qty) AS tot FROM pq GROUP BY 1),
+excess AS (
+  SELECT DISTINCT pq.l_suppkey
+  FROM pq JOIN ptot USING (l_partkey)
+  WHERE pq.qty * 6 > ptot.tot
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (suppliers holding excess stock): nested IN-subqueries
+    restated as a per-(part, supplier) quantity rollup joined to the
+    per-part total, then a LEFT-SEMI join into the supplier dim. 'Excess'
+    = shipped more than a sixth of the part's total volume. All-integer
+    arithmetic; the pq⋈ptot join is co-partitioned on l_partkey (one
+    shuffle, reused exchange)."""
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty")
+    )
+    ptot = pq.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    excess = (
+        pq.join(ptot, "l_partkey")
+        .filter(F.col("qty") * 6 > F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
     )

@@ -129,6 +129,9 @@ _PRIORITY = (
     "cdc_stateful_stream",
     "q21_waiting_supplier",
     "agg_approx_distinct",
+    "dedup_clusters",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
     # flagship CDC surface (reference parity — keep officially green)
     "cdc_last_state",
     "cdc_delete_widening",
@@ -136,10 +139,10 @@ _PRIORITY = (
     "cdc_nullsafe_tombstones",
     "cdc_es_bulk_lines",
     "q1_pricing_summary",
-    # representative complex relational ops
-    "join_asof",
-    "agg_salted_heavy_hitters",
-    "join_range_binned",
+    # r1-green representatives (join_asof, agg_salted_heavy_hitters,
+    # join_range_binned, ...) rotate OUT of the checked prefix this round to
+    # make room for the new queries above; rotate back next round as slots
+    # free up (q11_important_stock / q20_excess_suppliers are first in line).
 )
 
 

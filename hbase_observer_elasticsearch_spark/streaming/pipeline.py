@@ -217,3 +217,68 @@ def streaming_mutation_sessions(
             "n_mutations",
         )
     )
+
+
+def streaming_enrich_with_dim(
+    spark: SparkSession, changefeed_dir: str, dim: DataFrame, on: str = "rowkey"
+) -> DataFrame:
+    """Stream-static join: enrich the live changefeed with a slowly-changing
+    dimension (broadcast per micro-batch — the dim is re-resolved each
+    epoch, so a refreshed dim table is picked up without restarting).
+
+    At 100 TB of stream this is the standard pattern for key→tenant /
+    key→schema routing; the static side must stay broadcast-sized or be
+    pre-bucketed on the join key.
+    """
+    cf = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changefeed_dir)
+    )
+    return cf.join(F.broadcast(dim), on, "left")
+
+
+def streaming_put_delete_interval_join(
+    spark: SparkSession,
+    changefeed_dir: str,
+    horizon: str = "10 minutes",
+    within: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each put matched to the delete(s) that
+    killed it within `within` — the audit stream answering "which writes
+    were immediately discarded" (churn/thrash detection on the changefeed).
+
+    Both sides carry watermarks and the join predicate bounds del_ts to
+    [put_ts, put_ts + within], so Spark can expire buffered state once the
+    watermark passes the bound — state stays proportional to the event
+    rate inside the horizon, not the stream length (the requirement for an
+    unbounded 100 TB feed).
+    """
+    puts = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changefeed_dir)
+        .filter(F.col("op") == "put")
+        .withWatermark("ts", horizon)
+        .select(
+            "rowkey",
+            "qualifier",
+            F.col("ts").alias("put_ts"),
+            F.col("seq").alias("put_seq"),
+        )
+    )
+    dels = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changefeed_dir)
+        .filter(F.col("op") == "delete")
+        .withWatermark("ts", horizon)
+        .select(F.col("rowkey").alias("d_rowkey"), F.col("ts").alias("del_ts"))
+    )
+    return puts.join(
+        dels,
+        F.expr(
+            "rowkey = d_rowkey AND del_ts >= put_ts "
+            f"AND del_ts <= put_ts + INTERVAL {within}"
+        ),
+    ).select("rowkey", "qualifier", "put_ts", "put_seq", "del_ts")

@@ -527,3 +527,74 @@ def test_bulk_action_line_escapes_rowkey(spark):
         assert action[verb]["_index"] == "idx"
         if r["doc_json"] is not None:
             json.loads(r["doc_json"])
+
+
+def test_streaming_enrich_with_dim(spark, tmp_path):
+    """Stream-static broadcast join: every changefeed record carries its
+    dim attributes; keys missing from the dim survive with NULLs."""
+    from hbase_observer_elasticsearch_spark.streaming.pipeline import (
+        streaming_enrich_with_dim,
+    )
+
+    cf_dir = str(tmp_path / "cf")
+    write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files=2)
+    dim = spark.createDataFrame(
+        [("r1", "tenant_a"), ("r2", "tenant_b")], "rowkey string, tenant string"
+    )
+    q = (
+        streaming_enrich_with_dim(spark, cf_dir, dim)
+        .writeStream.format("memory")
+        .queryName("enriched_cf")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enriched_cf")
+    batch = fixture_changefeed(spark).join(F.broadcast(dim), "rowkey", "left")
+    assert got.count() == batch.count()
+    tenants = {r["rowkey"]: r["tenant"] for r in got.collect()}
+    assert tenants["r1"] == "tenant_a" and tenants["r5"] is None
+
+
+def test_streaming_put_delete_interval_join(spark, tmp_path):
+    """Stream-stream interval join finds exactly the puts a delete killed
+    within the window — identical to the batch range-join twin."""
+    from hbase_observer_elasticsearch_spark.streaming.pipeline import (
+        streaming_put_delete_interval_join,
+    )
+
+    cf_dir = str(tmp_path / "cf")
+    write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files=2)
+    q = (
+        streaming_put_delete_interval_join(spark, cf_dir, within="5 minutes")
+        .writeStream.format("memory")
+        .queryName("pd_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["rowkey"], r["put_seq"]) for r in spark.table("pd_join").collect()
+    }
+    cf = fixture_changefeed(spark)
+    puts = cf.filter("op = 'put'").select(
+        "rowkey", F.col("ts").alias("put_ts"), F.col("seq").alias("put_seq")
+    )
+    dels = cf.filter("op = 'delete'").select(
+        F.col("rowkey").alias("d_rowkey"), F.col("ts").alias("del_ts")
+    )
+    want = {
+        (r["rowkey"], r["put_seq"])
+        for r in puts.join(
+            dels,
+            F.expr(
+                "rowkey = d_rowkey AND del_ts >= put_ts "
+                "AND del_ts <= put_ts + INTERVAL 5 minutes"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
