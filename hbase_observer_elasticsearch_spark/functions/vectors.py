@@ -45,3 +45,15 @@ def sql_norm(a: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
+
+
+def sql_sq_dist(a: str, b: str) -> str:
+    """Squared euclidean distance, same sequential fold as the Spark twin
+    in operators/similarity.py:kmeans_fit.assign (zip_with diff² then
+    left-to-right aggregate) — bit-identical doubles, so the k-means
+    argmin assignment is oracle-comparable."""
+    d = f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> {d} * {d}), (x, y) -> x + y)"
+    )

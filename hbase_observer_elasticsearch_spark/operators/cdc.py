@@ -293,14 +293,15 @@ live AS (
     AND (d.ts IS NULL OR (c.ts, c.seq) > (d.ts, d.seq))
 ),
 quals AS (
-  SELECT rowkey, list_sort(list(DISTINCT qualifier)) AS qualifiers
+  SELECT rowkey,
+         array_to_string(list_sort(list(DISTINCT qualifier)), '|') AS qualifiers
   FROM live GROUP BY rowkey
 ),
 nmut AS (
   SELECT rowkey, CAST(COUNT(*) AS BIGINT) AS n_mutations FROM cf GROUP BY rowkey
 )
 SELECT n.rowkey,
-       COALESCE(q.qualifiers, CAST([] AS VARCHAR[])) AS qualifiers,
+       COALESCE(q.qualifiers, '') AS qualifiers,
        n.n_mutations
 FROM nmut n LEFT JOIN quals q USING (rowkey)
 """,
@@ -321,6 +322,7 @@ def cdc_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -332,26 +334,41 @@ def cdc_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cf = events_as_changefeed(load_table(spark, sf_dir, "events"))
     base = tempfile.mkdtemp(prefix="cdc_stateful_")
-    cf_dir = os.path.join(base, "cf")
-    write_changefeed_stream_dir(cf, cf_dir, n_files=4)
+    try:
+        cf_dir = os.path.join(base, "cf")
+        write_changefeed_stream_dir(cf, cf_dir, n_files=4)
 
-    name = "stateful_emit_" + uuid.uuid4().hex[:8]
-    q = (
-        stateful_doc_state(spark, cf_dir, max_files_per_trigger=1)
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        name = "stateful_emit_" + uuid.uuid4().hex[:8]
+        q = (
+            stateful_doc_state(spark, cf_dir, max_files_per_trigger=1)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("cdc_stateful_stream: availableNow drain timed out")
 
-    final = latest_by_key(spark.table(name), ["rowkey"], [F.col("version")])
+        # The memory sink holds emitted rows driver-side; force them into a
+        # local relation so the returned plan no longer references the sink
+        # (or the temp changefeed dir we are about to delete).
+        emitted = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    final = latest_by_key(emitted, ["rowkey"], [F.col("version")])
+    # qualifiers is stringified (not array<string>): the driver's pandas
+    # canonicalizer cannot sort/hash list-valued columns.
     return final.select(
         "rowkey",
-        F.array_sort(
-            F.map_keys(F.from_json("doc_json", "map<string,string>"))
+        F.concat_ws(
+            "|",
+            F.array_sort(F.map_keys(F.from_json("doc_json", "map<string,string>"))),
         ).alias("qualifiers"),
         F.col("version").cast("bigint").alias("n_mutations"),
     )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
-from ..functions.vectors import cosine, dot, norm, sql_cosine
+from ..functions.vectors import cosine, dot, norm, sql_cosine, sql_sq_dist
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -63,8 +63,12 @@ ex AS (
   FROM e
 ),
 cm AS (
+  -- FLOAT must go through DOUBLE before DECIMAL: DuckDB's direct
+  -- FLOAT->DECIMAL cast scales in float32 arithmetic (loses digits),
+  -- whereas Spark rounds the exact value; DOUBLE->DECIMAL matches Spark.
   SELECT label AS cell, pos,
-         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+           / COUNT(*) AS m
   FROM ex GROUP BY label, pos
 ),
 cent AS (
@@ -282,22 +286,89 @@ def kmeans_fit(e: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
     )
 
 
-@register("similarity_ivf_kmeans")
-def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with *trained* centroids: 3 Lloyd iterations, then cell
-    assignment sizes + within-cell mean cosine-to-centroid.
+KMEANS_K = 8
+KMEANS_ITERS = 2
 
-    Rows-only check (iterative algorithm — not single-statement-SQL
-    expressible; DuckDB has no recursive-friendly formulation worth
-    maintaining). Row count = k non-empty cells, deterministic by
-    construction (see kmeans_fit).
+
+def _sql_lloyd_iter(prev_cent: str, idx: int) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs: assignment = argmin of
+    the sequential-fold squared distance over the previous centroids
+    (tiebreak cid, same as Spark's array_min over (d2, cid) structs),
+    update = per-(cid, pos) exact decimal mean cast to FLOAT — mirroring
+    kmeans_fit bit for bit."""
+    return f"""
+a{idx} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sql_sq_dist('e.embedding', 'c.cv')}, c.cid) AS rn
+    FROM e CROSS JOIN {prev_cent} c
+  ) t WHERE rn = 1
+),
+m{idx} AS (
+  -- CAST(x AS DOUBLE) first: DuckDB's FLOAT->DECIMAL scales in float32
+  -- (drops digits); DOUBLE->DECIMAL rounds the exact value like Spark.
+  SELECT cid, pos,
+         CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+              / COUNT(*) AS FLOAT) AS m
+  FROM (SELECT cid, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM a{idx}) u
+  GROUP BY cid, pos
+),
+c{idx} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{idx} GROUP BY cid)
+"""
+
+
+_SQL_KMEANS = (
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+       FROM e WHERE vec_id < {KMEANS_K}),
+"""
+    + ",".join(
+        _sql_lloyd_iter(f"c{i - 1}", i) for i in range(1, KMEANS_ITERS + 1)
+    )
+    + f""",
+fin AS (
+  SELECT vec_id, cid, cos_sim FROM (
+    SELECT vec_id, cid, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, cid) AS rn
+    FROM (SELECT e.vec_id, c.cid,
+                 {sql_cosine('e.embedding', 'c.cv')} AS cos_sim
+          FROM e CROSS JOIN c{KMEANS_ITERS} c) s
+  ) t WHERE rn = 1
+)
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CAST(cos_sim AS DECIMAL(28,12))) AS DOUBLE) AS sum_best_sim
+FROM fin GROUP BY cid
+"""
+)
+
+
+@register("similarity_ivf_kmeans", oracle=_SQL_KMEANS)
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with *trained* centroids: 2 Lloyd iterations, then cell
+    assignment sizes + exact decimal sum of each member's best
+    cosine-to-centroid.
+
+    Hash-checked against a fully unrolled DuckDB restatement
+    (_SQL_KMEANS): each Lloyd iteration is two CTEs — assignment is an
+    argmin over the k=8 previous centroids using the identical
+    sequential-fold squared distance (sql_sq_dist), update is the exact
+    DECIMAL(28,12) per-(cluster, dim) mean cast to FLOAT — so centroids,
+    assignments, and the final aggregate are bit-identical across engines.
+    The iterative trainer therefore needs no rows-only exemption.
     """
     ensure_session_conf(spark)
     e = load_table(spark, sf_dir, "embeddings")
     # 2 Lloyd iterations: per-iteration wall cost is dominated by plan
     # compile (data-size independent); at 100 TB you would run to
     # convergence on a sample and only assign the full corpus once.
-    cent = kmeans_fit(e, k=8, iters=2)
+    cent = kmeans_fit(e, k=KMEANS_K, iters=KMEANS_ITERS)
     sim = cosine(F.col("embedding"), F.col("cv"))
     assigned = (
         spread(e)

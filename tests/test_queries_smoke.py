@@ -29,11 +29,8 @@ def test_every_oracle_parses_and_oracle_coverage(sf_dir):
         con.sql(sql)  # raises on parse/bind errors
     # every oracle key is a registered query
     assert set(ORACLES) <= set(QS)
-    # rows-only queries are the documented exceptions, not the norm
-    no_oracle = set(QS) - set(ORACLES)
-    assert no_oracle <= {
-        "similarity_ivf_kmeans",  # iterative (Lloyd) — no single-statement SQL
-    }
+    # every query has an oracle (r3: even the Lloyd trainer is unrolled)
+    assert set(QS) == set(ORACLES)
 
 
 def test_entry_contract(spark):

@@ -82,6 +82,16 @@ def main() -> int:
 
         ok = True
         msgs = []
+        # Mimic the driver's canonicalizer exactly: it runs pandas
+        # sort_values over ALL output columns, which raises TypeError on
+        # list/array-valued columns. tools/check.py's own canon()
+        # str()-coerces, so without this probe an array column passes
+        # locally and still fails the driver (seen r2: cdc_stateful_stream).
+        try:
+            if len(sdf):
+                sdf.sort_values(by=sorted(sdf.columns))
+        except TypeError as e:
+            ok, msgs = False, msgs + [f"driver-canonicalizer-crash: {e}"]
         if len(sdf) != len(ddf):
             ok, msgs = False, msgs + [f"rowcount {len(sdf)} vs {len(ddf)}"]
         if sorted(sdf.columns) != sorted(ddf.columns):
