@@ -185,6 +185,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates = pairs sharing ≥1 shingle via shingle equi-join (inverted
     index), then exact Jaccard from integer set sizes — never all-pairs.
+
+    Plan-shape note (r3 profiling): the r2 bench "regression" (1.23 →
+    2.12 s) was run-to-run variance — this exact shape measures 1.5-1.7 s
+    warm, interleaved A/B. Carrying each doc's set size THROUGH the
+    explode (to skip the sizes join-back) is 5× slower, not faster: any
+    expression depending on the exploded array forces Spark to keep the
+    full array in Generate's requiredChildOutput and copy it into every
+    exploded output row — O(shingles × array bytes) per doc. The separate
+    sizes aggregate + two broadcast-sized join-backs is the right shape
+    on Spark.
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")

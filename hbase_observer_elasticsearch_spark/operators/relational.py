@@ -129,9 +129,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     it replaces, with identical (exact) results divided back to doubles at
     the end. Positive-value round(x) == HALF_UP == DuckDB's
     round-away-from-zero, so the encode step is cross-engine exact too.
-    The widest accumulator (charge, ≤1.1e11 per row) sums as
-    decimal(28,0) — long-backed in Spark below 9.2e18, exact far past
-    100 TB-per-group row counts; DuckDB's BIGINT sum is already 128-bit.
+    The two wide accumulators (disc_price ≤1.1e9/row, charge ≤1.1e11/row)
+    sum as decimal(28,0) — long-backed in Spark below 9.2e18, exact far
+    past 100 TB-per-group row counts (a plain long sum of disc_price would
+    wrap at ~8e9 rows/group); DuckDB's BIGINT sum is already 128-bit.
     Partial+final agg (map-side combine) is automatic; at 100 TB this is a
     single shuffle of ~6 grouped rows per mapper.
     """
@@ -154,7 +155,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("q").cast("double").alias("sum_qty"),
         (F.sum("p").cast("double") / F.lit(100.0)).alias("sum_base_price"),
-        (F.sum(disc).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+        (F.sum(disc.cast("decimal(28,0)")).cast("double") / F.lit(10000.0)).alias(
+            "sum_disc_price"
+        ),
         (F.sum(charge.cast("decimal(28,0)")).cast("double") / F.lit(1000000.0)).alias(
             "sum_charge"
         ),
