@@ -489,21 +489,17 @@ FROM base
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components over the Jaccard
-    near-dup graph via iterative min-label propagation; every document
-    gets (cluster_id = min doc_id in its component, cluster_size).
+    near-dup graph via alternating large-star/small-star contraction;
+    every document gets (cluster_id = min doc_id in its component,
+    cluster_size).
 
     This is the step that turns pairwise dedup output into the keep-one-
     per-cluster decision a training-data pipeline actually executes.
 
-    Spark shape: edges are the (cached) capped-bucket Jaccard pairs, both
-    directions; each round joins labels to neighbors and takes the min —
-    label sum is strictly decreasing until fixpoint, so the loop
-    terminates in ≤ graph-diameter rounds (near-dup components are tiny
-    dense cliques, so 2-3 rounds in practice). Driver state is two longs
-    per round (label sum + changed count); vectors/labels never collect.
-    At 100 TB swap the per-round join for the large-star/small-star
-    variant (alternating min-propagation that contracts chains in
-    O(log d) rounds) — same DataFrame skeleton.
+    Spark shape: :func:`connected_components` — O(log d) rounds instead of
+    the O(d) of plain min-label propagation (kept as
+    :func:`_cc_min_propagation` for comparison), with two driver-side
+    longs per round and per-round `localCheckpoint` lineage truncation.
 
     Oracle: DuckDB WITH RECURSIVE transitive closure + MIN over reachable
     ids (exact same fixpoint).
@@ -511,45 +507,124 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .cache()  # reused every propagation round — materialize once
-    )
-    labels = d.select("doc_id", F.col("doc_id").alias("label"))
-
-    prev_sum = None
-    while True:
-        nmin = (
-            edges.join(
-                labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
-            )
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-            .select(F.col("src").alias("doc_id"), "nmin")
-        )
-        labels = (
-            labels.join(nmin, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()  # truncate the per-round lineage growth
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _ = connected_components(d.select(F.col("doc_id").alias("id")), edges)
 
     return labels.select(
-        "doc_id",
+        F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1))
         .over(Window.partitionBy("label"))
         .alias("cluster_size"),
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR — the
+    100 TB-scale algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): each round contracts chains toward the
+    component minimum, converging in O(log d) rounds where plain
+    min-propagation needs O(d) (d = component diameter).
+
+    nodes: one column ``id``; edges: ``src``/``dst`` (undirected, either
+    orientation, self-loops tolerated). Returns (labels, n_rounds) with
+    labels = (id, label = min id of the component).
+
+    Scale shape per round: one groupBy(min) + one equi-join per star step
+    — all key-partitioned shuffles, no driver data beyond a 2-long edge
+    fingerprint; `localCheckpoint` truncates the iterative lineage.
+    """
+    # Orient u > v (u = larger endpoint), drop self-loops, dedup.
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact + overflow-free under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    rounds = 0
+    prev = fingerprint(e)
+    while rounds < max_rounds and prev[0]:
+        # LARGE-STAR: for each node x, link every strictly-larger neighbor
+        # to m(x) = min(Γ(x) ∪ {x}).
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mn_l = bidir.groupBy("u").agg(F.min("v").alias("mnv"))
+        mn_l = mn_l.select("u", F.least("mnv", F.col("u")).alias("m"))
+        e = (
+            bidir.join(mn_l, "u")
+            .filter(F.col("v") > F.col("u"))  # strictly-larger neighbors
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # SMALL-STAR: for each node x, link its smaller-or-equal neighbors
+        # (and x itself) to the minimum of that set.
+        mn_s = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(mn_s, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mn_s.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # truncate per-round lineage growth
+        )
+        rounds += 1
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    star = e.groupBy("u").agg(F.min("v").alias("label"))
+    labels = (
+        nodes.join(star.select(F.col("u").alias("id"), "label"), "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("label"))
+    )
+    return labels, rounds
+
+
+def _cc_min_propagation(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 200
+) -> tuple[DataFrame, int]:
+    """Plain min-label propagation (one hop per round — O(diameter)
+    rounds). Kept as the baseline the star algorithm is tested against;
+    identical fixpoint."""
+    bidir = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select("id", F.col("id").alias("label"))
+    rounds = 0
+    prev_sum = None
+    while rounds < max_rounds:
+        nmin = (
+            bidir.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+            .select(F.col("src").alias("id"), "nmin")
+        )
+        labels = (
+            labels.join(nmin, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        rounds += 1
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels, rounds

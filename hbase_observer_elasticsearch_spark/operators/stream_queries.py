@@ -1,0 +1,163 @@
+"""Driver-checkable END-TO-END queries for the streaming join operators.
+
+Each query here actually RUNS a Structured Streaming pipeline
+(streaming/pipeline.py) — availableNow drain of an events-derived
+changefeed through the real streaming plan into a memory sink — and
+returns the emitted rows, which the driver compares against a plain batch
+DuckDB restatement. This is the official proof that the stream-static
+broadcast enrichment and the stream-stream interval join emit exactly the
+batch answer (the reference has no joins at all; these are north-star
+surface, SURVEY §2.3 streaming row).
+
+Watermark soundness of the comparison: the changefeed dir is written
+range-partitioned on seq (sources/changefeed.write_changefeed_stream_dir)
+and the events fixture assigns event_id in ts order, so each micro-batch
+file is a contiguous time range. A delete in file k+1 can then only match
+puts with put_ts >= del_ts - within >= max_ts(file k) - within, and put
+state is retained until watermark > put_ts + within, i.e. at least until
+max_ts(file k) - horizon > put_ts + within — which cannot happen for
+those puts. Hence NO candidate match is ever dropped by state expiry and
+the streamed result equals the batch join for ANY horizon >= 0.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..session import ensure_session_conf
+
+_SQL_CF = """
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS rowkey,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS qualifier,
+         ts
+  FROM events
+"""
+
+
+def _drain_to_local(spark: SparkSession, stream_df: DataFrame, base: str) -> DataFrame:
+    """Drain an availableNow stream into a memory sink and pin the emitted
+    rows into a local relation (so the returned plan references neither the
+    sink nor the about-to-be-deleted temp dir)."""
+    name = "stream_twin_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream twin: availableNow drain timed out")
+    return spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
+
+
+def _changefeed_dir(spark: SparkSession, sf_dir: str, base: str) -> str:
+    from ..sources.changefeed import (
+        events_as_changefeed,
+        write_changefeed_stream_dir,
+    )
+
+    cf = events_as_changefeed(load_table(spark, sf_dir, "events"))
+    cf_dir = os.path.join(base, "cf")
+    write_changefeed_stream_dir(cf, cf_dir, n_files=4)
+    return cf_dir
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+WITH cf AS ({_SQL_CF}),
+dim AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS rowkey, c_mktsegment AS segment
+  FROM customer
+)
+SELECT c.seq, c.rowkey, c.op, c.qualifier, d.segment
+FROM cf c LEFT JOIN dim d USING (rowkey)
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join, end-to-end: the live changefeed is
+    enriched per micro-batch against a static customer dimension
+    (streaming/pipeline.streaming_enrich_with_dim), drained with
+    availableNow, and must equal the batch left join row-for-row.
+
+    At 100 TB this is the key→tenant routing pattern: the dim re-resolves
+    every epoch (picks up refreshes without restart) and must stay
+    broadcast-sized or be pre-bucketed on the join key.
+    """
+    ensure_session_conf(spark)
+    from ..streaming.pipeline import streaming_enrich_with_dim
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").cast("string").alias("rowkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="stream_enrich_")
+    try:
+        cf_dir = _changefeed_dir(spark, sf_dir, base)
+        emitted = _drain_to_local(
+            spark, streaming_enrich_with_dim(spark, cf_dir, dim), base
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted.select("seq", "rowkey", "op", "qualifier", "segment")
+
+
+@register(
+    "stream_put_delete_join",
+    oracle=f"""
+WITH cf AS ({_SQL_CF})
+SELECT p.rowkey, p.qualifier,
+       p.ts AS put_ts, p.seq AS put_seq, d.ts AS del_ts
+FROM cf p JOIN cf d
+  ON p.rowkey = d.rowkey
+ AND p.op = 'put' AND d.op = 'delete'
+ AND d.ts >= p.ts AND d.ts <= p.ts + INTERVAL 2 HOUR
+""",
+)
+def stream_put_delete_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join, end-to-end: each put matched to the
+    delete(s) that killed it within 2 hours
+    (streaming/pipeline.streaming_put_delete_interval_join), drained with
+    availableNow; must equal the batch range join exactly — including
+    multiplicity when several deletes hit one put.
+
+    The watermark + bounded join predicate let Spark expire buffered state
+    once no future delete can match (see module docstring for why that
+    expiry provably never races the drain), so state stays proportional to
+    the event rate inside the horizon — the requirement for an unbounded
+    100 TB feed.
+    """
+    ensure_session_conf(spark)
+    from ..streaming.pipeline import streaming_put_delete_interval_join
+
+    base = tempfile.mkdtemp(prefix="stream_pdjoin_")
+    try:
+        cf_dir = _changefeed_dir(spark, sf_dir, base)
+        emitted = _drain_to_local(
+            spark,
+            streaming_put_delete_interval_join(
+                spark, cf_dir, horizon="10 minutes", within="2 hours"
+            ),
+            base,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted.select("rowkey", "qualifier", "put_ts", "put_seq", "del_ts")

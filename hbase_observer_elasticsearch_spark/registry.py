@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "hbase_observer_elasticsearch_spark.operators.time_windows",
     "hbase_observer_elasticsearch_spark.operators.udf_surface",
     "hbase_observer_elasticsearch_spark.operators.multimodal",
+    "hbase_observer_elasticsearch_spark.operators.stream_queries",
 )
 
 

@@ -93,6 +93,36 @@ def events_as_changefeed(events: DataFrame) -> DataFrame:
 def write_changefeed_stream_dir(
     cf: DataFrame, path: str, n_files: int = 4
 ) -> None:
-    """Lay a changefeed out as a file-stream source dir (ordered files so a
-    streaming read sees micro-batches in seq order)."""
-    cf.repartitionByRange(n_files, "seq").write.mode("overwrite").parquet(path)
+    """Lay a changefeed out as a file-stream source dir whose micro-batch
+    order IS seq order.
+
+    The file stream source batches files by modification time, and a
+    parallel `repartitionByRange(...).write` commits its part files in
+    arbitrary task order — so the stream could consume seq ranges out of
+    order, making event-time watermarks jump ahead and drop earlier
+    ranges as late input (observed: nondeterministic stream-stream join
+    results). Each seq range is therefore written sequentially as a
+    single file with a strictly increasing, second-spaced mtime.
+    """
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import Window
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    ranked = cf.withColumn("__f", F.ntile(n_files).over(Window.orderBy("seq")))
+    base_t = time.time()
+    for i in range(1, n_files + 1):
+        tmp = f"{path}.tmp{i}"
+        ranked.filter(F.col("__f") == i).drop("__f").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(path, f"{i:05d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (base_t + i, base_t + i))
+        shutil.rmtree(tmp, ignore_errors=True)

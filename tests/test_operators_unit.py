@@ -132,3 +132,54 @@ def _lev(a: str, b: str) -> int:
             cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def test_connected_components_star_beats_propagation_on_path(spark):
+    """large-star/small-star must converge in O(log d) rounds on a path
+    graph — the worst case for plain one-hop min propagation — and both
+    must land the identical fixpoint (every node labeled with the path
+    minimum)."""
+    from pyspark.sql import functions as F
+
+    from hbase_observer_elasticsearch_spark.operators.dedup import (
+        _cc_min_propagation,
+        connected_components,
+    )
+
+    n = 17  # path 0-1-2-...-16 (diameter 16) + an isolated node 100
+    nodes = spark.createDataFrame([(i,) for i in range(n)] + [(100,)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+
+    star_labels, star_rounds = connected_components(nodes, edges)
+    got = {r["id"]: r["label"] for r in star_labels.collect()}
+    assert got == {**{i: 0 for i in range(n)}, 100: 100}
+
+    prop_labels, prop_rounds = _cc_min_propagation(nodes, edges)
+    assert {r["id"]: r["label"] for r in prop_labels.collect()} == got
+
+    # diameter 16: propagation needs ~16 one-hop rounds; star contracts
+    # chains geometrically
+    assert prop_rounds >= 8
+    assert star_rounds <= 6
+    assert star_rounds < prop_rounds
+
+
+def test_connected_components_merges_components(spark):
+    """Two cliques joined by a bridge edge collapse to one component; edge
+    orientation and duplicate/self edges must not matter."""
+    from hbase_observer_elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    edges = spark.createDataFrame(
+        # clique {1,2,3}, clique {5,6,7}, bridge 3-5; node 8 isolated;
+        # messy input: reversed dupes + a self-loop
+        [(2, 1), (1, 3), (3, 2), (6, 5), (5, 7), (7, 6), (3, 5), (5, 3), (4, 4)],
+        "src long, dst long",
+    )
+    labels, _ = connected_components(nodes, edges)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 6: 1, 7: 1, 4: 4, 8: 8}

@@ -598,3 +598,93 @@ def test_streaming_put_delete_interval_join(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_bucketed_sink_crash_mid_epoch_is_atomic(spark, tmp_path):
+    """A writer that dies BETWEEN bucket publishes must leave readers on
+    the complete old epoch (the manifest is the commit point); replaying
+    the epoch afterwards lands the complete new epoch."""
+    from hbase_observer_elasticsearch_spark.sinks.bucketed_state_sink import (
+        BucketedStateSink,
+    )
+
+    class CrashingSink(BucketedStateSink):
+        crashes_left = 0
+
+        def _publish_bucket(self, src, dst):
+            if self.crashes_left == 0:
+                raise RuntimeError("injected crash between bucket publishes")
+            self.crashes_left -= 1
+            super()._publish_bucket(src, dst)
+
+    sink = CrashingSink(spark, str(tmp_path / "bstate"), n_buckets=4)
+    cf = fixture_changefeed(spark)
+
+    # epoch 1 (clean): first half of the fixture
+    sink.crashes_left = 10**9
+    cells, dels = compact_epoch(cf.filter("seq < 7"))
+    sink.apply(cells, dels)
+    old_state = state_as_dict(sink.read_state())
+    assert old_state  # non-empty baseline
+
+    # epoch 2 crashes after ONE of several bucket publishes
+    cells2, dels2 = compact_epoch(cf.filter("seq >= 7"))
+    touched = (
+        cells2.select(sink._bkt().alias("b"))
+        .unionByName(dels2.select(sink._bkt().alias("b")))
+        .distinct()
+        .count()
+    )
+    assert touched > 1  # the crash window genuinely spans buckets
+    sink.crashes_left = 1
+    try:
+        sink.apply(cells2, dels2)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    # readers see the complete OLD epoch — not a mix
+    assert state_as_dict(sink.read_state()) == old_state
+
+    # checkpoint replay of the epoch commits it fully
+    sink.crashes_left = 10**9
+    sink.apply(cells2, dels2)
+    assert state_as_dict(sink.read_state()) == EXPECTED_STATE
+
+
+def test_bucketed_sink_reads_pre_family_state(spark, tmp_path):
+    """A state dir written before the family column existed must still be
+    readable: read_cells null-fills the missing column instead of failing
+    on a by-name select."""
+    import json
+    import os
+
+    from hbase_observer_elasticsearch_spark.sinks.bucketed_state_sink import (
+        BucketedStateSink,
+    )
+
+    root = str(tmp_path / "bstate")
+    sink = BucketedStateSink(spark, root, n_buckets=4)
+    # hand-write a v=1 bucket WITHOUT the family column + a manifest
+    old = spark.createDataFrame(
+        [("r1", "c1", "v1", _ts(1), 1)],
+        "rowkey string, qualifier string, value string, ts timestamp, seq long",
+    )
+    bkt = old.select(sink._bkt().alias("b")).collect()[0]["b"]
+    old.coalesce(1).write.parquet(os.path.join(root, f"bkt={bkt}", "v=1"))
+    with open(os.path.join(root, "_MANIFEST"), "w") as f:
+        json.dump({"buckets": {str(bkt): 1}}, f)
+
+    got = sink.read_cells().collect()
+    assert [(r["rowkey"], r["qualifier"], r["value"], r["family"]) for r in got] == [
+        ("r1", "c1", "v1", None)
+    ]
+
+    # and a subsequent epoch merges on top of the legacy version cleanly
+    cells, dels = compact_epoch(
+        spark.createDataFrame(
+            [(2, "put", "r1", "info", "c2", "v2", _ts(2))],
+            fixture_changefeed(spark).schema,
+        )
+    )
+    sink.apply(cells, dels)
+    assert state_as_dict(sink.read_state()) == {"r1": {"c1": "v1", "c2": "v2"}}
