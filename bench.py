@@ -55,12 +55,56 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
+
+    # Common-subset delta vs the newest committed BENCH_r{N}.json at the
+    # same sf, so round-over-round regressions are visible in the driver
+    # artifact itself (r2 verdict #8).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    delta = None
+    # BENCH_PREV.json is the committed snapshot of the PREVIOUS round's
+    # official full per-query map (refreshed at each round end), then the
+    # last bench_out.json; the driver's BENCH_r{N}.json wrappers only
+    # parse the slowest-10 tail line, so they are the final fallback.
+    prior_files = ["BENCH_PREV.json", "bench_out.json"] + sorted(
+        (
+            f for f in os.listdir(repo)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+        ),
+        reverse=True,
+    )
+    for fname in prior_files:
+        try:
+            with open(os.path.join(repo, fname)) as f:
+                prior = json.load(f)
+            parsed = prior.get("parsed") or prior  # driver wrapper or raw
+            if float(parsed.get("sf", -1)) != float(sf):
+                continue
+            prev_q = parsed.get("queries") or {}
+            common = [k for k in prev_q if k in per_query]
+            if not common:
+                continue
+            delta = {
+                "vs": fname,
+                "n_common": len(common),
+                "prev_sec": round(sum(prev_q[k] for k in common), 2),
+                "now_sec": round(sum(per_query[k] for k in common), 2),
+                "regressed": {
+                    k: [round(prev_q[k], 2), round(per_query[k], 2)]
+                    for k in common
+                    if per_query[k] > prev_q[k] + max(0.3, 0.3 * prev_q[k])
+                },
+            }
+            break
+        except Exception:  # noqa: BLE001 — a malformed artifact never kills bench
+            continue
+
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf),
+        "delta": delta,
     }
     # Full detail to a file (r1's single long stdout line was tail-truncated
     # by the capture — BENCH_r01.json recorded parsed: null).
@@ -84,6 +128,7 @@ def main() -> None:
                 "sf": float(sf),
                 "n_queries": len(per_query),
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
+                "delta": delta,
                 "queries_full": "bench_out.json",
             },
             separators=(",", ":"),

@@ -628,3 +628,65 @@ def _cc_min_propagation(
             break
         prev_sum = cur_sum
     return labels, rounds
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS doc_id, rc.r
+  FROM edges e JOIN reach rc ON rc.doc_id = e.dst
+),
+lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+ranked AS (
+  SELECT d.doc_id, l.cluster_id, d.n_chars,
+         COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM documents d JOIN lab l USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, n_chars
+FROM ranked WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: one canonical document per near-dup cluster —
+    the longest (n_chars desc, doc_id tiebreak) member of each connected
+    component of the Jaccard graph. This is the keep-list a training-data
+    pipeline actually materializes; everything not in it is dropped.
+
+    Scale shape: connected_components (O(log d) star rounds) + one
+    shuffle on cluster_id for the per-cluster argmax — `max_by` keeps it
+    an aggregate (no full window sort of the cluster members).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _ = connected_components(d.select(F.col("doc_id").alias("id")), edges)
+    member = labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).join(d.select("doc_id", "n_chars"), "doc_id")
+    # per-cluster argmax as an aggregate: (n_chars desc, doc_id asc) ==
+    # max over the orderable pair (n_chars, -doc_id)
+    return member.groupBy("cluster_id").agg(
+        F.max_by(
+            F.struct("doc_id", "n_chars"),
+            F.struct(F.col("n_chars"), -F.col("doc_id")),
+        ).alias("best"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    ).select(
+        F.col("best.doc_id").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        F.col("best.n_chars").alias("n_chars"),
+    )

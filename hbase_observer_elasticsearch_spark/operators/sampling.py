@@ -1,0 +1,129 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+At 100 TB, sampling must be (a) deterministic (re-runs and audits see the
+same subset), (b) engine-portable (the sample drawn by the Spark pipeline
+must be reproducible by any other engine reading the same table), and
+(c) shuffle-free where possible. RNG-based sampling (`df.sample`,
+`TABLESAMPLE`) fails (a)/(b) — engines disagree on RNG streams — so
+everything here keys off **md5 of the row key**, which Spark and DuckDB
+compute identically (lowercase hex). Comparing the leading hex chars as
+STRINGS gives 1/256-granularity Bernoulli gates with zero cross-engine
+ambiguity and no shuffle: the predicate is map-side, survives any
+partitioning, and Catalyst pushes the projection to the scan.
+
+The reference has no sampling surface at all (it is a CDC coprocessor);
+these are north-star training-pipeline operators (BASELINE.json:6) over
+the `documents` fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..session import ensure_session_conf
+
+
+def _gate(key: F.Column, salt: str) -> F.Column:
+    """First two hex chars of md5(salt || key) — a uniform 0..255 bucket
+    as a 2-char lowercase hex STRING (portable across engines)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 2)
+
+
+def _sql_gate(key: str, salt: str) -> str:
+    return f"substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 2)"
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_sql_gate("doc_id", "sample:")} < '1a'
+""",
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample of the corpus: keep rows whose
+    md5 gate falls in the first 26/256 buckets ('00'..'19' < '1a').
+
+    Scale shape: pure map-side filter — no shuffle, no RNG state, stable
+    under retries/speculation (Spark's `sample` is NOT stable under task
+    rerun with different partitioning), and any engine can re-derive
+    exactly the same subset for audits.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_gate(F.col("doc_id"), "sample:") < "1a").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "split_train_valid_test",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       CASE WHEN {_sql_gate("doc_id", "split:")} < 'cd' THEN 'train'
+            WHEN {_sql_gate("doc_id", "split:")} < 'e6' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/valid/test assignment by hash gate
+    (train: 205/256, valid: 25/256, test: 26/256).
+
+    The assignment is a pure function of doc_id — documents keep their
+    split across pipeline re-runs and incremental corpus additions, the
+    property that prevents train/test leakage when the corpus grows.
+    Map-side only; at 100 TB this is the `WHERE split='train'`
+    partition-pruning column after one materialization.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    g = _gate(F.col("doc_id"), "split:")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(g < "cd", "train").when(g < "e6", "valid").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+@register(
+    "sample_stratified_per_lang",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_sql_gate("doc_id", "strat:")}, doc_id) AS rn
+  FROM documents
+) t
+WHERE rn <= 20
+""",
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subsample: exactly k=20 documents per language, chosen by
+    deterministic hash order (not "first 20 in file order", which is
+    ingestion-biased).
+
+    Scale shape: one shuffle on lang + per-partition top-k. With skewed
+    strata at 100 TB, swap the full window sort for a two-phase pick:
+    per-partition top-k first (map-side), then top-k of candidates —
+    rank() over ≤ k×n_partitions rows instead of sorting the stratum.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _gate(F.col("doc_id"), "strat:"), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )

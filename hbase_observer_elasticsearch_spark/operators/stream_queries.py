@@ -47,19 +47,30 @@ _SQL_CF = """
 def _drain_to_local(spark: SparkSession, stream_df: DataFrame, base: str) -> DataFrame:
     """Drain an availableNow stream into a memory sink and pin the emitted
     rows into a local relation (so the returned plan references neither the
-    sink nor the about-to-be-deleted temp dir)."""
+    sink nor the about-to-be-deleted temp dir).
+
+    Streaming state cost scales with shuffle partitions (one state store
+    per partition PER stateful operator PER micro-batch), so the drain
+    runs at 8 partitions — at real scale you size this to the stream's
+    key cardinality, not the batch-side default.
+    """
     name = "stream_twin_" + uuid.uuid4().hex[:8]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream twin: availableNow drain timed out")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream twin: availableNow drain timed out")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame(
         spark.table(name).collect(), spark.table(name).schema
     )

@@ -7,7 +7,7 @@ zero shuffle except final aggregations, zero Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -259,4 +259,110 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") >= 0)
         .select("name_a", "name_b", "dist")
+    )
+
+
+@register(
+    "text_pii_redaction",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         'contact user' || doc_id || '@mail-' || lang || '.example.com or call 555-01'
+           || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' re: ' || text AS body
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(body, '[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]+', '<EMAIL>', 'g'),
+           '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS body
+  FROM synth
+)
+SELECT doc_id,
+       CAST(len(body) AS BIGINT) AS n_chars_redacted,
+       CAST(len(regexp_extract_all(body, '<EMAIL>')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(body, '<PHONE>')) AS BIGINT) AS n_phones
+FROM red
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing battery: regex redaction of email addresses and
+    phone-shaped tokens, with per-doc redaction counts — the
+    compliance-pass every training corpus goes through.
+
+    The fixture corpus has no PII, so a deterministic synthetic contact
+    line is prepended per doc (pure column math, keeps the check
+    end-to-end meaningful). Patterns stay in the RE2 ∩ Java-regex common
+    subset so Spark and DuckDB agree byte-for-byte. Map-side only — no
+    shuffle, scales as a pure scan like every per-row text op.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("lang"),
+        F.lit(".example.com or call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            body, F.lit(r"[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]+"), F.lit("<EMAIL>")
+        ),
+        F.lit(r"\b[0-9]{3}-[0-9]{4}\b"),
+        F.lit("<PHONE>"),
+    )
+    n_tag = lambda c, tag: (F.size(F.split(c, tag, -1)) - 1).cast("bigint")  # noqa: E731
+    return d.select("doc_id", red.alias("body")).select(
+        "doc_id",
+        F.length("body").cast("bigint").alias("n_chars_redacted"),
+        n_tag(F.col("body"), "<EMAIL>").alias("n_emails"),
+        n_tag(F.col("body"), "<PHONE>").alias("n_phones"),
+    )
+
+
+@register(
+    "text_rarest_terms",
+    oracle="""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+df AS (SELECT w, COUNT(*) AS doc_freq FROM dw GROUP BY w),
+ranked AS (
+  SELECT dw.doc_id, dw.w AS term, df.doc_freq,
+         ROW_NUMBER() OVER (PARTITION BY dw.doc_id
+                            ORDER BY df.doc_freq, dw.w) AS rnk
+  FROM dw JOIN df USING (w)
+)
+SELECT doc_id, term, CAST(doc_freq AS BIGINT) AS doc_freq, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def text_rarest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most *distinctive* (rarest-in-corpus) terms per document —
+    the TF-IDF shape with integer-only ranking (document frequency asc,
+    term asc), so both engines agree exactly without comparing float idf.
+
+    Scale shape: distinct (doc, term) is one shuffle; the document-
+    frequency table is vocabulary-sized → broadcast for the join-back;
+    per-doc window sorts ≤ |doc terms| rows. At 100 TB the df table may
+    exceed broadcast size → the join falls back to shuffle-on-term, which
+    AQE decides from runtime stats; nothing else changes.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    df_tab = dw.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("doc_id").orderBy("doc_freq", "term")
+    return (
+        dw.join(F.broadcast(df_tab), "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "doc_freq", F.col("rnk").cast("bigint").alias("rnk"))
     )

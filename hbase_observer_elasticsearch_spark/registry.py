@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "hbase_observer_elasticsearch_spark.operators.udf_surface",
     "hbase_observer_elasticsearch_spark.operators.multimodal",
     "hbase_observer_elasticsearch_spark.operators.stream_queries",
+    "hbase_observer_elasticsearch_spark.operators.sampling",
 )
 
 
@@ -80,70 +81,67 @@ def _load() -> None:
 # CORRECTNESS_r01.json). Names not yet registered are skipped; registered
 # names not listed append in module-import order.
 _PRIORITY = (
-    # LLM-pipeline: dedup
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    # LLM-pipeline: similarity / ANN
-    "similarity_topk_bruteforce",
-    "similarity_nn_same_label",
-    "similarity_ivf_kmeans",
-    "similarity_topk_ivf",
-    "similarity_recall_ivf",
-    # LLM-pipeline: text analysis
-    "text_stats",
-    "text_quality_filter",
-    "text_token_count_bpe",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_edit_distance_pairs",
-    # UDF surface
-    "udf_pandas_scalar",
-    "udf_grouped_applyinpandas",
-    "udf_scalar_python",
-    "udf_python_udtf",
-    # multimodal plumbing
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # event-time windows (batch twins of the streaming aggs)
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    # window functions
-    "window_lag_lead",
-    "window_running_agg",
-    "window_first_last",
-    "window_range_between",
-    "topk_per_group",
-    # scalar function batteries
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "higher_order_funcs",
-    "map_funcs",
-    "json_funcs",
-    # new / changed this round
-    "cdc_stateful_stream",
-    "q21_waiting_supplier",
-    "agg_approx_distinct",
-    "dedup_clusters",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    # flagship CDC surface (reference parity — keep officially green)
-    "cdc_last_state",
-    "cdc_delete_widening",
-    "cdc_doc_pivot",
-    "cdc_nullsafe_tombstones",
-    "cdc_es_bulk_lines",
-    "q1_pricing_summary",
-    # r1-green representatives (join_asof, agg_salted_heavy_hitters,
-    # join_range_binned, ...) rotate OUT of the checked prefix this round to
-    # make room for the new queries above; rotate back next round as slots
-    # free up (q11_important_stock / q20_excess_suppliers are first in line).
+    # never driver-checked in any round — first in line (r2 verdict)
+    "q11_important_stock",
+    "q20_excess_suppliers",
+    # new this round: end-to-end streaming-join twins + sampling/keep-best
+    "stream_static_enrich",
+    "stream_put_delete_join",
+    "sample_hash_bernoulli",
+    "split_train_valid_test",
+    "sample_stratified_per_lang",
+    "dedup_keep_best",
+    "text_pii_redaction",
+    "text_rarest_terms",
+    # changed this round: red-row fixes + algorithm/accumulator changes
+    "cdc_stateful_stream",      # stringified output (r2 driver-fail)
+    "similarity_ivf_kmeans",    # gained the unrolled-Lloyd oracle
+    "dedup_clusters",           # large-star/small-star swap
+    "q1_pricing_summary",       # disc_price decimal widening
+    # --- last checked in r1, rotating back in (36 of 43; join_cross,
+    # sort_limit_topn, set_ops, distinct_pairs, subquery_scalar_in,
+    # pivot_wide, unpivot_melt — all trivial/stable shapes — wait for r4;
+    # the full local suite result recorded in CORRECTNESS_FULL_r03.json
+    # covers them meanwhile) ---
+    "proj_filter_cast",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "join_left_orders_per_customer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_range_theta",
+    "join_asof",
+    "join_range_binned",
+    "join_right_outer",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_variance_manual",
+    "agg_having",
+    "agg_case_bucketing",
+    "agg_mode_per_group",
+    "agg_salted_heavy_hitters",
+    "window_rank_battery",
+    "percentile_stats",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_suppliers",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q22_global_sales",
+    # r2-green queries (dedup/similarity/text/udf/multimodal/window/scalar
+    # batteries, CDC set, q2/q9/q21) rotate OUT this round; regressions are
+    # still caught by the full local oracle run recorded each round.
 )
 
 

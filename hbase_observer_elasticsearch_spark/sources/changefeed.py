@@ -114,15 +114,22 @@ def write_changefeed_stream_dir(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.makedirs(path)
-    ranked = cf.withColumn("__f", F.ntile(n_files).over(Window.orderBy("seq")))
+    # ONE Spark job: range-tag rows, co-locate each range in one task via
+    # hash repartition on the tag, and let partitionBy split the dirs;
+    # ordering is then pure driver-side file surgery (move + utime).
+    tmp = f"{path}.tmp"
+    (
+        cf.withColumn("__f", F.ntile(n_files).over(Window.orderBy("seq")))
+        .repartition(n_files, "__f")
+        .write.mode("overwrite")
+        .partitionBy("__f")
+        .parquet(tmp)
+    )
     base_t = time.time()
     for i in range(1, n_files + 1):
-        tmp = f"{path}.tmp{i}"
-        ranked.filter(F.col("__f") == i).drop("__f").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(path, f"{i:05d}.parquet")
-        shutil.move(src, dst)
-        os.utime(dst, (base_t + i, base_t + i))
-        shutil.rmtree(tmp, ignore_errors=True)
+        parts = sorted(glob.glob(os.path.join(tmp, f"__f={i}", "*.parquet")))
+        for j, src in enumerate(parts):
+            dst = os.path.join(path, f"{i:05d}_{j}.parquet")
+            shutil.move(src, dst)
+            os.utime(dst, (base_t + i, base_t + i))
+    shutil.rmtree(tmp, ignore_errors=True)

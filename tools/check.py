@@ -6,10 +6,17 @@ order-insensitive multiset of canonicalized row values (exact — floats must
 match bit-for-bit, which the deterministic-aggregate discipline guarantees).
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
+       python tools/check.py --json OUT.json [sf_dir] [query_name ...]
+
+--json writes a CORRECTNESS_r{N}.json-shaped artifact, so every round can
+record the FULL suite locally even though the external driver only checks
+a 50-entry prefix of the registry (r2 advice: rotated-out queries would
+otherwise have no recorded check at all).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -45,8 +52,14 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     qs = registry.queries()
     oracles = registry.oracle_sql()
@@ -67,16 +80,19 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"err": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"spark_rows": len(sdf), "err": "no_oracle"}
             n_nooracle += 1
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"err": f"duckdb: {e}"}
             n_fail += 1
             continue
 
@@ -117,8 +133,20 @@ def main() -> int:
         else:
             print(f"FAIL  {name}: {'; '.join(msgs)}{dtype_note}")
             n_fail += 1
+        results[name] = {
+            "rows_match": len(sdf) == len(ddf),
+            "schema_match": sorted(sdf.columns) == sorted(ddf.columns),
+            "hash_match": ok,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(ddf),
+            "err": "; ".join(msgs) if msgs else None,
+        }
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} rows-only")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
