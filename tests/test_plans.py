@@ -105,3 +105,26 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     j = fact.join(dim.filter("keep"), "om").groupBy("om").count()
     plan = plans.explain_str(j)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_hash_sampling_is_map_side(spark, sf_dir):
+    """Deterministic md5-gate sampling/splitting must add NO exchange —
+    pure scan + filter/project (the property that makes it free at
+    100 TB)."""
+    for name in ("sample_hash_bernoulli", "split_train_valid_test"):
+        plan = plans.explain_str(QS[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+
+
+def test_rarest_terms_broadcasts_df_table(spark, sf_dir):
+    """The vocabulary-sized document-frequency table joins back via
+    broadcast, not a shuffled join of the exploded term stream."""
+    df = QS["text_rarest_terms"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian_or_bnl(df)
+
+
+def test_keep_best_no_cartesian(spark, sf_dir):
+    """Cluster keep-list: candidate generation stays bucket-joined and the
+    per-cluster argmax is an aggregate — no cartesian/BNL anywhere."""
+    assert not plans.has_cartesian_or_bnl(QS["dedup_keep_best"](spark, sf_dir))
