@@ -690,3 +690,63 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.col("best.n_chars").alias("n_chars"),
     )
+
+
+@register(
+    "dedup_cross_split_contamination",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+splits AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train'
+              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT CASE WHEN sa.split = 'test' THEN p.doc_a ELSE p.doc_b END AS test_doc,
+       CASE WHEN sa.split = 'test' THEN p.doc_b ELSE p.doc_a END AS train_doc,
+       p.jaccard
+FROM jp p
+JOIN splits sa ON p.doc_a = sa.doc_id
+JOIN splits sb ON p.doc_b = sb.doc_id
+WHERE (sa.split = 'test' AND sb.split = 'train')
+   OR (sa.split = 'train' AND sb.split = 'test')
+""",
+)
+def dedup_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test DECONTAMINATION: test-split documents with a near-dup
+    (Jaccard ≥ 0.5) in the train split — the leakage check every
+    benchmark-safe training pipeline runs before shipping a corpus.
+
+    Composes the deterministic hash split (operators/sampling.py — so the
+    splits here are EXACTLY the ones split_train_valid_test assigns) with
+    the capped-bucket Jaccard candidate pairs. Scale shape: candidate
+    pairs come from the shared inverted-index equi-join (never corpus ×
+    corpus); the split table is a projection of documents joined back by
+    doc_id — at 100 TB both joins are hash-partitioned on doc_id with the
+    pair table orders of magnitude smaller than the corpus.
+    """
+    ensure_session_conf(spark)
+    from .sampling import split_train_valid_test
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    splits = split_train_valid_test(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    cross = j.filter(
+        ((F.col("sa") == "test") & (F.col("sb") == "train"))
+        | ((F.col("sa") == "train") & (F.col("sb") == "test"))
+    )
+    return cross.select(
+        F.when(F.col("sa") == "test", F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("test_doc"),
+        F.when(F.col("sa") == "test", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("train_doc"),
+        "jaccard",
+    )

@@ -93,16 +93,17 @@ _PRIORITY = (
     "dedup_keep_best",
     "text_pii_redaction",
     "text_rarest_terms",
+    "dedup_cross_split_contamination",
     # changed this round: red-row fixes + algorithm/accumulator changes
     "cdc_stateful_stream",      # stringified output (r2 driver-fail)
     "similarity_ivf_kmeans",    # gained the unrolled-Lloyd oracle
     "dedup_clusters",           # large-star/small-star swap
     "q1_pricing_summary",       # disc_price decimal widening
-    # --- last checked in r1, rotating back in (36 of 43; join_cross,
+    # --- last checked in r1, rotating back in (35 of 43; join_cross,
     # sort_limit_topn, set_ops, distinct_pairs, subquery_scalar_in,
-    # pivot_wide, unpivot_melt — all trivial/stable shapes — wait for r4;
-    # the full local suite result recorded in CORRECTNESS_FULL_r03.json
-    # covers them meanwhile) ---
+    # pivot_wide, unpivot_melt, agg_case_bucketing — all trivial/stable
+    # shapes — wait for r4; the full local suite result recorded in
+    # CORRECTNESS_FULL_r03.json covers them meanwhile) ---
     "proj_filter_cast",
     "q3_top_unshipped",
     "q5_region_revenue",
@@ -120,7 +121,6 @@ _PRIORITY = (
     "agg_grouping_sets",
     "agg_variance_manual",
     "agg_having",
-    "agg_case_bucketing",
     "agg_mode_per_group",
     "agg_salted_heavy_hitters",
     "window_rank_battery",

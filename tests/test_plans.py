@@ -128,3 +128,38 @@ def test_keep_best_no_cartesian(spark, sf_dir):
     """Cluster keep-list: candidate generation stays bucket-joined and the
     per-cluster argmax is an aggregate — no cartesian/BNL anywhere."""
     assert not plans.has_cartesian_or_bnl(QS["dedup_keep_best"](spark, sf_dir))
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """With broadcast off (modeling a dim too big to broadcast at 100 TB),
+    Catalyst injects a runtime bloom filter from the filtered dim side
+    into the fact scan (`might_contain`), pruning shuffle input rows the
+    join would discard — the semi-join pruning that matters when both
+    sides shuffle. Thresholds are lowered because fixture tables are far
+    below the 10 GB production default."""
+    from pyspark.sql import functions as F
+
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in plans.explain_str(j)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
