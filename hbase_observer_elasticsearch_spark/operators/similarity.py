@@ -521,3 +521,129 @@ def similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# int8-style scalar quantization: code = floor(x * 64). Multiplying a
+# float by a power of two and flooring are both EXACT in double math, so
+# the codes — and the integer code dot products — are bit-free integers
+# both engines agree on with no decimal machinery at all.
+_SQL_INT8 = f"""
+codes AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS code
+  FROM e
+),
+qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < {N_QUERIES}),
+i8_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_reduce(list_transform(list_zip(q.qcode, c.code),
+                                         p -> p[1] * p[2]),
+                          (x, y) -> x + y) AS BIGINT) AS iscore
+  FROM qc q JOIN codes c ON c.vec_id <> q.query_id
+),
+i8 AS (
+  SELECT query_id, neighbor_id, iscore, rk
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY iscore DESC, neighbor_id) AS rk
+    FROM i8_scored
+  ) t
+  WHERE rk <= {TOPK}
+)
+"""
+
+
+def _int8_codes(col: F.Column) -> F.Column:
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(64)).cast("long")
+    )
+
+
+def _int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _int8_codes(F.col("embedding")).alias("code")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+    )
+    prods = F.zip_with(F.col("qcode"), F.col("code"), lambda a, b: a * b)
+    iscore = F.aggregate(
+        prods, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(spread(e))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            iscore.alias("iscore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOPK)
+    )
+
+
+@register(
+    "similarity_topk_int8",
+    oracle=f"""
+WITH {_SQL_E_Q}, {_SQL_INT8}
+SELECT query_id, neighbor_id, iscore, rk FROM i8
+""",
+)
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8-style) top-k: score candidates by the dot
+    product of floor(x*64) integer codes instead of float vectors.
+
+    THE memory/IO scale path for embedding search: 4× smaller vectors
+    (int8 vs float32) means 4× less scan IO and cache footprint at 100 TB,
+    at a small recall cost that similarity_recall_int8 measures against
+    the exact baseline. Integer arithmetic end-to-end — exact, portable,
+    and SIMD-friendly; the plan is the same broadcast-queries ×
+    streamed-candidates scan as the float baseline.
+    """
+    ensure_session_conf(spark)
+    return _int8_topk(spark, sf_dir)
+
+
+@register(
+    "similarity_recall_int8",
+    oracle=f"""
+WITH {_SQL_E_Q}, {_SQL_BF}, {_SQL_INT8}
+SELECT b.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / {TOPK} AS recall_at_{TOPK}
+FROM bf b
+LEFT JOIN i8 i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+""",
+)
+def similarity_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the int8-quantized top-k against the exact float
+    brute-force top-k, per query — the quantization-quality audit that
+    decides whether the 4× compression is shippable. Same sampled-query
+    sidecar pattern as similarity_recall_ivf."""
+    ensure_session_conf(spark)
+    exact = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = _int8_topk(spark, sf_dir).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    j = exact.join(
+        approx,
+        (F.col("query_id") == F.col("q2")) & (F.col("neighbor_id") == F.col("n2")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("n2").alias("n_hits"),
+        (F.count("n2").cast("double") / F.lit(float(TOPK))).alias(
+            f"recall_at_{TOPK}"
+        ),
+    )

@@ -94,16 +94,19 @@ _PRIORITY = (
     "text_pii_redaction",
     "text_rarest_terms",
     "dedup_cross_split_contamination",
+    "similarity_topk_int8",
+    "similarity_recall_int8",
     # changed this round: red-row fixes + algorithm/accumulator changes
     "cdc_stateful_stream",      # stringified output (r2 driver-fail)
     "similarity_ivf_kmeans",    # gained the unrolled-Lloyd oracle
     "dedup_clusters",           # large-star/small-star swap
     "q1_pricing_summary",       # disc_price decimal widening
-    # --- last checked in r1, rotating back in (35 of 43; join_cross,
+    # --- last checked in r1, rotating back in (33 of 43; join_cross,
     # sort_limit_topn, set_ops, distinct_pairs, subquery_scalar_in,
-    # pivot_wide, unpivot_melt, agg_case_bucketing — all trivial/stable
-    # shapes — wait for r4; the full local suite result recorded in
-    # CORRECTNESS_FULL_r03.json covers them meanwhile) ---
+    # pivot_wide, unpivot_melt, agg_case_bucketing, agg_having,
+    # agg_variance_manual — all trivial/stable shapes — wait for r4; the
+    # full local suite result recorded in CORRECTNESS_FULL_r03.json covers
+    # them meanwhile) ---
     "proj_filter_cast",
     "q3_top_unshipped",
     "q5_region_revenue",
@@ -119,8 +122,6 @@ _PRIORITY = (
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_variance_manual",
-    "agg_having",
     "agg_mode_per_group",
     "agg_salted_heavy_hitters",
     "window_rank_battery",
