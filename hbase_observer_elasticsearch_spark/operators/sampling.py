@@ -127,3 +127,90 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / 512) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, bin
+FROM packed
+""",
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING: assign documents to fixed-budget (512-token)
+    training bins by running token count, per language shard — the step
+    that turns a curated corpus into dense training sequences (padding
+    waste ↔ packing).
+
+    bin = floor(tokens_before_me / 512) in deterministic doc_id order: a
+    document starts in the bin its predecessor filled up to — the greedy
+    first-fit-in-order rule. Scale shape: the running sum is a window per
+    lang shard; at 100 TB you pack within hash-bucket shards instead
+    (same window, bounded partitions) — packing quality is unchanged
+    because bins never span shards in either layout.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
+        .cast("bigint")
+        .alias("bin"),
+    )
+
+
+# Per-source mixture rates in 1/256 hex-gate units, expressed as the gate
+# threshold each source's documents must clear (fixture sources src0-src19;
+# src0 models a curated pass-through, src3 a downweighted web crawl, the
+# rest a uniform background rate).
+MIXTURE_GATES = {"src0": "ff", "src1": "cc", "src2": "80", "src3": "40"}
+
+
+@register(
+    "sample_mixture_by_source",
+    oracle=f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_sql_gate("doc_id", "mix:")} <
+      CASE source {' '.join(f"WHEN '{s}' THEN '{g}'" for s, g in MIXTURE_GATES.items())}
+           ELSE '19' END
+""",
+)
+def sample_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture (domain-reweighting) sampling: each source keeps a
+    different deterministic fraction — src0 ~100%, src1 ~80%, src2 ~50%,
+    src3 ~25%, every other source ~10% — the data-mixture knob of
+    pretraining corpora, as a pure map-side gate.
+
+    Same md5-gate machinery as the Bernoulli sample, so mixture draws are
+    reproducible, auditable, and consistent under corpus growth; changing
+    the mixture is a threshold edit, not a reshuffle.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    thr = F.lit("19")
+    for s, g in MIXTURE_GATES.items():
+        thr = F.when(F.col("source") == s, g).otherwise(thr)
+    return d.filter(_gate(F.col("doc_id"), "mix:") < thr).select(
+        "doc_id", "source", "lang"
+    )

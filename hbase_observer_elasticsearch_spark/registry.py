@@ -96,17 +96,19 @@ _PRIORITY = (
     "dedup_cross_split_contamination",
     "similarity_topk_int8",
     "similarity_recall_int8",
+    "pack_sequences_greedy",
+    "sample_mixture_by_source",
     # changed this round: red-row fixes + algorithm/accumulator changes
     "cdc_stateful_stream",      # stringified output (r2 driver-fail)
     "similarity_ivf_kmeans",    # gained the unrolled-Lloyd oracle
     "dedup_clusters",           # large-star/small-star swap
     "q1_pricing_summary",       # disc_price decimal widening
-    # --- last checked in r1, rotating back in (33 of 43; join_cross,
+    # --- last checked in r1, rotating back in (31 of 43; join_cross,
     # sort_limit_topn, set_ops, distinct_pairs, subquery_scalar_in,
     # pivot_wide, unpivot_melt, agg_case_bucketing, agg_having,
-    # agg_variance_manual — all trivial/stable shapes — wait for r4; the
-    # full local suite result recorded in CORRECTNESS_FULL_r03.json covers
-    # them meanwhile) ---
+    # agg_variance_manual, join_right_outer, percentile_stats — all
+    # trivial/stable shapes — wait for r4; the full local suite result
+    # recorded in CORRECTNESS_FULL_r03.json covers them meanwhile) ---
     "proj_filter_cast",
     "q3_top_unshipped",
     "q5_region_revenue",
@@ -117,7 +119,6 @@ _PRIORITY = (
     "join_range_theta",
     "join_asof",
     "join_range_binned",
-    "join_right_outer",
     "agg_distinct",
     "agg_rollup",
     "agg_cube",
@@ -125,7 +126,6 @@ _PRIORITY = (
     "agg_mode_per_group",
     "agg_salted_heavy_hitters",
     "window_rank_battery",
-    "percentile_stats",
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",

@@ -111,7 +111,11 @@ def test_hash_sampling_is_map_side(spark, sf_dir):
     """Deterministic md5-gate sampling/splitting must add NO exchange —
     pure scan + filter/project (the property that makes it free at
     100 TB)."""
-    for name in ("sample_hash_bernoulli", "split_train_valid_test"):
+    for name in (
+        "sample_hash_bernoulli",
+        "split_train_valid_test",
+        "sample_mixture_by_source",
+    ):
         plan = plans.explain_str(QS[name](spark, sf_dir))
         assert "Exchange" not in plan, name
 
