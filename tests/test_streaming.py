@@ -688,3 +688,44 @@ def test_bucketed_sink_reads_pre_family_state(spark, tmp_path):
     )
     sink.apply(cells, dels)
     assert state_as_dict(sink.read_state()) == {"r1": {"c1": "v1", "c2": "v2"}}
+
+
+def test_tws_doc_state_parity(spark, tmp_path):
+    """transformWithStateInPandas twin must converge to the same golden
+    state as the applyInPandasWithState operator and the batch replay.
+    Skips where the TWS protobuf dependency is absent (this container);
+    the operator raises a clear NotImplementedError there instead of
+    crashing the streaming runner at PRE_INIT."""
+    import json
+
+    import pytest
+
+    from hbase_observer_elasticsearch_spark.streaming import stateful
+
+    cf_dir = str(tmp_path / "cf")
+    write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files=3)
+    if not stateful._HAS_TWS:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful.stateful_doc_state_tws(spark, cf_dir)
+        pytest.skip("transformWithStateInPandas protobuf dependency absent")
+
+    q = (
+        stateful.stateful_doc_state_tws(spark, cf_dir)
+        .writeStream.format("memory")
+        .queryName("tws_parity")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    last: dict = {}
+    for r in spark.table("tws_parity").collect():
+        if r["rowkey"] not in last or r["version"] > last[r["rowkey"]]["version"]:
+            last[r["rowkey"]] = r
+    got = {
+        k: json.loads(v["doc_json"])
+        for k, v in last.items()
+        if json.loads(v["doc_json"])
+    }
+    assert got == EXPECTED_STATE
