@@ -183,3 +183,49 @@ def test_connected_components_merges_components(spark):
     labels, _ = connected_components(nodes, edges)
     got = {r["id"]: r["label"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 1, 6: 1, 7: 1, 4: 4, 8: 8}
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_connected_components_vs_union_find(spark, seed):
+    """Cross-validate large-star/small-star against a pure-Python
+    union-find on random sparse graphs (mixed components, chains, hubs,
+    isolates)."""
+    import random
+
+    from hbase_observer_elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(seed)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ] + [(i, i + 1) for i in range(20)]  # guarantee one long chain
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id per component
+    comp: dict = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(comp[find(i)]) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels, rounds = connected_components(nodes, e)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == want
+    assert rounds <= 10  # O(log d), not O(d)
