@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "hbase_observer_elasticsearch_spark.operators.multimodal",
     "hbase_observer_elasticsearch_spark.operators.stream_queries",
     "hbase_observer_elasticsearch_spark.operators.sampling",
+    "hbase_observer_elasticsearch_spark.operators.profiling",
 )
 
 
@@ -98,28 +99,29 @@ _PRIORITY = (
     "similarity_recall_int8",
     "pack_sequences_greedy",
     "sample_mixture_by_source",
+    "profile_table_stats",
+    "lateral_topk_per_customer",
     # changed this round: red-row fixes + algorithm/accumulator changes
     "cdc_stateful_stream",      # stringified output (r2 driver-fail)
     "similarity_ivf_kmeans",    # gained the unrolled-Lloyd oracle
     "dedup_clusters",           # large-star/small-star swap
     "q1_pricing_summary",       # disc_price decimal widening
-    # --- last checked in r1, rotating back in (31 of 43; join_cross,
+    # --- last checked in r1, rotating back in (29 of 43; join_cross,
     # sort_limit_topn, set_ops, distinct_pairs, subquery_scalar_in,
     # pivot_wide, unpivot_melt, agg_case_bucketing, agg_having,
-    # agg_variance_manual, join_right_outer, percentile_stats — all
-    # trivial/stable shapes — wait for r4; the full local suite result
-    # recorded in CORRECTNESS_FULL_r03.json covers them meanwhile) ---
+    # agg_variance_manual, join_right_outer, percentile_stats,
+    # agg_distinct, join_full_outer — all trivial/stable shapes — wait for
+    # r4; the full local suite result recorded in
+    # CORRECTNESS_FULL_r03.json covers them meanwhile) ---
     "proj_filter_cast",
     "q3_top_unshipped",
     "q5_region_revenue",
     "join_left_orders_per_customer",
-    "join_full_outer",
     "join_semi",
     "join_anti",
     "join_range_theta",
     "join_asof",
     "join_range_binned",
-    "agg_distinct",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
