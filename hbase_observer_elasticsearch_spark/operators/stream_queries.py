@@ -76,16 +76,15 @@ def _drain_to_local(spark: SparkSession, stream_df: DataFrame, base: str) -> Dat
     )
 
 
-def _changefeed_dir(spark: SparkSession, sf_dir: str, base: str) -> str:
-    from ..sources.changefeed import (
-        events_as_changefeed,
-        write_changefeed_stream_dir,
-    )
+def _changefeed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Shared per-process changefeed fixture dir (2 files → 2 micro-batches
+    at maxFilesPerTrigger=1 — still a multi-batch proof; the watermark
+    argument in the module docstring holds for any file count ≥ 2). The
+    write is memoized across the three streaming queries, so the bench no
+    longer pays 3× the fixture-write cost."""
+    from ..sources.changefeed import shared_changefeed_stream_dir
 
-    cf = events_as_changefeed(load_table(spark, sf_dir, "events"))
-    cf_dir = os.path.join(base, "cf")
-    write_changefeed_stream_dir(cf, cf_dir, n_files=4)
-    return cf_dir
+    return shared_changefeed_stream_dir(spark, sf_dir, n_files=2)
 
 
 @register(
@@ -122,7 +121,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="stream_enrich_")
     try:
-        cf_dir = _changefeed_dir(spark, sf_dir, base)
+        cf_dir = _changefeed_dir(spark, sf_dir)
         emitted = _drain_to_local(
             spark, streaming_enrich_with_dim(spark, cf_dir, dim), base
         )
@@ -161,7 +160,7 @@ def stream_put_delete_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="stream_pdjoin_")
     try:
-        cf_dir = _changefeed_dir(spark, sf_dir, base)
+        cf_dir = _changefeed_dir(spark, sf_dir)
         emitted = _drain_to_local(
             spark,
             streaming_put_delete_interval_join(

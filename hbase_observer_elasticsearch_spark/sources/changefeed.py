@@ -133,3 +133,38 @@ def write_changefeed_stream_dir(
             shutil.move(src, dst)
             os.utime(dst, (base_t + i, base_t + i))
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Process-lifetime cache of drained-changefeed fixture dirs: the three
+# end-to-end streaming queries (stream_static_enrich,
+# stream_put_delete_join, cdc_stateful_stream) all replay the SAME
+# events-derived changefeed, so the dir is written once per (application,
+# sf_dir, n_files) and shared — each query still runs its own full
+# availableNow drain with a fresh checkpoint, only the input layout is
+# reused. Cleaned up at interpreter exit.
+_SHARED_CF_DIRS: dict[tuple[str, str, int], str] = {}
+
+
+def shared_changefeed_stream_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 2
+) -> str:
+    """Path of a memoized micro-batch-ordered changefeed dir derived from
+    the ``events`` table at ``sf_dir`` (see write_changefeed_stream_dir)."""
+    import atexit
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from ..catalog import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_files)
+    cached = _SHARED_CF_DIRS.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    base = tempfile.mkdtemp(prefix="shared_cf_")
+    atexit.register(_shutil.rmtree, base, ignore_errors=True)
+    cf_dir = os.path.join(base, "cf")
+    cf = events_as_changefeed(load_table(spark, sf_dir, "events"))
+    write_changefeed_stream_dir(cf, cf_dir, n_files=n_files)
+    _SHARED_CF_DIRS[key] = cf_dir
+    return cf_dir
