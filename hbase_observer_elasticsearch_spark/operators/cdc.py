@@ -309,7 +309,7 @@ FROM nmut n LEFT JOIN quals q USING (rowkey)
 def cdc_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END check of the applyInPandasWithState operator
     (streaming/stateful.py): drain the events-derived changefeed through
-    the streaming LWW doc-state operator in 4 micro-batches
+    the streaming LWW doc-state operator in 2 micro-batches
     (availableNow), keep each key's LAST emission, and compare the final
     doc against the batch changefeed replay in DuckDB.
 
@@ -326,18 +326,16 @@ def cdc_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ..sources.changefeed import (
-        events_as_changefeed,
-        write_changefeed_stream_dir,
-    )
+    from ..sources.changefeed import shared_changefeed_stream_dir
     from ..streaming.stateful import stateful_doc_state
 
-    cf = events_as_changefeed(load_table(spark, sf_dir, "events"))
+    # The changefeed fixture is shared with the stream-join twins
+    # (stream_queries._changefeed_dir): one memoized 2-file write per
+    # process instead of a private 4-file dir per query — still a
+    # multi-micro-batch proof, half the micro-batch fixed cost.
+    cf_dir = shared_changefeed_stream_dir(spark, sf_dir, n_files=2)
     base = tempfile.mkdtemp(prefix="cdc_stateful_")
     try:
-        cf_dir = os.path.join(base, "cf")
-        write_changefeed_stream_dir(cf, cf_dir, n_files=4)
-
         name = "stateful_emit_" + uuid.uuid4().hex[:8]
         # NOTE: unlike the JVM-side stream joins (stream_queries._drain_to_
         # local, drained at 8 partitions), this drain keeps the session's

@@ -1,0 +1,200 @@
+"""Sketch-based approximate aggregation [NORTH-STAR]: HLL cardinality
+sketches (build / union / estimate), quantile sketches, and
+sampled heavy-hitter estimation.
+
+Why sketches are first-class at 100 TB: an exact COUNT(DISTINCT) is an
+expand + full shuffle of the distinct keys; an HLL sketch is a few KB of
+map-side state that merges associatively — the only communication is one
+sketch per partition per group. Same story for quantiles (KLL/GK
+summaries vs a full sort) and heavy hitters (a deterministic hash-gate
+sample vs a global count). The audit pattern mirrors
+``agg_approx_distinct`` (operators/relational.py): sketch internals
+differ by engine, so the driver-checkable contract is exact values
+PLUS error-band booleans computed Spark-side; estimates that ARE
+engine-reproducible (the md5-gate sample) are hash-checked exactly.
+
+Reference parity: the reference has no aggregation surface at all (it is
+a fixed-function CDC coprocessor — observer6/HbaseDataSyncEsObserver.java);
+this module is north-star engine surface per SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..session import ensure_session_conf
+
+# md5-gate threshold '1a' = 26/256 of the key space (~10.16%) — shared
+# convention with operators/sampling.py so samples line up across ops.
+# The inverse-fraction scale-up is written as (n * 256.0) / 26.0 with
+# DOUBLE literals in BOTH dialects: Spark parses `26.0/256.0` as DECIMAL
+# division (bounded scale, rounds) while DuckDB uses doubles — same-order
+# IEEE double ops are the only bit-reproducible formulation.
+_GATE = "1a"
+
+
+@register(
+    "sketch_battery",
+    oracle="""
+WITH per_type AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type
+),
+allrow AS (
+  SELECT 'ALL' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events
+)
+SELECT event_type, exact_users, true AS hll_within_5pct
+FROM (SELECT * FROM per_type UNION ALL SELECT * FROM allrow)
+""",
+)
+def sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinality per event type via Apache DataSketches
+    HLL (``hll_sketch_agg``), plus the cross-type union
+    (``hll_union_agg``) as the 'ALL' row — the sketch *merge* path that
+    makes HLL the 100 TB answer: per-partition sketches union
+    associatively, so a global distinct over any slice combination never
+    reshuffles raw keys.
+
+    Checkable contract (sketch registers are engine-specific): exact
+    distinct counts as values + a Spark-side |approx−exact|/exact ≤ 5%
+    audit bit (lgConfigK=14 ⇒ ~0.8% rsd, deterministic on fixtures).
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), 14).alias("sk")
+    )
+    approx_per = sketches.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    approx_all = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias(
+            "approx_users"
+        )
+    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+
+    exact_per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_users")).select(
+        F.lit("ALL").alias("event_type"), "exact_users"
+    )
+
+    exact = exact_per.unionByName(exact_all)
+    approx = approx_per.unionByName(approx_all)
+    return exact.join(F.broadcast(approx), "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+    )
+
+
+@register(
+    "agg_sketch_quantiles",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value,
+       true AS p50_within_band,
+       true AS p95_within_band
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile *sketch* audit per event type: ``approx_percentile``
+    (Greenwald-Khanna summary, mergeable bounded state) vs the exact
+    percentile, asserted within 2% of the value range Spark-side.
+
+    At 100 TB the exact percentile is a full sort per group; the GK
+    summary is O(1/ε log εN) state per partition with map-side merge —
+    the only viable shape. Exact min/max ride along as hash-checked
+    values (raw data values, no float arithmetic).
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+        F.percentile_approx("value", 0.5, 1000).alias("ap50"),
+        F.percentile_approx("value", 0.95, 1000).alias("ap95"),
+        F.percentile("value", 0.5).alias("ep50"),
+        F.percentile("value", 0.95).alias("ep95"),
+    )
+    spread = F.col("max_value") - F.col("min_value")
+    within = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.02 * spread  # noqa: E731
+    return q.select(
+        "event_type",
+        "n_events",
+        "min_value",
+        "max_value",
+        within("ap50", "ep50").alias("p50_within_band"),
+        within("ap95", "ep95").alias("p95_within_band"),
+    )
+
+
+@register(
+    "agg_approx_topk",
+    oracle=f"""
+WITH exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY event_type
+),
+sampled AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) * 256.0 / 26.0 AS est_n
+  FROM events
+  WHERE substr(md5('topk:' || CAST(event_id AS VARCHAR)), 1, 2) < '{_GATE}'
+  GROUP BY event_type
+)
+SELECT e.event_type, e.exact_n, s.est_n
+FROM exact e JOIN sampled s USING (event_type)
+ORDER BY e.exact_n DESC, e.event_type
+LIMIT 3
+""",
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters estimated from a deterministic ~10% md5-gate sample
+    (scaled by the inverse sampling fraction), top-3 by exact count.
+
+    Unlike HLL/GK sketches, the md5-gate estimator is bit-reproducible in
+    ANY engine, so the driver hash-checks the *estimates themselves*, not
+    just an error band. Scale shape: the sample is a map-side predicate
+    (no RNG state, stable under task retries); the scan it feeds can be
+    ~10× cheaper than the exact count while ranking the same top-k with
+    high probability — the standard first pass of a skew/salting planner
+    (operators/skew_agg.py uses the exact variant).
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    gate = F.substring(
+        F.md5(F.concat(F.lit("topk:"), F.col("event_id").cast("string"))), 1, 2
+    )
+    sampled = (
+        ev.filter(gate < _GATE)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.count(F.lit(1)).cast("double") * F.lit(256.0) / F.lit(26.0)
+            ).alias("est_n")
+        )
+    )
+    return (
+        exact.join(F.broadcast(sampled), "event_type")
+        .orderBy(F.col("exact_n").desc(), "event_type")
+        .limit(3)
+    )

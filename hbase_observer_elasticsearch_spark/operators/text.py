@@ -366,3 +366,199 @@ def text_rarest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "term", "doc_freq", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+@register(
+    "text_repetition_quality",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+),
+tok_stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(MAX(c) AS BIGINT) AS top_tok,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_toks
+  FROM tok_counts GROUP BY doc_id
+),
+bigrams AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+  FROM (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents)
+),
+bg_counts AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bigrams WHERE bg IS NOT NULL
+  GROUP BY doc_id, bg
+),
+bg_stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bg
+  FROM bg_counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_tokens,
+       t.dup_toks * 1.0 / t.n_tokens AS dup_token_frac,
+       t.top_tok * 1.0 / t.n_tokens AS top_token_frac,
+       b.top_bg * 1.0 / b.n_bigrams AS top_bigram_frac,
+       (t.dup_toks * 1.0 / t.n_tokens < 0.9
+        AND t.top_tok * 1.0 / t.n_tokens < 0.2
+        AND b.top_bg * 1.0 / b.n_bigrams < 0.18) AS passes_repetition_gate
+FROM tok_stats t JOIN bg_stats b USING (doc_id)
+""",
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    tokens that are repeats, most-frequent-token fraction, and
+    most-frequent-bigram fraction, plus the combined keep/drop gate.
+
+    Scale shape: one explode of the corpus into (doc, token) rows — linear
+    in corpus size — then two hash aggregations keyed on doc_id (token
+    counts, then per-doc max/sum), which co-partition: after the first
+    shuffle on (doc_id, w), the per-doc rollup is map-side because
+    doc_id is a prefix of the grouping key. Bigrams reuse the same
+    exploded stream via a zip of the token array with its tail — no
+    second pass over the raw text. All ratios are single BIGINT/BIGINT
+    divisions (deterministic across engines).
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    words = F.split(F.col("text"), " ")
+    # bigram i = words[i] + ' ' + words[i+1]: zip the array with its tail
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+    tok_counts = (
+        d.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.max("c").cast("bigint").alias("top_tok"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_toks"),
+    )
+    bg_counts = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").cast("bigint").alias("top_bg"),
+    )
+
+    dup_frac = F.col("dup_toks") * 1.0 / F.col("n_tokens")
+    top_tok_frac = F.col("top_tok") * 1.0 / F.col("n_tokens")
+    top_bg_frac = F.col("top_bg") * 1.0 / F.col("n_bigrams")
+    return (
+        tok_stats.join(bg_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_token_frac"),
+            top_tok_frac.alias("top_token_frac"),
+            top_bg_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac < 0.9) & (top_tok_frac < 0.2) & (top_bg_frac < 0.18)
+            ).alias("passes_repetition_gate"),
+        )
+    )
+
+
+CHUNK_LEN = 120
+CHUNK_STRIDE = 90
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, GREATEST(length(text), 1), {CHUNK_STRIDE}))
+           AS start_pos
+  FROM documents
+)
+SELECT doc_id,
+       CAST((start_pos - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start_pos AS BIGINT) AS start_pos,
+       substring(text, start_pos, {CHUNK_LEN}) AS chunk,
+       CAST(length(substring(text, start_pos, {CHUNK_LEN})) AS BIGINT) AS chunk_len
+FROM starts
+""",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (len 120, stride 90 → 30-char
+    overlap) with provenance offsets — the retrieval/embedding prep step.
+
+    Scale shape: `sequence()` + `explode` is map-side row generation
+    (~n_chars/stride rows per doc, no shuffle at all); `substring` on the
+    original text column avoids materializing token arrays. Both engines
+    use identical 1-based, length-clamped substring semantics.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text"), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.substring(F.col("text"), F.col("start_pos"), CHUNK_LEN)
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("start_pos"))
+        .select(
+            "doc_id",
+            (((F.col("start_pos") - 1) / CHUNK_STRIDE).cast("bigint")).alias(
+                "chunk_idx"
+            ),
+            F.col("start_pos").cast("bigint").alias("start_pos"),
+            chunk.alias("chunk"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "text_token_histogram",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT CAST(length(w) AS BIGINT) AS token_len,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+FROM toks
+GROUP BY length(w)
+""",
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram with per-length distinct-token
+    counts — the tokenizer-budget profile (mean token length drives the
+    chars-per-token ratio every training-cost estimate hangs on).
+
+    Scale shape: explode (linear) → groupBy on a ~30-value key with
+    map-side partial aggregation; COUNT(DISTINCT) expands only within
+    each tiny length group. No skew risk at any corpus size.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
+    return toks.groupBy(
+        F.length("w").cast("bigint").alias("token_len")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("w").cast("bigint").alias("n_distinct_tokens"),
+    )

@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "hbase_observer_elasticsearch_spark.operators.stream_queries",
     "hbase_observer_elasticsearch_spark.operators.sampling",
     "hbase_observer_elasticsearch_spark.operators.profiling",
+    "hbase_observer_elasticsearch_spark.operators.sketches",
 )
 
 
@@ -82,69 +83,89 @@ def _load() -> None:
 # CORRECTNESS_r01.json). Names not yet registered are skipped; registered
 # names not listed append in module-import order.
 _PRIORITY = (
-    # never driver-checked in any round — first in line (r2 verdict)
-    "q11_important_stock",
-    "q20_excess_suppliers",
-    # new this round: end-to-end streaming-join twins + sampling/keep-best
+    # --- r4 window ---
+    # last driver-checked in r1 (stalest official rows in the registry —
+    # the r3 verdict's directive #2): rotate in first.
+    "join_cross",
+    "sort_limit_topn",
+    "set_ops",
+    "distinct_pairs",
+    "subquery_scalar_in",
+    "pivot_wide",
+    "unpivot_melt",
+    "agg_case_bucketing",
+    "agg_having",
+    "agg_variance_manual",
+    "join_right_outer",
+    "percentile_stats",
+    "agg_distinct",
+    "join_full_outer",
+    # code changed this round (r4): star-CC single-job rewrite + memoized
+    # labels; streaming-twin fixed-cost rework.
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_cross_split_contamination",  # composes the md5-gate splits with capped pairs
+    "cdc_stateful_stream",
     "stream_static_enrich",
     "stream_put_delete_join",
-    "sample_hash_bernoulli",
-    "split_train_valid_test",
-    "sample_stratified_per_lang",
-    "dedup_keep_best",
-    "text_pii_redaction",
-    "text_rarest_terms",
-    "dedup_cross_split_contamination",
-    "similarity_topk_int8",
-    "similarity_recall_int8",
-    "pack_sequences_greedy",
-    "sample_mixture_by_source",
-    "profile_table_stats",
-    "lateral_topk_per_customer",
-    # changed this round: red-row fixes + algorithm/accumulator changes
-    "cdc_stateful_stream",      # stringified output (r2 driver-fail)
-    "similarity_ivf_kmeans",    # gained the unrolled-Lloyd oracle
-    "dedup_clusters",           # large-star/small-star swap
-    "q1_pricing_summary",       # disc_price decimal widening
-    # --- last checked in r1, rotating back in (29 of 43; join_cross,
-    # sort_limit_topn, set_ops, distinct_pairs, subquery_scalar_in,
-    # pivot_wide, unpivot_melt, agg_case_bucketing, agg_having,
-    # agg_variance_manual, join_right_outer, percentile_stats,
-    # agg_distinct, join_full_outer — all trivial/stable shapes — wait for
-    # r4; the full local suite result recorded in
-    # CORRECTNESS_FULL_r03.json covers them meanwhile) ---
-    "proj_filter_cast",
-    "q3_top_unshipped",
-    "q5_region_revenue",
-    "join_left_orders_per_customer",
-    "join_semi",
-    "join_anti",
-    "join_range_theta",
-    "join_asof",
-    "join_range_binned",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_mode_per_group",
-    "agg_salted_heavy_hitters",
-    "window_rank_battery",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_suppliers",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q22_global_sales",
-    # r2-green queries (dedup/similarity/text/udf/multimodal/window/scalar
-    # batteries, CDC set, q2/q9/q21) rotate OUT this round; regressions are
-    # still caught by the full local oracle run recorded each round.
+    # new queries registered in r4 (names not yet registered are skipped,
+    # so this list is safe to lead the window while they land).
+    "dedup_url_host",
+    "text_repetition_quality",
+    "sketch_battery",
+    "text_chunking",
+    "agg_sketch_quantiles",
+    "join_interval_overlap",
+    "agg_approx_topk",
+    "text_token_histogram",
+    "similarity_pair_dot_stats",
+    "events_sessionize",
+    "time_asof_interpolate",
+    "docs_minhash_band_stats",
+    # last driver-checked in r2 — next-stalest; fill the remaining window.
+    "cdc_last_state",
+    "cdc_nullsafe_tombstones",
+    "cdc_doc_pivot",
+    "cdc_delete_widening",
+    "cdc_es_bulk_lines",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q21_waiting_supplier",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_nn_same_label",
+    "similarity_topk_ivf",
+    "similarity_recall_ivf",
+    "text_stats",
+    "text_quality_filter",
+    "text_langid_heuristic",
+    "text_token_count_bpe",
+    "text_fingerprint",
+    "text_edit_distance_pairs",
+    "udf_pandas_scalar",
+    "udf_grouped_applyinpandas",
+    "udf_scalar_python",
+    "udf_python_udtf",
+    "window_lag_lead",
+    "window_running_agg",
+    "window_tumbling",
+    "window_session",
+    "multimodal_decode_features",
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "map_funcs",
+    "json_funcs",
+    "higher_order_funcs",
+    # r3-green queries (sampling/splits/packing/int8-ANN/PII/rarest-terms/
+    # profiling/lateral/kmeans/q11/q20/q1/TPC-H core/joins/agg-battery/
+    # window battery) rotate OUT this round; the full local oracle run
+    # (CORRECTNESS_FULL_r04.json) covers them meanwhile.
 )
 
 

@@ -28,6 +28,21 @@ replay (which remains idempotent via merge_epoch and deterministic
 version numbering). This is the write-temp-then-rename layout production
 lakehouse table formats (Delta/Iceberg) implement with a commit log; the
 manifest is the single-writer miniature of it.
+
+Multi-writer safety: the manifest swap is only atomic against READERS;
+two concurrent writers could interleave read-modify-write cycles and
+silently drop each other's buckets. ``apply`` therefore runs under an
+exclusive per-root writer lease (``_WRITER_LOCK``, created with
+O_CREAT|O_EXCL — atomic on POSIX and local filesystems): a second writer
+on the same root raises :class:`ConcurrentWriterError` instead of
+corrupting state, and sequential writers serialize naturally because the
+lease spans one epoch. A lease whose owning pid is dead is stolen (crash
+recovery); as defense-in-depth against lock-steal races the manifest
+carries a monotonically increasing ``gen`` that is compare-and-swapped at
+commit, so even a stolen-lease interleaving fails loudly rather than
+losing an epoch. On a shared object store (no O_EXCL, no pids) the same
+two primitives map to conditional PUTs / a commit-log table — the
+documented swap point for Delta/Iceberg-backed deployments.
 """
 
 from __future__ import annotations
@@ -45,6 +60,21 @@ from .state_sink import CELLS_SCHEMA, EsSinkConfig, _with_family, merge_epoch
 N_BUCKETS = 32
 
 _MANIFEST = "_MANIFEST"
+_WRITER_LOCK = "_WRITER_LOCK"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second live writer holds (or raced us to) this state root."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
 
 
 class BucketedStateSink:
@@ -59,24 +89,95 @@ class BucketedStateSink:
         self.root = root
         self.config = config or EsSinkConfig()
         self.n_buckets = n_buckets
+        self._token = uuid.uuid4().hex  # identifies THIS writer's lease
         os.makedirs(root, exist_ok=True)
 
     def _bkt(self) -> F.Column:
         return F.pmod(F.xxhash64("rowkey"), F.lit(self.n_buckets))
 
+    # -- writer lease -------------------------------------------------------
+    def _acquire_lease(self) -> None:
+        """Take the exclusive per-root writer lease or raise.
+
+        O_CREAT|O_EXCL is the atomic claim; a lease owned by a dead pid is
+        stolen once (crash recovery). Two live writers -> the second gets
+        ConcurrentWriterError instead of interleaving manifest swaps.
+        """
+        p = os.path.join(self.root, _WRITER_LOCK)
+        payload = json.dumps({"pid": os.getpid(), "token": self._token})
+        for attempt in (0, 1):
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, payload.encode())
+                finally:
+                    os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    with open(p) as f:
+                        owner = json.load(f)
+                    pid = int(owner.get("pid", -1))
+                except (OSError, ValueError):
+                    pid = -1  # torn lock file: treat as stale
+                if pid > 0 and _pid_alive(pid):
+                    raise ConcurrentWriterError(
+                        f"state root {self.root!r} already has a live "
+                        f"writer (pid {pid}); refusing to interleave epochs"
+                    )
+                if attempt == 0:
+                    try:
+                        os.unlink(p)  # steal the stale lease, retry once
+                    except FileNotFoundError:
+                        pass
+        raise ConcurrentWriterError(
+            f"could not acquire writer lease on {self.root!r}"
+        )
+
+    def _release_lease(self) -> None:
+        p = os.path.join(self.root, _WRITER_LOCK)
+        try:
+            with open(p) as f:
+                if json.load(f).get("token") != self._token:
+                    return  # stolen from us; not ours to remove
+            os.unlink(p)
+        except (OSError, ValueError):
+            pass
+
     # -- manifest plumbing --------------------------------------------------
-    def _manifest(self) -> dict[int, int]:
-        """bucket → live version. Missing manifest = empty state."""
+    def _read_manifest_json(self) -> dict:
         p = os.path.join(self.root, _MANIFEST)
         if not os.path.exists(p):
-            return {}
+            return {"gen": 0, "buckets": {}}
         with open(p) as f:
-            return {int(k): int(v) for k, v in json.load(f)["buckets"].items()}
+            return json.load(f)
 
-    def _swap_manifest(self, man: dict[int, int]) -> None:
+    def _manifest(self) -> dict[int, int]:
+        """bucket → live version. Missing manifest = empty state."""
+        raw = self._read_manifest_json()
+        return {int(k): int(v) for k, v in raw["buckets"].items()}
+
+    def _gen(self) -> int:
+        return int(self._read_manifest_json().get("gen", 0))
+
+    def _swap_manifest(self, man: dict[int, int], expected_gen: int) -> None:
+        # Compare-and-swap on the generation: if another writer committed
+        # since we read the manifest (possible only through a lock-steal
+        # race), fail loudly rather than silently dropping its epoch.
+        if self._gen() != expected_gen:
+            raise ConcurrentWriterError(
+                f"manifest generation moved under us at {self.root!r} "
+                f"(expected {expected_gen}); another writer committed"
+            )
         tmp = os.path.join(self.root, _MANIFEST + ".tmp")
         with open(tmp, "w") as f:
-            json.dump({"buckets": {str(k): v for k, v in man.items()}}, f)
+            json.dump(
+                {
+                    "gen": expected_gen + 1,
+                    "buckets": {str(k): v for k, v in man.items()},
+                },
+                f,
+            )
         os.replace(tmp, os.path.join(self.root, _MANIFEST))
 
     def _bucket_path(self, bkt: int, version: int) -> str:
@@ -119,34 +220,46 @@ class BucketedStateSink:
         )
         if not touched:
             return
-        man = self._manifest()
-        cur = self.read_cells(buckets=touched)
-        next_state = merge_epoch(cur, cells, dels).withColumn("bkt", self._bkt())
-
-        # One job writes every touched bucket's next version to the side.
-        tmp = os.path.join(self.root, f".epoch-{uuid.uuid4().hex[:12]}")
-        (
-            next_state.repartition("bkt")
-            .write.mode("overwrite")
-            .partitionBy("bkt")
-            .parquet(tmp)
-        )
+        self._acquire_lease()
         try:
-            for b in touched:
-                src = os.path.join(tmp, f"bkt={b}")
-                if not os.path.exists(src):
-                    # A touched bucket always yields >=1 row (cells or
-                    # persistent tombstones) — guard anyway with an empty
-                    # version so the manifest never points at nothing.
-                    self.spark.createDataFrame([], CELLS_SCHEMA).write.mode(
-                        "overwrite"
-                    ).parquet(src)
-                self._publish_bucket(src, self._bucket_path(b, man.get(b, 0) + 1))
-            # THE commit point: readers flip to all new versions at once.
-            self._swap_manifest({**man, **{b: man.get(b, 0) + 1 for b in touched}})
+            man = self._manifest()
+            gen = self._gen()
+            cur = self.read_cells(buckets=touched)
+            next_state = merge_epoch(cur, cells, dels).withColumn(
+                "bkt", self._bkt()
+            )
+
+            # One job writes every touched bucket's next version to the side.
+            tmp = os.path.join(self.root, f".epoch-{uuid.uuid4().hex[:12]}")
+            (
+                next_state.repartition("bkt")
+                .write.mode("overwrite")
+                .partitionBy("bkt")
+                .parquet(tmp)
+            )
+            try:
+                for b in touched:
+                    src = os.path.join(tmp, f"bkt={b}")
+                    if not os.path.exists(src):
+                        # A touched bucket always yields >=1 row (cells or
+                        # persistent tombstones) — guard anyway with an empty
+                        # version so the manifest never points at nothing.
+                        self.spark.createDataFrame([], CELLS_SCHEMA).write.mode(
+                            "overwrite"
+                        ).parquet(src)
+                    self._publish_bucket(
+                        src, self._bucket_path(b, man.get(b, 0) + 1)
+                    )
+                # THE commit point: readers flip to all new versions at once.
+                self._swap_manifest(
+                    {**man, **{b: man.get(b, 0) + 1 for b in touched}},
+                    expected_gen=gen,
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            self._gc(keep={b: man.get(b, 0) + 1 for b in touched})
         finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-        self._gc(keep={b: man.get(b, 0) + 1 for b in touched})
+            self._release_lease()
 
     def _gc(self, keep: dict[int, int]) -> None:
         """Drop versions older than the previous one (kept for rollback)

@@ -690,6 +690,62 @@ def test_bucketed_sink_reads_pre_family_state(spark, tmp_path):
     assert state_as_dict(sink.read_state()) == {"r1": {"c1": "v1", "c2": "v2"}}
 
 
+def test_bucketed_sink_second_live_writer_fails_loudly(spark, tmp_path):
+    """Two sinks on one root must serialize or fail loudly: while writer A
+    holds the per-root lease, writer B's apply raises ConcurrentWriterError
+    instead of interleaving manifest swaps; after release, B proceeds."""
+    import pytest as _pytest
+
+    from hbase_observer_elasticsearch_spark.sinks.bucketed_state_sink import (
+        BucketedStateSink,
+        ConcurrentWriterError,
+    )
+
+    root = str(tmp_path / "bstate")
+    a = BucketedStateSink(spark, root, n_buckets=4)
+    b = BucketedStateSink(spark, root, n_buckets=4)
+    cells, dels = compact_epoch(fixture_changefeed(spark))
+
+    a._acquire_lease()  # writer A mid-epoch
+    with _pytest.raises(ConcurrentWriterError):
+        b.apply(cells, dels)
+    a._release_lease()
+
+    b.apply(cells, dels)  # sequential writers serialize
+    assert state_as_dict(b.read_state()) == EXPECTED_STATE
+
+
+def test_bucketed_sink_stale_lease_stolen_and_gen_cas(spark, tmp_path):
+    """A lease left by a crashed (dead-pid) writer is stolen and the epoch
+    commits; the manifest generation CAS rejects a stale expected_gen, the
+    defense-in-depth for lock-steal races."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from hbase_observer_elasticsearch_spark.sinks.bucketed_state_sink import (
+        _WRITER_LOCK,
+        BucketedStateSink,
+        ConcurrentWriterError,
+    )
+
+    root = str(tmp_path / "bstate")
+    sink = BucketedStateSink(spark, root, n_buckets=4)
+    # pid above the kernel's default pid_max — guaranteed dead
+    with open(_os.path.join(root, _WRITER_LOCK), "w") as f:
+        _json.dump({"pid": 2**22 + 12345, "token": "crashed-writer"}, f)
+
+    cells, dels = compact_epoch(fixture_changefeed(spark))
+    sink.apply(cells, dels)  # steals the stale lease, commits, releases
+    assert state_as_dict(sink.read_state()) == EXPECTED_STATE
+    assert not _os.path.exists(_os.path.join(root, _WRITER_LOCK))
+    assert sink._gen() == 1  # first commit bumped the generation
+
+    with _pytest.raises(ConcurrentWriterError):
+        sink._swap_manifest({}, expected_gen=0)  # moved under us
+
+
 def test_tws_doc_state_parity(spark, tmp_path):
     """transformWithStateInPandas twin must converge to the same golden
     state as the applyInPandasWithState operator and the batch replay.
