@@ -259,6 +259,30 @@ cand AS (
 """
 
 
+def _lsh_bands(coded: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): the LSH band table — 16 minhashes folded into
+    4 bands of 4 rows, one row per (doc, band). Shared by the LSH dedup
+    join and the band-occupancy diagnostics."""
+    sig = coded.groupBy("doc_id").agg(
+        *[
+            F.min(H.affine(F.col("code"), j)).alias(f"h{j}")
+            for j in range(H.MINHASH_K)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[f"h{b * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)]
+            ).alias("sig"),
+        )
+        for b in range(H.BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -294,25 +318,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
     coded = _coded_shingles(d)
-
-    sig = coded.groupBy("doc_id").agg(
-        *[
-            F.min(H.affine(F.col("code"), j)).alias(f"h{j}")
-            for j in range(H.MINHASH_K)
-        ]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "-", *[f"h{b * H.ROWS_PER_BAND + r}" for r in range(H.ROWS_PER_BAND)]
-            ).alias("sig"),
-        )
-        for b in range(H.BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", "bs.band", "bs.sig")
+    bands = _lsh_bands(coded)
 
     # LSH buckets → in-bucket pairs (shingle→sig subtree computed once;
     # a band self-join would compute it once per side)
@@ -785,4 +791,114 @@ def dedup_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise(F.col("doc_a"))
         .alias("train_doc"),
         "jaccard",
+    )
+
+
+@register(
+    "docs_minhash_band_stats",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+{_sql_minhash_sigs().strip().lstrip()},
+occ AS (
+  SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS bucket_size
+  FROM bands GROUP BY band, sig
+)
+SELECT band,
+       bucket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT)
+         AS candidate_pairs
+FROM occ
+GROUP BY band, bucket_size
+""",
+)
+def docs_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-occupancy diagnostics: per band, the bucket-size histogram
+    and the candidate-pair volume each size class generates — the tuning
+    report for (bands × rows) parameters.
+
+    At 100 TB this is what you run BEFORE the LSH join: candidate pairs
+    grow with Σ size², so one hot bucket (all-identical boilerplate docs)
+    can dominate the whole join. The histogram is two cheap aggregations
+    over the band table (no pair materialization at all); the
+    `candidate_pairs` column is exactly the work the capped LSH join
+    (PAIR_BUCKET_CAP) would otherwise do.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    bands = _lsh_bands(_coded_shingles(d))
+    occ = bands.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_size")
+    )
+    return occ.groupBy("band", "bucket_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(
+            F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+        )
+        .cast("bigint")
+        .alias("candidate_pairs"),
+    )
+
+
+@register(
+    "dedup_url_host",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' ||
+         (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) ||
+         '.example.org/' || lang || '/' || CAST(doc_id % 37 AS VARCHAR) ||
+         '?session=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed' AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, lower(regexp_replace(url, '\\?.*$', '')) AS canonical_url
+  FROM urls
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon
+GROUP BY canonical_url
+""",
+)
+def dedup_url_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: normalize each document's URL (lowercase
+    the scheme/host, strip tracking query parameters) and keep the lowest
+    doc_id per canonical URL — the first dedup pass of every web-crawl
+    pipeline (exact-URL dedup removes ~40% of a raw crawl before any
+    content hashing).
+
+    The fixture synthesizes URLs deterministically from (source, lang,
+    doc_id) — mixed-case hosts and per-doc tracking params — so both
+    engines derive identical inputs. Scale shape: canonicalization is
+    map-side string work; the keep-one is a single hash aggregation on
+    the canonical key (same shuffle budget as dedup_exact). Host case is
+    normalized with the path here because these fixture paths are
+    lowercase; a production canonicalizer lowercases scheme+host only.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+    ).otherwise(F.col("source"))
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit("?session="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_source=feed"),
+    )
+    canonical = F.lower(F.regexp_replace(url, r"\?.*$", ""))
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
     )

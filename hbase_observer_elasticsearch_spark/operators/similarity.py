@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
-from ..functions.vectors import cosine, dot, norm, sql_cosine, sql_sq_dist
+from ..functions import hashing as H
+from ..functions.vectors import cosine, dot, norm, sql_cosine, sql_dot, sql_sq_dist
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -645,5 +646,317 @@ def similarity_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n2").alias("n_hits"),
         (F.count("n2").cast("double") / F.lit(float(TOPK))).alias(
             f"recall_at_{TOPK}"
+        ),
+    )
+
+
+@register(
+    "similarity_pair_dot_stats",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+svec AS (
+  -- FLOAT -> DOUBLE -> DECIMAL (DuckDB's direct FLOAT->DECIMAL scales in
+  -- float32; DOUBLE->DECIMAL rounds the exact value like Spark)
+  SELECT label, pos,
+         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM ex GROUP BY label, pos
+),
+svsq AS (
+  -- s*s can reach ~6e4; DECIMAL scale 6 keeps the x10^scale shift inside
+  -- the double mantissa (exact in both engines), unlike scale 12 which
+  -- overflows 2^53 and rounds differently per engine
+  SELECT label,
+         CAST(SUM(CAST(s * s AS DECIMAL(28,6))) AS DOUBLE) AS sumvec_sq
+  FROM svec GROUP BY label
+),
+nrm AS (
+  SELECT label,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(CAST({sql_dot('embedding', 'embedding')}
+                        AS DECIMAL(28,12))) AS DOUBLE) AS sum_sq_norms
+  FROM embeddings GROUP BY label
+)
+SELECT n.label,
+       n.n_vecs,
+       (v.sumvec_sq - n.sum_sq_norms) / 2.0 AS sum_pair_dot,
+       ((v.sumvec_sq - n.sum_sq_norms) / 2.0)
+         / (CAST(n.n_vecs AS DOUBLE) * CAST(n.n_vecs - 1 AS DOUBLE) / 2.0)
+         AS mean_pair_dot
+FROM nrm n JOIN svsq v USING (label)
+""",
+)
+def similarity_pair_dot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise dot product within each label block — the embedding
+    cluster-tightness diagnostic — WITHOUT enumerating pairs:
+    Σ_{{i<j}} vᵢ·vⱼ = (‖Σᵢvᵢ‖² − Σᵢ‖vᵢ‖²) / 2.
+
+    The identity is the whole scale story: the naive formulation is an
+    O(n²) self-join per label (10¹⁰ pairs for a 10⁵-vector label); this
+    is two LINEAR aggregations — component sums via posexplode keyed on
+    (label, pos), squared norms keyed on label — then O(labels × dim)
+    driver-free arithmetic. Float determinism follows the IVF k-means
+    discipline: every multi-row float sum goes through DECIMAL(28,12)
+    (exact, order-independent), and the remaining per-row double ops are
+    written in the same order in both dialects.
+    """
+    ensure_session_conf(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    svec = ex.groupBy("label", "pos").agg(
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s")
+    )
+    svsq = svec.groupBy("label").agg(
+        # scale 6, not 12: see the oracle comment — keeps the decimal
+        # quantization of the ~1e4-magnitude squares engine-exact
+        F.sum((F.col("s") * F.col("s")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sumvec_sq")
+    )
+    nrm = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(
+            dot(F.col("embedding"), F.col("embedding")).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("sum_sq_norms"),
+    )
+    sum_pair = (F.col("sumvec_sq") - F.col("sum_sq_norms")) / 2.0
+    n_pairs = (
+        F.col("n_vecs").cast("double")
+        * (F.col("n_vecs") - 1).cast("double")
+        / 2.0
+    )
+    return nrm.join(svsq, "label").select(
+        "label",
+        "n_vecs",
+        sum_pair.alias("sum_pair_dot"),
+        (sum_pair / n_pairs).alias("mean_pair_dot"),
+    )
+
+
+# --- Random-hyperplane (sign-projection) LSH for cosine ---------------------
+# 16 signature bits from integer-weight hyperplanes derived from md5 (fully
+# engine-portable, like the MinHash affine family), banded 4×4 for candidate
+# generation. The embedding-side complement of the text MinHash LSH.
+
+RHP_BITS = 16
+RHP_BANDS = 4
+RHP_ROWS = 4  # bits per band
+
+# w(p, d) = (md5-code('rhp:p:d') % 2001) - 1000 — integer weights in
+# [-1000, 1000]; the projection Σ x_d·w_pd runs in EXACT decimal×int
+# arithmetic, so the sign (the signature bit) is deterministic in any
+# engine. d is 1-based to line up with DuckDB's generate_subscripts.
+_SQL_RHP = f"""
+hp AS (
+  SELECT p, d,
+         (CAST(CONCAT('0x', substr(md5('rhp:' || CAST(p AS VARCHAR) || ':' ||
+                                       CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 2001) - 1000 AS w
+  FROM range({RHP_BITS}) t1(p), range(1, 65) t2(d)
+),
+exu AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, h.p,
+         SUM(CAST(CAST(e.x AS DOUBLE) AS DECIMAL(18,10)) * h.w) AS s
+  FROM exu e JOIN hp h ON e.d = h.d
+  GROUP BY e.vec_id, h.p
+),
+sigbits AS (
+  SELECT vec_id, p, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit
+  FROM proj
+),
+rbands AS (
+  -- p // n, not CAST(p/n AS INT): DuckDB / is true division and the
+  -- cast ROUNDS (6/4 -> 2), while Spark's int cast truncates
+  SELECT vec_id, CAST(p // {RHP_ROWS} AS INTEGER) AS band,
+         CAST(SUM(bit * (1 << (p % {RHP_ROWS}))) AS BIGINT) AS band_val
+  FROM sigbits GROUP BY vec_id, CAST(p // {RHP_ROWS} AS INTEGER)
+),
+rcand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM rbands q JOIN rbands c
+    ON q.band = c.band AND q.band_val = c.band_val AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+"""
+
+
+@register(
+    "similarity_topk_rhp",
+    oracle=f"""
+WITH {_SQL_RHP.strip().lstrip()},
+scored AS (
+  SELECT r.query_id, r.neighbor_id,
+         {sql_cosine('qe.embedding', 'ce.embedding')} AS cos_sim
+  FROM rcand r
+  JOIN embeddings qe ON qe.vec_id = r.query_id
+  JOIN embeddings ce ON ce.vec_id = r.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOPK}
+""",
+)
+def similarity_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane (sign-projection) LSH: 16 signature
+    bits from md5-derived integer hyperplanes, banded 4×4; candidates =
+    vectors sharing any band with the query; exact cosine re-rank on
+    candidates only.
+
+    Scale design: the hyperplane table is 16×64 integers — broadcast
+    everywhere; signatures are one posexplode + a (vec, band) aggregation
+    (linear, no pairwise work); candidate generation is a band-bucket
+    EQUI-join whose fan-out follows bucket occupancy (≈ n/2^bits·bands per
+    query), and the exact-cosine re-rank touches candidates only. This is
+    the cosine-metric twin of dedup_minhash_lsh — same banding algebra,
+    hyperplane signs instead of minhashes. Exact decimal×int projections
+    make the bits (and therefore the candidate set) engine-reproducible —
+    what upgrades this from rows-only to hash-checked.
+    """
+    ensure_session_conf(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+
+    hp = (
+        spark.range(RHP_BITS)
+        .select(F.col("id").cast("int").alias("p"))
+        .select("p", F.explode(F.sequence(F.lit(1), F.lit(64))).alias("d"))
+        .select(
+            "p",
+            "d",
+            (
+                H.token_code(
+                    F.concat(
+                        F.lit("rhp:"),
+                        F.col("p").cast("string"),
+                        F.lit(":"),
+                        F.col("d").cast("string"),
+                    )
+                )
+                % 2001
+                - 1000
+            ).alias("w"),
+        )
+    )
+    exu = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("d"), "x")
+    proj = (
+        exu.join(F.broadcast(hp), "d")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.sum(F.col("x").cast("decimal(18,10)") * F.col("w")).alias("s")
+        )
+    )
+    bits = proj.select(
+        "vec_id",
+        "p",
+        F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+    )
+    rbands = bits.groupBy(
+        "vec_id", (F.col("p") / RHP_ROWS).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("bit") * F.expr(f"shiftleft(1, CAST(p % {RHP_ROWS} AS INT))")
+        )
+        .cast("bigint")
+        .alias("band_val")
+    )
+    q = rbands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "band_val"
+    )
+    cand = (
+        q.join(rbands.withColumnRenamed("vec_id", "neighbor_id"),
+               ["band", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+@register(
+    "similarity_recall_rhp",
+    oracle=f"""
+WITH {_SQL_E_Q.strip().lstrip()},
+{_SQL_BF.strip().lstrip()},
+{_SQL_RHP.strip().lstrip().replace("hp AS", "hp AS", 1)},
+scored AS (
+  SELECT r.query_id, r.neighbor_id,
+         {sql_cosine('qe.embedding', 'ce.embedding')} AS cos_sim
+  FROM rcand r
+  JOIN embeddings qe ON qe.vec_id = r.query_id
+  JOIN embeddings ce ON ce.vec_id = r.neighbor_id
+),
+rhp_topk AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+  ) t
+  WHERE rk <= {TOPK}
+)
+SELECT b.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) * 1.0 / {TOPK} AS recall_at_k
+FROM bf b
+LEFT JOIN rhp_topk a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+""",
+)
+def similarity_recall_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the RHP-LSH ANN against exact brute force per query —
+    the quality audit that must accompany any ANN index choice (same
+    contract as similarity_recall_ivf / similarity_recall_int8)."""
+    ensure_session_conf(spark)
+    ann = similarity_topk_rhp(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hit = ann.withColumn("hit", F.lit(1))
+    joined = bf.join(hit, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count("hit").cast("bigint").alias("n_hit"),
+        (F.count("hit").cast("bigint") * F.lit(1.0) / TOPK).alias(
+            "recall_at_k"
         ),
     )

@@ -13,7 +13,7 @@ window(s) locally); the only shuffle is the grouped aggregation keyed on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -126,5 +126,335 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
+        )
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) * 1.0
+         / CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS full_conversion
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase): users counted
+    at each stage only if the step happened AT OR AFTER their first
+    occurrence of the previous step.
+
+    Scale shape: each stage is one groupBy(user) over a filtered slice
+    joined back on user_id — the stage tables shrink monotonically, and
+    every join is keyed on user_id so the funnel co-partitions after the
+    first shuffle. No window over the full event stream, no per-user
+    event-array materialization (the collect_list formulation OOMs on
+    power users at 100 TB; this one never holds more than a timestamp
+    per user per stage).
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click"))
+    np_ = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_view_click_purchase")
+    )
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            (
+                F.col("n_view_click_purchase") * F.lit(1.0) / F.col("n_view")
+            ).alias("full_conversion"),
+        )
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(datediff('day', CAST(f.cohort_day AS DATE), CAST(e.ts AS DATE))
+            AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+FROM events e JOIN first_day f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    distinct on each day-offset they return — the standard growth
+    analytics triangle.
+
+    Scale shape: the cohort table is one groupBy(user); the join back is
+    keyed on user_id (co-partitions with the aggregate that produced it);
+    the final distinct-count groups on (cohort_day, offset) — a small key
+    space regardless of corpus size. All values are dates/ints; no float
+    discipline needed.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.to_date("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_users"))
+    )
+
+
+GRID_STEP_MS = 6 * 3600 * 1000  # 6-hour resample grid
+
+
+@register(
+    "time_asof_interpolate",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms, MAX(value) AS v
+  FROM events GROUP BY user_id, epoch_ms(ts)
+),
+spans AS (
+  SELECT user_id,
+         CAST(ceil(MIN(t_ms) * 1.0 / {GRID_STEP_MS}) AS BIGINT) AS g0,
+         CAST(floor(MAX(t_ms) * 1.0 / {GRID_STEP_MS}) AS BIGINT) AS g1
+  FROM pts GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(g0, g1)) * {GRID_STEP_MS} AS t_ms
+  FROM spans WHERE g1 >= g0
+),
+merged AS (
+  SELECT user_id, t_ms, v, 0 AS is_grid FROM pts
+  UNION ALL
+  SELECT user_id, t_ms, NULL AS v, 1 AS is_grid FROM grid
+),
+flanked AS (
+  SELECT user_id, t_ms, is_grid,
+         last_value(v IGNORE NULLS) OVER w_fwd AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN t_ms END IGNORE NULLS)
+           OVER w_fwd AS prev_t,
+         first_value(v IGNORE NULLS) OVER w_bwd AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN t_ms END IGNORE NULLS)
+           OVER w_bwd AS next_t
+  FROM merged
+  WINDOW
+    w_fwd AS (PARTITION BY user_id ORDER BY t_ms, is_grid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_bwd AS (PARTITION BY user_id ORDER BY t_ms, is_grid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, t_ms AS grid_ms,
+       CASE
+         WHEN prev_t IS NULL THEN next_v
+         WHEN next_t IS NULL THEN prev_v
+         WHEN next_t = prev_t THEN prev_v
+         ELSE prev_v + (next_v - prev_v)
+              * (CAST(t_ms - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+       END AS interp_value
+FROM flanked
+WHERE is_grid = 1
+""",
+)
+def time_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling with linear interpolation: each user's value
+    series sampled onto a 6-hour grid, every grid point interpolated
+    between its as-of neighbors (carry-forward/backward at the edges) —
+    the hypertable `time_bucket_gapfill + interpolate` shape.
+
+    Spark-first formulation: generate each user's grid rows map-side
+    (`sequence` on the per-user span), UNION them into the point stream,
+    and resolve both flanking neighbors with two `last`/`first`
+    IGNORE NULLS windows over ONE sort per direction — never a per-grid-
+    point as-of join (that's a range join per sample; this is two window
+    passes amortized over all samples). Milliseconds as BIGINT keep the
+    time axis exact; the interpolation ratio is the only float op and is
+    written identically in both dialects.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms")
+    ).agg(F.max("value").alias("v"))
+    spans = pts.groupBy("user_id").agg(
+        F.ceil(F.min("t_ms") * 1.0 / GRID_STEP_MS).cast("bigint").alias("g0"),
+        F.floor(F.max("t_ms") * 1.0 / GRID_STEP_MS).cast("bigint").alias("g1"),
+    )
+    grid = (
+        spans.filter(F.col("g1") >= F.col("g0"))
+        .select("user_id", F.explode(F.sequence("g0", "g1")).alias("g"))
+        .select("user_id", (F.col("g") * GRID_STEP_MS).alias("t_ms"))
+    )
+    merged = pts.select(
+        "user_id", "t_ms", "v", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "t_ms",
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_if_v = F.when(F.col("v").isNotNull(), F.col("t_ms"))
+    flanked = merged.select(
+        "user_id",
+        "t_ms",
+        "is_grid",
+        F.last("v", ignorenulls=True).over(w_fwd).alias("prev_v"),
+        F.last(t_if_v, ignorenulls=True).over(w_fwd).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(w_bwd).alias("next_v"),
+        F.first(t_if_v, ignorenulls=True).over(w_bwd).alias("next_t"),
+    )
+    ratio = (F.col("t_ms") - F.col("prev_t")).cast("double") / (
+        F.col("next_t") - F.col("prev_t")
+    ).cast("double")
+    interp = (
+        F.when(F.col("prev_t").isNull(), F.col("next_v"))
+        .when(F.col("next_t").isNull(), F.col("prev_v"))
+        .when(F.col("next_t") == F.col("prev_t"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * ratio
+        )
+    )
+    return flanked.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("t_ms").alias("grid_ms"),
+        interp.alias("interp_value"),
+    )
+
+
+OVERLAP_BIN_MS = 600_000  # 10-min bins; intervals are <= ~8 min long
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS a_id, epoch_ms(ts) AS a_start,
+         epoch_ms(ts) + CAST(floor(value * 1000) AS BIGINT) AS a_end
+  FROM events WHERE event_type = 'error'
+),
+b AS (
+  SELECT event_id AS b_id, epoch_ms(ts) AS b_start,
+         epoch_ms(ts) + CAST(floor(value * 1000) AS BIGINT) AS b_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.a_id, b.b_id,
+       CAST(LEAST(a.a_end, b.b_end) - GREATEST(a.a_start, b.b_start)
+            AS BIGINT) AS overlap_ms
+FROM a JOIN b
+  ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: every (error, purchase) interval pair that
+    overlaps in time, with the overlap width. Intervals are
+    [ts, ts + value seconds].
+
+    Scale shape: both sides explode into the 10-minute bins they cover
+    (bounded: interval length ≤ ~8 min ⇒ ≤ 2 bins each) and the join is
+    an EQUI-join on the bin — never a BroadcastNestedLoopJoin over the
+    raw theta predicate. A pair sharing several bins is emitted exactly
+    once by keeping only the bin containing the overlap's start
+    (greatest of the two interval starts), which both sides cover by
+    construction — dedup by arithmetic, not a distinct() shuffle.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    def intervals(etype: str, prefix: str) -> DataFrame:
+        start = F.unix_millis(F.col("ts").cast("timestamp"))
+        end = start + F.floor(F.col("value") * 1000).cast("bigint")
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            start.alias(f"{prefix}_start"),
+            end.alias(f"{prefix}_end"),
+        )
+
+    def binned(df: DataFrame, prefix: str) -> DataFrame:
+        b0 = F.floor(F.col(f"{prefix}_start") / OVERLAP_BIN_MS)
+        b1 = F.floor(F.col(f"{prefix}_end") / OVERLAP_BIN_MS)
+        return df.select(
+            "*", F.explode(F.sequence(b0, b1)).alias("bin")
+        )
+
+    a = binned(intervals("error", "a"), "a")
+    b = binned(intervals("purchase", "b"), "b")
+    overlap_start_bin = F.floor(
+        F.greatest("a_start", "b_start") / OVERLAP_BIN_MS
+    )
+    return (
+        a.join(b, "bin")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+            & (F.col("bin") == overlap_start_bin)
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            )
+            .cast("bigint")
+            .alias("overlap_ms"),
         )
     )

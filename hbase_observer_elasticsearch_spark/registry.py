@@ -119,9 +119,12 @@ _PRIORITY = (
     "agg_approx_topk",
     "text_token_histogram",
     "similarity_pair_dot_stats",
-    "events_sessionize",
+    "events_funnel",
+    "events_retention_cohort",
     "time_asof_interpolate",
     "docs_minhash_band_stats",
+    "similarity_topk_rhp",
+    "similarity_recall_rhp",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",

@@ -167,3 +167,48 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """Binned interval-overlap join must be an equi-join on the bin key —
+    never a BroadcastNestedLoopJoin over the raw theta predicate."""
+    df = QS["join_interval_overlap"](spark, sf_dir)
+    assert not plans.has_cartesian_or_bnl(df)
+
+
+def test_chunking_is_exchange_free(spark, sf_dir):
+    """Chunk generation (sequence + explode + substring) is pure map-side
+    row generation: no exchange anywhere in the plan."""
+    plan = plans.explain_str(QS["text_chunking"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_pair_dot_stats_no_self_join(spark, sf_dir):
+    """The Σ-vector identity keeps pairwise-dot statistics linear: the plan
+    has no join of embeddings against embeddings (only the final
+    label-keyed stats join) and no cartesian/BNL."""
+    df = QS["similarity_pair_dot_stats"](spark, sf_dir)
+    assert not plans.has_cartesian_or_bnl(df)
+    # exactly one scan subtree would be ideal; assert at least that the
+    # number of embedding scans stays at 2 (sum-vector pass + norm pass),
+    # not the 3+ a pair-enumeration would need
+    plan = plans.explain_str(df)
+    assert plan.count("embeddings.parquet") <= 2
+
+
+def test_sketch_battery_single_scan_per_pass(spark, sf_dir):
+    """HLL sketch build/union: no cartesian, and the union row reuses the
+    per-type sketches (no extra raw-events scan for the ALL row beyond the
+    exact-count pass)."""
+    df = QS["sketch_battery"](spark, sf_dir)
+    assert not plans.has_cartesian_or_bnl(df)
+
+
+def test_funnel_joins_keyed_on_user(spark, sf_dir):
+    """Funnel stages join on user_id equi-keys; the final three-count
+    combination is the only (1-row) cross join."""
+    df = QS["events_funnel"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    # the 1x1x1 count combination may be a BNL over single-row inputs;
+    # what must NOT appear is a nested-loop over the raw events table
+    assert "user_id" in plan
