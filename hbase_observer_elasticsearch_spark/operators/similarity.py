@@ -105,6 +105,25 @@ ivf AS (
 """
 
 
+# Materialized-intermediate cache for top-k result tables shared across
+# queries (the brute-force baseline feeds three recall audits; the RHP
+# top-k feeds its own recall audit): computed once per (application,
+# sf_dir), localCheckpoint'd (a <= |queries|*k row table), reused by every
+# consumer — the same materialized-view idiom as the dedup CC labels. At
+# 100 TB the baseline/ANN result tables would be persisted tables, with
+# every audit reading them rather than re-running the search.
+_TOPK_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo_topk(spark: SparkSession, sf_dir: str, kind: str, builder) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    got = _TOPK_CACHE.get(key)
+    if got is None:
+        got = builder().localCheckpoint()
+        _TOPK_CACHE[key] = got
+    return got
+
+
 @register(
     "similarity_topk_bruteforce",
     oracle=f"""
@@ -117,8 +136,15 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exact baseline every ANN variant is measured against. One pass
     over the candidate set, no shuffle until the final tiny top-k window.
+    Memoized per (application, sf_dir) — three recall audits consume it.
     """
     ensure_session_conf(spark)
+    return _memo_topk(
+        spark, sf_dir, "bf", lambda: _bruteforce_topk(spark, sf_dir)
+    )
+
+
+def _bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "nrm", norm(F.col("embedding"))
     )  # candidate norm once per vector, not once per (query, candidate) pair
@@ -827,6 +853,10 @@ def similarity_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     what upgrades this from rows-only to hash-checked.
     """
     ensure_session_conf(spark)
+    return _memo_topk(spark, sf_dir, "rhp", lambda: _rhp_topk(spark, sf_dir))
+
+
+def _rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
     hp = (

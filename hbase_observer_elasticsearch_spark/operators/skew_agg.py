@@ -69,3 +69,130 @@ def agg_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
     return base.join(users, "event_type")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+WITH fact AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 < 7 THEN 0 ELSE user_id END AS join_key,
+         value
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT user_id AS join_key,
+         'grp-' || CAST(user_id % 7 AS VARCHAR) AS grp
+  FROM events
+  UNION
+  SELECT 0, 'grp-0'
+)
+SELECT d.grp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM fact f JOIN dim d ON f.join_key = d.join_key
+GROUP BY d.grp
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE JOIN for a skewed fact key: ~70% of fact rows share
+    one join key (synthesized), which a plain shuffle join would funnel
+    through a single reducer. The small side is replicated across
+    N_SALT buckets and the fact side hashes into one of them, so the hot
+    key's rows spread over N_SALT reducers; the merge hint keeps the
+    demo an actual shuffle join (a broadcast would hide the pattern —
+    salting exists for dims too big to broadcast at 100 TB; AQE skew-join
+    does this adaptively, salting is the explicit form you reach for when
+    the skew is known ahead of time).
+
+    Answer is oracle-identical to the plain join: salting only re-keys
+    the physical distribution.
+    """
+    ensure_session_conf(spark)
+    n_salt = 8
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("join_key"),
+        "value",
+        (F.col("event_id") % n_salt).cast("int").alias("__salt"),
+    )
+    dim = (
+        ev.select(F.col("user_id").alias("join_key"))
+        .distinct()
+        .unionByName(
+            ev.sparkSession.range(1).select(F.lit(0).cast("bigint").alias("join_key"))
+        )
+        .distinct()
+        .select(
+            "join_key",
+            F.concat(F.lit("grp-"), (F.col("join_key") % 7).cast("string")).alias(
+                "grp"
+            ),
+        )
+    )
+    dim_salted = dim.select(
+        "join_key",
+        "grp",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__salt"),
+    ).select("join_key", "grp", F.col("__salt").cast("int").alias("__salt"))
+    joined = fact.hint("merge").join(dim_salted, ["join_key", "__salt"])
+    return joined.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+
+
+@register(
+    "agg_incremental_rollup",
+    oracle="""
+SELECT o_orderpriority,
+       date_trunc('month', o_orderdate) AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly revenue
+    rollup computed as BASE (orders before the cutover) merged with an
+    INCREMENT (orders on/after it) by re-aggregating the two partial
+    states — and the result must equal the full recompute bit-for-bit.
+
+    The mergeability contract is the whole point: COUNT and decimal SUM
+    are algebraic, so a 100 TB rollup never recomputes history — each
+    epoch aggregates only its increment and merges O(groups) partial
+    rows (exactly what the bucketed state sink does for doc state, and
+    what partial+final aggregation does inside a single Spark job).
+    Decimal partials make the merge order-insensitive; the final cast to
+    DOUBLE happens once, after the merge.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate")
+    cut = F.lit("1997-01-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority", month.alias("order_month")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cut))
+    increment = partial(o.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(increment)
+        .groupBy("o_orderpriority", "order_month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+    return merged

@@ -44,7 +44,12 @@ _SQL_CF = """
 """
 
 
-def _drain_to_local(spark: SparkSession, stream_df: DataFrame, base: str) -> DataFrame:
+def _drain_to_local(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    base: str,
+    output_mode: str = "append",
+) -> DataFrame:
     """Drain an availableNow stream into a memory sink and pin the emitted
     rows into a local relation (so the returned plan references neither the
     sink nor the about-to-be-deleted temp dir).
@@ -62,7 +67,7 @@ def _drain_to_local(spark: SparkSession, stream_df: DataFrame, base: str) -> Dat
             stream_df.writeStream.format("memory")
             .queryName(name)
             .option("checkpointLocation", os.path.join(base, "ckpt"))
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -171,3 +176,61 @@ def stream_put_delete_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return emitted.select("rowkey", "qualifier", "put_ts", "put_seq", "del_ts")
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle=f"""
+WITH cf AS ({_SQL_CF})
+SELECT date_trunc('day', ts) AS win_start,
+       op,
+       CAST(COUNT(*) AS BIGINT) AS n_mutations
+FROM cf
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, end-to-end: the changefeed
+    drained through a 1-day event-time window count per op in UPDATE mode;
+    a window's LAST emission is its converged total, which must equal the
+    batch groupBy exactly — the windowed-agg member of the streaming proof
+    set (joins: stream_static_enrich / stream_put_delete_join; keyed
+    state: cdc_stateful_stream).
+
+    Update mode rather than append makes the check watermark-independent
+    (append's emission set depends on where the final watermark lands
+    between micro-batches — an engine-internal detail; every window's
+    running total is emitted each batch it changes, and max() per window
+    is the converged count either way). The watermark still bounds state:
+    closed windows are evicted after watermark passage, so open-window
+    state stays O(windows in the horizon × op types) on an unbounded feed.
+    """
+    ensure_session_conf(spark)
+    cf_dir = _changefeed_dir(spark, sf_dir)
+    cf = (
+        spark.readStream.schema(_changefeed_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cf_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        cf.groupBy(F.window("ts", "1 day"), "op")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_running"))
+        .select(
+            F.col("window.start").alias("win_start"), "op", "n_running"
+        )
+    )
+    base = tempfile.mkdtemp(prefix="stream_tumbling_")
+    try:
+        emitted = _drain_to_local(spark, agg, base, output_mode="update")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted.groupBy("win_start", "op").agg(
+        F.max("n_running").alias("n_mutations")
+    )
+
+
+def _changefeed_schema():
+    from ..sources.changefeed import CHANGEFEED_SCHEMA
+
+    return CHANGEFEED_SCHEMA

@@ -125,6 +125,9 @@ _PRIORITY = (
     "docs_minhash_band_stats",
     "similarity_topk_rhp",
     "similarity_recall_rhp",
+    "stream_tumbling_agg",
+    "agg_incremental_rollup",
+    "join_salted_skew",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",

@@ -212,3 +212,22 @@ def test_funnel_joins_keyed_on_user(spark, sf_dir):
     # the 1x1x1 count combination may be a BNL over single-row inputs;
     # what must NOT appear is a nested-loop over the raw events table
     assert "user_id" in plan
+
+
+def test_salted_join_is_shuffle_join_on_salt(spark, sf_dir):
+    """The salted-skew join must be a real shuffle join keyed on
+    (join_key, __salt) — not a broadcast (which would hide the pattern)
+    and not a BNL."""
+    df = QS["join_salted_skew"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert "__salt" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert not plans.has_cartesian_or_bnl(df)
+
+
+def test_incremental_rollup_partial_merge(spark, sf_dir):
+    """Both branches aggregate BEFORE the union: the merge re-aggregates
+    O(groups) partial rows, never the raw fact rows twice."""
+    df = QS["agg_incremental_rollup"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final × (base, incr, merge)
