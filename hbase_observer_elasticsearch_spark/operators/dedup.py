@@ -902,3 +902,54 @@ def dedup_url_host(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("keep_doc_id"),
         )
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+e AS (SELECT doc_a AS a, doc_b AS b FROM jp),
+wedges AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w JOIN e e3 ON e3.a = w.a AND e3.b = w.c
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the near-dup similarity graph — the clustering-
+    coefficient ingredient that distinguishes tight duplicate cliques
+    from chains (a triangle-dense component is one source document
+    copied many times; a chain is drift).
+
+    Classic ordered-edge MR algorithm: edges are stored a<b, wedges are
+    an equi-join on the middle vertex, and each wedge is closed by one
+    hash lookup of (a, c) — every triangle counted exactly once because
+    a<b<c ordering is canonical. Scale shape: two equi-joins keyed on
+    vertices; at 100 TB the known refinement (not needed here) is
+    degree-ordering edges so high-degree hubs don't fan wedges
+    quadratically.
+    """
+    ensure_session_conf(spark)
+    e = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    wedges = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    closer = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    tri = wedges.join(
+        closer,
+        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb")),
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    nw = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+    nt = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return ne.crossJoin(nw).crossJoin(nt)

@@ -301,3 +301,96 @@ def extract_audio_features(payload: bytes, sample_rate: int = 16_000) -> "object
         "audio decode requires a codec library (torchaudio/librosa); "
         "this container ships none"
     )
+
+
+PHASH_BITS = 16
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 16-bit block-mean perceptual hash per payload.
+
+    Stand-in for DCT pHash (the real kernel drops into `decode_image` +
+    a DCT; same batch contract): byte k of the payload lands in block
+    (k·16)//n, and bit b is set iff block b's byte-sum exceeds the global
+    mean pro-rated to the block size — all exact integer comparisons, so
+    the hash is reproducible in any engine down to the bit.
+    """
+    for pdf in batches:
+        out_hash = []
+        for b in pdf["payload"]:
+            n = len(b)
+            sums = [0] * PHASH_BITS
+            cnts = [0] * PHASH_BITS
+            for k, byte in enumerate(b):
+                blk = (k * PHASH_BITS) // n
+                sums[blk] += byte
+                cnts[blk] += 1
+            total = sum(sums)
+            h = 0
+            for blk in range(PHASH_BITS):
+                if sums[blk] * n > total * cnts[blk]:
+                    h |= 1 << blk
+            out_hash.append(h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "phash": pd.Series(out_hash, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+WITH {_SQL_MEDIA.strip().lstrip()},
+bytes AS (
+  SELECT doc_id, media_type, length(text) AS n,
+         ord(substr(text, i, 1)) AS code,
+         CAST(((i - 1) * {PHASH_BITS}) // length(text) AS INTEGER) AS blk
+  FROM media, unnest(generate_series(1, length(text))) AS t(i)
+),
+blocks AS (
+  SELECT doc_id, media_type, n, blk,
+         SUM(code) AS s, COUNT(*) AS c
+  FROM bytes GROUP BY doc_id, media_type, n, blk
+),
+totals AS (
+  SELECT doc_id, SUM(s) AS total FROM blocks GROUP BY doc_id
+),
+hashes AS (
+  SELECT b.doc_id, b.media_type,
+         CAST(SUM(CASE WHEN b.s * b.n > t.total * b.c
+                       THEN (1 << b.blk) ELSE 0 END) AS BIGINT) AS phash
+  FROM blocks b JOIN totals t ON b.doc_id = t.doc_id
+  GROUP BY b.doc_id, b.media_type
+)
+SELECT media_type, phash,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM hashes
+GROUP BY media_type, phash
+""",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over the binary media column: a 16-bit
+    block-mean hash per payload (mapInPandas, blobs never shuffle), then
+    keep-lowest per (media_type, phash) bucket — near-duplicate image
+    detection's standard first pass, here with the codec faked and every
+    byte of the plumbing real.
+
+    Scale shape: the hash is one map-side pass over the blobs (the ONLY
+    pass — feature rows are 3 columns); the dedup decision shuffles
+    16-bit hashes, not media. The DuckDB oracle recomputes the identical
+    hash from the payload bytes via exact integer block sums.
+    """
+    ensure_session_conf(spark)
+    m = media_table(spark, sf_dir)
+    hashes = m.mapInPandas(
+        _phash_batches,
+        schema="doc_id bigint, media_type string, phash bigint",
+    )
+    return hashes.groupBy("media_type", "phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+    )

@@ -96,3 +96,52 @@ def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'MACHINERY'
         """
     )
+
+
+HIST_WIDTH = 25.0
+HIST_MAX_BUCKET = 19
+
+
+@register(
+    "profile_column_histogram",
+    oracle=f"""
+WITH b AS (
+  SELECT LEAST(CAST(floor(value / {HIST_WIDTH}) AS BIGINT), {HIST_MAX_BUCKET})
+           AS bucket
+  FROM events
+)
+SELECT bucket,
+       bucket * {HIST_WIDTH} AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) * 1.0
+         / (SELECT COUNT(*) FROM events) AS frac
+FROM b
+GROUP BY bucket
+""",
+)
+def profile_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a numeric column (20 buckets of width 25,
+    last bucket open-ended) with mass fractions — the data-profiling
+    primitive behind NDV/skew estimation and bucket-pruning decisions.
+
+    Map-side bucket assignment + one tiny-key aggregation; the total for
+    the fraction is a 1-row broadcast. At 100 TB this is a single scan
+    with O(buckets) state — the same pass that would feed ANALYZE-style
+    column statistics.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / HIST_WIDTH).cast("bigint"),
+        F.lit(HIST_MAX_BUCKET).cast("bigint"),
+    )
+    hist = ev.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = ev.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        (F.col("bucket") * HIST_WIDTH).alias("bucket_lo"),
+        "n",
+        (F.col("n") * F.lit(1.0) / F.col("total")).alias("frac"),
+    )

@@ -196,3 +196,60 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+@register(
+    "events_zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(24,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+moments AS (
+  SELECT event_type, n, s / n AS mean,
+         sqrt(s2 / n - (s / n) * (s / n)) AS std
+  FROM stats
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.mean) / m.std AS zscore
+FROM events e JOIN moments m USING (event_type)
+WHERE abs((e.value - m.mean) / m.std) > 2.5
+""",
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier flagging per event type: two-pass shape
+    (tiny per-group moment table from exact decimal Σx/Σx², broadcast
+    back over the stream) — the monitoring/data-validation primitive.
+
+    Determinism: Σx and Σx² go through DECIMAL (order-independent); the
+    remaining mean/std/z arithmetic is per-row double math written in the
+    same order in both dialects. Scale shape: pass 1 is a map-side
+    partial aggregation to ~|event types| rows; pass 2 re-scans with the
+    broadcast moments — no shuffle of the fact stream at all.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    moments = stats.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("s2") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(moments), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 2.5)
+    )

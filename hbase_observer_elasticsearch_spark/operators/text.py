@@ -562,3 +562,61 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.countDistinct("w").cast("bigint").alias("n_distinct_tokens"),
     )
+
+
+@register(
+    "text_boilerplate_chunks",
+    oracle=f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, GREATEST(length(text), 1), {CHUNK_STRIDE}))
+           AS start_pos
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, md5(substring(text, start_pos, {CHUNK_LEN})) AS chunk_hash
+  FROM starts
+),
+dist AS (SELECT DISTINCT doc_id, chunk_hash FROM chunks)
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM dist
+GROUP BY chunk_hash
+HAVING COUNT(*) > 1
+""",
+)
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection at sub-document granularity:
+    chunk every document (same 120/90 windows as text_chunking), hash each
+    chunk, and report hashes appearing in MORE THAN ONE document — the
+    shared headers/footers/license-block detector that document-level
+    dedup cannot see.
+
+    Scale shape: map-side chunk+hash (no text shuffles — only 32-char
+    hashes), one distinct on (doc, hash), one count aggregation. The
+    HAVING keeps the output to actual boilerplate, which is tiny relative
+    to the corpus at any scale.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunks = d.select(
+        "doc_id", F.explode(starts).alias("start_pos"), "text"
+    ).select(
+        "doc_id",
+        F.md5(F.substring(F.col("text"), F.col("start_pos"), CHUNK_LEN)).alias(
+            "chunk_hash"
+        ),
+    )
+    return (
+        chunks.distinct()
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

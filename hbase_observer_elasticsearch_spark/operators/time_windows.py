@@ -458,3 +458,102 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_ms"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH err AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS t_ms
+  FROM events WHERE event_type = 'error'
+),
+purch AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS p_ms
+  FROM events WHERE event_type = 'purchase'
+),
+flank AS (
+  SELECT e.event_id, e.user_id, e.t_ms,
+         (SELECT MAX(p.p_ms) FROM purch p
+          WHERE p.user_id = e.user_id AND p.p_ms <= e.t_ms) AS prev_ms,
+         (SELECT MIN(p.p_ms) FROM purch p
+          WHERE p.user_id = e.user_id AND p.p_ms > e.t_ms) AS next_ms
+  FROM err e
+)
+SELECT event_id, user_id, t_ms,
+       CASE
+         WHEN prev_ms IS NULL THEN next_ms
+         WHEN next_ms IS NULL THEN prev_ms
+         WHEN (t_ms - prev_ms) <= (next_ms - t_ms) THEN prev_ms
+         ELSE next_ms
+       END AS nearest_purchase_ms
+FROM flank
+WHERE prev_ms IS NOT NULL OR next_ms IS NOT NULL
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (both directions): each error event matched to
+    the closest purchase timestamp of the same user — backward OR forward,
+    ties to the earlier one. Complements join_asof (backward-only).
+
+    Spark-first shape: instead of a per-row range lookup, purchases and
+    errors merge into ONE per-user ordered stream and two IGNORE NULLS
+    window passes resolve each error's flanking purchases — the same
+    two-pass idiom as time_asof_interpolate, O(n log n) in the partition
+    sort, no join fan-out at all. Millisecond BIGINTs; tie-break is pure
+    integer comparison.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", t_ms.alias("t_ms")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", t_ms.alias("t_ms"))
+        .distinct()
+        .select("user_id", "t_ms", F.lit(None).cast("bigint").alias("event_id"),
+                F.lit(1).alias("is_purch"))
+    )
+    merged = err.select(
+        "user_id", "t_ms", "event_id", F.lit(0).alias("is_purch")
+    ).unionByName(purch)
+    # purchases sort BEFORE errors at equal t_ms (is_purch desc) so a
+    # same-instant purchase is visible as prev (delta 0, wins any tie)
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", F.col("is_purch").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", F.col("is_purch").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_t = F.when(F.col("is_purch") == 1, F.col("t_ms"))
+    flank = merged.select(
+        "user_id",
+        "t_ms",
+        "event_id",
+        "is_purch",
+        F.last(p_t, ignorenulls=True).over(w_fwd).alias("prev_ms"),
+        F.first(p_t, ignorenulls=True).over(w_bwd).alias("next_ms"),
+    ).filter(F.col("is_purch") == 0)
+    nearest = (
+        F.when(F.col("prev_ms").isNull(), F.col("next_ms"))
+        .when(F.col("next_ms").isNull(), F.col("prev_ms"))
+        .when(
+            (F.col("t_ms") - F.col("prev_ms"))
+            <= (F.col("next_ms") - F.col("t_ms")),
+            F.col("prev_ms"),
+        )
+        .otherwise(F.col("next_ms"))
+    )
+    return flank.filter(
+        F.col("prev_ms").isNotNull() | F.col("next_ms").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "t_ms",
+        nearest.alias("nearest_purchase_ms"),
+    )

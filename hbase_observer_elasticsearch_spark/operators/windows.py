@@ -225,3 +225,49 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "window_time_range_trailing",
+    oracle="""
+SELECT event_id,
+       user_id,
+       epoch_ms(ts) AS t_ms,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_7d_n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         AS trailing_7d_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_time_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval window frame: each event's 7-day trailing count and
+    value sum per user (`RANGE BETWEEN <interval> PRECEDING`) — the
+    rolling-metric shape monitoring and feature pipelines run constantly.
+
+    RANGE frames (unlike ROWS) include every peer with an equal ordering
+    key, so ties need no tiebreaker for determinism. Millisecond BIGINTs
+    keep the frame bound exact in both engines; the windowed sum goes
+    through DECIMAL like every multi-row float sum. Scale shape: one
+    shuffle on user_id, then a per-partition ordered scan with a sliding
+    accumulator — no self-join range lookup per row.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t_ms)
+        .rangeBetween(-7 * 24 * 3600 * 1000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        t_ms.alias("t_ms"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_7d_n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_sum"),
+    )

@@ -128,6 +128,13 @@ _PRIORITY = (
     "stream_tumbling_agg",
     "agg_incremental_rollup",
     "join_salted_skew",
+    "multimodal_phash_dedup",
+    "window_time_range_trailing",
+    "profile_column_histogram",
+    "text_boilerplate_chunks",
+    "events_zscore_outliers",
+    "graph_triangle_count",
+    "join_asof_nearest",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
