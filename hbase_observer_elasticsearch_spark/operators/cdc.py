@@ -432,3 +432,104 @@ def cdc_es_bulk_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("string").alias("rowkey"), "doc")
     )
     return bulk_lines(state, "events_idx")
+
+
+# --------------------------------------------------------------------------
+# SCD2 / time-travel: the lakehouse CDC materializations. The reference's
+# sink keeps ONLY last-write-wins doc state (observer6/
+# HbaseDataSyncEsObserver.java:109 setDocAsUpsert) — history is destroyed
+# on every upsert. These operators materialize the full version history
+# (slowly-changing-dimension type 2) and point-in-time state from the same
+# changefeed, which is what a 100 TB lakehouse keeps alongside the serving
+# copy.
+# --------------------------------------------------------------------------
+
+TIME_TRAVEL_AS_OF = "2024-01-15 00:00:00"
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+SELECT event_id,
+       user_id,
+       event_type,
+       value,
+       epoch_ms(ts) AS valid_from_ms,
+       lead(epoch_ms(ts)) OVER w AS valid_to_ms,
+       (lead(epoch_ms(ts)) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type
+             ORDER BY epoch_ms(ts), event_id)
+""",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) materialization of the
+    changefeed: every mutation of a (user, event_type) cell becomes a
+    versioned row with a [valid_from, valid_to) interval; the open
+    interval is the current version.
+
+    One window pass per key — the valid_to of version k is just the
+    valid_from of version k+1 (`lead`), so history needs no self-join and
+    no state beyond the window sort. Scale shape: one shuffle on the key,
+    then a per-partition ordered scan; appending a new epoch touches only
+    each key's open row (close it, add one) — exactly the incremental
+    merge the bucketed sink does for LWW state, extended with history.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        t_ms, F.col("event_id")
+    )
+    valid_to = F.lead(t_ms).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        t_ms.alias("valid_from_ms"),
+        valid_to.alias("valid_to_ms"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "cdc_time_travel",
+    oracle=f"""
+SELECT user_id, event_type, value, epoch_ms(ts) AS version_ms
+FROM (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '{TIME_TRAVEL_AS_OF}'
+) t
+WHERE rn = 1
+""",
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) state: each (user, event_type) cell's
+    value AS OF a past timestamp, answered from the SCD2 interval table
+    (valid_from ≤ T < valid_to) rather than by replaying mutations.
+
+    Deliberately a DIFFERENT formulation from the oracle (which re-ranks
+    the raw feed at T): interval containment on materialized history vs
+    row_number over a filtered replay must agree exactly — the stronger
+    cross-check. Scale shape: with history partitioned on valid_from
+    date, the as-of predicate prunes partitions; the reference can only
+    answer "now" (its sink holds one doc per key).
+    """
+    ensure_session_conf(spark)
+    as_of = F.unix_millis(
+        F.lit(TIME_TRAVEL_AS_OF).cast("timestamp")
+    )
+    hist = cdc_scd2_history(spark, sf_dir)
+    return hist.filter(
+        (F.col("valid_from_ms") <= as_of)
+        & (F.col("valid_to_ms").isNull() | (F.col("valid_to_ms") > as_of))
+    ).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("valid_from_ms").alias("version_ms"),
+    )

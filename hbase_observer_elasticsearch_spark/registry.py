@@ -135,6 +135,8 @@ _PRIORITY = (
     "events_zscore_outliers",
     "graph_triangle_count",
     "join_asof_nearest",
+    "cdc_scd2_history",
+    "cdc_time_travel",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
