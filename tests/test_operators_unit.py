@@ -229,3 +229,108 @@ def test_connected_components_vs_union_find(spark, seed):
     got = {r["id"]: r["label"] for r in labels.collect()}
     assert got == want
     assert rounds <= 10  # O(log d), not O(d)
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_scd2_intervals_partition_timeline(spark, sf_dir, seed):
+    """SCD2 invariants on random per-key slices of the real history:
+    intervals per (user, event_type) are disjoint, ordered, chain
+    exactly (valid_to[k] == valid_from[k+1]), and exactly one row per
+    key is current (open-ended)."""
+    import random
+
+    from hbase_observer_elasticsearch_spark.operators.cdc import (
+        cdc_scd2_history,
+    )
+
+    hist = cdc_scd2_history(spark, sf_dir).collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault((r["user_id"], r["event_type"]), []).append(r)
+
+    rng = random.Random(seed)
+    keys = rng.sample(sorted(by_key), min(25, len(by_key)))
+    for k in keys:
+        rows = sorted(by_key[k], key=lambda r: (r["valid_from_ms"], r["event_id"]))
+        opens = [r for r in rows if r["valid_to_ms"] is None]
+        assert len(opens) == 1 and rows[-1]["is_current"]
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"]  # chained, no gap
+            assert a["valid_from_ms"] <= a["valid_to_ms"]  # well-formed
+
+
+def test_interval_overlap_binning_matches_bruteforce(spark):
+    """The bin-exploded equi-join emits EXACTLY the brute-force theta-join
+    pair set, each pair once, on a random interval soup that includes
+    bin-boundary-straddling and identical-endpoint intervals."""
+    import random
+
+    rng = random.Random(17)
+    W = 1000  # test-sized bin
+    a_rows = [
+        (i, s := rng.randrange(0, 20_000), s + rng.randrange(0, 1800))
+        for i in range(60)
+    ]
+    b_rows = [
+        (1000 + i, s := rng.randrange(0, 20_000), s + rng.randrange(0, 1800))
+        for i in range(60)
+    ]
+    a = spark.createDataFrame(a_rows, "a_id long, a_start long, a_end long")
+    b = spark.createDataFrame(b_rows, "b_id long, b_start long, b_end long")
+
+    def binned(df, p):
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{p}_start") / W),
+                    F.floor(F.col(f"{p}_end") / W),
+                )
+            ).alias("bin"),
+        )
+
+    start_bin = F.floor(F.greatest("a_start", "b_start") / W)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in binned(a, "a")
+        .join(binned(b, "b"), "bin")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+            & (F.col("bin") == start_bin)
+        )
+        .collect()
+    }
+    want = {
+        (ai, bi)
+        for (ai, as_, ae) in a_rows
+        for (bi, bs, be) in b_rows
+        if as_ <= be and bs <= ae
+    }
+    assert got == want and len(want) > 0
+
+
+def test_nearest_asof_matches_bruteforce(spark, sf_dir):
+    """join_asof_nearest must pick argmin |Δt| with ties to the earlier
+    purchase — cross-validated row-by-row against a brute-force scan."""
+    from hbase_observer_elasticsearch_spark import registry
+
+    got = {
+        r["event_id"]: r["nearest_purchase_ms"]
+        for r in registry.queries()["join_asof_nearest"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    rows = ev.select("event_id", "user_id", "event_type", t_ms.alias("t")).collect()
+    purch: dict = {}
+    for r in rows:
+        if r["event_type"] == "purchase":
+            purch.setdefault(r["user_id"], set()).add(r["t"])
+    n_checked = 0
+    for r in rows:
+        if r["event_type"] != "error" or r["user_id"] not in purch:
+            continue
+        best = min(purch[r["user_id"]], key=lambda p: (abs(p - r["t"]), p))
+        assert got[r["event_id"]] == best, r
+        n_checked += 1
+    assert n_checked > 50
