@@ -852,3 +852,66 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mb").alias("min_bal"),
         )
     )
+
+
+@register(
+    "subquery_exists_battery",
+    oracle="""
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_with_open_order,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_without_urgent
+FROM customer c
+GROUP BY c.c_nationkey
+""",
+)
+def subquery_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS per-group counts: for each nation,
+    how many customers have an open order and how many have no urgent
+    order — the canonical correlated-subquery surface
+    (`subquery_scalar_in` covers scalar + IN; this row covers EXISTS).
+
+    Spark-first: each EXISTS collapses to a DISTINCT keys table joined
+    back LEFT — exactly the semi/anti-join Catalyst de-correlates EXISTS
+    into, but phrased so both flags come from ONE pass over customers
+    (two left joins against key sets that are far smaller than orders).
+    The key sets hash-partition on custkey, same key as the join — at
+    100 TB, AQE broadcasts them when small and shuffle-joins when not.
+    """
+    ensure_session_conf(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    open_keys = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_open", F.lit(1))
+    )
+    urgent_keys = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_urgent", F.lit(1))
+    )
+    return (
+        c.select("c_custkey", "c_nationkey")
+        .join(open_keys, "c_custkey", "left")
+        .join(urgent_keys, "c_custkey", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(
+                F.when(F.col("has_open").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_with_open_order"),
+            F.sum(
+                F.when(F.col("has_urgent").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_without_urgent"),
+        )
+    )

@@ -214,3 +214,71 @@ def sample_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(_gate(F.col("doc_id"), "mix:") < thr).select(
         "doc_id", "source", "lang"
     )
+
+
+LENGTH_BUCKETS = 8  # equal-frequency buckets per language shard
+
+
+@register(
+    "pack_length_buckets",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+bucketed AS (
+  SELECT lang, n_tokens,
+         ntile({LENGTH_BUCKETS}) OVER (
+           PARTITION BY lang ORDER BY n_tokens, doc_id) AS bucket
+  FROM toks
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+         AS padding_waste,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
+         / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE) AS waste_frac
+FROM bucketed
+GROUP BY lang, bucket
+""",
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency length bucketing for training batch assembly:
+    within each language shard, documents are ntile'd into 8 buckets by
+    token count, and each bucket reports its padding waste (tokens of
+    pad needed to right-pad every member to the bucket max) — the
+    length-bucketed batching planner that minimizes pad-token burn,
+    complementing `pack_sequences_greedy`'s bin-packing.
+
+    Scale shape: token counts are map-side (`size(split(...))` — no
+    explode); the ntile is a per-LANG window, so the total order is
+    shard-bounded, never global (the same sharding a tokenizer pipeline
+    already has); the rollup is one hash aggregation on (lang, bucket).
+    Integer arithmetic throughout; the one division is BIGINT/BIGINT →
+    DOUBLE written identically in both dialects.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    bucketed = toks.select(
+        "lang", "n_tokens", F.ntile(LENGTH_BUCKETS).over(w).alias("bucket")
+    )
+    waste = F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            waste.cast("bigint").alias("padding_waste"),
+            (
+                waste.cast("double")
+                / (F.count(F.lit(1)) * F.max("n_tokens")).cast("double")
+            ).alias("waste_frac"),
+        )
+    )

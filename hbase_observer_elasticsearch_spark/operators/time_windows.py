@@ -557,3 +557,136 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_ms",
         nearest.alias("nearest_purchase_ms"),
     )
+
+
+# Trailing EWMA taps: 8 lags of alpha=1/2 give weight 2^-k to the k-th
+# most recent sample. Powers of two scale a double's exponent only (no
+# mantissa rounding), so each term is EXACT and the fixed left-to-right
+# sum is bit-identical across engines — no decimal cast needed.
+_EWMA_TAPS = 8
+
+
+def _ewma_terms() -> tuple[str, str]:
+    """(numerator, denominator) SQL fragments shared by both dialects.
+
+    lag(value, k) is NULL inside the first k rows of a user's series, so
+    each absent tap contributes 0 to the numerator and its weight is
+    dropped from the denominator — the standard finite-history
+    normalization that keeps early rows unbiased.
+    """
+    num = ["CAST(value AS DOUBLE)"]
+    den = ["1.0"]
+    for k in range(1, _EWMA_TAPS):
+        w = 0.5**k
+        num.append(f"COALESCE(lag(value, {k}) OVER w * {w!r}, 0.0)")
+        den.append(f"CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0.0 ELSE {w!r} END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms()
+
+
+@register(
+    "events_ewma_trailing",
+    oracle=f"""
+SELECT event_id, user_id, ts, value,
+       ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def events_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponential-weighted moving average (alpha = 1/2, 8 taps)
+    of each user's value series — the streaming-metrics smoothing shape
+    (hypertable `time_weight`-style) as a pure window expression.
+
+    A finite tap count is the scale-correct EWMA on Spark: the infinite
+    recurrence y_i = a·x_i + (1-a)·y_{i-1} forces a sequential scan per
+    key (applyInPandas), while 8 lags over ONE sorted window pass keep
+    the whole operator in JVM codegen, O(taps) per row, and numerically
+    exact (2^-k weights scale exponents only; weight 2^-8 is below any
+    visible contribution for the fixture's value range). One shuffle:
+    the (user_id) window sort — same cost class as any per-key window.
+    """
+    ensure_session_conf(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    num, den = _EWMA_NUM, _EWMA_DEN
+    return spark.sql(
+        f"""
+        SELECT event_id, user_id, ts, value,
+               ({num}) / ({den}) AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    )
+
+
+@register(
+    "events_gap_fill_locf",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, {sql_dsum("value")} AS day_sum
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM spans
+),
+joined AS (
+  SELECT g.user_id, g.day, d.day_sum FROM grid g
+  LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+)
+SELECT user_id, day, day_sum,
+       last_value(day_sum IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+       CAST(day_sum IS NULL AS BOOLEAN) AS is_gap
+FROM joined
+""",
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with last-observation-carried-forward fill: each
+    user's event-value series is bucketed to days, the per-user calendar
+    is densified (every day between first and last activity), and gap
+    days inherit the previous day's sum — the `time_bucket_gapfill +
+    locf` hypertable shape, complementing `time_asof_interpolate`'s
+    linear variant.
+
+    Spark-first: the calendar is generated MAP-SIDE per user (`sequence`
+    over the user's [min_day, max_day] span — no calendar dim table, no
+    cross join), the join back to observed days is an equi-join on
+    (user_id, day), and the fill is one `last(ignorenulls)` running
+    window — a single sort per user partition. Day counts per user are
+    bounded by the span, so no key explodes; the grid explode is the
+    only row-amplifying step and is proportional to the output itself.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value").alias("day_sum"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        "day_sum",
+        F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("day_sum").isNull().alias("is_gap"),
+    )

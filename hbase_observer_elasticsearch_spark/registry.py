@@ -137,6 +137,10 @@ _PRIORITY = (
     "join_asof_nearest",
     "cdc_scd2_history",
     "cdc_time_travel",
+    "events_ewma_trailing",
+    "events_gap_fill_locf",
+    "subquery_exists_battery",
+    "pack_length_buckets",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
