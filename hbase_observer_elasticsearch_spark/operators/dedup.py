@@ -973,3 +973,251 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
     nt = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     return ne.crossJoin(nw).crossJoin(nt)
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+r1 AS (
+  SELECT e.dst AS node,
+         0.15 + 0.85 * CAST(SUM(CAST(1.0 / d.deg AS DECIMAL(18,6)))
+                            AS DOUBLE) AS r
+  FROM e JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         0.15 + 0.85 * CAST(SUM(CAST(r1.r / d.deg AS DECIMAL(18,6)))
+                            AS DOUBLE) AS r
+  FROM e
+  JOIN deg d ON e.src = d.node
+  JOIN r1 ON r1.node = e.src
+  GROUP BY e.dst
+)
+SELECT r2.node AS doc_id,
+       CAST(deg.deg AS BIGINT) AS degree,
+       r2.r AS pagerank
+FROM r2 JOIN deg ON deg.node = r2.node
+""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d = 0.85, two synchronous iterations, uniform
+    init) over the near-dup similarity graph — ranks the "hub" documents
+    whose text radiates through the corpus, the graph-centrality signal
+    dedup pipelines use to pick canonical representatives.
+
+    Spark shape: each iteration is ONE equi-join (edges ⋈ ranks on src —
+    broadcast-able: the rank table is one row per graph node, far
+    smaller than the corpus) followed by ONE hash aggregation keyed on
+    dst. Per-term contributions r(u)/deg(u) divide as doubles; the
+    cross-engine-deterministic decimal SUM makes the result independent
+    of partitioning, so a 1000-executor run and DuckDB agree bitwise.
+    Every node of this undirected graph has degree >= 1, so there is no
+    dangling-mass term. Iteration count is fixed (unrolled) — the oracle
+    unrolls identically; at scale you loop the same two-op round with
+    localCheckpoint lineage truncation exactly as connected_components
+    does (dedup.py:490).
+    """
+    ensure_session_conf(spark)
+    pairs = _jaccard_pairs_memo(spark, sf_dir)
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    dec6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+
+    def step(ranks: DataFrame | None) -> DataFrame:
+        ej = e.join(deg, e.src == deg.node).drop("node")
+        if ranks is None:  # r0(u) = 1.0 for every node
+            term = F.lit(1.0) / F.col("deg")
+        else:
+            ej = ej.join(ranks.withColumnRenamed("node", "src"), "src")
+            term = F.col("r") / F.col("deg")
+        return ej.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit(0.15)
+                + F.lit(0.85) * F.sum(dec6(term)).cast("double")
+            ).alias("r")
+        )
+
+    r2 = step(step(None))
+    return r2.join(deg, "node").select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("bigint").alias("degree"),
+        F.col("r").alias("pagerank"),
+    )
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+h AS (
+  SELECT DISTINCT sh.s AS ch, d.source
+  FROM sh JOIN documents d USING (doc_id)
+),
+totals AS (SELECT source, COUNT(*) AS n FROM h GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n AS BIGINT) AS n_a,
+       CAST(tb.n AS BIGINT) AS n_b,
+       CAST(n_shared AS DOUBLE)
+         / CAST(ta.n + tb.n - n_shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN totals ta ON ta.source = source_a
+JOIN totals tb ON tb.source = source_b
+""",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination report: for every pair of sources, the
+    Jaccard overlap of their distinct 3-word-shingle sets — the
+    dataset-overlap audit run before mixing crawl snapshots into one
+    training corpus (shingle-level, so it sees partial copying that
+    whole-document hashing misses).
+
+    Spark-first pair generation: group the (shingle, source) pairs BY
+    SHINGLE and expand each shingle's sorted source set combinatorially
+    with an array HOF (flatten of nested transforms) — the fan-out is
+    bounded by source-count per shingle (≤ #sources, independent of
+    corpus size), the expensive shingle scan happens once, and no
+    self-join recomputes the shingle subtree. One shuffle on the
+    shingle, one on the (source_a, source_b) rollup; per-source totals
+    are a broadcast-sized side table. Output is #source-pairs rows —
+    constant in corpus size.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        shingle_docs(d.select("doc_id", "text"))
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select(F.col("s").alias("ch"), "source")
+        .distinct()
+    )
+    totals = h.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    srcs = h.groupBy("ch").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("ss"), i + 2, F.greatest(F.size("ss") - i - 1, F.lit(0))
+                        ),
+                        lambda b: F.struct(
+                            a.alias("source_a"), b.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    return (
+        shared.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "text_dup_ngram_coverage",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+docfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+cover AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM sh JOIN docfreq USING (s)
+  GROUP BY sh.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         AS dup_coverage,
+       CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.5
+         AS flagged
+FROM cover
+""",
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-ngram coverage per document: the fraction of a doc's
+    distinct 3-word shingles that occur in at least one OTHER document —
+    the RefinedWeb-style "how much of this page is copied text" signal
+    that gates documents rather than pairs (complements the pairwise
+    Jaccard ops, which only see the top of the similarity range).
+
+    Scale shape: one shingle explode (linear in corpus tokens), one
+    hash aggregation for corpus-wide document frequencies, one
+    co-partitioned join back on the shingle, one per-doc rollup. The
+    shingle df table is the only wide intermediate and it shrinks with
+    dedup; no pairwise structure anywhere, so this runs where pairwise
+    verification would not (it is the cheap pre-filter BEFORE pair
+    generation at 100 TB). df > 1 on DISTINCT per-doc shingles counts
+    documents, not occurrences.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_docs(d)
+    docfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    cover = (
+        sh.join(docfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_shingles").cast(
+        "double"
+    )
+    return cover.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        frac.alias("dup_coverage"),
+        (frac >= 0.5).alias("flagged"),
+    )

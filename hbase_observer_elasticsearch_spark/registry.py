@@ -141,6 +141,9 @@ _PRIORITY = (
     "events_gap_fill_locf",
     "subquery_exists_battery",
     "pack_length_buckets",
+    "graph_pagerank",
+    "corpus_source_overlap",
+    "text_dup_ngram_coverage",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
