@@ -282,3 +282,44 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_frac"),
         )
     )
+
+
+SAMPLE_K_PER_GROUP = 5
+
+
+@register(
+    "sample_topk_per_group",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('audit:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {SAMPLE_K_PER_GROUP}
+""",
+)
+def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group audit sample: exactly 5 documents per
+    language, chosen by md5 order — the "show me a stable random handful
+    from every shard" query that human eval and data-quality audits run
+    after every pipeline change. Hash order makes the draw reproducible
+    across engines AND stable under appends (a new doc displaces at most
+    one pick).
+
+    Scale shape: rank-then-filter with a k-row cutoff per group — Spark
+    turns the row_number + filter into a per-partition top-k (no full
+    sort materialization: each map task keeps k rows per group before
+    the single per-group shuffle).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit("audit:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(order_key, "doc_id")
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SAMPLE_K_PER_GROUP)
+        .select("doc_id", "lang", "source", F.col("rn").cast("bigint").alias("rn"))
+    )

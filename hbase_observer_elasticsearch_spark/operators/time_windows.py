@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.deterministic import dsum, sql_dsum
+from ..functions.deterministic import dsum, dsum_expr, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -689,4 +689,81 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_sum",
         F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
         F.col("day_sum").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "events_value_trend",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id,
+         CAST((epoch_ms(ts) - MIN(epoch_ms(ts)) OVER (PARTITION BY user_id))
+              // 86400000 AS DOUBLE) AS x,
+         value AS y
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_dsum("x")} AS sx,
+         {sql_dsum("y")} AS sy,
+         {sql_dsum("x * y")} AS sxy,
+         {sql_dsum("x * x")} AS sxx
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+       END AS slope_per_day,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+       END AS intercept
+FROM s
+WHERE n >= 2
+""",
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of value over time (slope per day +
+    intercept) — the grouped linear-regression shape (`regr_slope`/
+    `regr_intercept`) restated in explicitly deterministic sums.
+
+    Built-in regr_* aggregates sum doubles in partition order
+    (nondeterministic across engines and re-runs), so the five moment
+    sums go through the decimal-cast SUM instead; the closed-form slope
+    is then a fixed double expression over exact aggregates. The x axis
+    is WHOLE days since the user's first event (integer floor-div, exact
+    in both engines) so x and x·y stay low-digit and the decimal casts
+    quantize identically cross-engine — which is also the
+    numerically sane parameterization at any scale. One hash aggregation
+    on user_id; the window MIN shares the same shuffle.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id")
+    delta = (t_ms - F.min(t_ms).over(w)).cast("bigint")
+    pts = ev.select(
+        "user_id",
+        delta.alias("delta"),
+        F.col("value").alias("y"),
+    ).select(
+        "user_id",
+        F.expr("CAST(delta DIV 86400000 AS DOUBLE)").alias("x"),
+        "y",
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum_expr(F.col("x") * F.col("y")).alias("sxy"),
+        dsum_expr(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.filter(F.col("n") >= 2).select(
+        "user_id",
+        "n",
+        F.when(det == 0, F.lit(None)).otherwise(slope).alias("slope_per_day"),
+        F.when(det == 0, F.lit(None)).otherwise(intercept).alias("intercept"),
     )

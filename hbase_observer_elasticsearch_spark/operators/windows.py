@@ -271,3 +271,42 @@ def window_time_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_7d_sum"),
     )
+
+
+@register(
+    "window_trailing_median",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       median(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+FROM events
+""",
+)
+def window_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row median of each user's value series — the robust
+    (outlier-immune) smoother dashboards pair with the EWMA.
+
+    Spark has no native median window frame, so the frame is collected
+    with `collect_list OVER (rows 6 preceding)` and reduced with array
+    HOFs: sort, then average the middle pair (even n) or take the middle
+    (odd n). The frame is O(7) per row — constant memory, stays in the
+    single per-user window sort, and the HOF math runs in codegen. The
+    midpoint average of two doubles is one `/ 2.0` written identically
+    in both dialects (DuckDB's median lower/upper interpolation).
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, (n / 2).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(arr, (n / 2 + 1).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / F.lit(2.0)
+    )
+    return ev.select("event_id", "user_id", "ts", "value", med.alias("med7"))

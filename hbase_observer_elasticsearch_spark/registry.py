@@ -144,6 +144,9 @@ _PRIORITY = (
     "graph_pagerank",
     "corpus_source_overlap",
     "text_dup_ngram_coverage",
+    "window_trailing_median",
+    "sample_topk_per_group",
+    "events_value_trend",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
