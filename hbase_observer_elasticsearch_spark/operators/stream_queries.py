@@ -234,3 +234,122 @@ def _changefeed_schema():
     from ..sources.changefeed import CHANGEFEED_SCHEMA
 
     return CHANGEFEED_SCHEMA
+
+
+@register(
+    "stream_session_agg",
+    oracle=f"""
+WITH cf AS ({_SQL_CF}),
+flagged AS (
+  SELECT rowkey, ts, seq,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY rowkey ORDER BY ts, seq)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY rowkey ORDER BY ts, seq) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM cf
+),
+sessions AS (
+  SELECT rowkey, ts, seq,
+         SUM(is_new) OVER (PARTITION BY rowkey ORDER BY ts, seq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+),
+closed AS (
+  SELECT rowkey,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_mutations
+  FROM sessions
+  GROUP BY rowkey, sid
+)
+SELECT * FROM closed
+WHERE session_end <= (SELECT MAX(ts) FROM cf) - INTERVAL 1 HOUR
+""",
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION-window aggregation, end-to-end in APPEND mode:
+    per-rowkey sessions (30-minute inactivity gap) over the changefeed,
+    emitted only when the watermark proves the session can no longer
+    grow — the stateful merge-and-expire operator that tumbling windows
+    don't exercise (sessions MERGE when a late event bridges two of
+    them, so per-key state is interval-shaped, not slot-shaped).
+
+    Append-mode emission is deterministic here: availableNow ends with a
+    no-data micro-batch that advances the watermark to (global max ts −
+    1 h), so the emission set is exactly the sessions whose end falls at
+    or below that final watermark — which is what the batch oracle
+    computes with gaps-and-islands + the same cutoff. Sessions still
+    open at the cutoff remain in state and are correctly ABSENT from
+    both sides. State cost on an unbounded feed: O(open sessions) per
+    key-range, bounded by the gap + horizon.
+    """
+    ensure_session_conf(spark)
+    cf_dir = _changefeed_dir(spark, sf_dir)
+    cf = (
+        spark.readStream.schema(_changefeed_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cf_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        cf.groupBy(F.session_window("ts", "30 minutes"), "rowkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_mutations"))
+        .select(
+            "rowkey",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_mutations",
+        )
+    )
+    base = tempfile.mkdtemp(prefix="stream_session_")
+    try:
+        emitted = _drain_to_local(spark, agg, base, output_mode="append")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle=f"""
+WITH cf AS ({_SQL_CF})
+SELECT seq, op, rowkey, ts FROM cf
+""",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once from at-least-once, end-to-end: the changefeed is
+    UNIONED WITH ITSELF (every mutation delivered twice — the redelivery
+    a reconnecting source produces, reference requeue-on-failure
+    ElasticSearchBulkOperator.java:56-66) and deduplicated with
+    `dropDuplicatesWithinWatermark` on seq; the drained output must
+    equal the SINGLE-delivery batch relation exactly.
+
+    Within-watermark dedup is the scale-correct form: state holds only
+    seqs younger than the watermark (older redeliveries are provably
+    impossible once the source's lag bound has passed), so dedup state
+    is O(arrival rate × delay horizon), not O(stream history) — the
+    difference between a bounded and an unbounded state store on a feed
+    that never ends. Both deliveries of a seq arrive in the same
+    micro-batch file here, well inside any horizon.
+    """
+    ensure_session_conf(spark)
+    cf_dir = _changefeed_dir(spark, sf_dir)
+
+    def feed() -> DataFrame:
+        return (
+            spark.readStream.schema(_changefeed_schema())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cf_dir)
+        )
+
+    doubled = feed().unionByName(feed()).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["seq"]).select(
+        "seq", "op", "rowkey", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        emitted = _drain_to_local(spark, deduped, base, output_mode="append")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted

@@ -147,6 +147,8 @@ _PRIORITY = (
     "window_trailing_median",
     "sample_topk_per_group",
     "events_value_trend",
+    "stream_session_agg",
+    "stream_dedup_within_watermark",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
