@@ -990,3 +990,293 @@ def similarity_recall_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# --- Product quantization (PQ) ANN: 64-dim vectors split into M=4
+# subspaces of 16 dims; each subspace gets its own K=4-centroid codebook
+# (init = first K subvectors, one Lloyd refinement — kmeans_fit reused
+# per subspace). A vector is stored as M tiny codes; query-time scoring
+# is Asymmetric Distance Computation: precompute the query↔centroid
+# partial distances (an M×K lookup table per query), then each
+# candidate's approx distance is a 4-way sum of table lookups — no float
+# vector is touched at scan time. At 100 TB: the codes table is
+# 64 B → 4 B per vector (16× scan-IO cut, deeper than int8's 4×), the
+# ADC tables broadcast at a few KB per query batch, and scoring is one
+# broadcast-join + sum — the FAISS IVFPQ scan shape on DataFrames.
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_K = 4
+
+
+def _sql_pq_subspace(s: int) -> str:
+    """CTE chain for one PQ subspace: slice → init codebook → one Lloyd
+    refinement (assign with the sequential-fold sq-dist, exact decimal
+    mean, FLOAT cast) → final codes + per-query ADC partials."""
+    lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+    return f"""
+sub{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS sv FROM e),
+cs{s}0 AS (SELECT CAST(vec_id AS INT) AS cid, sv AS cv
+           FROM sub{s} WHERE vec_id < {PQ_K}),
+as{s} AS (
+  SELECT vec_id, sv, cid FROM (
+    SELECT u.vec_id, u.sv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                              ORDER BY {sql_sq_dist('u.sv', 'c.cv')}, c.cid)
+             AS rn
+    FROM sub{s} u CROSS JOIN cs{s}0 c
+  ) t WHERE rn = 1
+),
+ms{s} AS (
+  SELECT cid, pos,
+         CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+              / COUNT(*) AS FLOAT) AS m
+  FROM (SELECT cid, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+        FROM as{s}) u
+  GROUP BY cid, pos
+),
+cs{s}1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM ms{s} GROUP BY cid),
+code{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT u.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                              ORDER BY {sql_sq_dist('u.sv', 'c.cv')}, c.cid)
+             AS rn
+    FROM sub{s} u CROSS JOIN cs{s}1 c
+  ) t WHERE rn = 1
+),
+qd{s} AS (
+  SELECT u.vec_id AS query_id, c.cid,
+         {sql_sq_dist('u.sv', 'c.cv')} AS qd
+  FROM sub{s} u CROSS JOIN cs{s}1 c
+  WHERE u.vec_id < {N_QUERIES}
+)"""
+
+
+_SQL_PQ = (
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings),"
+    + ",".join(_sql_pq_subspace(s) for s in range(PQ_M))
+    + f""",
+adc_terms AS (
+  {" UNION ALL ".join(
+      f"SELECT q.query_id, k.vec_id, q.qd FROM code{s} k "
+      f"JOIN qd{s} q ON q.cid = k.cid"
+      for s in range(PQ_M)
+  )}
+),
+adc AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         SUM(CAST(qd AS DECIMAL(28,12))) AS dist
+  FROM adc_terms
+  WHERE vec_id <> query_id
+  GROUP BY 1, 2
+),
+pq AS (
+  SELECT query_id, neighbor_id, dist, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist, neighbor_id) AS rk
+    FROM adc
+  ) t WHERE rk <= {TOPK}
+)
+"""
+)
+
+
+def _pq_codes_and_qd(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """((vec_id, s, cid) codes, (query_id, s, cid, qd) ADC partials)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    codes_parts, qd_parts = [], []
+    for s in range(PQ_M):
+        sub = spread(e).select(
+            "vec_id",
+            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        cent = [
+            (int(r["cluster_id"]), list(r["cv"]))
+            for r in kmeans_fit(sub, k=PQ_K, iters=1).collect()
+        ]
+
+        def d2(cv: list[float]) -> F.Column:
+            lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+            return F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    lit_cv,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        scored = F.array(
+            *[
+                F.struct(d2(cv).alias("d2"), F.lit(cid).alias("cid"))
+                for cid, cv in cent
+            ]
+        )
+        codes_parts.append(
+            sub.select(
+                "vec_id",
+                F.lit(s).alias("s"),
+                F.array_min(scored).getField("cid").alias("cid"),
+            )
+        )
+        cent_df = spark.createDataFrame(
+            cent, "cid int, cv array<float>"
+        )
+        qd_parts.append(
+            sub.filter(F.col("vec_id") < N_QUERIES)
+            .crossJoin(F.broadcast(cent_df))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(s).alias("s"),
+                "cid",
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        "cv",
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("qd"),
+            )
+        )
+    codes = codes_parts[0]
+    for p in codes_parts[1:]:
+        codes = codes.unionByName(p)
+    qd = qd_parts[0]
+    for p in qd_parts[1:]:
+        qd = qd.unionByName(p)
+    return codes, qd
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes, qd = _pq_codes_and_qd(spark, sf_dir)
+    adc = (
+        codes.join(F.broadcast(qd), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qd").cast("decimal(28,12)")).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        adc.select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOPK)
+    )
+
+
+@register(
+    "similarity_topk_pq",
+    oracle=f"""
+{_SQL_PQ}
+SELECT query_id, neighbor_id, CAST(dist AS DOUBLE) AS adc_dist, rk
+FROM pq
+""",
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 by Asymmetric Distance Computation
+    — the 4th ANN family next to IVF / int8-SQ / RHP-LSH, and the one
+    with the deepest scan-IO reduction (M=4 2-bit-ish codes per vector
+    instead of 64 floats).
+
+    Fully hash-checked: codebook training (per-subspace Lloyd), encoding,
+    and ADC all restate in DuckDB bit-for-bit — the sequential-fold
+    sq-dist and exact decimal means are the same machinery that made the
+    IVF trainer oracle-checkable; the ADC sum goes through DECIMAL so
+    the 4-term addition is order-free.
+    """
+    ensure_session_conf(spark)
+    return _memo_topk(spark, sf_dir, "pq", lambda: _pq_topk(spark, sf_dir)).select(
+        "query_id",
+        "neighbor_id",
+        F.col("dist").cast("double").alias("adc_dist"),
+        "rk",
+    )
+
+
+@register(
+    "similarity_recall_pq",
+    oracle=f"""
+{_SQL_PQ},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {sql_sq_dist('q.embedding', 'v.embedding')}, v.vec_id)
+             AS rk
+    FROM e q JOIN e v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) t WHERE rk <= {TOPK}
+)
+SELECT b.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_matched,
+       CAST(COALESCE(h.n, 0) AS DOUBLE) / {TOPK} AS recall
+FROM (SELECT DISTINCT query_id FROM exact) b
+LEFT JOIN (
+  SELECT e2.query_id, COUNT(*) AS n
+  FROM exact e2 JOIN pq USING (query_id, neighbor_id)
+  GROUP BY 1
+) h USING (query_id)
+""",
+)
+def similarity_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC search against the EXACT squared-L2 top-10
+    (metric-matched: PQ approximates L2, so the audit baseline is L2,
+    not the cosine baseline the other recall audits use).
+
+    The exact side streams candidates against the broadcast query set
+    with the deterministic fold — same shape as the brute-force cosine
+    baseline; at scale it runs over a query SAMPLE as the audit sidecar.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "qv",
+            "embedding",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        spread(e)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    ann = similarity_topk_pq(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_matched"),
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.lit(TOPK)
+            ).alias("recall"),
+        )
+    )

@@ -149,6 +149,8 @@ _PRIORITY = (
     "events_value_trend",
     "stream_session_agg",
     "stream_dedup_within_watermark",
+    "similarity_topk_pq",
+    "similarity_recall_pq",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
