@@ -231,3 +231,47 @@ def test_incremental_rollup_partial_merge(spark, sf_dir):
     df = QS["agg_incremental_rollup"](spark, sf_dir)
     plan = plans.explain_str(df)
     assert plan.count("HashAggregate") >= 4  # partial+final × (base, incr, merge)
+
+
+def test_ewma_single_window_exchange(spark, sf_dir):
+    """The 8-tap EWMA is ONE per-user window pass: a single shuffle
+    exchange (the user_id sort), no join, no second window."""
+    import re
+
+    df = QS["events_ewma_trailing"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_audit_sample_no_global_sort(spark, sf_dir):
+    """k-per-group sampling must not materialize a global sort — the
+    row_number + filter stays a per-group window after one hash
+    exchange (no rangepartitioning over the corpus)."""
+    df = QS["sample_topk_per_group"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_pagerank_no_cartesian(spark, sf_dir):
+    df = QS["graph_pagerank"](spark, sf_dir)
+    assert not plans.has_cartesian_or_bnl(df)
+
+
+def test_source_overlap_no_self_join_of_corpus(spark, sf_dir):
+    """Pair expansion is HOF-based after a groupBy on the shingle — the
+    physical plan must not contain a sort-merge self-join of the
+    exploded shingle stream (the thing that recomputes the corpus scan
+    twice and doubles the shuffle)."""
+    df = QS["corpus_source_overlap"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert "SortMergeJoin" not in plan or plan.count("Scan parquet") <= 2
+
+
+def test_pq_adc_join_broadcasts_lookup(spark, sf_dir):
+    """ADC scoring joins the full code table against the tiny per-query
+    lookup table — that join must be broadcast, never a shuffle of the
+    codes."""
+    df = QS["similarity_topk_pq"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian_or_bnl(df)
