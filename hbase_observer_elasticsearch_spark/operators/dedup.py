@@ -1096,21 +1096,37 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHINGLE and expand each shingle's sorted source set combinatorially
     with an array HOF (flatten of nested transforms) — the fan-out is
     bounded by source-count per shingle (≤ #sources, independent of
-    corpus size), the expensive shingle scan happens once, and no
-    self-join recomputes the shingle subtree. One shuffle on the
-    shingle, one on the (source_a, source_b) rollup; per-source totals
-    are a broadcast-sized side table. Output is #source-pairs rows —
-    constant in corpus size.
+    corpus size), and no self-join recomputes the shingle subtree. The
+    shingles are carried WITH the source column from one scan (no join
+    back to documents), and the per-source totals — a #sources-row
+    aggregate — are collected and attached as a literal map, so the
+    final plan has NO join at all: two aggregation passes over the
+    shingle stream and a constant-size lookup. Output is #source-pairs
+    rows — constant in corpus size.
     """
     ensure_session_conf(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (SHINGLE_W - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + k) for k in range(SHINGLE_W)]
+    )
+    arr = F.when(n >= SHINGLE_W, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
     h = (
-        shingle_docs(d.select("doc_id", "text"))
-        .join(d.select("doc_id", "source"), "doc_id")
-        .select(F.col("s").alias("ch"), "source")
+        d.select("source", F.explode(F.array_distinct(arr)).alias("ch"))
         .distinct()
     )
-    totals = h.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # totals: one row per source — driver-sized at any corpus scale.
+    totals = {
+        r["source"]: r["n"]
+        for r in h.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tmap = F.create_map(
+        *[F.lit(x) for kv in sorted(totals.items()) for x in kv]
+    )
     srcs = h.groupBy("ch").agg(
         F.array_sort(F.collect_set("source")).alias("ss")
     )
@@ -1134,28 +1150,18 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = pairs.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shared")
     )
-    ta = totals.select(
-        F.col("source").alias("source_a"), F.col("n").alias("n_a")
-    )
-    tb = totals.select(
-        F.col("source").alias("source_b"), F.col("n").alias("n_b")
-    )
-    return (
-        shared.join(ta, "source_a")
-        .join(tb, "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_shared",
-            F.col("n_a").cast("bigint").alias("n_a"),
-            F.col("n_b").cast("bigint").alias("n_b"),
-            (
-                F.col("n_shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
-                    "double"
-                )
-            ).alias("jaccard"),
-        )
+    n_a = F.element_at(tmap, F.col("source_a")).cast("bigint")
+    n_b = F.element_at(tmap, F.col("source_b")).cast("bigint")
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        (
+            F.col("n_shared").cast("double")
+            / (n_a + n_b - F.col("n_shared")).cast("double")
+        ).alias("jaccard"),
     )
 
 

@@ -258,20 +258,29 @@ def test_pagerank_no_cartesian(spark, sf_dir):
     assert not plans.has_cartesian_or_bnl(df)
 
 
-def test_source_overlap_no_self_join_of_corpus(spark, sf_dir):
-    """Pair expansion is HOF-based after a groupBy on the shingle — the
-    physical plan must not contain a sort-merge self-join of the
-    exploded shingle stream (the thing that recomputes the corpus scan
-    twice and doubles the shuffle)."""
+def test_source_overlap_join_free(spark, sf_dir):
+    """Pair expansion is HOF-based after a groupBy on the shingle and the
+    per-source totals attach as a literal map — the final plan must have
+    NO join at all (a self-join of the exploded shingle stream would
+    recompute the corpus scan and double the shuffle)."""
+    import re
+
     df = QS["corpus_source_overlap"](spark, sf_dir)
     plan = plans.explain_str(df)
-    assert "SortMergeJoin" not in plan or plan.count("Scan parquet") <= 2
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
 def test_pq_adc_join_broadcasts_lookup(spark, sf_dir):
     """ADC scoring joins the full code table against the tiny per-query
     lookup table — that join must be broadcast, never a shuffle of the
-    codes."""
-    df = QS["similarity_topk_pq"](spark, sf_dir)
+    codes. (Inspect the builder, not the registered query: the registry
+    entry returns the memoized localCheckpoint, whose plan is just the
+    cached-RDD scan. The tiny query×centroid crossJoins are deliberate
+    BNLs over broadcast 4-row tables, so no no-BNL assertion here.)"""
+    from hbase_observer_elasticsearch_spark.operators.similarity import (
+        _pq_topk,
+    )
+
+    df = _pq_topk(spark, sf_dir)
     assert plans.has_broadcast_join(df)
-    assert not plans.has_cartesian_or_bnl(df)
