@@ -533,3 +533,83 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("valid_from_ms").alias("version_ms"),
     )
+
+
+@register(
+    "cdc_retention_purge",
+    oracle="""
+WITH cf AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         user_id AS rowkey,
+         event_type AS qualifier,
+         value, ts
+  FROM events
+),
+latest AS (
+  SELECT rowkey, qualifier, op, value, ts
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY rowkey, qualifier
+                                 ORDER BY ts DESC, seq DESC) AS rn
+    FROM cf
+  ) t WHERE rn = 1
+),
+horizon AS (SELECT MAX(ts) - INTERVAL 7 DAY AS cutoff FROM cf)
+SELECT l.rowkey, l.qualifier,
+       CASE WHEN l.op = 'delete' THEN NULL ELSE l.value END AS value,
+       l.ts AS state_ts,
+       CAST(l.op = 'delete' AS BOOLEAN) AS is_tombstone
+FROM latest l CROSS JOIN horizon h
+WHERE NOT (l.op = 'delete' AND l.ts < h.cutoff)
+""",
+)
+def cdc_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone retention compaction: last-write-wins state per
+    (rowkey, qualifier), with tombstones older than the 7-day retention
+    horizon PURGED (dropped entirely) and younger tombstones retained as
+    explicit NULL markers — the HBase-major-compaction / Kafka-compacted-
+    topic lifecycle step that keeps a CDC-mirrored state table from
+    accumulating unbounded delete markers. (The reference deletes
+    eagerly in ES and keeps no marker at all —
+    HbaseDataSyncEsObserver.java:115-121; retention is what replaces
+    that when downstream consumers need late-redelivery protection.)
+
+    Scale shape: one LWW window per key (the cdc_last_state shuffle),
+    one broadcast scalar for the horizon; the purge predicate is
+    map-side. State size after purge is live keys + recent tombstones —
+    the bound that matters on an unbounded feed.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cf = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put")
+        .alias("op"),
+        F.col("user_id").alias("rowkey"),
+        F.col("event_type").alias("qualifier"),
+        "value",
+        "ts",
+    )
+    w = Window.partitionBy("rowkey", "qualifier").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    latest = (
+        cf.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    cutoff = cf.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cutoff")
+    )
+    joined = latest.crossJoin(F.broadcast(cutoff))
+    keep = ~((F.col("op") == "delete") & (F.col("ts") < F.col("cutoff")))
+    return joined.filter(keep).select(
+        "rowkey",
+        "qualifier",
+        F.when(F.col("op") == "delete", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.col("ts").alias("state_ts"),
+        (F.col("op") == "delete").alias("is_tombstone"),
+    )

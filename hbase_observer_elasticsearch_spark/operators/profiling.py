@@ -11,7 +11,7 @@ proving the engine's SQL face matches DuckDB's on a correlated top-k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
@@ -144,4 +144,79 @@ def profile_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") * HIST_WIDTH).alias("bucket_lo"),
         "n",
         (F.col("n") * F.lit(1.0) / F.col("total")).alias("frac"),
+    )
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+WITH freq AS (
+  SELECT l_orderkey AS key, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_orderkey
+),
+moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt
+  FROM freq
+),
+heavy AS (
+  SELECT key, cnt FROM (
+    SELECT key, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+    FROM freq
+  ) t WHERE rk <= 10
+)
+SELECT h.key AS hot_key,
+       CAST(h.cnt AS BIGINT) AS hot_cnt,
+       m.n_keys, m.n_rows, m.max_cnt, m.p99_cnt,
+       CAST(m.max_cnt AS DOUBLE) * m.n_keys / m.n_rows AS skew_factor
+FROM heavy h CROSS JOIN moments m
+""",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the top-10 heaviest l_orderkey values plus
+    corpus-level frequency moments (max, exact p99, skew factor =
+    max/mean) — the report a planner (or an engineer) reads to decide
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (join_salted_skew is the treatment; this is the diagnosis).
+
+    Scale shape: one hash aggregation on the key, then two tiny
+    reductions (global moments and a top-10 TakeOrdered) over the
+    key-frequency table — which is |distinct keys|, already far smaller
+    than the fact table. The exact p99 runs over counts, not rows, and
+    at 100 TB you'd swap it for approx_percentile with no other change.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    moments = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+        .cast("bigint")
+        .alias("p99_cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "key")
+    heavy = (
+        freq.select("key", "cnt", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+    return heavy.crossJoin(F.broadcast(moments)).select(
+        F.col("key").alias("hot_key"),
+        F.col("cnt").cast("bigint").alias("hot_cnt"),
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p99_cnt",
+        (
+            F.col("max_cnt").cast("double")
+            * F.col("n_keys")
+            / F.col("n_rows")
+        ).alias("skew_factor"),
     )

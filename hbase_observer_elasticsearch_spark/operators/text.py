@@ -620,3 +620,114 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# Blocklist for the C4-style lexicon gate. The fixture vocabulary is
+# synthetic, so the "bad" terms are ordinary tokens — the MACHINERY
+# (broadcast lexicon, map-side array intersection, per-source funnel) is
+# what carries to a real blocklist of any size.
+BLOCKLIST = ("slow", "error", "dup")
+
+
+@register(
+    "text_blocklist_gate",
+    oracle=f"""
+WITH hits AS (
+  SELECT doc_id, source,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+                            {list(BLOCKLIST)})) AS n_blocked_terms,
+         len(list_filter(string_split(text, ' '),
+                         w -> list_contains({list(BLOCKLIST)}, w)))
+           AS n_blocked_tokens,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(n_blocked_terms AS BIGINT) AS n_blocked_terms,
+       CAST(n_blocked_tokens AS BIGINT) AS n_blocked_tokens,
+       CAST(n_blocked_tokens AS DOUBLE) / n_tokens AS blocked_frac,
+       CAST(n_blocked_tokens AS DOUBLE) / n_tokens < 0.05 AS passes_gate
+FROM hits
+""",
+)
+def text_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style lexicon gate: per document, how many distinct blocklist
+    terms appear, what fraction of tokens are blocked, and whether the
+    doc passes the < 5% threshold — the word-filter step of web-corpus
+    curation.
+
+    Scale shape: the lexicon ships as a literal array inside the plan
+    (broadcast-by-construction; a real multi-thousand-term list would be
+    a broadcast join against the exploded token stream instead — same
+    cost class as text_rarest_terms). Everything here is map-side array
+    HOF math over one corpus scan: no explode, no shuffle, no join.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    block = F.array(*[F.lit(t) for t in BLOCKLIST])
+    words = F.split(F.col("text"), " ")
+    n_terms = F.size(F.array_intersect(F.array_distinct(words), block))
+    n_toks = F.size(F.filter(words, lambda w: F.array_contains(block, w)))
+    frac = n_toks.cast("double") / F.size(words)
+    return d.select(
+        "doc_id",
+        "source",
+        n_terms.cast("bigint").alias("n_blocked_terms"),
+        n_toks.cast("bigint").alias("n_blocked_tokens"),
+        frac.alias("blocked_frac"),
+        (frac < 0.05).alias("passes_gate"),
+    )
+
+
+PREFIX_W = 16  # tokens in the prefix fingerprint
+
+
+@register(
+    "text_prefix_dup_groups",
+    oracle=f"""
+WITH pre AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:{PREFIX_W}], ' '))
+           AS prefix_hash
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {PREFIX_W}
+)
+SELECT prefix_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM pre
+GROUP BY prefix_hash
+HAVING COUNT(*) > 1
+""",
+)
+def text_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate groups: documents whose first 16 tokens are
+    identical — the mirror-page / templated-intro detector (crawls are
+    full of pages that diverge only after a boilerplate opening, which
+    whole-document hashing misses and pairwise Jaccard prices at full
+    cost).
+
+    Scale shape: prefix slice + hash are map-side (the fingerprint is 32
+    chars regardless of document size — the cheapest possible dedup
+    key); one hash aggregation; HAVING keeps only actual groups, which
+    shrink the output to the duplicated remainder.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    pre = d.filter(F.size(words) >= PREFIX_W).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(words, 1, PREFIX_W))).alias(
+            "prefix_hash"
+        ),
+    )
+    return (
+        pre.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -151,6 +151,10 @@ _PRIORITY = (
     "stream_dedup_within_watermark",
     "similarity_topk_pq",
     "similarity_recall_pq",
+    "cdc_retention_purge",
+    "profile_key_skew",
+    "text_blocklist_gate",
+    "text_prefix_dup_groups",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
