@@ -613,3 +613,119 @@ def cdc_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("state_ts"),
         (F.col("op") == "delete").alias("is_tombstone"),
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+WITH cf AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         user_id AS rowkey,
+         event_type AS qualifier,
+         value, ts
+  FROM events
+),
+cuts AS (
+  SELECT MAX(ts) - INTERVAL 14 DAY AS t1,
+         MAX(ts) - INTERVAL 7 DAY AS t2
+  FROM cf
+),
+s1 AS (
+  SELECT rowkey, qualifier, value FROM (
+    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY rowkey, qualifier
+                                   ORDER BY ts DESC, seq DESC) AS rn
+    FROM cf c, cuts WHERE c.ts <= cuts.t1
+  ) t WHERE rn = 1 AND op = 'put'
+),
+s2 AS (
+  SELECT rowkey, qualifier, value FROM (
+    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY rowkey, qualifier
+                                   ORDER BY ts DESC, seq DESC) AS rn
+    FROM cf c, cuts WHERE c.ts <= cuts.t2
+  ) t WHERE rn = 1 AND op = 'put'
+)
+SELECT COALESCE(s1.rowkey, s2.rowkey) AS rowkey,
+       COALESCE(s1.qualifier, s2.qualifier) AS qualifier,
+       s1.value AS value_before,
+       s2.value AS value_after,
+       CASE WHEN s1.rowkey IS NULL THEN 'added'
+            WHEN s2.rowkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM s1 FULL OUTER JOIN s2
+  ON s1.rowkey = s2.rowkey AND s1.qualifier = s2.qualifier
+WHERE s1.rowkey IS NULL OR s2.rowkey IS NULL OR s1.value <> s2.value
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two time-travel points (T−14d vs T−7d of
+    the changefeed): which (rowkey, qualifier) cells were added, removed,
+    or changed — the incremental-read / CDC-between-snapshots query a
+    lakehouse table format answers from its snapshot log, restated over
+    the raw changefeed (complements cdc_time_travel's point lookup and
+    cdc_scd2_history's full interval materialization).
+
+    Scale shape: each snapshot is one LWW window over mutations ≤ its
+    cutoff — both windows share the (rowkey, qualifier) partitioning, so
+    the second costs a filter, not a new shuffle class — and the diff is
+    a co-partitioned full outer join on the same key. Output is only the
+    changed cells. On a real log you'd first prune files to the
+    (t1, t2] range by partition metadata — exactly what the range
+    filters here push to the scan.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cf = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put")
+        .alias("op"),
+        F.col("user_id").alias("rowkey"),
+        F.col("event_type").alias("qualifier"),
+        "value",
+        "ts",
+    )
+    cuts = cf.agg(
+        (F.max("ts") - F.expr("INTERVAL 14 DAY")).alias("t1"),
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("t2"),
+    )
+    w = Window.partitionBy("rowkey", "qualifier").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+
+    def state_at(cut_col: str) -> DataFrame:
+        return (
+            cf.crossJoin(F.broadcast(cuts))
+            .filter(F.col("ts") <= F.col(cut_col))
+            .select("*", F.row_number().over(w).alias("rn"))
+            .filter((F.col("rn") == 1) & (F.col("op") == "put"))
+            .select("rowkey", "qualifier", "value")
+        )
+
+    s1 = state_at("t1").withColumnsRenamed(
+        {"value": "value_before", "rowkey": "r1", "qualifier": "q1"}
+    )
+    s2 = state_at("t2").withColumnsRenamed(
+        {"value": "value_after", "rowkey": "r2", "qualifier": "q2"}
+    )
+    j = s1.join(
+        s2,
+        (F.col("r1") == F.col("r2")) & (F.col("q1") == F.col("q2")),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("r1").isNull(), "added")
+        .when(F.col("r2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.filter(
+        F.col("r1").isNull()
+        | F.col("r2").isNull()
+        | (F.col("value_before") != F.col("value_after"))
+    ).select(
+        F.coalesce(F.col("r1"), F.col("r2")).alias("rowkey"),
+        F.coalesce(F.col("q1"), F.col("q2")).alias("qualifier"),
+        "value_before",
+        "value_after",
+        change.alias("change_type"),
+    )

@@ -767,3 +767,117 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(det == 0, F.lit(None)).otherwise(slope).alias("slope_per_day"),
         F.when(det == 0, F.lit(None)).otherwise(intercept).alias("intercept"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS step_a,
+       next_type AS step_b,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS DOUBLE)
+         / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p_next
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order path analysis: the transition matrix of consecutive
+    event types per user — counts and conditional probabilities
+    P(next | current), the Markov-chain view of user journeys that
+    product analytics builds sankey diagrams from.
+
+    Scale shape: one per-user window sort produces the (step, next)
+    pairs map-side; the transition rollup is a hash aggregation on a
+    |event_types|² key space — tiny output regardless of corpus size;
+    the row-normalization window runs over that tiny aggregate, not the
+    events. Integer counts; one BIGINT/BIGINT-shaped division.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("step_a"), F.col("next_type").alias("step_b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    wrow = Window.partitionBy("step_a")
+    return counts.select(
+        "step_a",
+        "step_b",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wrow)
+        ).alias("p_next"),
+    )
+
+
+@register(
+    "events_rolling_actives",
+    oracle="""
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+covered AS (
+  SELECT user_id,
+         day + to_days(CAST(off AS INTEGER)) AS window_end
+  FROM user_days, unnest(generate_series(0, 6)) AS t(off)
+),
+spans AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM user_days)
+SELECT c.window_end,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_active_7d
+FROM covered c CROSS JOIN spans s
+WHERE c.window_end BETWEEN s.d0 AND s.d1
+GROUP BY c.window_end
+""",
+)
+def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (WAU) per day — the
+    distinct-count-over-sliding-window metric that has NO window-function
+    form (COUNT(DISTINCT) OVER a frame is unsupported in both engines,
+    and for good reason: naive per-frame distinct is quadratic).
+
+    Spark-first restatement: dedupe to (user, active-day) — the only
+    corpus-sized shuffle — then explode each active day into the ≤ 7
+    window-end days it contributes to and count distinct per window end.
+    Fan-out is exactly 7×|user-days| (bounded, map-side), versus the
+    7-way self-join of the naive form. Window ends outside the observed
+    day span are clipped so every reported window is fully defined.
+    At 100 TB the same shape runs with an HLL sketch per day
+    (sketch_battery) when exact distincts stop being worth their shuffle.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    covered = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("off"),
+        "day",
+    ).select(
+        "user_id",
+        (F.col("day") + F.make_dt_interval(days=F.col("off"))).alias(
+            "window_end"
+        ),
+    )
+    spans = user_days.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return (
+        covered.crossJoin(F.broadcast(spans))
+        .filter(F.col("window_end").between(F.col("d0"), F.col("d1")))
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_7d"))
+    )

@@ -155,6 +155,9 @@ _PRIORITY = (
     "profile_key_skew",
     "text_blocklist_gate",
     "text_prefix_dup_groups",
+    "events_top_paths",
+    "events_rolling_actives",
+    "cdc_snapshot_diff",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
