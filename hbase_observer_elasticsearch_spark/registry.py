@@ -137,27 +137,31 @@ _PRIORITY = (
     "join_asof_nearest",
     "cdc_scd2_history",
     "cdc_time_travel",
-    "events_ewma_trailing",
-    "events_gap_fill_locf",
-    "subquery_exists_battery",
-    "pack_length_buckets",
+    # r4b/c session additions, flagship families first: the driver window
+    # is a ~50-entry prefix, so whichever of these fit after the rotation
+    # + r4-new block get official rows this round; tools/check.py FULL
+    # covers the rest.
+    "similarity_topk_pq",
+    "similarity_recall_pq",
+    "stream_session_agg",
+    "stream_dedup_within_watermark",
     "graph_pagerank",
     "corpus_source_overlap",
     "text_dup_ngram_coverage",
-    "window_trailing_median",
-    "sample_topk_per_group",
-    "events_value_trend",
-    "stream_session_agg",
-    "stream_dedup_within_watermark",
-    "similarity_topk_pq",
-    "similarity_recall_pq",
+    "cdc_snapshot_diff",
     "cdc_retention_purge",
+    "events_ewma_trailing",
+    "events_gap_fill_locf",
+    "events_value_trend",
+    "window_trailing_median",
+    "events_top_paths",
+    "events_rolling_actives",
     "profile_key_skew",
     "text_blocklist_gate",
     "text_prefix_dup_groups",
-    "events_top_paths",
-    "events_rolling_actives",
-    "cdc_snapshot_diff",
+    "sample_topk_per_group",
+    "pack_length_buckets",
+    "subquery_exists_battery",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
