@@ -1227,3 +1227,137 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_coverage"),
         (frac >= 0.5).alias("flagged"),
     )
+
+
+PR_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+@register(
+    "dedup_lsh_pr_curve",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+{_sql_minhash_sigs().strip().lstrip()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cool AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {PAIR_BUCKET_CAP}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM cool)
+  GROUP BY 1, 2
+),
+j_all AS (
+  SELECT doc_a, doc_b,
+         n_shared * 1.0 / (sa.n + sb.n - n_shared) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+),
+flagged AS (
+  SELECT j.jaccard, (c.doc_a IS NOT NULL) AS is_cand
+  FROM j_all j LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM cand) c
+    USING (doc_a, doc_b)
+),
+n_cand AS (SELECT COUNT(*) AS nc FROM (SELECT DISTINCT doc_a, doc_b FROM cand)),
+curve AS (
+  SELECT t.threshold,
+         CAST(COUNT(*) FILTER (WHERE jaccard >= t.threshold) AS BIGINT)
+           AS n_exact,
+         CAST(COUNT(*) FILTER (WHERE jaccard >= t.threshold AND is_cand)
+              AS BIGINT) AS n_hits
+  FROM flagged, (VALUES {", ".join(f"({t})" for t in PR_THRESHOLDS)})
+    AS t(threshold)
+  GROUP BY t.threshold
+)
+SELECT CAST(threshold AS DOUBLE) AS threshold,
+       n_exact,
+       (SELECT CAST(nc AS BIGINT) FROM n_cand) AS n_cand,
+       n_hits,
+       CAST(n_hits AS DOUBLE) / (SELECT nc FROM n_cand) AS precision_at_t,
+       CASE WHEN n_exact = 0 THEN NULL
+            ELSE CAST(n_hits AS DOUBLE) / n_exact END AS recall_at_t
+FROM curve
+""",
+)
+def dedup_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall tuning curve of the 4×4 MinHash-LSH candidate set
+    against exact Jaccard at several duplicate thresholds — the report
+    that decides the (bands × rows) trade-off BEFORE re-sharding a
+    100 TB corpus around new signatures (complements
+    docs_minhash_band_stats, which prices the candidate volume; this
+    prices its quality).
+
+    Scale shape: the exact side reuses the capped inverted index (pair
+    volume bounded by bucket cap, same cap in the oracle) and the LSH
+    side the band buckets; both pair tables are tiny relative to the
+    corpus, and the curve is one conditional aggregation over exact
+    pairs exploded by 4 literal thresholds. Integer counts; divisions
+    written identically in both dialects.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+
+    sh = shingle_docs(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inv = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    inter = _pairs_from_groups(inv).groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # Both pair tables are candidate-pair-sized (tiny vs the corpus) but
+    # their feeding subtrees are the expensive shingle/minhash scans, and
+    # each table has two consumers below — localCheckpoint materializes
+    # each subtree once (the memo idiom used for _jaccard_pairs_memo).
+    j_all = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .localCheckpoint()
+    )
+
+    coded = _coded_shingles(d)
+    buckets = (
+        _lsh_bands(coded)
+        .groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = _pairs_from_groups(buckets).distinct().localCheckpoint()
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+
+    flagged = j_all.join(
+        cand.withColumn("is_cand", F.lit(True)), ["doc_a", "doc_b"], "left"
+    ).select("jaccard", F.coalesce("is_cand", F.lit(False)).alias("is_cand"))
+    thresholds = F.array(*[F.lit(float(t)) for t in PR_THRESHOLDS])
+    curve = (
+        flagged.select("jaccard", "is_cand", F.explode(thresholds).alias("threshold"))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.col("is_cand").cast("long")).cast("bigint").alias("n_hits"),
+        )
+    )
+    return curve.crossJoin(F.broadcast(n_cand)).select(
+        F.col("threshold").cast("double").alias("threshold"),
+        "n_exact",
+        "n_cand",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_cand")).alias(
+            "precision_at_t"
+        ),
+        F.when(F.col("n_exact") == 0, F.lit(None)).otherwise(
+            F.col("n_hits").cast("double") / F.col("n_exact")
+        ).alias("recall_at_t"),
+    )

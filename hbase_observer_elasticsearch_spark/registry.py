@@ -148,6 +148,7 @@ _PRIORITY = (
     "graph_pagerank",
     "corpus_source_overlap",
     "text_dup_ngram_coverage",
+    "dedup_lsh_pr_curve",
     "cdc_snapshot_diff",
     "cdc_retention_purge",
     "events_ewma_trailing",
