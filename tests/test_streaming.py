@@ -785,3 +785,87 @@ def test_tws_doc_state_parity(spark, tmp_path):
         if json.loads(v["doc_json"])
     }
     assert got == EXPECTED_STATE
+
+
+def test_session_window_merges_on_bridge_event(spark, tmp_path):
+    """A late-but-in-watermark event that lands BETWEEN two existing
+    sessions of the same key must MERGE them into one emitted session —
+    the interval-state semantics that distinguish session windows from
+    slot-shaped window state. File 1 creates two sessions of user 'a'
+    (gap 40 min > the 30-min session gap); file 2 bridges them at +20 min
+    and pushes the watermark far past their end with a distant key 'b'
+    event, so exactly ONE merged session for 'a' is emitted in append
+    mode."""
+    import datetime as dt
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        CHANGEFEED_SCHEMA,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(seq, key, minutes):
+        return (
+            seq,
+            "put",
+            key,
+            "info",
+            "q",
+            "v",
+            t0 + dt.timedelta(minutes=minutes),
+        )
+
+    f1 = [row(1, "a", 0), row(2, "a", 40)]
+    f2 = [row(3, "a", 20), row(4, "b", 600)]
+    cf_dir = str(tmp_path / "cf")
+    os.makedirs(cf_dir)
+    for i, rows in enumerate((f1, f2), start=1):
+        df = spark.createDataFrame(rows, CHANGEFEED_SCHEMA).coalesce(1)
+        part = str(tmp_path / f"part{i}")
+        df.write.mode("overwrite").parquet(part)
+        import glob
+        import shutil
+        import time
+
+        src = sorted(glob.glob(os.path.join(part, "*.parquet")))[0]
+        dst = os.path.join(cf_dir, f"{i:05d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cf_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), "rowkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "rowkey",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+    )
+    name = "merge_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    out = {r["rowkey"]: r for r in spark.table(name).collect()}
+    # user 'a': one MERGED session 00:00 → 00:40+30min, all 3 events
+    assert "a" in out and out["a"]["n"] == 3
+    assert out["a"]["s"] == t0
+    assert out["a"]["e"] == t0 + dt.timedelta(minutes=70)
+    # user 'b''s session is still open at the final watermark → absent
+    assert "b" not in out
