@@ -915,3 +915,84 @@ def subquery_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_without_urgent"),
         )
     )
+
+
+# Process-lifetime memo of the bucketed fact tables: written ONCE per
+# (application, sf_dir) — the "pay the shuffle at ingest" half of the
+# bucketing contract — so every downstream co-located join, including
+# repeated bench samples, times the exchange-free join itself.
+_BUCKETED_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sinks.bucketed import write_bucketed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BUCKETED_TABLES.get(key)
+    if got is not None:
+        return got
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_facts_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    o_name, l_name = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        o_name,
+        "o_orderkey",
+        path=f"{base}/o",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey"), "l_extendedprice"
+        ),
+        l_name,
+        "l_orderkey",
+        path=f"{base}/l",
+    )
+    _BUCKETED_TABLES[key] = (o_name, l_name)
+    return o_name, l_name
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_dsum("l.l_extendedprice")} AS sum_price
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join consumed from BUCKETED tables: both sides are
+    written bucketed+sorted by the join key once (the ingest-time
+    shuffle), and every later join scans the buckets directly — the
+    physical plan has NO Exchange on either side (asserted in
+    tests/test_bucketed.py), which at 100 TB converts the dominant
+    recurring shuffle into a one-time layout cost. This is the lakehouse
+    restatement of HBase's region-pre-partitioned layout (SURVEY §1.1) —
+    the reason the reference's per-region hooks never shuffle.
+
+    The registered query times the exchange-free join + aggregation; the
+    bucketed write is memoized per (application, sf_dir) exactly like a
+    production table written at ingest.
+    """
+    ensure_session_conf(spark)
+    o_name, l_name = _bucketed_facts(spark, sf_dir)
+    from ..sinks.bucketed import colocated_join
+
+    j = colocated_join(
+        spark, o_name, l_name,
+        spark.table(l_name).l_orderkey == spark.table(o_name).o_orderkey,
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )

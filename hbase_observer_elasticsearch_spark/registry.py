@@ -149,6 +149,7 @@ _PRIORITY = (
     "corpus_source_overlap",
     "text_dup_ngram_coverage",
     "dedup_lsh_pr_curve",
+    "join_bucketed_colocated",
     "cdc_snapshot_diff",
     "cdc_retention_purge",
     "events_ewma_trailing",

@@ -284,3 +284,14 @@ def test_pq_adc_join_broadcasts_lookup(spark, sf_dir):
 
     df = _pq_topk(spark, sf_dir)
     assert plans.has_broadcast_join(df)
+
+
+def test_bucketed_colocated_join_single_exchange(spark, sf_dir):
+    """The bucketed fact-fact join consumes bucket layout directly: the
+    ONLY exchange in the whole plan is the final small aggregation —
+    neither join side re-shuffles."""
+    import re
+
+    df = QS["join_bucketed_colocated"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
