@@ -394,3 +394,98 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.min("doc_id").cast("bigint").alias("keep_doc_id"),
     )
+
+
+def _payload_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: per-blob byte histogram stats — the profiling
+    pass a media pipeline runs to spot corrupt/duplicate/empty payloads
+    without any codec."""
+    from collections import Counter
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            c = Counter(payload)
+            modal_byte, modal_cnt = max(
+                c.items(), key=lambda kv: (kv[1], -kv[0])
+            )
+            rows.append(
+                (
+                    doc_id,
+                    len(payload),
+                    len(c),
+                    int(modal_byte),
+                    modal_cnt / len(payload),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "byte_len",
+                "n_distinct_bytes",
+                "modal_byte",
+                "modal_frac",
+            ],
+        )
+
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unicode(substring(text, CAST(i AS INTEGER), 1)) AS b
+  FROM documents, unnest(generate_series(1, length(text))) t(i)
+),
+counts AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM chars GROUP BY doc_id, b
+),
+modal AS (
+  SELECT doc_id, b, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, b) AS rn
+    FROM counts
+  ) t WHERE rn = 1
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS byte_len,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes
+  FROM counts GROUP BY doc_id
+)
+SELECT a.doc_id, a.byte_len, a.n_distinct_bytes,
+       CAST(m.b AS BIGINT) AS modal_byte,
+       CAST(m.c AS DOUBLE) / a.byte_len AS modal_frac
+FROM agg a JOIN modal m USING (doc_id)
+""",
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free payload profiling over the binary media column: byte
+    length, distinct-byte count, modal byte and its frequency — the
+    corrupt-blob / truncated-file / constant-padding detector that runs
+    BEFORE any decode at 100 TB (a blob whose modal byte covers ~100% is
+    padding; a few distinct bytes means truncation or fill).
+
+    Spark shape: Arrow-batched mapInPandas over the blob column — blobs
+    never shuffle, stats are a few ints per blob; the oracle recomputes
+    the histogram character-wise (fixture payloads are ASCII text bytes,
+    so byte == character code). Ties on the modal byte break to the
+    SMALLEST byte value in both engines.
+    """
+    ensure_session_conf(spark)
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("byte_len", T.LongType()),
+            T.StructField("n_distinct_bytes", T.LongType()),
+            T.StructField("modal_byte", T.LongType()),
+            T.StructField("modal_frac", T.DoubleType()),
+        ]
+    )
+    return (
+        media_table(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(_payload_stats_batches, schema)
+    )

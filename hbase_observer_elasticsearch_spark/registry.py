@@ -150,6 +150,7 @@ _PRIORITY = (
     "text_dup_ngram_coverage",
     "dedup_lsh_pr_curve",
     "join_bucketed_colocated",
+    "multimodal_payload_stats",
     "cdc_snapshot_diff",
     "cdc_retention_purge",
     "events_ewma_trailing",
