@@ -281,3 +281,134 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").alias("missing_val"),
         F.when(k > 50, "high").otherwise("low").alias("k_bucket"),
     )
+
+
+@register(
+    "agg_conditional_battery",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id) AS rmin
+  FROM events
+),
+base AS (
+  SELECT event_type,
+         CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+         CAST(COUNT(*) FILTER (WHERE value <= 50) AS BIGINT) AS n_low,
+         bool_and(value >= 0) AS all_nonneg,
+         bool_or(value > 99) AS any_gt99
+  FROM events GROUP BY event_type
+)
+SELECT base.*,
+       CAST(mx.event_id AS BIGINT) AS max_value_event,
+       CAST(mn.event_id AS BIGINT) AS min_value_event
+FROM base
+JOIN (SELECT event_type, event_id FROM ranked WHERE rmax = 1) mx
+  USING (event_type)
+JOIN (SELECT event_type, event_id FROM ranked WHERE rmin = 1) mn
+  USING (event_type)
+""",
+)
+def agg_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate battery: count_if / FILTER counts, every()/
+    some() boolean aggregates, and argmax/argmin with explicit unique
+    tiebreaks (max_by/min_by on a (value, id) struct — the
+    nondeterministic bare form is exactly what the determinism rules
+    forbid).
+
+    All map-side partial-aggregable: one hash shuffle on event_type.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).cast("bigint").alias("n_high"),
+        F.count_if(F.col("value") <= 50).cast("bigint").alias("n_low"),
+        F.every(F.col("value") >= 0).alias("all_nonneg"),
+        F.some(F.col("value") > 99).alias("any_gt99"),
+        F.max_by(
+            "event_id", F.struct(F.col("value"), (-F.col("event_id")).alias("t"))
+        ).cast("bigint").alias("max_value_event"),
+        F.min_by(
+            "event_id", F.struct(F.col("value"), F.col("event_id").alias("t"))
+        ).cast("bigint").alias("min_value_event"),
+    )
+
+
+@register(
+    "bitwise_funcs",
+    oracle="""
+SELECT event_type,
+       CAST(bit_and(event_id) AS BIGINT) AS band,
+       CAST(bit_or(event_id) AS BIGINT) AS bor,
+       CAST(bit_xor(event_id) AS BIGINT) AS bxor,
+       CAST(SUM(bit_count(event_id)) AS BIGINT) AS total_popcount,
+       CAST(SUM(event_id & 255) AS BIGINT) AS sum_low_byte,
+       CAST(SUM(CASE WHEN event_id & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_odd
+FROM events
+GROUP BY event_type
+""",
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery: bit_and/or/xor aggregates, popcount, masking and
+    parity — the bit-level surface sketch/bloom implementations lean on
+    (functions/hashing.py uses the same ops for minhash/simhash).
+
+    Integer-only: no float-determinism machinery needed anywhere.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").cast("bigint").alias("band"),
+        F.bit_or("event_id").cast("bigint").alias("bor"),
+        F.bit_xor("event_id").cast("bigint").alias("bxor"),
+        F.sum(F.bit_count("event_id")).cast("bigint").alias("total_popcount"),
+        F.sum(F.col("event_id").bitwiseAND(F.lit(255)))
+        .cast("bigint")
+        .alias("sum_low_byte"),
+        F.sum(
+            F.when(F.col("event_id").bitwiseAND(F.lit(1)) == 1, 1).otherwise(0)
+        ).cast("bigint").alias("n_odd"),
+    )
+
+
+@register(
+    "null_handling_funcs",
+    oracle="""
+SELECT event_id,
+       COALESCE(json_extract_string(props, '$.missing'), 'absent') AS coal,
+       NULLIF(event_type, 'error') AS nullif_err,
+       (CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+             THEN 'has' ELSE 'hasnt' END) AS nvl2_shape,
+       (event_type IS NOT DISTINCT FROM 'error') AS nullsafe_is_err,
+       (json_extract_string(props, '$.missing')
+          IS DISTINCT FROM event_type) AS distinct_from_type
+FROM events
+""",
+)
+def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: coalesce, nullif, nvl2 shape, and null-safe
+    (IS [NOT] DISTINCT FROM) comparison — the three-valued-logic corners
+    that silently flip anti-join and filter results when mishandled
+    (the CDC tombstone queries lean on eqNullSafe for exactly this).
+
+    Pure map-side expressions over one scan.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    missing = F.get_json_object("props", "$.missing")
+    return ev.select(
+        "event_id",
+        F.coalesce(missing, F.lit("absent")).alias("coal"),
+        F.nullif("event_type", F.lit("error")).alias("nullif_err"),
+        F.when(missing.isNotNull(), "has").otherwise("hasnt").alias(
+            "nvl2_shape"
+        ),
+        F.col("event_type").eqNullSafe("error").alias("nullsafe_is_err"),
+        (~missing.eqNullSafe(F.col("event_type"))).alias(
+            "distinct_from_type"
+        ),
+    )

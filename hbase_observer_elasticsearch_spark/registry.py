@@ -165,6 +165,9 @@ _PRIORITY = (
     "sample_topk_per_group",
     "pack_length_buckets",
     "subquery_exists_battery",
+    "agg_conditional_battery",
+    "bitwise_funcs",
+    "null_handling_funcs",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
