@@ -412,3 +412,43 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_from_type"
         ),
     )
+
+
+@register(
+    "variant_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+       CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_typed,
+       CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 'BIGINT'
+            ELSE NULL END AS k_type
+FROM events
+""",
+)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT battery (Spark 4): `parse_json` into a
+    VARIANT column, typed path extraction with `variant_get`, and
+    `schema_of_variant` for type introspection — the open-schema
+    ingestion surface that replaces stringly `get_json_object` chains
+    when the payload shape varies row to row (exactly the reference's
+    `info` JSON envelope, SURVEY §2.1 #6, whose fields HBase never
+    types).
+
+    VARIANT keeps a binary-encoded value with embedded types, so the
+    typed extraction is one pass with no re-parse per path — at 100 TB
+    the difference between parsing JSON once per row and once per
+    (row × path). The oracle reads the same paths with DuckDB's typed
+    json_extract.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_typed"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_typed"),
+        F.when(k.isNotNull(), F.schema_of_variant(F.try_variant_get(v, "$.k", "variant"))).alias(
+            "k_type"
+        ),
+    )

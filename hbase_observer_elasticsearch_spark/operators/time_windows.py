@@ -881,3 +881,52 @@ def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_end")
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_7d"))
     )
+
+
+_MARKOV_SQL = """
+WITH RECURSIVE trans AS (
+  SELECT event_type AS step_a, next_type AS step_b,
+         CAST(COUNT(*) AS DOUBLE)
+           / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+  FROM (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+  ) s
+  WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+paths(path, last, depth, prob) AS (
+  SELECT 'view', 'view', 0, CAST(1.0 AS DOUBLE)
+  UNION ALL
+  SELECT p.path || '>' || t.step_b, t.step_b, p.depth + 1, p.prob * t.p
+  FROM paths p JOIN trans t ON t.step_a = p.last
+  WHERE p.depth < 3
+)
+SELECT path, CAST(prob AS DOUBLE) AS prob
+FROM paths WHERE depth = 3
+"""
+
+
+@register("recursive_markov_paths", oracle=_MARKOV_SQL)
+def recursive_markov_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 3-step user-journey paths from 'view' with their Markov-chain
+    probabilities (product of first-order transition probabilities) — a
+    RECURSIVE CTE run natively by Spark 4's `WITH RECURSIVE` support,
+    with the identical SQL text as the DuckDB oracle.
+
+    Recursion here is DEPTH-BOUNDED (the `depth < 3` guard), which is
+    the only safe recursion shape under UNION ALL semantics (Spark 4
+    does not yet support deduplicating UNION in recursive CTEs, so
+    cyclic closures still belong to the iterative DataFrame loop —
+    operators/dedup.connected_components). Each recursion step is one
+    broadcast-able join of the frontier against the |event_types|²
+    transition matrix; the frontier is paths^depth rows, bounded by the
+    depth guard. The probability product multiplies left-to-right in
+    recursion order — the same expression tree in both engines, so the
+    doubles agree bitwise.
+    """
+    ensure_session_conf(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_MARKOV_SQL)

@@ -168,6 +168,8 @@ _PRIORITY = (
     "agg_conditional_battery",
     "bitwise_funcs",
     "null_handling_funcs",
+    "recursive_markov_paths",
+    "variant_funcs",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
