@@ -1361,3 +1361,112 @@ def dedup_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits").cast("double") / F.col("n_exact")
         ).alias("recall_at_t"),
     )
+
+
+@register(
+    "dedup_cluster_embedding_quality",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS doc_id, rc.r
+  FROM edges e JOIN reach rc ON rc.doc_id = e.dst
+),
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+members AS (
+  SELECT l.cluster_id, e.vec_id, e.embedding
+  FROM labels l JOIN embeddings e ON e.vec_id = l.doc_id
+),
+dims AS (
+  SELECT cluster_id, vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM members
+),
+sums AS (
+  SELECT cluster_id, pos,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sv
+  FROM dims GROUP BY cluster_id, pos
+),
+sum_sq AS (
+  SELECT cluster_id,
+         CAST(SUM(CAST(sv * sv AS DECIMAL(28,12))) AS DOUBLE) AS norm_sum_sq
+  FROM sums GROUP BY cluster_id
+),
+self_sq AS (
+  SELECT cluster_id,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sum_self_sq,
+         COUNT(DISTINCT vec_id) AS n
+  FROM dims GROUP BY cluster_id
+)
+SELECT s.cluster_id,
+       CAST(s.n AS BIGINT) AS n_members,
+       (q.norm_sum_sq - s.sum_self_sq)
+         / (CAST(s.n AS DOUBLE) * (s.n - 1)) AS mean_pair_dot
+FROM self_sq s JOIN sum_sq q USING (cluster_id)
+WHERE s.n >= 2
+""",
+)
+def dedup_cluster_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit composing the near-dup CC labels with the
+    embedding table: the mean pairwise dot product WITHIN each
+    multi-member cluster via the Σ-vector identity
+    (Σ_{i≠j} vi·vj = ||Σv||² − Σ||v||²) — the check that text-derived
+    duplicate clusters are also tight in embedding space (a loose
+    cluster is a false merge; this catches it with ZERO pair
+    enumeration).
+
+    Scale shape: the labels come from the memoized CC computation (zero
+    incremental cost after dedup_clusters); the identity needs one
+    (cluster, dim) aggregation and two cluster-level rollups — linear in
+    Σ member dims, never in member pairs. Decimal sums keep every
+    aggregate order-free; the final expression is fixed-form doubles.
+    """
+    ensure_session_conf(spark)
+    labels = _jaccard_cc_labels(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    members = labels.join(
+        e, labels.doc_id == e.vec_id
+    ).select("cluster_id", "vec_id", "embedding")
+    dims = members.select(
+        "cluster_id",
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "cluster_id", "vec_id", "pos", F.col("xf").cast("double").alias("x")
+    )
+    sums = dims.groupBy("cluster_id", "pos").agg(
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("sv")
+    )
+    sum_sq = sums.groupBy("cluster_id").agg(
+        F.sum((F.col("sv") * F.col("sv")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("norm_sum_sq")
+    )
+    self_sq = dims.groupBy("cluster_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sum_self_sq"),
+        F.countDistinct("vec_id").alias("n"),
+    )
+    return (
+        self_sq.filter(F.col("n") >= 2)
+        .join(sum_sq, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("n").cast("bigint").alias("n_members"),
+            (
+                (F.col("norm_sum_sq") - F.col("sum_self_sq"))
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            ).alias("mean_pair_dot"),
+        )
+    )

@@ -996,3 +996,106 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         dsum("l_extendedprice").alias("sum_price"),
     )
+
+
+@register(
+    "basket_brand_lift",
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n_orders AS (SELECT COUNT(DISTINCT okey) AS n FROM ob),
+brand_n AS (SELECT brand, COUNT(*) AS nb FROM ob GROUP BY brand),
+grouped AS (
+  SELECT okey, list_sort(list(brand)) AS brands FROM ob GROUP BY okey
+),
+pairs AS (
+  SELECT u1.b AS brand_a, u2.b AS brand_b
+  FROM grouped,
+       unnest(brands) AS t1(b),
+       unnest(brands) AS t2(b),
+       LATERAL (SELECT t1.b) u1(b), LATERAL (SELECT t2.b) u2(b)
+  WHERE u1.b < u2.b
+),
+pc AS (SELECT brand_a, brand_b, COUNT(*) AS n_both FROM pairs GROUP BY 1, 2)
+SELECT pc.brand_a, pc.brand_b,
+       CAST(pc.n_both AS BIGINT) AS n_both,
+       CAST(ba.nb AS BIGINT) AS n_a,
+       CAST(bb.nb AS BIGINT) AS n_b,
+       (CAST(pc.n_both AS DOUBLE) * (SELECT n FROM n_orders))
+         / (CAST(ba.nb AS DOUBLE) * bb.nb) AS lift
+FROM pc
+JOIN brand_n ba ON ba.brand = pc.brand_a
+JOIN brand_n bb ON bb.brand = pc.brand_b
+WHERE pc.n_both >= 10
+""",
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: brand-pair co-occurrence within orders with
+    association LIFT = P(a,b) / (P(a)·P(b)) — the affinity report behind
+    recommendations, restricted to pairs seen in ≥ 10 orders.
+
+    Scale shape: baskets are distinct (order, brand) pairs — one join to
+    the part dim (broadcast-able) + one distinct; pair generation is the
+    same groupBy-collect + in-row combination fan-out as the LSH pairs
+    (bounded by brands-per-order, ~items-per-order, never |brands|²);
+    the lift denominators join from a |brands|-row table. Counts are
+    integers; the lift is one double expression written identically.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.agg(F.countDistinct("okey").alias("n"))
+    brand_n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("nb"))
+    grouped = ob.groupBy("okey").agg(
+        F.array_sort(F.collect_list("brand")).alias("brands")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("brands"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("brands"),
+                            i + 2,
+                            F.greatest(
+                                F.size("brands") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("brand_a"), b.alias("brand_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.brand_a", "pr.brand_b")
+    pc = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    ba = brand_n.select(F.col("brand").alias("brand_a"), F.col("nb").alias("na"))
+    bb = brand_n.select(F.col("brand").alias("brand_b"), F.col("nb").alias("nbb"))
+    return (
+        pc.filter(F.col("n_both") >= 10)
+        .join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nbb").cast("bigint").alias("n_b"),
+            (
+                F.col("n_both").cast("double") * F.col("n")
+                / (F.col("na").cast("double") * F.col("nbb"))
+            ).alias("lift"),
+        )
+    )

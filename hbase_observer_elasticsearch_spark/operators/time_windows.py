@@ -930,3 +930,71 @@ def recursive_markov_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_MARKOV_SQL)
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+WITH flank AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type NOT IN ('purchase', 'error')
+                         THEN event_type END IGNORE NULLS) OVER w
+           AS last_touch,
+         last_value(CASE WHEN event_type NOT IN ('purchase', 'error')
+                         THEN ts END IGNORE NULLS) OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT last_touch AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM flank
+WHERE event_type = 'purchase'
+  AND last_touch IS NOT NULL
+  AND ts - touch_ts <= INTERVAL 7 DAY
+GROUP BY last_touch
+""",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent non-purchase, non-error event within a 7-day lookback —
+    the marketing-attribution query that is naively a per-purchase as-of
+    join and here is ONE flanking window pass (the same
+    amortize-the-as-of-join trick as time_asof_interpolate: every event
+    carries its preceding touch, purchases just filter).
+
+    One shuffle (the per-user window sort); the rollup output is
+    |channels| rows. The 1-PRECEDING frame excludes the purchase row
+    itself without a self-join.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = ~F.col("event_type").isin("purchase", "error")
+    flank = ev.select(
+        "event_type",
+        "ts",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        flank.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_touch").isNotNull()
+            & (
+                F.unix_millis(F.col("ts").cast("timestamp"))
+                - F.unix_millis(F.col("touch_ts").cast("timestamp"))
+                <= 7 * 86400 * 1000
+            )
+        )
+        .groupBy(F.col("last_touch").alias("channel"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    )

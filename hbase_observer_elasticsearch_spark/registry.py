@@ -170,6 +170,9 @@ _PRIORITY = (
     "null_handling_funcs",
     "recursive_markov_paths",
     "variant_funcs",
+    "events_attribution_last_touch",
+    "basket_brand_lift",
+    "dedup_cluster_embedding_quality",
     # last driver-checked in r2 — next-stalest; fill the remaining window.
     "cdc_last_state",
     "cdc_nullsafe_tombstones",
