@@ -729,3 +729,57 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_after",
         change.alias("change_type"),
     )
+
+
+@register(
+    "cdc_python_datasource",
+    oracle="""
+WITH cf AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS rowkey,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+           AS qualifier,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n_mutations,
+       CAST(COUNT(DISTINCT rowkey) AS BIGINT) AS n_keys,
+       CAST(MIN(seq) AS BIGINT) AS min_seq,
+       CAST(MAX(seq) AS BIGINT) AS max_seq
+FROM cf
+GROUP BY op
+""",
+)
+def cdc_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changefeed consumed through a CUSTOM PYTHON DATASOURCE
+    (Spark 4 `pyspark.sql.datasource` API, sources/python_datasource.py)
+    instead of the built-in parquet reader — the connector slot where a
+    real HBase-snapshot/replication-log reader plugs in (reference
+    client factory, polyinfo/EsClient.java:29-60).
+
+    The connector declares 4 rowkey-hash partitions (the stand-in for
+    HBase region splits), Spark schedules one task per partition, and
+    this query proves the full surface end-to-end: schema declaration,
+    partition planning, executor-side reads, and a downstream aggregate
+    that must equal the relational restatement of the same feed.
+    """
+    ensure_session_conf(spark)
+    import os
+
+    from ..sources.python_datasource import register_changefeed_datasource
+
+    register_changefeed_datasource(spark)
+    cf = (
+        spark.read.format("changefeed_py")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("numPartitions", "4")
+        .load()
+    )
+    return cf.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mutations"),
+        F.countDistinct("rowkey").cast("bigint").alias("n_keys"),
+        F.min("seq").cast("bigint").alias("min_seq"),
+        F.max("seq").cast("bigint").alias("max_seq"),
+    )

@@ -153,6 +153,7 @@ _PRIORITY = (
     "multimodal_payload_stats",
     "cdc_snapshot_diff",
     "cdc_retention_purge",
+    "cdc_python_datasource",
     "events_ewma_trailing",
     "events_gap_fill_locf",
     "events_value_trend",
