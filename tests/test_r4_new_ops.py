@@ -123,3 +123,67 @@ def test_sample_topk_per_group_exact_k_and_stable(spark, sf_dir):
     # deterministic across runs
     again = sample_topk_per_group(spark, sf_dir).toPandas()
     assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
+def test_blocklist_gate_bounds(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.text import (
+        text_blocklist_gate,
+        BLOCKLIST,
+    )
+
+    out = text_blocklist_gate(spark, sf_dir).toPandas()
+    assert ((out.blocked_frac >= 0) & (out.blocked_frac <= 1)).all()
+    assert (out.n_blocked_terms <= len(BLOCKLIST)).all()
+    assert (out.passes_gate == (out.blocked_frac < 0.05)).all()
+
+
+def test_prefix_dup_groups_are_real(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+    from hbase_observer_elasticsearch_spark.operators.text import (
+        text_prefix_dup_groups,
+        PREFIX_W,
+    )
+
+    out = text_prefix_dup_groups(spark, sf_dir).toPandas()
+    assert (out.n_docs > 1).all()
+    # cross-check one group against raw text prefixes
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    prefixes = docs.text.str.split(" ").map(
+        lambda w: " ".join(w[:PREFIX_W]) if len(w) >= PREFIX_W else None
+    )
+    from collections import Counter
+
+    c = Counter(p for p in prefixes if p is not None)
+    assert sorted(out.n_docs) == sorted(v for v in c.values() if v > 1)
+
+
+def test_key_skew_report_consistent(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.profiling import (
+        profile_key_skew,
+    )
+
+    out = profile_key_skew(spark, sf_dir).toPandas()
+    assert len(out) == 10
+    assert out.hot_cnt.max() == out.max_cnt.iloc[0]
+    assert (out.hot_cnt <= out.max_cnt).all()
+    assert (out.p99_cnt <= out.max_cnt).all()
+    assert (out.skew_factor >= 1.0 - 1e-12).all()
+
+
+def test_rolling_actives_vs_bruteforce(spark, sf_dir):
+    import pandas as pd
+
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+    from hbase_observer_elasticsearch_spark.operators.time_windows import (
+        events_rolling_actives,
+    )
+
+    out = events_rolling_actives(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    got = dict(zip(out.window_end, out.n_active_7d))
+    days = sorted(ev.day.unique())
+    for d in days:
+        lo = d - pd.Timedelta(days=6)
+        expect = ev[(ev.day >= lo) & (ev.day <= d)].user_id.nunique()
+        assert got[d] == expect, d
