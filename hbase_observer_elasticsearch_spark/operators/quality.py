@@ -1,0 +1,344 @@
+"""Data-quality and corpus-curation reports [NORTH-STAR].
+
+The pre-promotion audits a 100 TB lakehouse ingest runs before exposing a
+snapshot to consumers: referential-integrity orphan counts across every
+foreign-key edge, physical file-layout statistics straight from scan
+metadata (the compaction/clustering planner's input), a one-scan corpus
+gate crosstab (the keep/drop funnel of a training-data curation run),
+and the dedup-savings report that prices exact + near-dup dedup in
+documents and bytes.
+
+The reference has no audit surface at all (SURVEY §5.1 — its pipeline
+trusts HBase cell bytes end-to-end, `observer6/HbaseDataSyncEsObserver
+.java:83-113` ships whatever arrives); these are the checks its operators
+would have needed before anyone trusted the mirrored index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..session import ensure_session_conf
+from .dedup import _SQL_JACCARD_PAIRS, _SQL_SHINGLES, _jaccard_cc_labels
+from .text import BLOCKLIST, STOPWORDS
+
+# (fk_name, child table, child key, parent table, parent key) — the star
+# schema's FK edges, smallest parent first so broadcast order reads well.
+_FK_EDGES = (
+    ("orders.o_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+@register(
+    "quality_fk_orphans",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{fk}' AS fk,
+       COUNT(*) AS n_child,
+       COUNT(*) FILTER (WHERE p.{pk} IS NULL) AS n_orphans,
+       CAST(COUNT(*) FILTER (WHERE p.{pk} IS NULL) AS DOUBLE) / COUNT(*)
+         AS orphan_frac
+FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}"""
+        for fk, child, ck, parent, pk in _FK_EDGES
+    ),
+)
+def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every foreign-key edge of the
+    star schema, how many child rows have no matching parent — the
+    trust-but-verify pass a lakehouse runs per snapshot before promoting
+    it (an orphan burst usually means a partial upstream load).
+
+    Scale shape: one left join + single-row aggregate per edge. Every
+    parent side here is dimension-sized, so Catalyst broadcasts it and
+    the audit costs one map-side pass over each child table; a
+    fact-to-fact edge (lineitem→orders) falls back to a shuffled hash
+    join on the key it is already bucketable by. Counts only — nothing
+    row-sized crosses an exchange after the join.
+    """
+    ensure_session_conf(spark)
+    parts = []
+    for fk, child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        joined = c.join(p, c[ck] == p[pk], "left")
+        orphans = F.sum(F.col(pk).isNull().cast("long"))
+        cnt = F.count(F.lit(1))
+        parts.append(
+            joined.agg(
+                F.lit(fk).alias("fk"),
+                cnt.alias("n_child"),
+                orphans.alias("n_orphans"),
+                (orphans.cast("double") / cnt).alias("orphan_frac"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+@register(
+    "profile_file_layout",
+    oracle="""
+SELECT 'lineitem.parquet' AS file_name,
+       COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_key,
+       MAX(l_orderkey) AS max_key
+FROM lineitem
+""",
+)
+def profile_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical layout profile from scan metadata: rows and key range per
+    parquet file via the `_metadata` hidden column — the input to a
+    compaction / clustering planner (small files ⇒ compact; overlapping
+    key ranges ⇒ re-cluster before range queries are cheap).
+
+    Scale shape: `_metadata.file_name` is populated by the scan itself —
+    no extra IO, no listing job; the aggregate is one shuffle keyed by
+    file (ideal partitioning: it IS the file partitioning). The fixtures
+    ship exactly one parquet file per table (TESTDATA.md), so the oracle
+    states the whole-table aggregate under that invariant; the pytest
+    cross-check (tests/test_quality.py) verifies the per-file grouping
+    against DuckDB's `read_parquet(..., filename=true)` — the layout-
+    aware twin the static view-based oracle cannot express.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.element_at(F.split(F.col("_metadata.file_name"), "/"), -1).alias(
+                "file_name"
+            ),
+            "l_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
+
+
+_SQL_STOP = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "corpus_gate_report",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         n_chars,
+         len(list_filter(string_split(text, ' '), w -> w IN {_SQL_STOP}))
+           * 1.0 / len(string_split(text, ' ')) AS en_score,
+         len(list_distinct(string_split(text, ' ')))
+           * 1.0 / len(string_split(text, ' ')) AS ttr,
+         len(list_filter(string_split(text, ' '),
+                         w -> list_contains({list(BLOCKLIST)}, w)))
+           * 1.0 / len(string_split(text, ' ')) AS blocked_frac
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE en_score >= 0.05) AS n_lang_ok,
+       COUNT(*) FILTER (WHERE n_tokens >= 40 AND n_chars <= 20000)
+         AS n_len_ok,
+       COUNT(*) FILTER (WHERE ttr >= 0.3) AS n_ttr_ok,
+       COUNT(*) FILTER (WHERE blocked_frac < 0.05) AS n_blocklist_ok,
+       COUNT(*) FILTER (WHERE en_score >= 0.05
+                        AND n_tokens >= 40 AND n_chars <= 20000
+                        AND ttr >= 0.3 AND blocked_frac < 0.05)
+         AS n_all_pass,
+       CAST(COUNT(*) FILTER (WHERE en_score >= 0.05
+                             AND n_tokens >= 40 AND n_chars <= 20000
+                             AND ttr >= 0.3 AND blocked_frac < 0.05)
+            AS DOUBLE) / COUNT(*) AS all_pass_frac
+FROM g
+""",
+)
+def corpus_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel in one scan: how many documents pass each
+    individual gate (language, length band, type-token ratio, blocklist)
+    and how many pass ALL of them — the headline numbers of a
+    training-data curation run (each gate reuses the exact expression of
+    its standalone query: text_langid_heuristic, text_quality_filter,
+    text_blocklist_gate).
+
+    Scale shape: every gate is a map-side array/HOF expression over one
+    corpus scan; the report is a single-row multi-aggregate (map-side
+    partials, one tiny final reduce). At 100 TB this is strictly cheaper
+    than materializing any gate's verdict column — which is exactly why
+    the report comes first and the gated write second.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    block = F.array(*[F.lit(t) for t in BLOCKLIST])
+    en_score = (
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+        * F.lit(1.0)
+        / n_tokens
+    )
+    ttr = F.size(F.array_distinct(words)) * F.lit(1.0) / n_tokens
+    blocked_frac = (
+        F.size(F.filter(words, lambda w: F.array_contains(block, w)))
+        * F.lit(1.0)
+        / n_tokens
+    )
+    g = d.select(
+        n_tokens.alias("n_tokens"),
+        F.col("n_chars"),
+        en_score.alias("en_score"),
+        ttr.alias("ttr"),
+        blocked_frac.alias("blocked_frac"),
+    )
+    lang_ok = F.col("en_score") >= 0.05
+    len_ok = (F.col("n_tokens") >= 40) & (F.col("n_chars") <= 20000)
+    ttr_ok = F.col("ttr") >= 0.3
+    bl_ok = F.col("blocked_frac") < 0.05
+    all_ok = lang_ok & len_ok & ttr_ok & bl_ok
+    cnt = F.count(F.lit(1))
+    return g.agg(
+        cnt.alias("n_docs"),
+        F.sum(lang_ok.cast("long")).alias("n_lang_ok"),
+        F.sum(len_ok.cast("long")).alias("n_len_ok"),
+        F.sum(ttr_ok.cast("long")).alias("n_ttr_ok"),
+        F.sum(bl_ok.cast("long")).alias("n_blocklist_ok"),
+        F.sum(all_ok.cast("long")).alias("n_all_pass"),
+        (F.sum(all_ok.cast("long")).cast("double") / cnt).alias(
+            "all_pass_frac"
+        ),
+    )
+
+
+@register(
+    "corpus_dedup_savings",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS doc_id, rc.r
+  FROM edges e JOIN reach rc ON rc.doc_id = e.dst
+),
+lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+raw AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents
+),
+exact_keep AS (
+  SELECT n_chars FROM (
+    SELECT n_chars,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(array_to_string(
+               list_sort(string_split(text, ' ')), ' '))
+             ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+near_keep AS (
+  SELECT n_chars FROM (
+    SELECT d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM documents d JOIN lab l USING (doc_id)) WHERE rn = 1
+),
+stages AS (
+  SELECT 'raw' AS stage, n_docs, total_chars FROM raw
+  UNION ALL
+  SELECT 'exact_dedup', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+  FROM exact_keep
+  UNION ALL
+  SELECT 'neardup_keep_best', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+  FROM near_keep
+)
+SELECT stage, n_docs, total_chars,
+       CAST(n_docs AS DOUBLE) / (SELECT n_docs FROM raw) AS docs_frac,
+       CAST(total_chars AS DOUBLE) / (SELECT total_chars FROM raw)
+         AS chars_frac
+FROM stages
+""",
+)
+def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup business case in three rows: corpus size (documents and
+    characters) raw, after exact canonical-hash dedup, and after
+    near-dup keep-best-per-cluster — i.e. what fraction of storage and
+    training tokens each dedup stage saves. Keep rule at both stages is
+    the same as dedup_keep_best: (n_chars desc, doc_id) per group.
+
+    Scale shape: three single-row aggregates unioned — raw is one scan,
+    exact is one hash shuffle on the canonical hash, near-dup reuses the
+    memoized CC labels (computed once per process, shared with
+    dedup_clusters/dedup_keep_best) plus one shuffle on cluster_id. The
+    fractions divide two exact integers as doubles (correctly-rounded in
+    both engines).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+
+    raw = d.agg(
+        F.lit("raw").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+    canon = F.md5(F.concat_ws(" ", F.array_sort(F.split(F.col("text"), " "))))
+    exact = (
+        d.select(canon.alias("ch"), "doc_id", "n_chars")
+        .groupBy("ch")
+        .agg(
+            F.max_by(
+                F.col("n_chars"), F.struct(F.col("n_chars"), -F.col("doc_id"))
+            ).alias("n_chars")
+        )
+        .agg(
+            F.lit("exact_dedup").alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+    labels = _jaccard_cc_labels(spark, sf_dir)
+    near = (
+        labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.col("n_chars"), F.struct(F.col("n_chars"), -F.col("doc_id"))
+            ).alias("n_chars")
+        )
+        .agg(
+            F.lit("neardup_keep_best").alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+    stages = raw.unionByName(exact).unionByName(near)
+    w = Window.partitionBy()
+    raw_docs = F.max(F.when(F.col("stage") == "raw", F.col("n_docs"))).over(w)
+    raw_chars = F.max(
+        F.when(F.col("stage") == "raw", F.col("total_chars"))
+    ).over(w)
+    return stages.select(
+        "stage",
+        "n_docs",
+        "total_chars",
+        (F.col("n_docs").cast("double") / raw_docs).alias("docs_frac"),
+        (F.col("total_chars").cast("double") / raw_chars).alias("chars_frac"),
+    )

@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "hbase_observer_elasticsearch_spark.operators.sampling",
     "hbase_observer_elasticsearch_spark.operators.profiling",
     "hbase_observer_elasticsearch_spark.operators.sketches",
+    "hbase_observer_elasticsearch_spark.operators.quality",
 )
 
 
