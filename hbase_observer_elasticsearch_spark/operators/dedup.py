@@ -1470,3 +1470,53 @@ def dedup_cluster_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("mean_pair_dot"),
         )
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM jp
+    UNION ALL
+    SELECT doc_b AS doc_id FROM jp)
+  GROUP BY doc_id
+),
+alld AS (
+  SELECT d.doc_id, COALESCE(g.degree, 0) AS degree
+  FROM documents d LEFT JOIN deg g USING (doc_id)
+)
+SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_nodes
+FROM alld GROUP BY degree
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup graph (including degree-0
+    documents): how many documents have how many near-duplicates — the
+    shape report that sizes every downstream graph pass (a heavy tail
+    here predicts hot keys in the CC loop and justifies the bucket cap).
+
+    Scale shape: reuses the memoized checkpointed edge list (computed
+    once per process, shared with CC/PageRank/triangles); degrees are
+    one hash aggregation over the doubled edge list, the histogram a
+    second aggregation over the node-sized degree table, plus one left
+    join against the doc-id spine for the degree-0 mass. Nothing here
+    touches text again.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_memo(spark, sf_dir)
+    doubled = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = doubled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    alld = (
+        d.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+    return alld.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

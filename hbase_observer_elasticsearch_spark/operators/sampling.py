@@ -323,3 +323,56 @@ def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SAMPLE_K_PER_GROUP)
         .select("doc_id", "lang", "source", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+# Weighted Bernoulli target rate: keep probability = 0.2 * w / max_w,
+# evaluated in exact BIGINT arithmetic (u32 * max_w * 5 < w * 2^32).
+_W_RATE_NUM, _W_RATE_DEN = 1, 5  # rate = 1/5 at w == max_w
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle=f"""
+WITH mx AS (SELECT MAX(n_chars) AS maxw FROM documents)
+SELECT doc_id, source, n_chars
+FROM documents, mx
+WHERE CAST(CONCAT('0x', substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT)
+      * maxw * {_W_RATE_DEN}
+      < n_chars * 4294967296 * {_W_RATE_NUM}
+""",
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic Bernoulli sample: each document is
+    kept with probability (n_chars / max_chars) * 1/5 — longer documents
+    proportionally more likely, as a token-budgeted corpus draw wants.
+    The coin is the md5-derived uniform u32 of the doc_id, compared in
+    EXACT integer arithmetic (u32 * max_w * 5 < n_chars * 2^32), so the
+    draw is bit-reproducible in any engine and stable under retries —
+    no floats, no RNG state, no ordering dependence.
+
+    Scale shape: one single-row MAX aggregate broadcast to a map-side
+    filter — the weighted draw costs one corpus scan, zero shuffles of
+    data rows. (A fixed weight cap would drop even the MAX pass;
+    deriving it keeps the sample self-normalizing as the corpus grows.)
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    maxw = d.agg(F.max("n_chars").alias("maxw"))
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.crossJoin(F.broadcast(maxw))
+        .filter(
+            u32 * F.col("maxw") * F.lit(_W_RATE_DEN)
+            < F.col("n_chars") * F.lit(4294967296) * F.lit(_W_RATE_NUM)
+        )
+        .select("doc_id", "source", "n_chars")
+    )

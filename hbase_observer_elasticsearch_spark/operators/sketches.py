@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import hashing as H
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -197,4 +198,115 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(F.broadcast(sampled), "event_type")
         .orderBy(F.col("exact_n").desc(), "event_type")
         .limit(3)
+    )
+
+
+# Count-min sketch geometry: d hash rows × w counters. Hashes come from
+# the shared md5-affine family (functions/hashing.py) so the sketch is
+# bit-identical in any engine.
+CMS_D = 4
+CMS_W = 256
+CMS_TOP = 10
+
+
+def _sql_cms_col(j: int) -> str:
+    return f"({H.sql_affine('code', j)}) % {CMS_W}"
+
+
+@register(
+    "sketch_countmin",
+    oracle=f"""
+WITH keyed AS (
+  SELECT l_partkey AS k,
+         {H.sql_token_code("CAST(l_partkey AS VARCHAR)")} AS code
+  FROM lineitem
+),
+rows_j AS (
+  SELECT k, code, j FROM keyed,
+    (VALUES {", ".join(f"({j})" for j in range(CMS_D))}) t(j)
+),
+cells AS (
+  SELECT j,
+         CASE {" ".join(f"WHEN j = {j} THEN {_sql_cms_col(j)}" for j in range(CMS_D))} END AS col,
+         COUNT(*) AS c
+  FROM rows_j GROUP BY 1, 2
+),
+dk AS (SELECT k, code FROM keyed GROUP BY 1, 2),
+dk_j AS (
+  SELECT k, j,
+         CASE {" ".join(f"WHEN j = {j} THEN {_sql_cms_col(j)}" for j in range(CMS_D))} END AS col
+  FROM dk, (VALUES {", ".join(f"({j})" for j in range(CMS_D))}) t(j)
+),
+est AS (
+  SELECT k, MIN(c) AS cms_est FROM dk_j JOIN cells USING (j, col) GROUP BY k
+),
+exact AS (SELECT l_partkey AS k, COUNT(*) AS exact_n FROM lineitem GROUP BY 1)
+SELECT k AS partkey, exact_n, cms_est, cms_est - exact_n AS overestimate
+FROM est JOIN exact USING (k)
+ORDER BY cms_est DESC, partkey
+LIMIT {CMS_TOP}
+""",
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over lineitem part keys (d=4 md5-affine rows ×
+    w=256 counters), audited against exact counts: the top-10 keys by
+    sketch estimate with their exact frequency and the CMS
+    overestimation (always ≥ 0 — count-min never undercounts).
+
+    Why this matters at 100 TB: the sketch state is d×w counters per
+    partition (4 KB here) regardless of key cardinality, merged
+    associatively — frequency estimates for EVERY key at a fixed memory
+    budget, where an exact per-key count is a full shuffle of the
+    distinct keys. The md5-affine hash family makes the sketch contents
+    (not just the audit) engine-reproducible, which is what lets the
+    DuckDB oracle replay the exact cells.
+
+    Scale shape: cell build is one groupBy over a map-side ×d explode of
+    integer structs (no strings shuffle — just (j, col) pairs); the
+    estimate probe joins the DISTINCT key table against the d×w cell
+    table (broadcast-sized by construction). Top-k compiles to
+    TakeOrderedAndProject.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.col("l_partkey").alias("k"),
+        H.token_code(F.col("l_partkey").cast("string")).alias("code"),
+    )
+    jcol = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (H.affine(F.col("code"), j) % CMS_W).alias("col"),
+                )
+                for j in range(CMS_D)
+            ]
+        )
+    ).alias("jc")
+    cells = (
+        keyed.select(jcol)
+        .select("jc.j", "jc.col")
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dk_j = keyed.distinct().select(F.col("k"), jcol).select("k", "jc.j", "jc.col")
+    est = (
+        dk_j.join(F.broadcast(cells), ["j", "col"])
+        .groupBy("k")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return (
+        est.join(exact, "k")
+        .select(
+            F.col("k").alias("partkey"),
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.col("cms_est").desc(), "partkey")
+        .limit(CMS_TOP)
     )
