@@ -731,3 +731,110 @@ def text_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+TFIDF_SCALE = 10000  # integer idf scale: weight = tf * floor(SCALE / df)
+TFIDF_DF_CAP = 64  # terms in more docs than this are candidate-join noise
+TFIDF_TOP = 20
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+wt AS (
+  SELECT t.doc_id, t.w, d.df,
+         t.tf * CAST(FLOOR({TFIDF_SCALE}.0 / d.df) AS BIGINT) AS wgt
+  FROM tf t JOIN dfreq d USING (w)
+  WHERE d.df <= {TFIDF_DF_CAP}
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(wgt * wgt) AS BIGINT) AS n2 FROM wt GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.wgt * b.wgt) AS BIGINT) AS dot
+  FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+  WHERE a.df >= 2
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         AS cosine
+FROM dots
+JOIN norms na ON doc_a = na.doc_id
+JOIN norms nb ON doc_b = nb.doc_id
+ORDER BY cosine DESC, doc_a, doc_b
+LIMIT {TFIDF_TOP}
+""",
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity: the top-20 most similar document
+    pairs under integer-scaled tf-idf weights (weight = tf ·
+    ⌊10000/df⌋) over the rare-term vocabulary (df ≤ 64) — the
+    bag-of-words complement to shingle Jaccard: it scores topical
+    similarity, not copy similarity.
+
+    Determinism: weights, dot products, and squared norms are EXACT
+    BIGINT arithmetic; the only float ops are one sqrt per norm and one
+    multiply+divide per pair — each correctly rounded in IEEE double on
+    both engines, written in identical evaluation order.
+
+    Scale shape: inverted-index sparse algebra — tf is one hash agg over
+    the token explode, df one more, the dot-product join touches only
+    postings of terms with 2 ≤ df ≤ 64 (bounded per-term fan-out, the
+    sparse analogue of the LSH bucket cap); norms include df=1 terms via
+    a separate linear aggregate. Top-k compiles to
+    TakeOrderedAndProject. No dense vectors, no n² anywhere.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    wt = (
+        tf.join(dfreq, "w")
+        .filter(F.col("df") <= TFIDF_DF_CAP)
+        .select(
+            "doc_id",
+            "w",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(F.lit(float(TFIDF_SCALE)) / F.col("df")).cast("long")
+            ).alias("wgt"),
+        )
+    )
+    # weight table feeds three consumers (norms + both join sides) —
+    # materialize the token-explode subtree once.
+    wt = wt.localCheckpoint()
+    norms = wt.groupBy("doc_id").agg(
+        F.sum(F.col("wgt") * F.col("wgt")).cast("bigint").alias("n2")
+    )
+    a = wt.filter(F.col("df") >= 2).select(
+        F.col("doc_id").alias("doc_a"), "w", F.col("wgt").alias("wa")
+    )
+    b = wt.select(F.col("doc_id").alias("doc_b"), "w", F.col("wgt").alias("wb"))
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(TFIDF_TOP)
+    )
