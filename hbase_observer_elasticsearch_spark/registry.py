@@ -109,6 +109,17 @@ _PRIORITY = (
     "cdc_stateful_stream",
     "stream_static_enrich",
     "stream_put_delete_join",
+    # r4e session additions (newest — no official row NOR committed FULL
+    # row yet, so they lead the new-query block).
+    "dedup_prefix_filter_join",
+    "text_tfidf_cosine_pairs",
+    "sketch_countmin",
+    "quality_fk_orphans",
+    "corpus_gate_report",
+    "corpus_dedup_savings",
+    "sample_weighted_bernoulli",
+    "graph_degree_distribution",
+    "profile_file_layout",
     # new queries registered in r4 (names not yet registered are skipped,
     # so this list is safe to lead the window while they land).
     "dedup_url_host",
