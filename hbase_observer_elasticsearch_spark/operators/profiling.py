@@ -220,3 +220,55 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_rows")
         ).alias("skew_factor"),
     )
+
+
+# Z-order interleave width: low 8 bits of each of the two keys.
+_Z_SQL = "((l_partkey // 1) % 2) * 1 + ((l_suppkey // 1) % 2) * 2 + ((l_partkey // 2) % 2) * 4 + ((l_suppkey // 2) % 2) * 8 + ((l_partkey // 4) % 2) * 16 + ((l_suppkey // 4) % 2) * 32 + ((l_partkey // 8) % 2) * 64 + ((l_suppkey // 8) % 2) * 128 + ((l_partkey // 16) % 2) * 256 + ((l_suppkey // 16) % 2) * 512 + ((l_partkey // 32) % 2) * 1024 + ((l_suppkey // 32) % 2) * 2048 + ((l_partkey // 64) % 2) * 4096 + ((l_suppkey // 64) % 2) * 8192 + ((l_partkey // 128) % 2) * 16384 + ((l_suppkey // 128) % 2) * 32768"
+_Z_SPARK = "((l_partkey div 1) % 2) * 1 + ((l_suppkey div 1) % 2) * 2 + ((l_partkey div 2) % 2) * 4 + ((l_suppkey div 2) % 2) * 8 + ((l_partkey div 4) % 2) * 16 + ((l_suppkey div 4) % 2) * 32 + ((l_partkey div 8) % 2) * 64 + ((l_suppkey div 8) % 2) * 128 + ((l_partkey div 16) % 2) * 256 + ((l_suppkey div 16) % 2) * 512 + ((l_partkey div 32) % 2) * 1024 + ((l_suppkey div 32) % 2) * 2048 + ((l_partkey div 64) % 2) * 4096 + ((l_suppkey div 64) % 2) * 8192 + ((l_partkey div 128) % 2) * 16384 + ((l_suppkey div 128) % 2) * 32768"
+_Z_BUCKET = 256  # bucket = z >> 8 (the "file" a z-ordered writer would cut)
+
+
+@register(
+    "layout_zorder_locality",
+    oracle=f"""
+WITH z AS (
+  SELECT ({_Z_SQL}) // {_Z_BUCKET} AS z_bucket, l_partkey, l_suppkey
+  FROM lineitem
+)
+SELECT CAST(z_bucket AS BIGINT) AS z_bucket,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS ndv_part,
+       COUNT(DISTINCT l_suppkey) AS ndv_supp
+FROM z GROUP BY z_bucket
+""",
+)
+def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) locality audit: interleave the low 8 bits of
+    (l_partkey, l_suppkey) into a Morton code, cut it into 256-wide
+    buckets (the files a Z-ORDER writer would emit), and report each
+    bucket's row count and per-key distinct counts. Low NDVs per bucket
+    = both keys stay range-prunable — the measurement that decides
+    whether a 100 TB table earns a Z-ORDER rewrite (multi-column
+    range-scan pruning) or single-key sorting is enough.
+
+    Determinism: the Morton code is pure integer arithmetic
+    (div/mod/multiply-add), written with Spark's `div` and DuckDB's
+    `//` integer division — bit-identical in both engines.
+
+    Scale shape: code + bucket are map-side expressions; the audit is
+    one hash aggregation keyed by bucket (the same key the writer would
+    partition on, so the audit's shuffle IS the rewrite's shuffle).
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    # `div` (not "/") keeps the bucket cut in exact integer arithmetic
+    z_bucket = F.expr(f"(({_Z_SPARK}) div {_Z_BUCKET})")
+    return (
+        li.select(z_bucket.cast("bigint").alias("z_bucket"), "l_partkey", "l_suppkey")
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("ndv_part"),
+            F.countDistinct("l_suppkey").alias("ndv_supp"),
+        )
+    )

@@ -342,3 +342,64 @@ def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs").cast("double") / raw_docs).alias("docs_frac"),
         (F.col("total_chars").cast("double") / raw_chars).alias("chars_frac"),
     )
+
+
+@register(
+    "corpus_quality_deciles",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         len(list_distinct(string_split(text, ' ')))
+           * 1.0 / len(string_split(text, ' ')) AS ttr
+  FROM documents
+),
+t AS (
+  SELECT doc_id, n_chars, ttr,
+         ntile(10) OVER (ORDER BY CAST(ttr AS DOUBLE), doc_id) AS decile
+  FROM s
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(MIN(ttr) AS DOUBLE) AS min_ttr,
+       CAST(MAX(ttr) AS DOUBLE) AS max_ttr,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_chars
+FROM t GROUP BY decile
+""",
+)
+def corpus_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score decile table: documents ranked by type-token ratio
+    and cut into 10 equal-frequency buckets, with each decile's score
+    range and average length — the report that picks a keep threshold
+    ("drop the bottom two deciles") from data rather than a guess.
+
+    Scale shape: at this SF the decile cut is one global ntile window
+    (single-partition by construction over a doc-grain projection); at
+    100 TB the same report computes the 9 cut points with
+    approx_percentile (mergeable sketch, no global sort) and assigns
+    buckets map-side — the output contract stays identical, which is
+    why the report is expressed threshold-first. Averages go through
+    exact decimal sums (order-independent).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
+    s = d.select("doc_id", "n_chars", ttr.alias("ttr"))
+    t = s.select(
+        "doc_id",
+        "n_chars",
+        "ttr",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("ttr").cast("double"), "doc_id"))
+        .alias("decile"),
+    )
+    return t.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("ttr").cast("double").alias("min_ttr"),
+        F.max("ttr").cast("double").alias("max_ttr"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_chars"),
+    )

@@ -310,3 +310,112 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cms_est").desc(), "partkey")
         .limit(CMS_TOP)
     )
+
+
+# Bloom filter geometry: m bits, k md5-affine hash rows. Same portable
+# hash family as the count-min sketch, so both engines build the exact
+# same bit set.
+BLOOM_M = 1024
+BLOOM_K = 3
+
+
+def _sql_bloom_pos(j: int) -> str:
+    return f"({H.sql_affine('code', j)}) % {BLOOM_M}"
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS k
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-02-01'
+),
+mcode AS (
+  SELECT k, {H.sql_token_code("CAST(k AS VARCHAR)")} AS code FROM members
+),
+bits AS (
+  SELECT DISTINCT pos FROM mcode,
+    (VALUES {", ".join(f"({j})" for j in range(BLOOM_K))}) t(j),
+    LATERAL (SELECT CASE {" ".join(f"WHEN j = {j} THEN {_sql_bloom_pos(j)}" for j in range(BLOOM_K))} END AS pos) p
+),
+probe AS (
+  SELECT c_custkey AS k,
+         {H.sql_token_code("CAST(c_custkey AS VARCHAR)")} AS code
+  FROM customer
+),
+probe_hits AS (
+  SELECT p.k, COUNT(b.pos) AS n_hit
+  FROM probe p,
+    (VALUES {", ".join(f"({j})" for j in range(BLOOM_K))}) t(j),
+    LATERAL (SELECT CASE {" ".join(f"WHEN j = {j} THEN {_sql_bloom_pos(j)}" for j in range(BLOOM_K))} END AS pos) q
+  LEFT JOIN bits b ON b.pos = q.pos
+  GROUP BY p.k
+)
+SELECT ph.k AS custkey,
+       ph.n_hit = {BLOOM_K} AS bloom_hit,
+       m.k IS NOT NULL AS actually_present,
+       (ph.n_hit = {BLOOM_K}) AND m.k IS NULL AS false_positive
+FROM probe_hits ph LEFT JOIN members m ON ph.k = m.k
+""",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (m=1024 bits, k=3 md5-affine hashes) built
+    over the January-1995 buyer set, probed with EVERY customer: per
+    probe, the bloom verdict, the exact membership, and the
+    false-positive flag. The green oracle row certifies the defining
+    guarantee — zero false NEGATIVES — and prices the false-positive
+    rate (~fill_ratio^k) that a bloom-pruned join pays at 100 TB.
+
+    Why it matters at scale: the bit set is ~128 bytes of broadcast
+    state standing in for a 177-key semi-join; Spark's own runtime
+    bloom pruning (asserted in tests/test_plans.py) uses exactly this
+    trade, but an EXPLICIT engine-portable bloom lets a 100 TB pipeline
+    persist the filter in the lakehouse and prune in OTHER engines too.
+
+    Scale shape: member bit positions are a map-side explode + distinct
+    over a dimension-scan; probes explode to k integer positions and
+    LEFT-join the (≤ m row) bit table — broadcast by construction; the
+    verdict is one aggregate per probe key. Nothing fact-sized shuffles.
+    """
+    ensure_session_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-02-01")
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    code = H.token_code(F.col("k").cast("string"))
+    pos_arr = F.array(
+        *[(H.affine(code, j) % BLOOM_M).alias(f"p{j}") for j in range(BLOOM_K)]
+    )
+    bits = (
+        members.select(F.explode(pos_arr).alias("pos")).distinct()
+    )
+    probe = cust.select(F.col("c_custkey").alias("k")).select(
+        "k", F.explode(pos_arr).alias("pos")
+    )
+    probe_hits = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("k")
+        .agg(F.count("hit").alias("n_hit"))
+    )
+    return (
+        probe_hits.join(
+            F.broadcast(members.withColumn("present", F.lit(True))), "k", "left"
+        )
+        .select(
+            F.col("k").alias("custkey"),
+            (F.col("n_hit") == BLOOM_K).alias("bloom_hit"),
+            F.coalesce("present", F.lit(False)).alias("actually_present"),
+            (
+                (F.col("n_hit") == BLOOM_K)
+                & ~F.coalesce("present", F.lit(False))
+            ).alias("false_positive"),
+        )
+    )

@@ -998,3 +998,139 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("last_touch").alias("channel"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
     )
+
+
+@register(
+    "events_rate_anomaly",
+    oracle="""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+l AS (
+  SELECT day, n_events,
+         LAG(n_events) OVER (ORDER BY day) AS prev_n
+  FROM d
+)
+SELECT day, n_events, prev_n,
+       CAST(n_events AS DOUBLE) / prev_n AS rate_ratio,
+       (CAST(n_events AS DOUBLE) / prev_n >= 2.0
+        OR CAST(n_events AS DOUBLE) / prev_n <= 0.5) AS is_anomaly
+FROM l WHERE prev_n IS NOT NULL
+""",
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day event-rate anomaly flags: each day's volume vs the
+    previous day's, flagged when the ratio doubles or halves — the
+    pipeline-health alarm that catches a dead producer or a duplicate
+    replay before it poisons downstream aggregates (the reference's
+    silently-dropped-flush failure mode, ElasticSearchBulkOperator
+    .java:84-96, is exactly what this detects from the consumer side).
+
+    Scale shape: the window runs over the DAY-grain aggregate (≤ a few
+    thousand rows for years of data), not events — the global ORDER BY
+    is a single tiny partition by construction; the event-grain work is
+    one map-side date_trunc + hash aggregation. Ratio = double division
+    of two exact ints (correctly rounded in both engines).
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("day")
+    l = d.select(
+        "day", "n_events", F.lag("n_events").over(w).alias("prev_n")
+    ).filter(F.col("prev_n").isNotNull())
+    ratio = F.col("n_events").cast("double") / F.col("prev_n")
+    return l.select(
+        "day",
+        "n_events",
+        "prev_n",
+        ratio.alias("rate_ratio"),
+        ((ratio >= 2.0) | (ratio <= 0.5)).alias("is_anomaly"),
+    )
+
+
+@register(
+    "events_pattern_within",
+    oracle="""
+WITH vp AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+nxt AS (
+  SELECT user_id, event_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS next_purchase_ts
+  FROM vp
+),
+flags AS (
+  SELECT user_id,
+         (next_purchase_ts IS NOT NULL
+          AND next_purchase_ts <= ts + INTERVAL 1 HOUR) AS converted
+  FROM nxt WHERE event_type = 'view'
+)
+SELECT user_id,
+       COUNT(*) AS n_views,
+       COUNT(*) FILTER (WHERE converted) AS n_converted,
+       CAST(COUNT(*) FILTER (WHERE converted) AS DOUBLE) / COUNT(*)
+         AS conv_rate
+FROM flags
+GROUP BY user_id
+HAVING COUNT(*) FILTER (WHERE converted) > 0
+""",
+)
+def events_pattern_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained sequence pattern (MATCH_RECOGNIZE-lite): per
+    user, views followed by a purchase within one hour — the
+    conversion-attribution pattern where the deadline matters, not just
+    the order (events_funnel checks order only).
+
+    Scale shape: one keyed window pass — the flanking MIN-over-following
+    turns "next purchase after this view" into a single per-user sorted
+    scan (no per-view as-of join, no self-join): shuffle once on
+    user_id, sort within key, done. The HAVING keeps the result to
+    converting users only.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    vp = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = vp.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w).alias("next_purchase_ts"),
+    )
+    flags = nxt.filter(F.col("event_type") == "view").select(
+        "user_id",
+        (
+            F.col("next_purchase_ts").isNotNull()
+            & (
+                F.col("next_purchase_ts")
+                <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+            )
+        ).alias("converted"),
+    )
+    cnt = F.count(F.lit(1))
+    conv = F.sum(F.col("converted").cast("long"))
+    return (
+        flags.groupBy("user_id")
+        .agg(
+            cnt.alias("n_views"),
+            conv.alias("n_converted"),
+            (conv.cast("double") / cnt).alias("conv_rate"),
+        )
+        .filter(F.col("n_converted") > 0)
+    )
