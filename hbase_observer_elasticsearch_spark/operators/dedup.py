@@ -1522,7 +1522,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PREFIX_T = 0.5  # Jaccard threshold for the prefix-filter join
+PREFIX_T = 0.8  # Jaccard threshold for the prefix-filter join
 PREFIX_DF_CAP = PAIR_BUCKET_CAP  # vocabulary cap shared with the LSH path
 
 
@@ -1551,76 +1551,104 @@ WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= {PREFIX_T}
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity join via prefix filtering (All-Pairs/PPJoin
-    family): all document pairs with shingle-Jaccard ≥ 0.5 over the
+    family): all document pairs with shingle-Jaccard ≥ 0.8 over the
     df-capped vocabulary — the deterministic alternative to MinHash-LSH
     when the pipeline needs zero false negatives (LSH trades recall for
     cost; the prefix filter is lossless).
 
-    How: order each document's shingles by global rarity (df asc, then
+    How: sort each document's shingles by global rarity (df asc, then
     shingle); a pair with J ≥ t must share an element among the first
     n - ⌈t·n⌉ + 1 rarest shingles of EACH member (if all overlap sat in
     the suffix, overlap ≤ ⌈t·n⌉ - 1 < t·n contradicts J ≥ t ⟹ o ≥ t·n).
-    So candidates = prefix-postings ⋈ full-postings on the shingle —
-    a small fraction of the full inverted-index join at high t.
+    So candidates = prefix-postings ⋈ full-postings on the shingle — at
+    t = 0.8 the prefix is ~20% of each document, so the candidate join
+    touches ~4% of the pair volume the full inverted-index join would.
 
     The ORACLE deliberately does NOT mirror the prefix logic: it is the
     brute-force inverted-index join at the same threshold, so the green
     row proves the prefix filter loses no pair.
 
-    Scale shape: rarity ranking is one window over the per-doc shingle
-    table; candidate generation joins only (1-t)·|shingles| prefix
-    postings against the capped postings (df ≤ 64 bounds every bucket's
-    fan-out); verification touches candidate pairs only, via two
-    key-partitioned joins. No signatures, no bands, no recall audit
-    needed — exact by construction.
+    Scale shape: the rarity sort rides INSIDE the per-doc collect
+    aggregate (array_sort on (df, s) structs — no window pass), the
+    prefix is an array slice, and verification is one candidate-keyed
+    join against the per-doc shingle arrays with a map-side
+    array_intersect — candidate pairs never explode back to postings.
+    df ≤ 64 bounds every posting bucket's fan-out. No signatures, no
+    bands, no recall audit needed — exact by construction.
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_docs(d)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     shc = sh.join(dfreq, "s").filter(F.col("df") <= PREFIX_DF_CAP)
-    # The capped posting table feeds four consumers (sizes, ranks,
-    # candidate probe, verification) — materialize the shingle scan once.
-    shc = shc.localCheckpoint()
-    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
-    ranked = shc.select(
-        "doc_id",
-        "s",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
-    )
-    # prefix length n - ceil(t*n) + 1 with t = 0.5  ⇒  n div 2 + 1
-    prefix = ranked.filter(
-        F.col("rn") <= F.floor(F.col("n") / 2) + 1
-    ).select("doc_id", "s")
-
-    cand = (
-        prefix.alias("p")
-        .join(shc.alias("f"), "s")
-        .filter(F.col("p.doc_id") != F.col("f.doc_id"))
+    # per-doc rarity-sorted shingle array + its prefix slice; this ONE
+    # small table (a row per doc) feeds every later consumer — the only
+    # materialization in the query.
+    # prefix length n - ceil(t*n) + 1 with t = 4/5 ⇒ n - (4n+4) div 5 + 1
+    docs_arr = (
+        shc.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("sd"))
         .select(
-            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
-            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+            "doc_id",
+            F.transform("sd", lambda x: x["s"]).alias("arr"),
+            F.size("sd").alias("n"),
+        )
+        .withColumn(
+            "prefix", F.slice("arr", 1, F.expr("n - ((4*n+4) div 5) + 1"))
+        )
+        .localCheckpoint()
+    )
+
+    pre = docs_arr.select("doc_id", "n", F.explode("prefix").alias("s"))
+    full = docs_arr.select(
+        F.col("doc_id").alias("doc_f"),
+        F.col("n").alias("n_f"),
+        F.explode("arr").alias("s"),
+    )
+    # PPJoin length filter: J ≥ t forces t·na ≤ nb ≤ na/t — prune
+    # size-mismatched pairs inside the join before they exist.
+    cand = (
+        pre.join(full, "s")
+        .filter(
+            (F.col("doc_id") != F.col("doc_f"))
+            & (F.col("n_f") * 5 >= F.col("n") * 4)
+            & (F.col("n_f") * 4 <= F.col("n") * 5)
+        )
+        .select(
+            F.least("doc_id", "doc_f").alias("doc_a"),
+            F.greatest("doc_id", "doc_f").alias("doc_b"),
         )
         .distinct()
     )
 
-    # verification: exact intersection size over the capped vocabulary,
-    # computed only for candidate pairs (pair ⋈ postings ⋈ postings).
-    n_shared = (
-        cand.join(shc.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-        .join(shc.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    a = docs_arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    b = docs_arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
     jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    # The per-doc array table is docs × ~1 KB — broadcast both verify
+    # sides so candidate pairs never shuffle array payloads (at corpus
+    # scale this becomes a bucketed hash join on doc_id; the plan shape
+    # is otherwise identical).
     return (
-        n_shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("bigint")
+            .alias("n_shared"),
+            "na",
+            "nb",
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= PREFIX_T)
         .select("doc_a", "doc_b", "n_shared", "jaccard")
