@@ -109,9 +109,14 @@ _PRIORITY = (
     "cdc_stateful_stream",
     "stream_static_enrich",
     "stream_put_delete_join",
-    # r4e session additions (newest — no official row NOR committed FULL
-    # row yet, so they lead the new-query block).
+    # r4e/r4f session additions (newest — no official row NOR committed
+    # FULL row yet, so they lead the new-query block).
     "dedup_prefix_filter_join",
+    "sketch_bloom_membership",
+    "events_pattern_within",
+    "events_rate_anomaly",
+    "corpus_quality_deciles",
+    "layout_zorder_locality",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
