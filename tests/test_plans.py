@@ -7,6 +7,8 @@ and hot paths stay inside whole-stage codegen.
 
 from __future__ import annotations
 
+import re
+
 from hbase_observer_elasticsearch_spark import plans
 from hbase_observer_elasticsearch_spark.registry import queries
 
@@ -295,3 +297,62 @@ def test_bucketed_colocated_join_single_exchange(spark, sf_dir):
     df = QS["join_bucketed_colocated"](spark, sf_dir)
     plan = plans.explain_str(df)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_gate_report_is_single_scan(spark, sf_dir):
+    """The corpus gate crosstab must read documents ONCE (one file scan)
+    and aggregate map-side — no join, no per-gate re-scan."""
+    plan = plans.explain_str(QS["corpus_gate_report"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_bloom_membership_broadcasts_bits(spark, sf_dir):
+    """Bloom bit-set and member table are broadcast — the probe side
+    never shuffles."""
+    df = QS["sketch_bloom_membership"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_prefix_filter_join_no_cartesian(spark, sf_dir):
+    """Candidate generation is an equi-join on the shingle; verification
+    is broadcast — nothing degrades to cartesian/BNL."""
+    assert not plans.has_cartesian_or_bnl(
+        QS["dedup_prefix_filter_join"](spark, sf_dir)
+    )
+
+
+def test_zorder_locality_single_scan_map_side_code(spark, sf_dir):
+    """Morton coding is a map-side expression over ONE scan; the only
+    exchange is the bucket-keyed aggregation shuffle."""
+    plan = plans.explain_str(QS["layout_zorder_locality"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_fk_orphans_broadcasts_dims(spark, sf_dir):
+    """Dimension parents broadcast; no cartesian anywhere in the
+    four-edge audit."""
+    df = QS["quality_fk_orphans"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian_or_bnl(df)
+
+
+def test_weighted_sample_is_scan_plus_broadcast(spark, sf_dir):
+    """The weighted Bernoulli sample adds only the single-row MAX
+    broadcast to a map-side filter — no shuffle of data rows (the
+    single-row cross join may plan as BNL, which is broadcast-sized by
+    construction)."""
+    plan = plans.explain_str(QS["sample_weighted_bernoulli"](spark, sf_dir))
+    # the only allowed shuffle is the single-row exchange under the
+    # scalar MAX aggregate; document rows themselves never shuffle
+    shuffles = re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M)
+    assert len(shuffles) <= 1
+    assert "SinglePartition" in plan
+
+
+def test_tfidf_pairs_top_k_take_ordered(spark, sf_dir):
+    """The TF-IDF top-k compiles to TakeOrderedAndProject (bounded
+    per-partition heaps), not a global sort."""
+    plan = plans.explain_str(QS["text_tfidf_cosine_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
