@@ -1280,3 +1280,120 @@ def similarity_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "embedding_power_iteration",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+d1 AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(x * 0.125 AS DECIMAL(28,12))) AS DOUBLE) AS d
+  FROM ex GROUP BY vec_id
+),
+u1 AS (
+  SELECT pos,
+         CAST(SUM(CAST(ex.x * d1.d AS DECIMAL(28,12))) AS DOUBLE) AS u
+  FROM ex JOIN d1 USING (vec_id) GROUP BY pos
+),
+n1 AS (
+  SELECT sqrt(CAST(SUM(CAST(u * u AS DECIMAL(28,6))) AS DOUBLE)) AS nrm
+  FROM u1
+),
+v1 AS (SELECT pos, u / (SELECT nrm FROM n1) AS v FROM u1),
+d2 AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(ex.x * v1.v AS DECIMAL(28,12))) AS DOUBLE) AS d
+  FROM ex JOIN v1 USING (pos) GROUP BY vec_id
+),
+u2 AS (
+  SELECT pos,
+         CAST(SUM(CAST(ex.x * d2.d AS DECIMAL(28,12))) AS DOUBLE) AS u
+  FROM ex JOIN d2 USING (vec_id) GROUP BY pos
+),
+n2 AS (
+  SELECT sqrt(CAST(SUM(CAST(u * u AS DECIMAL(28,6))) AS DOUBLE)) AS nrm
+  FROM u2
+)
+SELECT CAST(pos AS BIGINT) AS pos,
+       u / (SELECT nrm FROM n2) AS loading,
+       (SELECT nrm FROM n2) AS lambda_est
+FROM u2
+""",
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding second-moment
+    matrix via TWO unrolled power-iteration steps (v0 = 1/8 · 1⃗, an
+    exact binary constant for dim 64): per dimension the loading of the
+    top eigenvector plus the eigenvalue estimate ‖A·v₁‖ — the embedding
+    drift/anisotropy audit (a collapsing embedding space shows one
+    dimension swallowing the spectrum) that normally needs a PCA
+    library.
+
+    The scale story is matrix-free: A = XᵀX is NEVER formed — each step
+    is A·v = Xᵀ(X·v), two linear passes (a per-row dot, then a
+    component-weighted sum), exactly like the Σ-vector identity of
+    similarity_pair_dot_stats. Per-step cost is O(nnz(X)) with
+    dim-sized shuffle keys; the v vector is a 64-row broadcast.
+
+    Determinism: every cross-row sum runs through DECIMAL(28,12)
+    (order-independent, engine-exact); the remaining per-element ops
+    (multiply, sqrt, divide) are single correctly-rounded IEEE ops
+    written in the same order in both dialects — the IVF k-means
+    discipline (similarity.py:210) applied to an iterative spectral
+    method.
+    """
+    ensure_session_conf(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    ex = ex.localCheckpoint()  # feeds four consumers across two steps
+
+    def step(v_df):  # v_df: (pos, v) broadcast-sized
+        d = (
+            ex.join(F.broadcast(v_df), "pos")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("x") * F.col("v")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("d")
+            )
+        )
+        u = (
+            ex.join(d, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("x") * F.col("d")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("u")
+            )
+        )
+        nrm = u.agg(
+            F.sqrt(
+                F.sum((F.col("u") * F.col("u")).cast("decimal(28,6)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        return u, nrm
+
+    v0 = ex.select("pos").distinct().select("pos", F.lit(0.125).alias("v"))
+    u1, n1 = step(v0)
+    v1 = u1.crossJoin(F.broadcast(n1)).select(
+        "pos", (F.col("u") / F.col("nrm")).alias("v")
+    )
+    u2, n2 = step(v1)
+    return u2.crossJoin(F.broadcast(n2)).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        (F.col("u") / F.col("nrm")).alias("loading"),
+        F.col("nrm").alias("lambda_est"),
+    )

@@ -838,3 +838,65 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
         .limit(TFIDF_TOP)
     )
+
+
+TOP_BIGRAMS = 20
+
+
+@register(
+    "corpus_top_bigrams",
+    oracle=f"""
+WITH wp AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+big AS (
+  SELECT doc_id, w || ' ' || LEAD(w) OVER win AS bg
+  FROM wp
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w) OVER win IS NOT NULL
+)
+SELECT bg, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM big
+GROUP BY bg
+ORDER BY n_occurrences DESC, bg
+LIMIT {TOP_BIGRAMS}
+""",
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top word bigrams with occurrence and document
+    frequencies — the collocation report behind boilerplate discovery
+    and tokenizer-merge candidates (frequent pairs are exactly what BPE
+    merges first).
+
+    Scale shape: bigram generation is per-row array arithmetic (the
+    shingle_docs construction WITHOUT the distinct, since occurrences
+    count), one hash aggregation keyed by bigram with map-side partials,
+    top-k via TakeOrderedAndProject. The bigram key space is bounded by
+    corpus tokens, and skew is impossible to create here — the
+    aggregate's value is two counters.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - 1)
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(words, i), F.element_at(words, i + 1)
+    )
+    arr = F.when(n >= 2, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+    big = d.select("doc_id", F.explode(arr).alias("bg"))
+    return (
+        big.groupBy("bg")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "bg")
+        .limit(TOP_BIGRAMS)
+    )
