@@ -117,6 +117,8 @@ _PRIORITY = (
     "events_rate_anomaly",
     "corpus_quality_deciles",
     "layout_zorder_locality",
+    "embedding_power_iteration",
+    "corpus_top_bigrams",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
