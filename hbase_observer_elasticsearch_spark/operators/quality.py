@@ -403,3 +403,67 @@ def corpus_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_chars"),
     )
+
+
+# (table, pk expression (SQL == Spark expr text)) — composite keys are
+# hashed into one expression so the same text runs in both engines.
+_PK_EDGES = (
+    ("customer", "c_custkey"),
+    ("orders", "o_orderkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+    ("events", "event_id"),
+    ("lineitem", "l_orderkey * 100 + l_linenumber"),
+)
+
+
+@register(
+    "quality_pk_uniqueness",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{tbl}' AS tbl,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT {pk}) AS n_distinct_keys,
+       COUNT(*) - COUNT(DISTINCT {pk}) AS n_dup_rows,
+       COUNT(*) = COUNT(DISTINCT {pk}) AS pk_unique
+FROM {tbl}"""
+        for tbl, pk in _PK_EDGES
+    ),
+)
+def quality_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every table: row count vs
+    distinct key count and the duplicate surplus — the other half of the
+    constraint checks (quality_fk_orphans covers the edges, this covers
+    the nodes). A duplicate PK after an ingest usually means a retried
+    batch landed twice — the at-least-once artifact the reference's ES
+    _id upsert silently papers over (HbaseDataSyncEsObserver.java:109)
+    and a lakehouse table would surface as corruption.
+
+    Scale shape: one count-distinct aggregate per table — map-side
+    partial distinct, one exchange each, nothing row-sized past it. At
+    100 TB swap COUNT(DISTINCT) for approx_count_distinct when a ±2%
+    answer is enough to page someone; the composite lineitem key is
+    folded into one integer expression so the distinct state is a
+    single long per key either way.
+    """
+    ensure_session_conf(spark)
+    parts = []
+    for tbl, pk in _PK_EDGES:
+        t = load_table(spark, sf_dir, tbl)
+        cnt = F.count(F.lit(1))
+        nd = F.countDistinct(F.expr(pk))
+        parts.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                cnt.alias("n_rows"),
+                nd.alias("n_distinct_keys"),
+                (cnt - nd).alias("n_dup_rows"),
+                (cnt == nd).alias("pk_unique"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

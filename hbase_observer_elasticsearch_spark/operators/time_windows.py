@@ -1134,3 +1134,62 @@ def events_pattern_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_converted") > 0)
     )
+
+
+DEBOUNCE_SECONDS = 5
+
+
+@register(
+    "events_debounce",
+    oracle=f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts, value
+FROM g
+WHERE prev_ts IS NULL
+   OR epoch_us(ts) - epoch_us(prev_ts) > {DEBOUNCE_SECONDS} * 1000000
+""",
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce the changefeed: drop events of the same (user, type)
+    arriving within 5 s of the previous kept-or-dropped one — the
+    double-fire suppression every CDC consumer needs (the reference
+    forwards every HBase put verbatim, HbaseDataSyncEsObserver.java:
+    83-97, so a client retry storm becomes N identical index writes;
+    this is the guard in front of that).
+
+    Lag-based debounce (gap vs the previous RAW event) rather than
+    session-based: one keyed window pass, no state beyond the previous
+    row — which is also why the same predicate runs unchanged as a
+    watermarked stream (cf. stream_dedup_within_watermark for the
+    exact-duplicate flavor).
+
+    Scale shape: one shuffle on (user_id, event_type), one sorted scan
+    per key, map-side filter. Interval comparison is exact timestamp
+    arithmetic in both engines.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    # exact microsecond interval arithmetic on both sides (a seconds
+    # cast would truncate sub-second gaps and disagree with the oracle's
+    # epoch_us)
+    return g.filter(
+        F.col("prev_ts").isNull()
+        | (
+            (F.col("ts") - F.col("prev_ts"))
+            > F.expr(f"INTERVAL {DEBOUNCE_SECONDS} SECOND")
+        )
+    ).select("event_id", "user_id", "event_type", "ts", "value")

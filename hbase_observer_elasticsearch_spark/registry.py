@@ -119,6 +119,8 @@ _PRIORITY = (
     "layout_zorder_locality",
     "embedding_power_iteration",
     "corpus_top_bigrams",
+    "events_debounce",
+    "quality_pk_uniqueness",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
