@@ -272,3 +272,72 @@ def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("ndv_supp"),
         )
     )
+
+
+# Categorical columns audited for concentration (table, column).
+_GINI_COLS = (
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("events", "event_type"),
+    ("customer", "c_mktsegment"),
+    ("orders", "o_orderpriority"),
+)
+
+
+@register(
+    "profile_column_gini",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{tbl}.{col}' AS col,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS ndv,
+       1.0 - CAST(SUM(CAST(
+           (CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n)
+         AS DECIMAL(28,12))) AS DOUBLE) AS gini_impurity
+FROM (
+  SELECT {col}, COUNT(*) AS c,
+         SUM(COUNT(*)) OVER () AS n
+  FROM {tbl} GROUP BY {col}
+)
+GROUP BY n"""
+        for tbl, col in _GINI_COLS
+    ),
+)
+def profile_column_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical concentration audit: Gini impurity 1 − Σ pᵢ² per
+    low-cardinality column — the skew/balance profile that predicts
+    both partition skew (a 0.1-impurity key is a shuffle hot spot) and
+    class imbalance in sampled training sets. Gini instead of Shannon
+    entropy on purpose: pᵢ² is two correctly-rounded double ops where
+    ln(pᵢ) has no cross-engine rounding guarantee — same ranking,
+    bit-reproducible score.
+
+    Scale shape: one hash aggregation per column to value-grain counts
+    (map-side partials; value grain is tiny by construction for
+    categorical columns), then O(ndv) arithmetic. The Σ pᵢ² ride
+    through DECIMAL(28,12) so the fold order cannot matter.
+    """
+    ensure_session_conf(spark)
+    parts = []
+    for tbl, col in _GINI_COLS:
+        t = load_table(spark, sf_dir, tbl)
+        counts = t.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        counts = counts.withColumn(
+            "n", F.sum("c").over(Window.partitionBy())
+        )
+        p = F.col("c").cast("double") / F.col("n")
+        parts.append(
+            counts.groupBy("n").agg(
+                F.lit(f"{tbl}.{col}").alias("col"),
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("ndv"),
+                (
+                    F.lit(1.0)
+                    - F.sum((p * p).cast("decimal(28,12)")).cast("double")
+                ).alias("gini_impurity"),
+            ).select("col", "n_rows", "ndv", "gini_impurity")
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

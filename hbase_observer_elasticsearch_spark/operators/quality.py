@@ -467,3 +467,97 @@ def quality_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+DRIFT_BIN_W = 50000  # fixed-width price bins (11 bins over the range)
+DRIFT_SPLIT = "1998-01-01"
+
+
+@register(
+    "snapshot_distribution_drift",
+    oracle=f"""
+WITH binned AS (
+  SELECT CAST(FLOOR(o_totalprice / {DRIFT_BIN_W}) AS BIGINT) AS bin,
+         (o_orderdate < TIMESTAMP '{DRIFT_SPLIT}') AS is_a
+  FROM orders
+),
+tot AS (
+  SELECT COUNT(*) FILTER (WHERE is_a) AS na,
+         COUNT(*) FILTER (WHERE NOT is_a) AS nb
+  FROM binned
+),
+per_bin AS (
+  SELECT bin,
+         COUNT(*) FILTER (WHERE is_a) AS ca,
+         COUNT(*) FILTER (WHERE NOT is_a) AS cb
+  FROM binned GROUP BY bin
+),
+fr AS (
+  SELECT bin, ca, cb,
+         CAST(ca AS DOUBLE) / (SELECT na FROM tot) AS p,
+         CAST(cb AS DOUBLE) / (SELECT nb FROM tot) AS q
+  FROM per_bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, ca, cb, p, q,
+       CAST(SUM(CAST((p - q) * (p - q) / (p + q) AS DECIMAL(28,12)))
+            OVER () AS DOUBLE) AS chi2_distance
+FROM fr
+""",
+)
+def snapshot_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two temporal snapshots (orders before
+    vs since 1998) over fixed price bins: per-bin counts and fractions
+    plus the chi-square-style distance Σ (p−q)²/(p+q) — the
+    PSI-shaped drift alarm an ML feature store runs before a snapshot
+    goes to training. The chi² form replaces PSI's ln(p/q): same
+    monotone drift signal, but every term is exact-rational-over-double
+    arithmetic, so the score is bit-reproducible across engines (ln is
+    not guaranteed correctly rounded everywhere).
+
+    Scale shape: one scan, one hash aggregation keyed by bin with
+    conditional counts (the two snapshots never materialize
+    separately), one broadcast of the two totals; the distance rides a
+    whole-table window over the BIN-grain table (≤ a dozen rows). At
+    100 TB the bins would come from approx-quantile edges of the
+    reference snapshot — same plan shape.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    # FLOOR of a correctly-rounded double division on both sides — a
+    # direct double→bigint cast would round in DuckDB but truncate in
+    # Spark and split bin-edge rows differently
+    binned = o.select(
+        F.floor(F.col("o_totalprice") / DRIFT_BIN_W)
+        .cast("bigint")
+        .alias("bin"),
+        F.expr(f"(o_orderdate < TIMESTAMP '{DRIFT_SPLIT}')").alias("is_a"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    tot = binned.agg(
+        F.sum(F.col("is_a").cast("long")).alias("na"),
+        F.sum((~F.col("is_a")).cast("long")).alias("nb"),
+    )
+    fr = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ca",
+        "cb",
+        (F.col("ca").cast("double") / F.col("na")).alias("p"),
+        (F.col("cb").cast("double") / F.col("nb")).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * (F.col("p") - F.col("q")) / (
+        F.col("p") + F.col("q")
+    )
+    return fr.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "ca",
+        "cb",
+        "p",
+        "q",
+        F.sum(term.cast("decimal(28,12)"))
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("chi2_distance"),
+    )

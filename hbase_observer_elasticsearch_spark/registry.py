@@ -121,6 +121,8 @@ _PRIORITY = (
     "corpus_top_bigrams",
     "events_debounce",
     "quality_pk_uniqueness",
+    "snapshot_distribution_drift",
+    "profile_column_gini",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
