@@ -197,26 +197,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     on Spark.
     """
     ensure_session_conf(spark)
-    d = load_table(spark, sf_dir, "documents")
-    sh = shingle_docs(d)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # inverted index: shingle → sorted doc list → co-occurrence pairs.
-    # One pass over the shingle table (vs two for a self-join on s).
-    inv = (
-        sh.groupBy("s")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    inter = _pairs_from_groups(inv).groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("n_shared")
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        _verified_pairs_memo(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "n_shared", "jaccard")
     )
@@ -317,19 +299,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
-    coded = _coded_shingles(d)
-    bands = _lsh_bands(coded)
 
-    # LSH buckets → in-bucket pairs (shingle→sig subtree computed once;
-    # a band self-join would compute it once per side)
-    buckets = (
-        bands.groupBy("band", "sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    cand = _pairs_from_groups(buckets).distinct()
+    # LSH buckets → in-bucket pairs, via the process-wide memo (the
+    # signature subtree is shared with dedup_lsh_pr_curve)
+    cand = _lsh_cand_memo(spark, sf_dir)
 
-    sh = coded.select("doc_id", "s")
+    sh = shingle_docs(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -531,26 +506,83 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trick: at 100 TB you would persist the label table to the lakehouse and
 # every downstream dedup decision would read it.
 _CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_JACCARD_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_VERIFIED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LSH_CAND_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _verified_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared, jaccard): EVERY co-occurring pair over
+    the capped shingle inverted index with its exact Jaccard (no
+    threshold), materialized once per (app, sf_dir). This is the single
+    expensive subtree of the whole dedup family — the threshold filter
+    (ngram pairs, CC edges) and the PR curve all read this tiny
+    checkpointed table instead of re-running shingle→index→verify."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VERIFIED_PAIRS_CACHE.get(key)
+    if cached is None:
+        d = load_table(spark, sf_dir, "documents")
+        sh = shingle_docs(d)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        # inverted index: shingle → sorted doc list → co-occurrence
+        # pairs. One pass over the shingle table (vs two for a
+        # self-join on s).
+        inv = (
+            sh.groupBy("s")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        inter = _pairs_from_groups(inv).groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias("n_shared")
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+        )
+        jac = F.col("n_shared") / (
+            F.col("na") + F.col("nb") - F.col("n_shared")
+        )
+        cached = (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared", jac.alias("jaccard"))
+            .localCheckpoint()
+        )
+        _VERIFIED_PAIRS_CACHE[key] = cached
+    return cached
+
+
+def _lsh_cand_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b): distinct MinHash-LSH band-bucket candidate pairs,
+    materialized once per (app, sf_dir) — shared by dedup_minhash_lsh
+    (verification input) and dedup_lsh_pr_curve (candidate-quality
+    scoring), so the 16-hash signature subtree runs once per process."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LSH_CAND_CACHE.get(key)
+    if cached is None:
+        d = load_table(spark, sf_dir, "documents")
+        coded = _coded_shingles(d)
+        buckets = (
+            _lsh_bands(coded)
+            .groupBy("band", "sig")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        cached = _pairs_from_groups(buckets).distinct().localCheckpoint()
+        _LSH_CAND_CACHE[key] = cached
+    return cached
 
 
 def _jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b): the Jaccard near-dup edge list, materialized once
-    per (app, sf_dir). The shingle→inverted-index→verify subtree is the
-    expensive part; every graph consumer (CC labels, triangle count)
-    re-reads the tiny localCheckpoint'd edge table instead of re-running
-    it — and within one query, a self-join on a checkpointed table scans
-    it once per side rather than recomputing the whole subtree per side."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _JACCARD_PAIRS_CACHE.get(key)
-    if cached is None:
-        cached = (
-            dedup_ngram_jaccard(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
-        )
-        _JACCARD_PAIRS_CACHE[key] = cached
-    return cached
+    """(doc_a, doc_b): the Jaccard near-dup edge list — the thresholded
+    projection of :func:`_verified_pairs_memo`; every graph consumer
+    (CC labels, triangle count, PageRank, degree histogram) reads it."""
+    return (
+        _verified_pairs_memo(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
 
 
 def _jaccard_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1294,46 +1326,14 @@ def dedup_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     written identically in both dialects.
     """
     ensure_session_conf(spark)
-    d = load_table(spark, sf_dir, "documents")
 
-    sh = shingle_docs(d)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inv = (
-        sh.groupBy("s")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    # Both pair tables come from the process-wide memos (checkpointed
+    # once, shared with the ngram/CC family and dedup_minhash_lsh) —
+    # this query is pure candidate-pair-sized arithmetic on top.
+    j_all = _verified_pairs_memo(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
     )
-    inter = _pairs_from_groups(inv).groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("n_shared")
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    # Both pair tables are candidate-pair-sized (tiny vs the corpus) but
-    # their feeding subtrees are the expensive shingle/minhash scans, and
-    # each table has two consumers below — localCheckpoint materializes
-    # each subtree once (the memo idiom used for _jaccard_pairs_memo).
-    j_all = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_shared")
-                / (F.col("na") + F.col("nb") - F.col("n_shared"))
-            ).alias("jaccard"),
-        )
-        .localCheckpoint()
-    )
-
-    coded = _coded_shingles(d)
-    buckets = (
-        _lsh_bands(coded)
-        .groupBy("band", "sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    cand = _pairs_from_groups(buckets).distinct().localCheckpoint()
+    cand = _lsh_cand_memo(spark, sf_dir)
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
 
     flagged = j_all.join(
