@@ -353,3 +353,70 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return emitted
+
+
+DEBOUNCE_GAP_US = 5_000_000  # 5 s, matches events_debounce
+
+
+@register(
+    "stream_debounce",
+    oracle=f"""
+WITH cf AS ({_SQL_CF}),
+g AS (
+  SELECT seq, rowkey, qualifier, ts,
+         LAG(ts) OVER (PARTITION BY rowkey, COALESCE(qualifier, '')
+                       ORDER BY ts, seq) AS prev_ts
+  FROM cf
+)
+SELECT seq, rowkey, qualifier, ts
+FROM g
+WHERE prev_ts IS NULL
+   OR epoch_us(ts) - epoch_us(prev_ts) > {DEBOUNCE_GAP_US}
+""",
+)
+def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming debounce: the changefeed drained through the
+    applyInPandasWithState gap-suppressor (streaming/stateful.py:
+    stateful_debounce) in 2 availableNow micro-batches must emit exactly
+    the batch LAG-window answer — the proof that a 5 s double-fire guard
+    (the storm the reference's verbatim put-forwarding causes,
+    HbaseDataSyncEsObserver.java:83-97) survives arbitrary micro-batch
+    boundaries, because the single long of keyed state (the previous raw
+    timestamp) carries the gap decision across them.
+
+    Unlike dropDuplicatesWithinWatermark (stream_dedup_within_watermark,
+    exact-key dedup), the debounce predicate depends on the PREVIOUS
+    event's time, which no built-in dedup expresses — the minimal
+    genuine custom-state operator. State is one long per active key.
+    """
+    ensure_session_conf(spark)
+    import os as _os
+    import uuid as _uuid
+
+    from ..sources.changefeed import shared_changefeed_stream_dir
+    from ..streaming.stateful import stateful_debounce
+
+    cf_dir = shared_changefeed_stream_dir(spark, sf_dir, n_files=2)
+    base = tempfile.mkdtemp(prefix="stream_debounce_")
+    try:
+        name = "debounce_emit_" + _uuid.uuid4().hex[:8]
+        q = (
+            stateful_debounce(
+                spark, cf_dir, DEBOUNCE_GAP_US, max_files_per_trigger=1
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_debounce: availableNow drain timed out")
+        emitted = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted.select("seq", "rowkey", "qualifier", "ts")

@@ -123,6 +123,7 @@ _PRIORITY = (
     "quality_pk_uniqueness",
     "snapshot_distribution_drift",
     "profile_column_gini",
+    "stream_debounce",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",

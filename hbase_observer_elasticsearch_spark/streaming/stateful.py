@@ -36,6 +36,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..sources.changefeed import CHANGEFEED_SCHEMA
@@ -277,4 +278,70 @@ def stateful_doc_state_tws(
         outputStructType=_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# --- streaming debounce (gap-based duplicate suppression) -------------------
+
+_DEBOUNCE_STATE = "last_us long"
+_DEBOUNCE_OUTPUT = "seq long, rowkey string, qualifier string, ts timestamp"
+
+
+def _make_debounce_handler(gap_us: int):
+    def _debounce(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_us = state.get[0] if state.exists else None
+        kept = []
+        for pdf in pdfs:
+            # arrival order within a micro-batch is not time order;
+            # cross-batch order is (the changefeed files are contiguous
+            # time ranges), so sorting each batch restores a global
+            # per-key time order.
+            pdf = pdf.sort_values(["ts", "seq"])
+            for row in pdf.itertuples(index=False):
+                t_us = row.ts.value // 1000
+                if last_us is None or t_us - last_us > gap_us:
+                    kept.append(
+                        (row.seq, row.rowkey, row.qualifier, row.ts)
+                    )
+                # debounce vs the previous RAW event, kept or not
+                last_us = int(t_us)
+        state.update((last_us,))
+        if kept:
+            yield pd.DataFrame(
+                kept, columns=["seq", "rowkey", "qualifier", "ts"]
+            )
+
+    return _debounce
+
+
+def stateful_debounce(
+    spark: SparkSession,
+    changefeed_dir: str,
+    gap_us: int,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming gap-based debounce: suppress changefeed mutations of the
+    same (rowkey, qualifier) arriving within ``gap_us`` of the previous
+    raw mutation — the streaming twin of the events_debounce batch
+    operator (operators/time_windows.py), with the previous-event
+    timestamp as the ONLY keyed state (one long per active key: the
+    minimal possible stateful-operator footprint, vs the LWW doc state
+    above which carries the whole document).
+    """
+    cf = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changefeed_dir)
+    )
+    keyed = cf.withColumn(
+        "qkey", F.coalesce(F.col("qualifier"), F.lit(""))
+    )
+    return keyed.groupBy("rowkey", "qkey").applyInPandasWithState(
+        _make_debounce_handler(gap_us),
+        outputStructType=_DEBOUNCE_OUTPUT,
+        stateStructType=_DEBOUNCE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
