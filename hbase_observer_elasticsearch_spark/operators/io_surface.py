@@ -1,0 +1,145 @@
+"""Source/sink format surface: text-format round-trips and
+partition-layout writes, proven as registered queries.
+
+The reference reads exactly one source (HBase WAL edits via coprocessor
+hooks) and writes exactly one sink (ES bulk JSON,
+observer6/ElasticSearchBulkOperator.java:84) — a Spark engine's users
+expect the full format matrix. These queries prove the CSV/JSON read
+paths and the partitioned-parquet write+prune path end-to-end: each
+writes a temp dataset derived deterministically from the fixtures, reads
+it back through the format under test, and aggregates — the DuckDB
+oracle computes the same aggregate straight from the fixture table, so a
+green row certifies the round-trip lost nothing.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.deterministic import dsum, sql_dsum
+from ..registry import register
+from ..session import ensure_session_conf
+
+_RT_AGG_SQL = """
+SELECT '{fmt}' AS fmt,
+       COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT lang) AS ndv_lang
+FROM documents"""
+
+
+@register(
+    "source_csv_json_roundtrip",
+    oracle="\nUNION ALL\n".join(
+        _RT_AGG_SQL.format(fmt=f) for f in ("csv", "json")
+    ),
+)
+def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON-lines source connectors, certified by round-trip:
+    the documents table (minus free text — delimiter-safe columns) is
+    written to each text format and read back with an EXPLICIT schema;
+    identical aggregates to the parquet fixture prove no row, value, or
+    type was lost in either format's writer→parser cycle.
+
+    Scale shape: text sources split by line ranges exactly like parquet
+    row groups, so the read-back scan parallelizes the same way; the
+    explicit schema keeps schema inference (a full extra pass at 100 TB)
+    out of the plan. Aggregation is one single-row multi-agg per format.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    schema = "doc_id bigint, lang string, source string, n_chars bigint"
+    base = tempfile.mkdtemp(prefix="io_roundtrip_")
+    try:
+        csv_dir = f"{base}/csv"
+        json_dir = f"{base}/json"
+        d.write.mode("overwrite").option("header", True).csv(csv_dir)
+        d.write.mode("overwrite").json(json_dir)
+
+        parts = []
+        for fmt, df in (
+            (
+                "csv",
+                spark.read.schema(schema)
+                .option("header", True)
+                .csv(csv_dir),
+            ),
+            ("json", spark.read.schema(schema).json(json_dir)),
+        ):
+            parts.append(
+                df.agg(
+                    F.lit(fmt).alias("fmt"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+                    F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                    F.countDistinct("lang").alias("ndv_lang"),
+                )
+            )
+        out = parts[0].unionByName(parts[1])
+        # materialize before the temp dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "sink_partitioned_prune",
+    oracle=f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS sum_price
+FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+GROUP BY 1
+""",
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned read-back:
+    orders are written partitioned by order year, then read back with a
+    partition predicate (1996, 1997) — the write layout every
+    time-organized 100 TB table uses, where the predicate prunes whole
+    directories BEFORE any file IO (tests/test_plans.py asserts the
+    pruning reaches the scan as PartitionFilters; the green oracle row
+    certifies the partition column round-trips losslessly through the
+    directory encoding).
+
+    Scale shape: the write shuffles once on the partition key (years ×
+    files, no small-file explosion); the read-back touches 2 of 7 year
+    directories. Sums go through exact decimals as everywhere.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="io_partitioned_")
+    try:
+        path = f"{base}/orders_by_year"
+        (
+            o.withColumn("o_year", F.year("o_orderdate"))
+            # one file per partition dir: repartition on the partition
+            # key BEFORE the write (the anti-small-files discipline)
+            .repartition("o_year")
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
+        back = (
+            spark.read.parquet(path)
+            .filter(F.col("o_year").isin(1996, 1997))
+            .groupBy(F.col("o_year").cast("int").alias("o_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+        )
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

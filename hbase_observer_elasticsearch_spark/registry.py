@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "hbase_observer_elasticsearch_spark.operators.profiling",
     "hbase_observer_elasticsearch_spark.operators.sketches",
     "hbase_observer_elasticsearch_spark.operators.quality",
+    "hbase_observer_elasticsearch_spark.operators.io_surface",
 )
 
 
@@ -124,6 +125,8 @@ _PRIORITY = (
     "snapshot_distribution_drift",
     "profile_column_gini",
     "stream_debounce",
+    "source_csv_json_roundtrip",
+    "sink_partitioned_prune",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",

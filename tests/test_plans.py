@@ -356,3 +356,25 @@ def test_tfidf_pairs_top_k_take_ordered(spark, sf_dir):
     per-partition heaps), not a global sort."""
     plan = plans.explain_str(QS["text_tfidf_cosine_pairs"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_sink_prunes_directories(spark, sf_dir, tmp_path):
+    """The year predicate must reach the partitioned scan as
+    PartitionFilters (directory pruning), not a post-scan filter."""
+    from pyspark.sql import functions as F
+
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+
+    path = str(tmp_path / "orders_by_year")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .repartition("o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_year").isin(1996, 1997))
+    plan = plans.explain_str(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_year" in m.group(1), plan[:800]
