@@ -900,3 +900,77 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "bg")
         .limit(TOP_BIGRAMS)
     )
+
+
+COVERAGE_LEVELS = (50, 90, 95, 99)  # percent of corpus token mass
+
+
+@register(
+    "corpus_vocab_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS vocab FROM freq),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rn,
+         SUM(cnt) OVER (ORDER BY cnt DESC, w
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM freq
+)
+SELECT lv.level_pct,
+       MIN(r.rn) AS tokens_needed,
+       (SELECT vocab FROM tot) AS vocab_size,
+       (SELECT total FROM tot) AS total_tokens
+FROM ranked r,
+     (VALUES {", ".join(f"({v})" for v in COVERAGE_LEVELS)}) lv(level_pct)
+WHERE r.cum * 100 >= lv.level_pct * (SELECT total FROM tot)
+GROUP BY lv.level_pct
+""",
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve of the corpus vocabulary: how many distinct
+    tokens (rank-ordered by frequency) cover 50/90/95/99% of all token
+    occurrences — the number that sizes a tokenizer vocabulary and
+    predicts OOV rates before training one. The threshold test is exact
+    integer arithmetic (cum·100 ≥ level·total), no float mass fractions.
+
+    Scale shape: one token explode + hash aggregation to the vocab-grain
+    frequency table (vocab ≪ corpus); the cumulative window runs over
+    vocabulary rank — at 100 TB you'd bucket frequencies first
+    (log-spaced histogram) and walk the ~100-bucket CDF instead, same
+    output contract. Levels are a 4-row literal cross join.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = freq.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "w")
+    ranked = freq.select(
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    levels = spark.createDataFrame(
+        [(v,) for v in COVERAGE_LEVELS], "level_pct int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(levels))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 100 >= F.col("level_pct") * F.col("total"))
+        .groupBy("level_pct")
+        .agg(
+            F.min("rn").alias("tokens_needed"),
+            F.max("vocab").alias("vocab_size"),
+            F.max("total").alias("total_tokens"),
+        )
+    )

@@ -127,6 +127,7 @@ _PRIORITY = (
     "stream_debounce",
     "source_csv_json_roundtrip",
     "sink_partitioned_prune",
+    "corpus_vocab_coverage",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
