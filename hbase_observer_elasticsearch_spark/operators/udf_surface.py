@@ -207,3 +207,132 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 20
         """
     )
+
+
+# --------------------------------------------------------------------------
+# 5. GROUPED_AGG pandas_udf: a custom aggregate expression (usable inside
+#    groupBy(...).agg(...) alongside built-ins, unlike applyInPandas which
+#    replaces the whole aggregation)
+
+
+@pandas_udf(LongType())
+def _char_weighted_tokens(text: pd.Series) -> int:  # GROUPED_AGG
+    # integer-only kernel: Σ n_tokens·min(n_tokens, 10) per group — a
+    # nonlinear aggregate no single built-in expresses
+    n = text.str.split(" ").str.len()
+    return int((n * n.clip(upper=10)).sum())
+
+
+@pandas_udf(LongType())
+def _pandas_count(text: pd.Series) -> int:  # GROUPED_AGG
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so even the row count
+    # must be a pandas aggregate here — a real API constraint worth
+    # demonstrating: going pandas for one aggregate drags EVERY sibling
+    # aggregate out of the JVM.
+    return int(len(text))
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))
+                * LEAST(len(string_split(text, ' ')), 10)) AS BIGINT)
+         AS weighted_tokens
+FROM documents
+GROUP BY lang
+""",
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf — the fourth UDF execution mode: a custom
+    Arrow-vectorized AGGREGATE that composes with built-in aggregates in
+    one ``agg(...)`` call (applyInPandas replaces the whole group
+    computation; this slots a custom reducer INTO normal aggregation).
+
+    Scale caveat (why built-ins still win): GROUPED_AGG has no partial
+    aggregation — all rows of a group cross the shuffle before Python
+    sees them, where the equivalent built-in expression (the oracle's
+    SUM/LEAST form) combines map-side. Right tool only when the kernel
+    genuinely needs NumPy/pandas; the plan shape (one shuffle on the
+    group key) is otherwise identical. Integer-only kernel ⇒ exact
+    oracle equality.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        _pandas_count(F.col("text")).alias("n_docs"),
+        _char_weighted_tokens(F.col("text")).alias("weighted_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. mapInArrow: zero-copy pyarrow RecordBatch transform — the lowest-
+#    overhead Python escape hatch (no pandas conversion at all)
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS text_bytes,
+       CAST(strlen(text) % 97 AS BIGINT) AS shard
+FROM documents
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the fifth UDF execution mode: the Python function
+    receives raw pyarrow RecordBatches (no pandas materialization), the
+    right shape for byte-level work on big batches — here UTF-8 byte
+    lengths and a mod-97 shard id via pyarrow compute kernels only.
+
+    Scale shape: map-side, streaming batch-at-a-time (peak memory is one
+    Arrow batch), no shuffle; vs pandas_udf this skips the
+    Arrow→pandas→Arrow conversion entirely — the same reason the
+    multimodal blob operators (operators/multimodal.py) stay in
+    mapInPandas/Arrow: payload bytes never become Python objects.
+    Integer-only kernel ⇒ exact oracle equality.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            tbl = pa.Table.from_batches([batch])
+            nbytes = pc.cast(
+                pc.binary_length(pc.cast(tbl["text"], pa.binary())),
+                pa.int64(),
+            )
+            out = pa.table(
+                {
+                    "doc_id": tbl["doc_id"],
+                    "text_bytes": nbytes,
+                    "shard": pc.cast(
+                        pc.subtract(
+                            nbytes,
+                            pc.multiply(
+                                pc.cast(
+                                    pc.floor(
+                                        pc.divide(
+                                            pc.cast(nbytes, pa.float64()),
+                                            97.0,
+                                        )
+                                    ),
+                                    pa.int64(),
+                                ),
+                                97,
+                            ),
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+            yield from out.to_batches()
+
+    return d.mapInArrow(
+        batches, schema="doc_id long, text_bytes long, shard long"
+    )

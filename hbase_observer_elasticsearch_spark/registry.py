@@ -128,6 +128,8 @@ _PRIORITY = (
     "source_csv_json_roundtrip",
     "sink_partitioned_prune",
     "corpus_vocab_coverage",
+    "udf_pandas_grouped_agg",
+    "udf_map_in_arrow",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
