@@ -1653,3 +1653,81 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= PREFIX_T)
         .select("doc_a", "doc_b", "n_shared", "jaccard")
     )
+
+
+@register(
+    "dedup_lsh_vs_exact_agreement",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+{_sql_minhash_sigs().strip().lstrip()},
+lsh_sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+lsh_inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+lshv AS (
+  SELECT i.doc_a, i.doc_b
+  FROM lsh_inter i
+  JOIN lsh_sizes sa ON i.doc_a = sa.doc_id
+  JOIN lsh_sizes sb ON i.doc_b = sb.doc_id
+  WHERE i.n_shared * 1.0 / (sa.n + sb.n - i.n_shared) >= {JACCARD_T}
+),
+ex AS (SELECT doc_a, doc_b FROM jp),
+agree AS (
+  SELECT
+    (SELECT COUNT(*) FROM ex) AS n_exact,
+    (SELECT COUNT(*) FROM lshv) AS n_lsh,
+    (SELECT COUNT(*) FROM ex JOIN lshv USING (doc_a, doc_b)) AS n_both
+)
+SELECT n_exact, n_lsh, n_both,
+       CAST(n_both AS DOUBLE) / n_exact AS recall_vs_exact,
+       CAST(n_both AS DOUBLE) / n_lsh AS precision_vs_exact,
+       CAST(n_both AS DOUBLE) / (n_exact + n_lsh - n_both)
+         AS pair_set_jaccard
+FROM agree
+""",
+)
+def dedup_lsh_vs_exact_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement report between the two production dedup paths: the
+    exact inverted-index pairs (dedup_ngram_jaccard) and the
+    MinHash-LSH verified pairs (dedup_minhash_lsh), as set-overlap
+    counts plus recall / precision / pair-set Jaccard — the one-row
+    scorecard that decides whether the cheap LSH path may replace the
+    exact path for a given corpus (complements dedup_lsh_pr_curve,
+    which scores the UNVERIFIED candidate set across thresholds).
+
+    Scale shape: both pair sets come from process-wide memos
+    (_verified_pairs_memo; _lsh_cand_memo feeding the verification
+    join), so this report costs three counts over candidate-pair-sized
+    tables plus one pair-keyed join. The two paths' n_shared semantics
+    differ deliberately (capped vocabulary vs full shingle sets) —
+    exactly the discrepancy a production scorecard must price.
+    """
+    ensure_session_conf(spark)
+    ex = _jaccard_pairs_memo(spark, sf_dir)
+    lshv = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    both = ex.join(lshv, ["doc_a", "doc_b"])
+    counts = (
+        ex.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lshv.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+    )
+    return counts.select(
+        "n_exact",
+        "n_lsh",
+        "n_both",
+        (F.col("n_both").cast("double") / F.col("n_exact")).alias(
+            "recall_vs_exact"
+        ),
+        (F.col("n_both").cast("double") / F.col("n_lsh")).alias(
+            "precision_vs_exact"
+        ),
+        (
+            F.col("n_both").cast("double")
+            / (F.col("n_exact") + F.col("n_lsh") - F.col("n_both"))
+        ).alias("pair_set_jaccard"),
+    )

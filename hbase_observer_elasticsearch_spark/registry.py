@@ -130,6 +130,7 @@ _PRIORITY = (
     "corpus_vocab_coverage",
     "udf_pandas_grouped_agg",
     "udf_map_in_arrow",
+    "dedup_lsh_vs_exact_agreement",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
