@@ -48,6 +48,13 @@ def main() -> None:
     # (dedup_simhash, q21_waiting_supplier, join_asof — all code-unchanged
     # since r2) found they are stage-overhead-dominated at this SF and
     # carry ±1s run-to-run JVM noise (quiet-machine solo samples for
+    # 2026-08-14 follow-up: a BROAD uniform inflation of the common
+    # subset (+25% across code-unchanged queries, e.g. q1 0.72→1.22s
+    # MINIMUM of solo best-of-3) tracks sustained host load, not any
+    # query: solo best-of-3 on an otherwise idle session reproduces the
+    # inflation, so per-query deltas only mean something when the
+    # whole-run baseline ratio is ~1. Compare the common-subset TOTAL
+    # first; read per-query regressions only net of that ratio.
     # dedup_simhash: 2.4/2.0/3.2/1.9s; a 13.9s GC outlier observed once),
     # so single unlucky draws masqueraded as regressions. The System.gc()
     # settle drains cross-query allocation debt so query N doesn't pay
