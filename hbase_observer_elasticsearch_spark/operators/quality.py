@@ -561,3 +561,79 @@ def snapshot_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("chi2_distance"),
     )
+
+
+@register(
+    "corr_text_embedding_norm",
+    oracle="""
+WITH joined AS (
+  SELECT len(list_distinct(string_split(d.text, ' ')))
+           * 1.0 / len(string_split(d.text, ' ')) AS x,
+         sqrt(list_reduce(list_transform(e.embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b))
+           AS y
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+  FROM joined
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       sx / n AS mean_ttr,
+       sy / n AS mean_norm,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+FROM m
+""",
+)
+def corr_text_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal quality correlation: Pearson r between a document's
+    lexical diversity (type-token ratio) and its embedding L2 norm,
+    over the documents⋈embeddings id join — the audit that catches a
+    degenerate embedder (norms collapsing for exactly the low-quality
+    text you were counting on it to separate).
+
+    Determinism: the five cross-row moment sums run through
+    DECIMAL(28,12) (order-independent); the per-row dot product uses
+    the fixed left-fold of functions/vectors.py in both dialects; the
+    final r is a fixed chain of correctly-rounded double ops.
+
+    Scale shape: one equi-join on the id (bucketable on both sides at
+    100 TB), one single-row multi-aggregate — the correlation never
+    materializes anything row-sized past the join.
+    """
+    ensure_session_conf(spark)
+    from ..functions.vectors import dot as _dot
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    words = F.split(F.col("text"), " ")
+    x = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
+    y = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    joined = d.join(
+        e, d["doc_id"] == e["vec_id"]
+    ).select(x.alias("x"), y.alias("y"))
+    dsum12 = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    m = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum12(F.col("x")).alias("sx"),
+        dsum12(F.col("y")).alias("sy"),
+        dsum12(F.col("x") * F.col("y")).alias("sxy"),
+        dsum12(F.col("x") * F.col("x")).alias("sxx"),
+        dsum12(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return m.select(
+        n.cast("bigint").alias("n_docs"),
+        (sx / n).alias("mean_ttr"),
+        (sy / n).alias("mean_norm"),
+        r.alias("pearson_r"),
+    )

@@ -310,3 +310,71 @@ def window_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mid_lo + mid_hi) / F.lit(2.0)
     )
     return ev.select("event_id", "user_id", "ts", "value", med.alias("med7"))
+
+
+@register(
+    "window_share_of_group",
+    oracle="""
+WITH rev AS (
+  SELECT p.p_type, p.p_brand,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS brand_rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type, p.p_brand
+)
+SELECT p_type, p_brand, brand_rev,
+       CAST(SUM(CAST(brand_rev AS DECIMAL(18,6)))
+            OVER (PARTITION BY p_type) AS DOUBLE) AS type_rev,
+       brand_rev / CAST(SUM(CAST(brand_rev AS DECIMAL(18,6)))
+                        OVER (PARTITION BY p_type) AS DOUBLE)
+         AS share_of_type,
+       CAST(RANK() OVER (PARTITION BY p_type
+                         ORDER BY brand_rev DESC, p_brand) AS BIGINT)
+         AS rank_in_type
+FROM rev
+""",
+)
+def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-group analytics: each brand's revenue as a fraction of
+    its part type's total, plus its rank within the type — the
+    aggregate-then-window composition (groupBy one grain, window at a
+    coarser grain) that share-of-wallet / market-share reporting runs
+    everywhere, distinct from the frame-based windows in this module.
+
+    Scale shape: one join + hash aggregation to the (type, brand) grain
+    — tiny — then the window runs over that grain, NOT the fact table
+    (window-over-aggregate, never window-over-rows: the difference
+    between a KB-sized and a TB-sized sort at 100 TB). Both the brand
+    aggregate and the window total go through exact decimals, so the
+    share division is a correctly-rounded ratio of two deterministic
+    doubles.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("brand_rev")
+        )
+    )
+    w = Window.partitionBy("p_type")
+    type_rev = F.sum(F.col("brand_rev").cast("decimal(18,6)")).over(w).cast(
+        "double"
+    )
+    rk = F.rank().over(w.orderBy(F.col("brand_rev").desc(), "p_brand"))
+    return rev.select(
+        "p_type",
+        "p_brand",
+        "brand_rev",
+        type_rev.alias("type_rev"),
+        (F.col("brand_rev") / type_rev).alias("share_of_type"),
+        rk.cast("bigint").alias("rank_in_type"),
+    )

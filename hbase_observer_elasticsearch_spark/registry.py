@@ -131,6 +131,8 @@ _PRIORITY = (
     "udf_pandas_grouped_agg",
     "udf_map_in_arrow",
     "dedup_lsh_vs_exact_agreement",
+    "corr_text_embedding_norm",
+    "window_share_of_group",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
