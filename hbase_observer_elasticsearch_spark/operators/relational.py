@@ -1099,3 +1099,72 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "obt_star_flatten",
+    oracle="""
+SELECT r.r_name AS region,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       COUNT(DISTINCT p.p_brand) AS n_brands,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY r.r_name, EXTRACT(YEAR FROM o.o_orderdate)
+""",
+)
+def obt_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-big-table build: the full star flatten (lineitem joined to
+    ALL six dimensions at once — the denormalized wide table an ML
+    feature pipeline materializes before training), summarized per
+    (region, order year) so the result stays hash-checkable. This is
+    the join-breadth proof: every TPC-H query joins a subset; a real
+    OBT build joins everything in one plan and lives or dies on join
+    ORDER and broadcast selection.
+
+    Scale shape: Catalyst broadcasts every dimension (customer,
+    nation, region, part, supplier — all ≪ the fact table) and the
+    orders⋈lineitem edge is the single shuffled join, on the key both
+    tables are naturally bucketable by — so the whole 6-way flatten
+    costs one fact shuffle + map-side lookups, the only OBT plan that
+    survives 100 TB. Revenue through exact decimals.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    obt = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    )
+    return obt.groupBy(
+        F.col("r_name").alias("region"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -133,6 +133,7 @@ _PRIORITY = (
     "dedup_lsh_vs_exact_agreement",
     "corr_text_embedding_norm",
     "window_share_of_group",
+    "obt_star_flatten",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
