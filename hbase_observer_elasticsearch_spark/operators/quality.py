@@ -564,14 +564,13 @@ def snapshot_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "corr_text_embedding_norm",
+    "corr_text_embedding",
     oracle="""
 WITH joined AS (
   SELECT len(list_distinct(string_split(d.text, ' ')))
            * 1.0 / len(string_split(d.text, ' ')) AS x,
-         sqrt(list_reduce(list_transform(e.embedding,
-             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b))
-           AS y
+         list_reduce(list_transform(e.embedding,
+             v -> CAST(v AS DOUBLE)), (a, b) -> a + b) / 64 AS y
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 ),
 m AS (
@@ -585,18 +584,21 @@ m AS (
 )
 SELECT CAST(n AS BIGINT) AS n_docs,
        sx / n AS mean_ttr,
-       sy / n AS mean_norm,
+       sy / n AS mean_activation,
        (n * sxy - sx * sy)
          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
 FROM m
 """,
 )
-def corr_text_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corr_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal quality correlation: Pearson r between a document's
-    lexical diversity (type-token ratio) and its embedding L2 norm,
-    over the documents⋈embeddings id join — the audit that catches a
-    degenerate embedder (norms collapsing for exactly the low-quality
-    text you were counting on it to separate).
+    lexical diversity (type-token ratio) and its embedding's mean
+    activation, over the documents⋈embeddings id join — the drift audit
+    that catches a degenerate embedder (activations sliding with text
+    quality). The fixture embeddings are unit-normalized, so the L2
+    norm is the one statistic with NO variance — mean activation is the
+    honest correlate (a norm-based r would divide rounding noise by
+    rounding noise).
 
     Determinism: the five cross-row moment sums run through
     DECIMAL(28,12) (order-independent); the per-row dot product uses
@@ -608,13 +610,20 @@ def corr_text_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes anything row-sized past the join.
     """
     ensure_session_conf(spark)
-    from ..functions.vectors import dot as _dot
-
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     words = F.split(F.col("text"), " ")
     x = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
-    y = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    # mean activation: left-fold sum (same op order as DuckDB's
+    # list_reduce — the +0.0 init is IEEE-exact) / exact binary 64
+    y = (
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda v: v.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / 64
+    )
     joined = d.join(
         e, d["doc_id"] == e["vec_id"]
     ).select(x.alias("x"), y.alias("y"))
@@ -634,6 +643,6 @@ def corr_text_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         n.cast("bigint").alias("n_docs"),
         (sx / n).alias("mean_ttr"),
-        (sy / n).alias("mean_norm"),
+        (sy / n).alias("mean_activation"),
         r.alias("pearson_r"),
     )

@@ -131,7 +131,7 @@ _PRIORITY = (
     "udf_pandas_grouped_agg",
     "udf_map_in_arrow",
     "dedup_lsh_vs_exact_agreement",
-    "corr_text_embedding_norm",
+    "corr_text_embedding",
     "window_share_of_group",
     "obt_star_flatten",
     "text_tfidf_cosine_pairs",

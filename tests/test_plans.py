@@ -378,3 +378,27 @@ def test_partitioned_sink_prunes_directories(spark, sf_dir, tmp_path):
     plan = plans.explain_str(back)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_year" in m.group(1), plan[:800]
+
+
+def test_obt_flatten_broadcasts_all_dims(spark, sf_dir):
+    """The one-big-table build must broadcast every dimension and keep
+    a single shuffled join (the fact⋈orders edge) — the only OBT plan
+    that survives at scale."""
+    plan = plans.explain_str(QS["obt_star_flatten"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:400]
+    assert not plans.has_cartesian_or_bnl(QS["obt_star_flatten"](spark, sf_dir))
+
+
+def test_share_of_group_windows_over_aggregate(spark, sf_dir):
+    """The share window must run over the (type, brand) aggregate grain,
+    not the fact rows: the Window operator appears ABOVE the aggregate
+    in the plan (no window directly over the scan)."""
+    plan = plans.explain_str(QS["window_share_of_group"](spark, sf_dir))
+    assert "Window" in plan
+    # aggregate happens before (deeper than) the window: in formatted
+    # explain the deepest nodes get the lowest ids
+    import re as _re
+
+    agg_ids = [int(m) for m in _re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(m) for m in _re.findall(r"\((\d+)\) Window", plan)]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids)

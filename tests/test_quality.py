@@ -154,3 +154,26 @@ def test_degree_distribution_mass_checks(spark, sf_dir):
     n_edges = _jaccard_pairs_memo(spark, sf_dir).count()
     assert sum(r.n_nodes for r in hist) == n_docs
     assert sum(r.degree * r.n_nodes for r in hist) == 2 * n_edges
+
+
+def test_pearson_r_in_bounds(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.quality import (
+        corr_text_embedding,
+    )
+
+    r = corr_text_embedding(spark, sf_dir).collect()[0]
+    assert -1.0 - 1e-12 <= r.pearson_r <= 1.0 + 1e-12
+    assert r.n_docs > 0
+
+
+def test_share_of_type_sums_to_one(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.windows import (
+        window_share_of_group,
+    )
+
+    rows = window_share_of_group(spark, sf_dir).collect()
+    by_type: dict[str, float] = {}
+    for row in rows:
+        by_type[row.p_type] = by_type.get(row.p_type, 0.0) + row.share_of_type
+    for t, s in by_type.items():
+        assert abs(s - 1.0) < 1e-9, (t, s)
