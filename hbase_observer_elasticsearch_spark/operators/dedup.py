@@ -1731,3 +1731,49 @@ def dedup_lsh_vs_exact_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_exact") + F.col("n_lsh") - F.col("n_both"))
         ).alias("pair_set_jaccard"),
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS doc_id, rc.r
+  FROM edges e JOIN reach rc ON rc.doc_id = e.dst
+),
+lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+csz AS (SELECT cluster_id, COUNT(*) AS sz FROM lab GROUP BY cluster_id)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+FROM csz GROUP BY sz
+""",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: how many clusters of each size
+    the Jaccard graph produces and how much of the corpus sits in them —
+    the report that predicts dedup savings BEFORE materializing a
+    keep-list (a heavy tail here means a boilerplate family worth
+    special-casing; all-singletons means near-dup dedup will not pay).
+
+    Scale shape: reads the memoized CC labels (shared with
+    dedup_clusters / keep_best / savings — zero incremental subtree),
+    then two tiny aggregations: labels→cluster sizes→histogram.
+    """
+    ensure_session_conf(spark)
+    labels = _jaccard_cc_labels(spark, sf_dir)
+    csz = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return csz.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )

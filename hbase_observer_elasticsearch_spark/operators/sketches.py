@@ -419,3 +419,60 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("false_positive"),
         )
     )
+
+
+HLL_PRECISIONS = (8, 12, 14)  # lgConfigK: 256B / 4KB / 16KB of state
+
+
+@register(
+    "sketch_hll_error_curve",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT {lgk} AS lg_k,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS within_band
+FROM events"""
+        for lgk in HLL_PRECISIONS
+    ),
+)
+def sketch_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL precision/cost curve: the distinct-user estimate at three
+    sketch sizes (lgConfigK 8/12/14 ⇒ 256 B/4 KB/16 KB of register
+    state), each audited against the exact count within 3× its
+    theoretical relative standard deviation (1.04/√2^lgK) — the sizing
+    table that picks a sketch budget for a 100 TB distinct-count: the
+    256 B sketch is ~60× smaller than the 16 KB one and this curve
+    shows exactly what accuracy that buys.
+
+    Checkable contract mirrors sketch_battery: register contents are
+    engine-specific, so exact counts are hash-checked as values and the
+    estimate quality as a Spark-side audit boolean per precision.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.countDistinct("user_id").cast("bigint").alias("exact_users")]
+    for lgk in HLL_PRECISIONS:
+        aggs.append(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), lgk)
+            ).alias(f"est_{lgk}")
+        )
+    one = ev.agg(*aggs)
+    parts = []
+    for lgk in HLL_PRECISIONS:
+        rsd = 1.04 / (2.0**lgk) ** 0.5
+        parts.append(
+            one.select(
+                F.lit(lgk).alias("lg_k"),
+                "exact_users",
+                (
+                    F.abs(F.col(f"est_{lgk}") - F.col("exact_users"))
+                    / F.col("exact_users")
+                    <= 3 * rsd
+                ).alias("within_band"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

@@ -1193,3 +1193,77 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.expr(f"INTERVAL {DEBOUNCE_SECONDS} SECOND")
         )
     ).select("event_id", "user_id", "event_type", "ts", "value")
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+WITH vp AS (
+  SELECT event_id, user_id, event_type, value, ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+g AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN value END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_value
+  FROM vp
+)
+SELECT event_id, user_id, epoch_ms(ts) AS purchase_ts_ms,
+       last_view_value,
+       last_view_value IS NULL AS cold_start
+FROM g WHERE event_type = 'purchase'
+""",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: for every purchase (the
+    observation spine), the user's most recent view VALUE strictly
+    before it — the leak-proof feature lookup every training-set build
+    needs (using a view at-or-after the purchase would leak the future
+    into the feature).
+
+    Scale shape: the canonical Spark PIT form is NOT an interval
+    containment join (quadratic blow-up risk per entity) but
+    union-sort-window: union feature rows with spine rows, one shuffle
+    on the entity key, one ordered scan with an IGNORE-NULLS flanking
+    window ending at 1 PRECEDING (which enforces the strictly-before
+    rule even for same-timestamp collisions via the event_id
+    tiebreaker). Cost is one sort per entity partition regardless of
+    how many feature versions precede each observation. Feature values
+    are carried verbatim (no arithmetic) — hash-exact in both engines.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    vp = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = F.last(
+        F.when(F.col("event_type") == "view", F.col("value")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        vp.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias(
+                "purchase_ts_ms"
+            ),
+            feat.alias("last_view_value"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_ts_ms",
+            "last_view_value",
+            F.col("last_view_value").isNull().alias("cold_start"),
+        )
+    )

@@ -134,6 +134,9 @@ _PRIORITY = (
     "corr_text_embedding",
     "window_share_of_group",
     "obt_star_flatten",
+    "dedup_cluster_size_histogram",
+    "sketch_hll_error_curve",
+    "join_point_in_time",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
