@@ -36,7 +36,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
@@ -488,4 +488,70 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_table(spark, sf_dir)
         .select("doc_id", "payload")
         .mapInPandas(_payload_stats_batches, schema)
+    )
+
+
+SHARD_TARGET_BYTES = 100_000
+
+
+@register(
+    "multimodal_shard_pack",
+    oracle=f"""
+WITH sized AS (SELECT doc_id, n_chars AS nbytes FROM documents),
+cum AS (
+  SELECT doc_id, nbytes,
+         COALESCE(SUM(nbytes) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM sized
+)
+SELECT CAST(cum_before // {SHARD_TARGET_BYTES} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_blobs,
+       CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       CAST(SUM(nbytes) AS DOUBLE) / {SHARD_TARGET_BYTES} AS fill_frac
+FROM cum
+GROUP BY 1
+""",
+)
+def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing plan for the media blobs:
+    sequentially assign each payload (byte size = n_chars — the fixture
+    payload is the UTF-8 text, media_table above) to ~100 KB shards by
+    running byte offset, and report each shard's blob count, byte total,
+    doc range, and fill fraction — the plan a training-data loader
+    materializes so sequential reads stream whole shards instead of
+    seeking per blob.
+
+    The assignment rule is the streaming writer's: a blob belongs to
+    the shard where its FIRST byte lands (cum_before div target), so
+    shard contents are reproducible from sizes alone — no writer state.
+
+    Scale shape: sizes only — blob BYTES never move for the plan. At
+    this SF the running offset is one global-ordered window over the
+    doc-grain size table; at 100 TB the same rule runs per
+    ingest-partition (partition-local shard numbering prefixed by
+    partition id), which drops the global sort while keeping every
+    shard's locality contract.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("nbytes")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum = d.select(
+        "doc_id",
+        "nbytes",
+        F.coalesce(F.sum("nbytes").over(w), F.lit(0)).alias("cum_before"),
+    )
+    shard = F.expr(f"cum_before div {SHARD_TARGET_BYTES}")
+    return cum.groupBy(shard.cast("bigint").alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("nbytes").cast("bigint").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        (
+            F.sum("nbytes").cast("double") / SHARD_TARGET_BYTES
+        ).alias("fill_frac"),
     )

@@ -137,6 +137,7 @@ _PRIORITY = (
     "dedup_cluster_size_histogram",
     "sketch_hll_error_curve",
     "join_point_in_time",
+    "multimodal_shard_pack",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
