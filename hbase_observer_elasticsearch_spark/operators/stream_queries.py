@@ -420,3 +420,97 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return emitted.select("seq", "rowkey", "qualifier", "ts")
+
+
+@register(
+    "cdc_python_datasource_stream",
+    oracle="""
+WITH cf AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS rowkey,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+           AS qualifier,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n_mutations,
+       CAST(COUNT(DISTINCT rowkey) AS BIGINT) AS n_keys,
+       CAST(MIN(seq) AS BIGINT) AS min_seq,
+       CAST(MAX(seq) AS BIGINT) AS max_seq
+FROM cf
+GROUP BY op
+""",
+)
+def cdc_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource consumed as a STREAM (Spark 4
+    `SimpleDataSourceStreamReader`): `spark.readStream.format(
+    "changefeed_py")` drains the changefeed in offset-tracked
+    micro-batches (row-position offsets standing in for replication-log
+    LSNs) through an availableNow trigger, and the drained aggregate
+    must equal the batch relational restatement — proving the
+    initialOffset / read / readBetweenOffsets replay contract
+    end-to-end, the final piece of connector parity with the reference's
+    client factory (polyinfo/EsClient.java:29-60): same connector class
+    serves batch reads (cdc_python_datasource) AND resumable streams.
+    """
+    ensure_session_conf(spark)
+    import os as _os
+    import uuid as _uuid
+
+    from ..sources.python_datasource import register_changefeed_datasource
+
+    register_changefeed_datasource(spark)
+    events_path = _os.path.join(sf_dir, "events.parquet")
+    base = tempfile.mkdtemp(prefix="pyds_stream_")
+    try:
+        name = "pyds_emit_" + _uuid.uuid4().hex[:8]
+        # the simple stream reader prefetches one batch at a time on the
+        # driver, so an availableNow trigger would stop after the first
+        # prefetch; run continuous micro-batches and stop once every
+        # mutation has been emitted (count known from the batch side).
+        expected = spark.read.parquet(events_path).count()
+        # ~4 micro-batches at ANY scale factor: the proof needs offset
+        # progression, not a fixed tiny batch that turns sf0.1 into 40
+        # scheduler round-trips.
+        batch = max(2500, (expected + 3) // 4)
+        stream = (
+            spark.readStream.format("changefeed_py")
+            .option("path", events_path)
+            .option("batchSize", str(batch))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time as _time
+
+        deadline = _time.monotonic() + 300
+        while _time.monotonic() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+        emitted = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+        if emitted.count() != expected:
+            raise RuntimeError(
+                "cdc_python_datasource_stream: drain incomplete "
+                f"({emitted.count()}/{expected})"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mutations"),
+        F.countDistinct("rowkey").cast("bigint").alias("n_keys"),
+        F.min("seq").cast("bigint").alias("min_seq"),
+        F.max("seq").cast("bigint").alias("max_seq"),
+    )

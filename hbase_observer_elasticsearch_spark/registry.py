@@ -138,6 +138,7 @@ _PRIORITY = (
     "sketch_hll_error_curve",
     "join_point_in_time",
     "multimodal_shard_pack",
+    "cdc_python_datasource_stream",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",

@@ -47,6 +47,9 @@ class ChangefeedDataSource(DataSource):
     def reader(self, schema) -> "ChangefeedReader":
         return ChangefeedReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "ChangefeedSimpleStreamReader":
+        return ChangefeedSimpleStreamReader(self.options)
+
 
 class ChangefeedReader(DataSourceReader):
     def __init__(self, options):
@@ -89,3 +92,70 @@ def register_changefeed_datasource(spark) -> None:
     except Exception as e:  # noqa: BLE001 — already-registered is fine
         if "already" not in str(e).lower():
             raise
+
+
+class ChangefeedSimpleStreamReader:
+    """Driver-side streaming reader (Spark 4
+    `SimpleDataSourceStreamReader`): offsets are row positions in seq
+    order, each micro-batch serves `batchSize` mutations — the streaming
+    face of the same connector (a real implementation would tail the
+    replication log / WAL and use log sequence numbers as offsets; the
+    offset/read/readBetweenOffsets replay contract is identical).
+
+    `readBetweenOffsets` makes the source REPLAYABLE: after a restart,
+    Spark re-requests exactly the uncommitted offset range, which is what
+    upgrades the pipeline to effectively-exactly-once (the reference's
+    requeue-on-failure, ElasticSearchBulkOperator.java:56-66, replays
+    blindly and duplicates instead).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        self.batch = int(options.get("batchSize", "2500"))
+        self._rows = None
+
+    # -- helpers ----------------------------------------------------------
+    def _load(self):
+        if self._rows is None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                self.path,
+                columns=["event_id", "event_type", "user_id", "value"],
+            )
+            rows = sorted(
+                zip(
+                    t["event_id"].to_pylist(),
+                    t["event_type"].to_pylist(),
+                    t["user_id"].to_pylist(),
+                    t["value"].to_pylist(),
+                )
+            )
+            self._rows = [
+                (
+                    eid,
+                    "delete" if etype == "error" else "put",
+                    str(uid),
+                    None if etype == "error" else etype,
+                    None if etype == "error" else val,
+                )
+                for eid, etype, uid, val in rows
+            ]
+        return self._rows
+
+    # -- SimpleDataSourceStreamReader contract ----------------------------
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        rows = self._load()
+        i0 = start["pos"]
+        i1 = min(i0 + self.batch, len(rows))
+        return iter(rows[i0:i1]), {"pos": i1}
+
+    def readBetweenOffsets(self, start, end):
+        rows = self._load()
+        return iter(rows[start["pos"] : end["pos"]])
+
+    def commit(self, end):
+        pass  # file-backed demo source: nothing to release
