@@ -1168,3 +1168,52 @@ def obt_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "set_ops_all",
+    oracle="""
+WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 45),
+     b AS (SELECT l_partkey FROM lineitem WHERE l_discount > 0.08)
+SELECT 'a_minus_b_all' AS which, COUNT(*) AS n
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t
+UNION ALL
+SELECT 'a_intersect_b_all' AS which, COUNT(*) AS n
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t
+UNION ALL
+SELECT 'a_union_b_all' AS which, COUNT(*) AS n
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b) t
+""",
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL /
+    UNION ALL) over part-key multisets — the multiplicity-preserving
+    variants the distinct set_ops query above deliberately avoids:
+    EXCEPT ALL subtracts occurrence counts, INTERSECT ALL keeps the
+    minimum multiplicity. These are the correct semantics for
+    reconciliation workloads ("orders present twice upstream must stay
+    twice after the diff").
+
+    Scale shape: Spark plans the ALL variants as count-aggregating hash
+    joins on the value (no sort, no distinct) — one shuffle each on the
+    compared column; UNION ALL is a zero-shuffle concatenation.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select("l_partkey")
+    b = li.filter(F.col("l_discount") > 0.08).select("l_partkey")
+    parts = [
+        a.exceptAll(b)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("a_minus_b_all").alias("which"), "n"),
+        a.intersectAll(b)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("a_intersect_b_all").alias("which"), "n"),
+        a.unionAll(b)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("a_union_b_all").alias("which"), "n"),
+    ]
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -452,3 +452,68 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_type"
         ),
     )
+
+
+@register(
+    "explode_outer_semantics",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN []
+              WHEN doc_id % 3 = 1 THEN NULL
+              ELSE string_split(lang, '') END AS arr
+  FROM documents
+),
+inner_x AS (
+  SELECT s.doc_id, u.e FROM src s, unnest(s.arr) u(e)
+),
+outer_x AS (
+  SELECT s.doc_id, u.e
+  FROM src s LEFT JOIN LATERAL (SELECT unnest(s.arr) AS e) u ON true
+)
+SELECT 'inner' AS mode,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(e) AS n_non_null
+FROM inner_x
+UNION ALL
+SELECT 'outer' AS mode,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(e) AS n_non_null
+FROM outer_x
+""",
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode vs explode_outer on the three array shapes that differ:
+    populated arrays (both emit elements), EMPTY arrays and NULL arrays
+    (inner drops the row entirely; outer keeps it with a NULL element).
+    The row-count delta between the two modes is exactly the
+    empty-plus-null row population — the semantics that silently loses
+    parent rows when a flattening pipeline picks the wrong one.
+
+    Scale shape: both are map-side Generate operators (no shuffle); the
+    oracle states the same two behaviors as unnest vs LEFT JOIN LATERAL
+    unnest — the ANSI restatements of Spark's inner/outer explode.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    arr = (
+        F.when(F.col("doc_id") % 3 == 0, F.array().cast("array<string>"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(None).cast("array<string>"))
+        .otherwise(F.split(F.col("lang"), ""))
+    )
+    src = d.select("doc_id", arr.alias("arr"))
+    inner = src.select("doc_id", F.explode("arr").alias("e"))
+    outer = src.select("doc_id", F.explode_outer("arr").alias("e"))
+    parts = []
+    for mode, df in (("inner", inner), ("outer", outer)):
+        parts.append(
+            df.agg(
+                F.lit(mode).alias("mode"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.count("e").alias("n_non_null"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

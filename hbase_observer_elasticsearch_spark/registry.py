@@ -139,6 +139,8 @@ _PRIORITY = (
     "join_point_in_time",
     "multimodal_shard_pack",
     "cdc_python_datasource_stream",
+    "set_ops_all",
+    "explode_outer_semantics",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
