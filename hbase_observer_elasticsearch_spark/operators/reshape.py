@@ -17,7 +17,7 @@ is acceptable (agg_approx_distinct documents the same tradeoff for counts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -202,4 +202,89 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("mode_priority"),
             "n",
         )
+    )
+
+
+RFM_AS_OF = "2001-09-01"  # reference date just past the last order
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   DATE '{RFM_AS_OF}') AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM rfm
+)
+SELECT CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE)
+         AS segment_revenue
+FROM scored
+GROUP BY r_score, f_score, m_score
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into quartiles on
+    Recency (days since last order, best = lowest), Frequency (order
+    count) and Monetary (lifetime spend), then rolled up to segment
+    cells with customer counts and revenue — the standard
+    customer-value grid (r=f=m=1 is the "champions" cell).
+
+    Scale shape: one hash aggregation to customer grain, three ntile
+    windows over that grain (customer-count-sized, with unique
+    tiebreakers so quartile boundaries are deterministic), one final
+    rollup keyed by the 64 possible cells. At 100 TB the quartile cut
+    points come from approx_percentile and scoring becomes map-side —
+    same output contract (the deciles pattern, corpus_quality_deciles).
+    Money through exact decimals everywhere.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_AS_OF).cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("segment_revenue"),
     )

@@ -253,3 +253,87 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 2.5)
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type,
+         quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         quantile_disc(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(d.med AS DOUBLE) AS median_value,
+       CAST(m.mad AS DOUBLE) AS mad,
+       CAST(COUNT(*) FILTER (WHERE abs(d.value - d.med) > 3 * m.mad)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, d.med, m.mad
+""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per event
+    type, the discrete median, the MAD, and how many events sit beyond
+    3 MADs — the heavy-tail-safe complement to events_zscore_outliers
+    (one extreme value shifts a mean and inflates a stddev, but moves
+    neither the median nor the MAD — z-scores under-flag exactly when
+    outliers are worst).
+
+    Determinism: percentile_disc picks ACTUAL data values (no
+    interpolation arithmetic), so medians and MADs are raw doubles both
+    engines agree on; the deviation compare is two correctly-rounded
+    ops.
+
+    Scale shape: two grouped exact percentiles (at 100 TB:
+    approx_percentile, same plan) + one broadcast of the per-type
+    medians/MADs (group-count-sized) back onto the event stream — the
+    events themselves shuffle once, on event_type.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "med"
+        )
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias(
+            "mad"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.col("med").cast("double").alias("median_value"),
+            F.col("mad").cast("double").alias("mad"),
+            "n_outliers",
+        )
+    )

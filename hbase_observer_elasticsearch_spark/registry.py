@@ -141,6 +141,8 @@ _PRIORITY = (
     "cdc_python_datasource_stream",
     "set_ops_all",
     "explode_outer_semantics",
+    "events_anomaly_mad",
+    "customer_rfm_segments",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
