@@ -646,3 +646,87 @@ def corr_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sy / n).alias("mean_activation"),
         r.alias("pearson_r"),
     )
+
+
+# (rule name, SQL predicate that flags a VIOLATION — identical text runs
+# in both engines over the named table)
+_ROW_RULES = (
+    ("orders.totalprice_positive", "orders", "o_totalprice <= 0"),
+    (
+        "orders.status_in_domain",
+        "orders",
+        "o_orderstatus NOT IN ('F', 'O', 'P')",
+    ),
+    (
+        "orders.date_in_range",
+        "orders",
+        "o_orderdate < TIMESTAMP '1992-01-01' "
+        "OR o_orderdate >= TIMESTAMP '2002-01-01'",
+    ),
+    ("lineitem.discount_in_band", "lineitem", "l_discount < 0 OR l_discount > 0.1"),
+    ("lineitem.qty_positive", "lineitem", "l_quantity <= 0"),
+    (
+        "lineitem.ship_after_1992",
+        "lineitem",
+        "l_shipdate < TIMESTAMP '1992-01-01'",
+    ),
+    ("documents.nonempty_text", "documents", "length(text) = 0"),
+    ("events.value_non_negative", "events", "value < 0"),
+)
+
+
+@register(
+    "quality_row_rules",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{rule}' AS rule,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE {pred}) AS n_violations,
+       COUNT(*) FILTER (WHERE {pred}) = 0 AS passes
+FROM {tbl}"""
+        for rule, tbl, pred in _ROW_RULES
+    ),
+)
+def quality_row_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectation suite (Great-Expectations-shaped): named
+    validation rules — positivity, enum domains, date ranges, value
+    bands — evaluated as violation counts per rule in ONE pass per
+    table. The third leg of the constraint audits (quality_fk_orphans =
+    edges, quality_pk_uniqueness = keys, this = cell values).
+
+    The rule predicates are SQL text shared verbatim between engines
+    (and storable as data — a rule table, not code — which is how a
+    100 TB platform ships expectations to every ingest job without
+    redeploying it).
+
+    Scale shape: rules over the same table compile into one scan with
+    conditional-count aggregates (map-side partials); nothing row-sized
+    survives the scan.
+    """
+    ensure_session_conf(spark)
+    by_table: dict[str, list] = {}
+    for rule, tbl, pred in _ROW_RULES:
+        by_table.setdefault(tbl, []).append((rule, pred))
+    parts = []
+    for tbl, rules in by_table.items():
+        t = load_table(spark, sf_dir, tbl)
+        cnt = F.count(F.lit(1))
+        # one scan per table: every rule is a conditional count in the
+        # same aggregate
+        aggs = [cnt.alias("n_rows")]
+        for i, (_, pred) in enumerate(rules):
+            aggs.append(F.sum(F.expr(pred).cast("long")).alias(f"v{i}"))
+        one = t.agg(*aggs)
+        for i, (rule, _) in enumerate(rules):
+            parts.append(
+                one.select(
+                    F.lit(rule).alias("rule"),
+                    "n_rows",
+                    F.col(f"v{i}").alias("n_violations"),
+                    (F.col(f"v{i}") == 0).alias("passes"),
+                )
+            )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

@@ -1267,3 +1267,100 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_view_value").isNull().alias("cold_start"),
         )
     )
+
+
+STICKY_WINDOW_DAYS = 30
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+marks AS (
+  SELECT user_id, day + to_days(CAST(o AS INTEGER)) AS wend
+  FROM ud, unnest(generate_series(0, {STICKY_WINDOW_DAYS - 1})) AS t(o)
+),
+mau AS (
+  SELECT wend AS day, COUNT(DISTINCT user_id) AS mau FROM marks GROUP BY wend
+)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau,
+       CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+FROM dau d JOIN mau m USING (day)
+""",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily active users over 30-day
+    trailing actives — the engagement ratio every product dashboard
+    leads with. Only days with activity appear (the DAU join keeps the
+    report to observed days).
+
+    Scale shape: the COUNT(DISTINCT)-over-trailing-window that neither
+    engine supports natively becomes a bounded day-explode (each
+    (user, day) marks the 30 window-ends it contributes to — 30×
+    the per-day distinct table, which is ALREADY tiny vs events), then
+    two plain distinct aggregations. Same pattern as
+    events_rolling_actives (7-day), at the monthly horizon with the
+    ratio on top; ratio = double division of exact ints.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    marks = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(STICKY_WINDOW_DAYS - 1))
+        ).alias("o"),
+        "day",
+    ).select(
+        "user_id",
+        (F.col("day") + F.make_dt_interval(days=F.col("o"))).alias("wend"),
+    )
+    mau = marks.groupBy(F.col("wend").alias("day")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+    )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle=f"""
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,  -- DuckDB Sun=0; Spark Sun=1
+       CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       {sql_dsum("value")} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week seasonality profile: event volume and
+    value mass per calendar cell — the load-shape table behind capacity
+    planning and anomaly baselines (events_rate_anomaly flags a day
+    against its neighbor; this is the per-cell baseline it would
+    graduate to).
+
+    Scale shape: calendar-cell extraction is map-side; the aggregate has
+    at most 7×24 groups so the shuffle carries only partials — the
+    cheapest possible profile of an arbitrarily large event stream.
+    Value sums through exact decimals.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )

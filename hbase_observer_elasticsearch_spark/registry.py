@@ -143,6 +143,9 @@ _PRIORITY = (
     "explode_outer_semantics",
     "events_anomaly_mad",
     "customer_rfm_segments",
+    "events_dau_mau_stickiness",
+    "quality_row_rules",
+    "events_hourly_seasonality",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
