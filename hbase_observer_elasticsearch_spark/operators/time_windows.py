@@ -1364,3 +1364,65 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("sum_value"),
     )
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+WITH completion AS (
+  SELECT o.o_orderkey,
+         date_trunc('day', o.o_orderdate) AS start_day,
+         date_trunc('day', MAX(l.l_shipdate)) AS end_day
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+  SELECT start_day AS day, 1 AS delta FROM completion
+  UNION ALL
+  SELECT end_day AS day, -1 AS delta FROM completion WHERE end_day > start_day
+),
+daily AS (SELECT day, SUM(delta) AS d FROM deltas GROUP BY day)
+SELECT day,
+       CAST(SUM(d) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_orders
+FROM daily
+""",
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series: how many orders are in flight
+    (placed but not fully shipped) on each day — the interval-counting
+    pattern (+1 at start, −1 at end, cumulative sum) that turns
+    interval-overlap questions into a LINEAR sweep instead of a per-day
+    containment join (which explodes as days × orders).
+
+    Same-day-complete orders contribute no delta pair (they open and
+    close inside the day); the cumulative window runs over the
+    DAY-grain delta table — thousands of rows regardless of order
+    volume, the only sound shape at 100 TB. Integer arithmetic
+    end-to-end.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    completion = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("day", "o_orderdate").alias("start_day"),
+            F.date_trunc("day", "last_ship").alias("end_day"),
+        )
+    )
+    deltas = completion.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        completion.filter(F.col("end_day") > F.col("start_day")).select(
+            F.col("end_day").alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("d").over(w).cast("bigint").alias("open_orders")
+    )

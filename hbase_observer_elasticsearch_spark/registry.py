@@ -146,6 +146,7 @@ _PRIORITY = (
     "events_dau_mau_stickiness",
     "quality_row_rules",
     "events_hourly_seasonality",
+    "orders_open_backlog",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",

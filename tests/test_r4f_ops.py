@@ -115,3 +115,68 @@ def test_zorder_morton_bruteforce(spark, sf_dir):
             row.ndv_p,
             row.ndv_s,
         )
+
+
+def test_rfm_quartiles_partition_customers(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+    from hbase_observer_elasticsearch_spark.operators.reshape import (
+        customer_rfm_segments,
+    )
+
+    rows = customer_rfm_segments(spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+
+
+def test_mad_outliers_invariants(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.skew_agg import (
+        events_anomaly_mad,
+    )
+
+    for r in events_anomaly_mad(spark, sf_dir).collect():
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers <= r.n_events
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.time_windows import (
+        events_dau_mau_stickiness,
+    )
+
+    rows = events_dau_mau_stickiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.mau
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_row_rules_fixtures_pass(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.quality import (
+        quality_row_rules,
+    )
+
+    rows = quality_row_rules(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.passes == (r.n_violations == 0)
+
+
+def test_backlog_never_negative_and_ends_at_zero(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.time_windows import (
+        orders_open_backlog,
+    )
+
+    rows = sorted(
+        orders_open_backlog(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert rows
+    assert all(r.open_orders >= 0 for r in rows)
+    # every order eventually ships: the sweep returns to a small tail
+    assert rows[-1].open_orders <= rows[len(rows) // 2].open_orders
