@@ -1426,3 +1426,112 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", F.sum("d").over(w).cast("bigint").alias("open_orders")
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY event_type
+                                               ORDER BY ts, event_id))
+           AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS median_gap_us,
+       CAST(quantile_disc(gap_us, 0.95) AS BIGINT) AS p95_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: median, p95, and
+    max gap between consecutive events — the feed-health profile that
+    sets alert thresholds (a max gap far beyond p95 is the dead-producer
+    signature events_rate_anomaly catches a day later; this catches it
+    in minutes).
+
+    Determinism: gaps are exact microsecond integers (epoch_us on both
+    sides); percentile_disc picks actual gap values — no float
+    arithmetic anywhere.
+
+    Scale shape: one keyed window pass (shuffle on event_type) then a
+    grouped exact percentile over the gap column; at 100 TB the
+    percentile swaps to approx_percentile with the plan otherwise
+    unchanged, and the window key gains a day bucket so no single type
+    serializes on one partition.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "event_type",
+        (
+            micros
+            - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    pd_ = lambda q: F.expr(  # noqa: E731
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY gap_us)"
+    ).cast("bigint")
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        pd_(0.5).alias("median_gap_us"),
+        pd_(0.95).alias("p95_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+
+
+@register(
+    "orders_ship_latency_monthly",
+    oracle="""
+WITH lat AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS lag_days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(quantile_disc(lag_days, 0.5) AS BIGINT) AS median_days,
+       CAST(quantile_disc(lag_days, 0.95) AS BIGINT) AS p95_days,
+       CAST(MAX(lag_days) AS BIGINT) AS max_days
+FROM lat
+GROUP BY month
+""",
+)
+def orders_ship_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLO report by order month: median / p95 /
+    max days from order placement to each line item's ship date — the
+    fulfillment-latency percentile table every operations dashboard
+    tracks against its SLA (and the business-side twin of
+    events_interarrival_stats' feed-health percentiles).
+
+    Determinism: latency is an exact integer day difference;
+    percentile_disc returns actual data values. Scale shape: one
+    fact-fact join on the orderkey both tables are bucketable by, one
+    grouped exact percentile per month (≤ a few hundred groups); the
+    approx_percentile swap at 100 TB changes one function name.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lag_days"),
+    )
+    pd_ = lambda q: F.expr(  # noqa: E731
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY lag_days)"
+    ).cast("bigint")
+    return lat.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        pd_(0.5).alias("median_days"),
+        pd_(0.95).alias("p95_days"),
+        F.max("lag_days").cast("bigint").alias("max_days"),
+    )

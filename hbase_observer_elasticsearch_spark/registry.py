@@ -147,6 +147,8 @@ _PRIORITY = (
     "quality_row_rules",
     "events_hourly_seasonality",
     "orders_open_backlog",
+    "events_interarrival_stats",
+    "orders_ship_latency_monthly",
     "text_tfidf_cosine_pairs",
     "sketch_countmin",
     "quality_fk_orphans",
