@@ -1377,7 +1377,7 @@ WITH completion AS (
   GROUP BY o.o_orderkey, o.o_orderdate
 ),
 deltas AS (
-  SELECT start_day AS day, 1 AS delta FROM completion
+  SELECT start_day AS day, 1 AS delta FROM completion WHERE end_day > start_day
   UNION ALL
   SELECT end_day AS day, -1 AS delta FROM completion WHERE end_day > start_day
 ),
@@ -1396,11 +1396,14 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval-overlap questions into a LINEAR sweep instead of a per-day
     containment join (which explodes as days × orders).
 
-    Same-day-complete orders contribute no delta pair (they open and
-    close inside the day); the cumulative window runs over the
-    DAY-grain delta table — thousands of rows regardless of order
-    volume, the only sound shape at 100 TB. Integer arithmetic
-    end-to-end.
+    Same-day-complete orders contribute NO delta at all — both branches
+    filter end_day > start_day, so the +1 and -1 that would cancel are
+    simply never emitted (r4 advice: filtering only the -1 side counted
+    same-day orders as open forever; latent on TPC-H because l_shipdate
+    is always after o_orderdate, but wrong on general data). The
+    cumulative window runs over the DAY-grain delta table — thousands
+    of rows regardless of order volume, the only sound shape at 100 TB.
+    Integer arithmetic end-to-end.
     """
     ensure_session_conf(spark)
     o = load_table(spark, sf_dir, "orders")
@@ -1413,11 +1416,12 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", "o_orderdate").alias("start_day"),
             F.date_trunc("day", "last_ship").alias("end_day"),
         )
+        .filter(F.col("end_day") > F.col("start_day"))
     )
     deltas = completion.select(
         F.col("start_day").alias("day"), F.lit(1).alias("delta")
     ).unionByName(
-        completion.filter(F.col("end_day") > F.col("start_day")).select(
+        completion.select(
             F.col("end_day").alias("day"), F.lit(-1).alias("delta")
         )
     )

@@ -85,188 +85,102 @@ def _load() -> None:
 # CORRECTNESS_r01.json). Names not yet registered are skipped; registered
 # names not listed append in module-import order.
 _PRIORITY = (
-    # --- r4 window ---
-    # last driver-checked in r1 (stalest official rows in the registry —
-    # the r3 verdict's directive #2): rotate in first.
-    "join_cross",
-    "sort_limit_topn",
-    "set_ops",
-    "distinct_pairs",
-    "subquery_scalar_in",
-    "pivot_wide",
-    "unpivot_melt",
-    "agg_case_bucketing",
-    "agg_having",
-    "agg_variance_manual",
-    "join_right_outer",
-    "percentile_stats",
-    "agg_distinct",
-    "join_full_outer",
-    # code changed this round (r4): star-CC single-job rewrite + memoized
-    # labels; streaming-twin fixed-cost rework.
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_cross_split_contamination",  # composes the md5-gate splits with capped pairs
-    "cdc_stateful_stream",
-    "stream_static_enrich",
-    "stream_put_delete_join",
-    # r4e/r4f session additions (newest — no official row NOR committed
-    # FULL row yet, so they lead the new-query block).
-    "dedup_prefix_filter_join",
-    "sketch_bloom_membership",
-    "events_pattern_within",
-    "events_rate_anomaly",
-    "corpus_quality_deciles",
-    "layout_zorder_locality",
-    "embedding_power_iteration",
-    "corpus_top_bigrams",
-    "events_debounce",
-    "quality_pk_uniqueness",
-    "snapshot_distribution_drift",
-    "profile_column_gini",
-    "stream_debounce",
-    "source_csv_json_roundtrip",
-    "sink_partitioned_prune",
-    "corpus_vocab_coverage",
-    "udf_pandas_grouped_agg",
-    "udf_map_in_arrow",
-    "dedup_lsh_vs_exact_agreement",
-    "corr_text_embedding",
-    "window_share_of_group",
-    "obt_star_flatten",
-    "dedup_cluster_size_histogram",
-    "sketch_hll_error_curve",
-    "join_point_in_time",
-    "multimodal_shard_pack",
-    "cdc_python_datasource_stream",
-    "set_ops_all",
-    "explode_outer_semantics",
-    "events_anomaly_mad",
-    "customer_rfm_segments",
-    "events_dau_mau_stickiness",
-    "quality_row_rules",
-    "events_hourly_seasonality",
-    "orders_open_backlog",
-    "events_interarrival_stats",
-    "orders_ship_latency_monthly",
-    "text_tfidf_cosine_pairs",
-    "sketch_countmin",
-    "quality_fk_orphans",
-    "corpus_gate_report",
-    "corpus_dedup_savings",
-    "sample_weighted_bernoulli",
-    "graph_degree_distribution",
-    "profile_file_layout",
-    # new queries registered in r4 (names not yet registered are skipped,
-    # so this list is safe to lead the window while they land).
-    "dedup_url_host",
-    "text_repetition_quality",
-    "sketch_battery",
-    "text_chunking",
-    "agg_sketch_quantiles",
-    "join_interval_overlap",
-    "agg_approx_topk",
-    "text_token_histogram",
-    "similarity_pair_dot_stats",
-    "events_funnel",
-    "events_retention_cohort",
-    "time_asof_interpolate",
-    "docs_minhash_band_stats",
-    "similarity_topk_rhp",
-    "similarity_recall_rhp",
+    # --- r5 window (the driver checks a ~50-entry prefix) ---
+    # r4 verdict directive #2: 75 registry queries had never received an
+    # OFFICIAL driver correctness row (union of the r1-r4 50-query windows
+    # = 140 of 215 names). This window leads with the two queries whose
+    # code changed this round, then 48 of the never-checked 75 picked for
+    # category spread; the remaining 26 never-checked follow immediately
+    # so r6's rotation finishes the job. Everything else (green in
+    # CORRECTNESS_r01-r04 + CORRECTNESS_FULL_r04) appends in module order.
+    "cdc_python_datasource_stream",  # changed: partition-parallel reader
+    "orders_open_backlog",  # changed: same-day delta fix (r4 advice)
+    # never-checked: streaming proofs
     "stream_tumbling_agg",
-    "agg_incremental_rollup",
-    "join_salted_skew",
-    "multimodal_phash_dedup",
-    "window_time_range_trailing",
-    "profile_column_histogram",
-    "text_boilerplate_chunks",
-    "events_zscore_outliers",
-    "graph_triangle_count",
-    "join_asof_nearest",
-    "cdc_scd2_history",
-    "cdc_time_travel",
-    # r4b/c session additions, flagship families first: the driver window
-    # is a ~50-entry prefix, so whichever of these fit after the rotation
-    # + r4-new block get official rows this round; tools/check.py FULL
-    # covers the rest.
-    "similarity_topk_pq",
-    "similarity_recall_pq",
     "stream_session_agg",
     "stream_dedup_within_watermark",
+    # never-checked: ANN index families + recall audits
+    "similarity_topk_rhp",
+    "similarity_recall_rhp",
+    "similarity_topk_pq",
+    "similarity_recall_pq",
+    "similarity_pair_dot_stats",
+    # never-checked: graph analytics
     "graph_pagerank",
-    "corpus_source_overlap",
-    "text_dup_ngram_coverage",
-    "dedup_lsh_pr_curve",
-    "join_bucketed_colocated",
-    "multimodal_payload_stats",
+    "graph_triangle_count",
+    "graph_degree_distribution",
+    # never-checked: CDC history / lifecycle / connector batch face
+    "cdc_scd2_history",
+    "cdc_time_travel",
     "cdc_snapshot_diff",
     "cdc_retention_purge",
     "cdc_python_datasource",
+    # never-checked: dedup meta-analysis + corpus analytics
+    "dedup_lsh_pr_curve",
+    "dedup_url_host",
+    "dedup_cluster_embedding_quality",
+    "docs_minhash_band_stats",
+    "corpus_dedup_savings",
+    "corpus_gate_report",
+    "corpus_source_overlap",
+    # never-checked: text analysis battery
+    "text_tfidf_cosine_pairs",
+    "text_dup_ngram_coverage",
+    "text_chunking",
+    "text_token_histogram",
+    "text_repetition_quality",
+    "text_blocklist_gate",
+    "text_boilerplate_chunks",
+    "text_prefix_dup_groups",
+    # never-checked: multimodal
+    "multimodal_phash_dedup",
+    "multimodal_payload_stats",
+    # never-checked: sketches
+    "sketch_battery",
+    "sketch_countmin",
+    "agg_sketch_quantiles",
+    "agg_approx_topk",
+    # never-checked: event/business analytics
+    "events_funnel",
+    "events_retention_cohort",
+    "events_attribution_last_touch",
+    "events_dau_mau_stickiness",
+    "time_asof_interpolate",
+    # never-checked: join flavors
+    "join_asof_nearest",
+    "join_interval_overlap",
+    "join_salted_skew",
+    "join_bucketed_colocated",
+    # never-checked: data quality
+    "quality_fk_orphans",
+    "quality_row_rules",
+    # --- spill: the remaining 26 never-checked (r6 window leads here) ---
     "events_ewma_trailing",
     "events_gap_fill_locf",
     "events_value_trend",
-    "window_trailing_median",
-    "events_top_paths",
+    "events_zscore_outliers",
+    "events_hourly_seasonality",
+    "events_interarrival_stats",
     "events_rolling_actives",
-    "profile_key_skew",
-    "text_blocklist_gate",
-    "text_prefix_dup_groups",
-    "sample_topk_per_group",
-    "pack_length_buckets",
-    "subquery_exists_battery",
+    "events_top_paths",
+    "orders_ship_latency_monthly",
+    "window_time_range_trailing",
+    "window_trailing_median",
+    "basket_brand_lift",
+    "customer_rfm_segments",
     "agg_conditional_battery",
+    "agg_incremental_rollup",
     "bitwise_funcs",
     "null_handling_funcs",
-    "recursive_markov_paths",
     "variant_funcs",
-    "events_attribution_last_touch",
-    "basket_brand_lift",
-    "dedup_cluster_embedding_quality",
-    # last driver-checked in r2 — next-stalest; fill the remaining window.
-    "cdc_last_state",
-    "cdc_nullsafe_tombstones",
-    "cdc_doc_pivot",
-    "cdc_delete_widening",
-    "cdc_es_bulk_lines",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q21_waiting_supplier",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "similarity_nn_same_label",
-    "similarity_topk_ivf",
-    "similarity_recall_ivf",
-    "text_stats",
-    "text_quality_filter",
-    "text_langid_heuristic",
-    "text_token_count_bpe",
-    "text_fingerprint",
-    "text_edit_distance_pairs",
-    "udf_pandas_scalar",
-    "udf_grouped_applyinpandas",
-    "udf_scalar_python",
-    "udf_python_udtf",
-    "window_lag_lead",
-    "window_running_agg",
-    "window_tumbling",
-    "window_session",
-    "multimodal_decode_features",
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "map_funcs",
-    "json_funcs",
-    "higher_order_funcs",
-    # r3-green queries (sampling/splits/packing/int8-ANN/PII/rarest-terms/
-    # profiling/lateral/kmeans/q11/q20/q1/TPC-H core/joins/agg-battery/
-    # window battery) rotate OUT this round; the full local oracle run
-    # (CORRECTNESS_FULL_r04.json) covers them meanwhile.
+    "recursive_markov_paths",
+    "subquery_exists_battery",
+    "sample_topk_per_group",
+    "sample_weighted_bernoulli",
+    "pack_length_buckets",
+    "profile_column_histogram",
+    "profile_file_layout",
+    "profile_key_skew",
 )
 
 

