@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
+from ..sources.changefeed import scratch_dir as _scratch
 from ..session import ensure_session_conf
 
 
@@ -323,7 +324,6 @@ def cdc_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     import os
     import shutil
-    import tempfile
     import uuid
 
     from ..sources.changefeed import shared_changefeed_stream_dir
@@ -334,7 +334,7 @@ def cdc_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # process instead of a private 4-file dir per query — still a
     # multi-micro-batch proof, half the micro-batch fixed cost.
     cf_dir = shared_changefeed_stream_dir(spark, sf_dir, n_files=2)
-    base = tempfile.mkdtemp(prefix="cdc_stateful_")
+    base = _scratch("cdc_stateful_")
     try:
         name = "stateful_emit_" + uuid.uuid4().hex[:8]
         # NOTE: unlike the JVM-side stream joins (stream_queries._drain_to_
@@ -355,12 +355,12 @@ def cdc_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise RuntimeError("cdc_stateful_stream: availableNow drain timed out")
 
-        # The memory sink holds emitted rows driver-side; force them into a
-        # local relation so the returned plan no longer references the sink
-        # (or the temp changefeed dir we are about to delete).
-        emitted = spark.createDataFrame(
-            spark.table(name).collect(), spark.table(name).schema
-        )
+        # The memory sink holds emitted rows driver-side; pin them JVM-side
+        # (eager localCheckpoint — no py4j row round-trip) so the returned
+        # plan no longer references the sink (or the temp changefeed dir
+        # we are about to delete).
+        emitted = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

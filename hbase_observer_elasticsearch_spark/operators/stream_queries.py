@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +32,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from ..session import ensure_session_conf
+from ..sources.changefeed import scratch_dir as _scratch
 
 _SQL_CF = """
   SELECT event_id AS seq,
@@ -51,17 +51,21 @@ def _drain_to_local(
     output_mode: str = "append",
 ) -> DataFrame:
     """Drain an availableNow stream into a memory sink and pin the emitted
-    rows into a local relation (so the returned plan references neither the
-    sink nor the about-to-be-deleted temp dir).
+    rows JVM-side with an eager localCheckpoint (so the returned plan
+    references neither the sink table nor the about-to-be-deleted temp
+    dir). r4 this was collect() + createDataFrame — a py4j round-trip of
+    every emitted row to Python and back, ~1-2 s of pure marshalling per
+    twin at sf0.1; the localCheckpoint copies the same rows into block
+    manager storage without leaving the JVM.
 
     Streaming state cost scales with shuffle partitions (one state store
     per partition PER stateful operator PER micro-batch), so the drain
-    runs at 8 partitions — at real scale you size this to the stream's
+    runs at 4 partitions — at real scale you size this to the stream's
     key cardinality, not the batch-side default.
     """
     name = "stream_twin_" + uuid.uuid4().hex[:8]
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -76,9 +80,9 @@ def _drain_to_local(
             raise RuntimeError("stream twin: availableNow drain timed out")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.createDataFrame(
-        spark.table(name).collect(), spark.table(name).schema
-    )
+    pinned = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)  # release the memory sink's copy
+    return pinned
 
 
 def _changefeed_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -124,7 +128,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
         )
     )
-    base = tempfile.mkdtemp(prefix="stream_enrich_")
+    base = _scratch("stream_enrich_")
     try:
         cf_dir = _changefeed_dir(spark, sf_dir)
         emitted = _drain_to_local(
@@ -163,7 +167,7 @@ def stream_put_delete_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     from ..streaming.pipeline import streaming_put_delete_interval_join
 
-    base = tempfile.mkdtemp(prefix="stream_pdjoin_")
+    base = _scratch("stream_pdjoin_")
     try:
         cf_dir = _changefeed_dir(spark, sf_dir)
         emitted = _drain_to_local(
@@ -220,7 +224,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("win_start"), "op", "n_running"
         )
     )
-    base = tempfile.mkdtemp(prefix="stream_tumbling_")
+    base = _scratch("stream_tumbling_")
     try:
         emitted = _drain_to_local(spark, agg, base, output_mode="update")
     finally:
@@ -302,7 +306,7 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_mutations",
         )
     )
-    base = tempfile.mkdtemp(prefix="stream_session_")
+    base = _scratch("stream_session_")
     try:
         emitted = _drain_to_local(spark, agg, base, output_mode="append")
     finally:
@@ -347,7 +351,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     deduped = doubled.dropDuplicatesWithinWatermark(["seq"]).select(
         "seq", "op", "rowkey", "ts"
     )
-    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    base = _scratch("stream_dedup_")
     try:
         emitted = _drain_to_local(spark, deduped, base, output_mode="append")
     finally:
@@ -397,7 +401,11 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import stateful_debounce
 
     cf_dir = shared_changefeed_stream_dir(spark, sf_dir, n_files=2)
-    base = tempfile.mkdtemp(prefix="stream_debounce_")
+    base = _scratch("stream_debounce_")
+    # NOTE: this drain deliberately keeps the session's shuffle
+    # partitions — the parallel Pandas state function wants the cores
+    # (measured at sf0.1: 2.9s at 32 partitions vs 4.8s at 4; same
+    # trade-off as cdc_stateful_stream's drain note).
     try:
         name = "debounce_emit_" + _uuid.uuid4().hex[:8]
         q = (
@@ -414,9 +422,8 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("stream_debounce: availableNow drain timed out")
-        emitted = spark.createDataFrame(
-            spark.table(name).collect(), spark.table(name).schema
-        )
+        emitted = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return emitted.select("seq", "rowkey", "qualifier", "ts")
@@ -466,7 +473,7 @@ def cdc_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_changefeed_datasource(spark)
     events_path = _os.path.join(sf_dir, "events.parquet")
-    base = tempfile.mkdtemp(prefix="pyds_stream_")
+    base = _scratch("pyds_stream_")
     try:
         name = "pyds_emit_" + _uuid.uuid4().hex[:8]
         # rate-limited latestOffset exposes one batch per trigger, so an
@@ -475,10 +482,10 @@ def cdc_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # micro-batches and stop once every mutation has been emitted
         # (count known from the batch side).
         expected = spark.read.parquet(events_path).count()
-        # ~4 micro-batches at ANY scale factor: the proof needs offset
+        # ~3 micro-batches at ANY scale factor: the proof needs offset
         # progression, not a fixed tiny batch that turns sf0.1 into 40
         # scheduler round-trips.
-        batch = max(2500, (expected + 3) // 4)
+        batch = max(2500, (expected + 2) // 3)
         stream = (
             spark.readStream.format("changefeed_py")
             .option("path", events_path)
@@ -495,20 +502,26 @@ def cdc_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         import time as _time
 
+        # Progress-based wait: summing numInputRows over recentProgress is
+        # a driver-side field read, where a memory-table count() poll is a
+        # full Spark job racing the micro-batches for scheduler slots.
         deadline = _time.monotonic() + 300
         while _time.monotonic() < deadline:
-            if spark.table(name).count() >= expected:
+            drained = sum(
+                p["numInputRows"] for p in (q.recentProgress or [])
+            )
+            if drained >= expected:
                 break
-            _time.sleep(0.2)
+            _time.sleep(0.05)
         q.stop()
         q.awaitTermination(60)
-        emitted = spark.createDataFrame(
-            spark.table(name).collect(), spark.table(name).schema
-        )
-        if emitted.count() != expected:
+        emitted = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        n_emitted = emitted.count()
+        if n_emitted != expected:
             raise RuntimeError(
                 "cdc_python_datasource_stream: drain incomplete "
-                f"({emitted.count()}/{expected})"
+                f"({n_emitted}/{expected})"
             )
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -135,6 +135,23 @@ def write_changefeed_stream_dir(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp on the fastest scratch filesystem available: streaming
+    checkpoints and fixture feeds are many small synchronous writes, so
+    tmpfs (/dev/shm) cuts the fixed per-micro-batch WAL/commit-log cost
+    that dominates the streaming-twin queries at small SF (r4 verdict
+    directive #3). Falls back to the default temp dir when /dev/shm is
+    absent. On a real cluster the checkpoint lives on durable shared
+    storage instead — this is a local-bench/test concern only."""
+    import os
+    import tempfile
+
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return tempfile.mkdtemp(prefix=prefix, dir=shm)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 # Process-lifetime cache of drained-changefeed fixture dirs: the three
 # end-to-end streaming queries (stream_static_enrich,
 # stream_put_delete_join, cdc_stateful_stream) all replay the SAME
@@ -153,7 +170,6 @@ def shared_changefeed_stream_dir(
     import atexit
     import os
     import shutil as _shutil
-    import tempfile
 
     from ..catalog import load_table
 
@@ -161,7 +177,7 @@ def shared_changefeed_stream_dir(
     cached = _SHARED_CF_DIRS.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    base = tempfile.mkdtemp(prefix="shared_cf_")
+    base = scratch_dir("shared_cf_")
     atexit.register(_shutil.rmtree, base, ignore_errors=True)
     cf_dir = os.path.join(base, "cf")
     cf = events_as_changefeed(load_table(spark, sf_dir, "events"))

@@ -68,6 +68,36 @@ class ChangefeedDataSource(DataSource):
         return ChangefeedSimpleStreamReader(self.options)
 
 
+def _changefeed_record_batches(table, mod: int, n_mod: int):
+    """Executor-side: project a raw events pyarrow Table into changefeed
+    RecordBatches for one mod-slice. Arrow end-to-end — the batch crosses
+    into Spark via the Arrow IPC path with zero per-row Python work,
+    ~10-100x cheaper to serialize than tuple yields."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    eids = table["event_id"]
+    mask = pc.equal(
+        pc.subtract(eids, pc.multiply(pc.divide(eids, n_mod), n_mod)), mod
+    )
+    t = table.filter(mask)
+    is_del = pc.equal(t["event_type"], "error")
+    null_str = pa.scalar(None, pa.string())
+    null_dbl = pa.scalar(None, pa.float64())
+    out = pa.table(
+        {
+            "seq": pc.cast(t["event_id"], pa.int64()),
+            "op": pc.if_else(is_del, "delete", "put"),
+            "rowkey": pc.cast(t["user_id"], pa.string()),
+            "qualifier": pc.if_else(is_del, null_str, t["event_type"]),
+            "value": pc.if_else(
+                is_del, null_dbl, pc.cast(t["value"], pa.float64())
+            ),
+        }
+    )
+    yield from out.to_batches()
+
+
 class ChangefeedReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -84,22 +114,9 @@ class ChangefeedReader(DataSourceReader):
             partition.path,
             columns=["event_id", "event_type", "user_id", "value"],
         )
-        for eid, etype, uid, val in zip(
-            t["event_id"].to_pylist(),
-            t["event_type"].to_pylist(),
-            t["user_id"].to_pylist(),
-            t["value"].to_pylist(),
-        ):
-            if eid % partition.n_mod != partition.mod:
-                continue
-            is_del = etype == "error"
-            yield (
-                eid,
-                "delete" if is_del else "put",
-                str(uid),
-                None if is_del else etype,
-                None if is_del else val,
-            )
+        yield from _changefeed_record_batches(
+            t, partition.mod, partition.n_mod
+        )
 
 
 def register_changefeed_datasource(spark) -> None:
@@ -218,7 +235,8 @@ class ChangefeedStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _EidRangePartition):
         # Executor-side: eid-range filter prunes at the row-group level,
-        # so each task reads only its slice of its offset range.
+        # so each task reads only its slice of its offset range; output
+        # crosses into Spark as Arrow RecordBatches (no per-row Python).
         import pyarrow.parquet as pq
 
         t = pq.read_table(
@@ -229,22 +247,9 @@ class ChangefeedStreamReader(DataSourceStreamReader):
                 ("event_id", "<=", partition.hi),
             ],
         )
-        for eid, etype, uid, val in zip(
-            t["event_id"].to_pylist(),
-            t["event_type"].to_pylist(),
-            t["user_id"].to_pylist(),
-            t["value"].to_pylist(),
-        ):
-            if eid % partition.n_mod != partition.mod:
-                continue
-            is_del = etype == "error"
-            yield (
-                eid,
-                "delete" if is_del else "put",
-                str(uid),
-                None if is_del else etype,
-                None if is_del else val,
-            )
+        yield from _changefeed_record_batches(
+            t, partition.mod, partition.n_mod
+        )
 
     def commit(self, end):
         self._anchor(end["eid"])
