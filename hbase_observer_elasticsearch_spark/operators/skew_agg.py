@@ -71,6 +71,56 @@ def agg_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(users, "event_type")
 
 
+def skewed_fact_dim(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The synthetic skewed join inputs shared by `join_salted_skew` and
+    the AQE skew-join A/B (tests/test_plans.py): ~70% of fact rows share
+    join_key 0; the dim is one row per key."""
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("join_key"),
+        "value",
+    )
+    dim = (
+        ev.select(F.col("user_id").alias("join_key"))
+        .distinct()
+        .unionByName(
+            ev.sparkSession.range(1).select(
+                F.lit(0).cast("bigint").alias("join_key")
+            )
+        )
+        .distinct()
+        .select(
+            "join_key",
+            F.concat(
+                F.lit("grp-"), (F.col("join_key") % 7).cast("string")
+            ).alias("grp"),
+        )
+    )
+    return fact, dim
+
+
+def plain_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNSALTED shuffle join over the same skewed inputs — the shape
+    you write when you let AQE's runtime skew-join splitting
+    (spark.sql.adaptive.skewJoin.enabled) handle the hot key instead of
+    salting by hand. Same answer as join_salted_skew; the A/B note in
+    PARITY.md records when each wins."""
+    ensure_session_conf(spark)
+    fact, dim = skewed_fact_dim(spark, sf_dir)
+    joined = fact.hint("merge").join(dim, "join_key")
+    return joined.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 @register(
     "join_salted_skew",
     oracle="""
@@ -110,28 +160,9 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     n_salt = 8
-    ev = load_table(spark, sf_dir, "events")
-    fact = ev.select(
-        "event_id",
-        F.when(F.col("event_id") % 10 < 7, F.lit(0))
-        .otherwise(F.col("user_id"))
-        .alias("join_key"),
-        "value",
-        (F.col("event_id") % n_salt).cast("int").alias("__salt"),
-    )
-    dim = (
-        ev.select(F.col("user_id").alias("join_key"))
-        .distinct()
-        .unionByName(
-            ev.sparkSession.range(1).select(F.lit(0).cast("bigint").alias("join_key"))
-        )
-        .distinct()
-        .select(
-            "join_key",
-            F.concat(F.lit("grp-"), (F.col("join_key") % 7).cast("string")).alias(
-                "grp"
-            ),
-        )
+    fact, dim = skewed_fact_dim(spark, sf_dir)
+    fact = fact.withColumn(
+        "__salt", (F.col("event_id") % n_salt).cast("int")
     )
     dim_salted = dim.select(
         "join_key",
