@@ -78,6 +78,14 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
 
+    # Bound memo lifetime (r4 verdict directive #7): the per-(app, sf_dir)
+    # localCheckpoint memos and /dev/shm changefeed dirs served their
+    # purpose during the loop; release them so a long-lived process (or a
+    # multi-sf bench) doesn't pin block-manager storage indefinitely.
+    from hbase_observer_elasticsearch_spark.memos import clear_memos
+
+    clear_memos(spark)
+
     # Common-subset delta vs the newest committed BENCH_r{N}.json at the
     # same sf, so round-over-round regressions are visible in the driver
     # artifact itself (r2 verdict #8).

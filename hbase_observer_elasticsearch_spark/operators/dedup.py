@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, spread
 from ..functions import hashing as H
 from ..functions.vectors import dot, norm, sql_cosine
+from ..memos import register_memo
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -505,9 +506,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # materialized-view idiom for an iterative intermediate, not a benchmark
 # trick: at 100 TB you would persist the label table to the lakehouse and
 # every downstream dedup decision would read it.
-_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_VERIFIED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_LSH_CAND_CACHE: dict[tuple[str, str], DataFrame] = {}
+# All three registered with memos.clear_memos() — dropping the entries
+# releases the checkpointed blocks via ContextCleaner (r4 directive #7).
+_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = register_memo(
+    "dedup_cc_labels", {}
+)
+_VERIFIED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_memo(
+    "dedup_verified_pairs", {}
+)
+_LSH_CAND_CACHE: dict[tuple[str, str], DataFrame] = register_memo(
+    "dedup_lsh_candidates", {}
+)
 
 
 def _verified_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:

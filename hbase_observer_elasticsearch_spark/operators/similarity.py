@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, spread
 from ..functions import hashing as H
 from ..functions.vectors import cosine, dot, norm, sql_cosine, sql_dot, sql_sq_dist
+from ..memos import register_memo
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -112,7 +113,9 @@ ivf AS (
 # consumer — the same materialized-view idiom as the dedup CC labels. At
 # 100 TB the baseline/ANN result tables would be persisted tables, with
 # every audit reading them rather than re-running the search.
-_TOPK_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TOPK_CACHE: dict[tuple[str, str, str], DataFrame] = register_memo(
+    "similarity_topk", {}
+)
 
 
 def _memo_topk(spark: SparkSession, sf_dir: str, kind: str, builder) -> DataFrame:

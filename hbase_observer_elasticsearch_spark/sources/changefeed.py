@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..memos import register_memo
+
 CHANGEFEED_SCHEMA = T.StructType(
     [
         T.StructField("seq", T.LongType(), False),
@@ -159,7 +161,16 @@ def scratch_dir(prefix: str) -> str:
 # sf_dir, n_files) and shared — each query still runs its own full
 # availableNow drain with a fresh checkpoint, only the input layout is
 # reused. Cleaned up at interpreter exit.
-_SHARED_CF_DIRS: dict[tuple[str, str, int], str] = {}
+def _evict_cf_dir(cf_dir: str) -> None:
+    import os as _os
+    import shutil as _shutil
+
+    _shutil.rmtree(_os.path.dirname(cf_dir), ignore_errors=True)
+
+
+_SHARED_CF_DIRS: dict[tuple[str, str, int], str] = register_memo(
+    "shared_changefeed_dirs", {}, on_evict=_evict_cf_dir
+)
 
 
 def shared_changefeed_stream_dir(

@@ -334,3 +334,23 @@ def test_nearest_asof_matches_bruteforce(spark, sf_dir):
         assert got[r["event_id"]] == best, r
         n_checked += 1
     assert n_checked > 50
+
+
+def test_clear_memos_releases_and_rebuilds(spark, sf_dir):
+    """r4 verdict directive #7: the process-wide (app, sf_dir) memos have
+    an explicit lifetime hook. Populate them, clear, verify empty, and
+    verify the consumers rebuild correctly afterwards."""
+    from hbase_observer_elasticsearch_spark.memos import _REGISTRY, clear_memos
+    from hbase_observer_elasticsearch_spark.registry import queries
+
+    qs = queries()
+    before = qs["dedup_clusters"](spark, sf_dir).count()
+    assert any(len(m) for _, m, _ in _REGISTRY), "memo should be populated"
+
+    cleared = clear_memos(spark)
+    assert sum(cleared.values()) > 0
+    assert all(len(m) == 0 for _, m, _ in _REGISTRY)
+
+    # consumers rebuild lazily and give the same answer
+    assert qs["dedup_clusters"](spark, sf_dir).count() == before
+    assert any(len(m) for _, m, _ in _REGISTRY)
