@@ -55,6 +55,15 @@ def main() -> None:
     # inflation, so per-query deltas only mean something when the
     # whole-run baseline ratio is ~1. Compare the common-subset TOTAL
     # first; read per-query regressions only net of that ratio.
+    # r5 follow-up (2026-08-14): the shift is CROSS-BOOT, not just
+    # cross-load — on a verified-idle machine (0 leftover JVMs, load
+    # <2), solo best-of-3 of queries untouched since r2 ran uniformly
+    # 30-60% above their r4-recorded times (agg_cube 1.0->1.29,
+    # join_range_binned 0.36->0.64, q9 0.58->0.89), while queries
+    # optimized THIS round improved against the same baseline
+    # (streaming twins 28.6s->~21s). Absolute per-query times are only
+    # comparable within one boot; across rounds, read the ratio of the
+    # common-subset total and the direction of same-boot A/B deltas.
     # dedup_simhash: 2.4/2.0/3.2/1.9s; a 13.9s GC outlier observed once),
     # so single unlucky draws masqueraded as regressions. The System.gc()
     # settle drains cross-query allocation debt so query N doesn't pay
