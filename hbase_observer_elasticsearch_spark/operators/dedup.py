@@ -1786,3 +1786,67 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs"),
     )
+
+
+EVAL_SPLIT_MOD = 17  # doc_id % 17 == 0 -> held-out "benchmark" split
+CONTAM_T = 0.5  # shingle-overlap fraction above which a doc is contaminated
+
+
+@register(
+    "corpus_eval_ngram_overlap",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+train_sh AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_SPLIT_MOD} <> 0
+),
+eval_sh AS (
+  SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_SPLIT_MOD} = 0
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(t.s) AS BIGINT) AS n_in_train,
+       CAST(COUNT(t.s) AS DOUBLE) / COUNT(*) AS overlap_frac,
+       COUNT(t.s) * 2 >= COUNT(*) AS contaminated
+FROM eval_sh e LEFT JOIN train_sh t ON e.s = t.s
+GROUP BY e.doc_id
+""",
+)
+def corpus_eval_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit, the n-gram-containment form: treat
+    a deterministic slice of the corpus (doc_id % 17 == 0) as the
+    held-out eval set and report, per eval document, what fraction of
+    its distinct 3-shingles already appears ANYWHERE in the training
+    split — the standard pre-training hygiene check (an eval doc whose
+    shingles are mostly in-train is contaminated even when no single
+    train doc is a near-dup of it, which is why
+    dedup_cross_split_contamination's pair-based view cannot subsume
+    this set-containment view).
+
+    The contaminated flag uses integer cross-multiplication
+    (2*n_in >= n) rather than a float threshold compare — exact in both
+    engines.
+
+    Scale shape: shingles are the shared `shingle_docs` subtree; the
+    train shingle set is a distinct-project; the containment check is
+    one equi-join on the shingle (inverted-index shape, shuffles
+    |eval shingles| + |train vocabulary|, never a doc x doc pairing).
+    At 100 TB the train side becomes a bloom/HLL-backed membership
+    structure (sketch_bloom_membership is the priced variant) and the
+    join collapses to a map-side filter.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(d)
+    is_eval = (F.col("doc_id") % EVAL_SPLIT_MOD) == 0
+    train_sh = sh.filter(~is_eval).select("s").distinct()
+    eval_sh = sh.filter(is_eval)
+    hit = train_sh.withColumn("__hit", F.lit(1))
+    joined = eval_sh.join(hit, "s", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.count("__hit").cast("bigint").alias("n_in_train"),
+        (F.count("__hit").cast("double") / F.count(F.lit(1))).alias(
+            "overlap_frac"
+        ),
+        (F.count("__hit") * 2 >= F.count(F.lit(1))).alias("contaminated"),
+    )

@@ -1217,3 +1217,82 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in parts[1:]:
         out = out.unionByName(c)
     return out
+
+
+ASOF_TOLERANCE_MIN = 30  # max staleness for a prior click to count
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+SELECT event_id,
+       user_id,
+       value AS purchase_value,
+       CASE WHEN last_click_ts IS NOT NULL
+             AND ts - last_click_ts <= INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+            THEN last_click_value END AS last_click_value,
+       CASE WHEN last_click_ts IS NOT NULL
+             AND ts - last_click_ts <= INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+            THEN epoch_us(ts) - epoch_us(last_click_ts)
+       END AS staleness_us
+FROM (
+  SELECT event_id, user_id, event_type, value, ts,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER w AS last_click_value,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS last_click_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+) t
+WHERE event_type = 'purchase'
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof(tolerance=...)
+    semantics): each purchase enriched with the user's latest prior
+    click ONLY if that click is at most 30 minutes old — otherwise NULL,
+    exactly as if no click existed. The staleness bound is what real
+    attribution pipelines need (a click from last Tuesday must not claim
+    today's purchase); the plain `join_asof` has no such cutoff.
+
+    Same single-shuffle shape as join_asof (one keyed window pass over
+    the unioned stream — never a per-row range lookup); the tolerance is
+    a post-window predicate on the carried click timestamp, so it adds
+    zero shuffles. Staleness is exact integer microseconds.
+    """
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_v = F.when(F.col("event_type") == "click", F.col("value"))
+    click_t = F.when(F.col("event_type") == "click", F.col("ts"))
+    # fixture ts is TIMESTAMP_NTZ — no direct long cast; unix_micros after
+    # a timestamp cast (session tz pinned UTC, so the instant matches the
+    # oracle's epoch_us)
+    stale_us = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("last_click_ts").cast("timestamp"))
+    )
+    fresh = F.col("last_click_ts").isNotNull() & (
+        stale_us <= ASOF_TOLERANCE_MIN * 60 * 1_000_000
+    )
+    return (
+        ev.withColumn(
+            "last_click_value", F.last(click_v, ignorenulls=True).over(w)
+        )
+        .withColumn("last_click_ts", F.last(click_t, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").alias("purchase_value"),
+            F.when(fresh, F.col("last_click_value")).alias("last_click_value"),
+            F.when(fresh, stale_us).cast("bigint").alias("staleness_us"),
+        )
+    )

@@ -860,6 +860,26 @@ def similarity_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _rhp_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+def _rhp_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim): exact cosine over the RHP
+    band-bucket candidate set — shared by the top-k query and the
+    radius (range) search."""
     e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
     hp = (
@@ -921,26 +941,13 @@ def _rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
-    scored = (
+    return (
         cand.join(F.broadcast(qe), "query_id")
         .join(ce, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
             cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), "neighbor_id"
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOPK)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cos_sim",
-            F.col("rk").cast("bigint").alias("rk"),
         )
     )
 
@@ -1399,4 +1406,52 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         (F.col("u") / F.col("nrm")).alias("loading"),
         F.col("nrm").alias("lambda_est"),
+    )
+
+
+RANGE_T = 0.2  # radius threshold ~= p90 of RHP candidate cosines at sf0.01
+
+
+@register(
+    "similarity_range_search_rhp",
+    oracle=f"""
+WITH {_SQL_RHP.strip().lstrip()},
+scored AS (
+  SELECT r.query_id, r.neighbor_id,
+         {sql_cosine('qe.embedding', 'ce.embedding')} AS cos_sim
+  FROM rcand r
+  JOIN embeddings qe ON qe.vec_id = r.query_id
+  JOIN embeddings ce ON ce.vec_id = r.neighbor_id
+),
+hits AS (SELECT * FROM scored WHERE cos_sim >= {RANGE_T})
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_in_range,
+       MAX(cos_sim) AS best_cos,
+       MIN(cos_sim) AS worst_cos
+FROM hits
+GROUP BY query_id
+""",
+)
+def similarity_range_search_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL neighbors with cosine >=
+    RANGE_T per query, found over the RHP band-bucket candidate set —
+    the fixed-radius twin of similarity_topk_rhp (dedup and retrieval
+    pipelines need "everything closer than t", not "the 10 closest":
+    near-dup kill lists, semantic caching, and safety filtering are all
+    radius queries).
+
+    Scale shape: identical to the top-k path (shared `_rhp_scored`
+    candidate subtree — broadcast hyperplane table, linear signature
+    pass, band-bucket equi-join, exact cosine only on candidates); the
+    difference is pure post-processing: a threshold filter + per-query
+    aggregate instead of a window top-k, so no per-query sort at all.
+    MAX/MIN over identical doubles are order-insensitive — hash-exact
+    across engines without any float-sum discipline.
+    """
+    ensure_session_conf(spark)
+    hits = _rhp_scored(spark, sf_dir).filter(F.col("cos_sim") >= RANGE_T)
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_range"),
+        F.max("cos_sim").alias("best_cos"),
+        F.min("cos_sim").alias("worst_cos"),
     )

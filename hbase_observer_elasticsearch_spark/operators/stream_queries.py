@@ -183,6 +183,70 @@ def stream_put_delete_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_left_outer_join",
+    oracle=f"""
+WITH cf AS ({_SQL_CF}),
+p AS (SELECT rowkey, qualifier, ts AS put_ts, seq AS put_seq
+      FROM cf WHERE op = 'put'),
+d AS (SELECT rowkey, ts AS del_ts FROM cf WHERE op = 'delete'),
+wm AS (SELECT LEAST((SELECT MAX(put_ts) FROM p),
+                    (SELECT MAX(del_ts) FROM d))
+              - INTERVAL 10 MINUTE AS w),
+j AS (
+  SELECT p.rowkey, p.qualifier, p.put_ts, p.put_seq, d.del_ts
+  FROM p LEFT JOIN d
+    ON p.rowkey = d.rowkey
+   AND d.del_ts >= p.put_ts
+   AND d.del_ts <= p.put_ts + INTERVAL 2 HOUR
+)
+SELECT rowkey, qualifier, put_ts, put_seq, del_ts
+FROM j WHERE del_ts IS NOT NULL
+UNION ALL
+SELECT rowkey, qualifier, put_ts, put_seq, del_ts
+FROM j
+WHERE del_ts IS NULL
+  AND put_ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
+""",
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, end-to-end: every put
+    matched to its killing delete within 2 hours, or null-padded once
+    the watermark proves no delete can arrive
+    (streaming/pipeline.streaming_put_delete_left_outer_join) — the
+    outer-emission member of the streaming proof set: unlike the inner
+    join (stream_put_delete_join), correctness here hinges on WHEN the
+    engine may declare a non-match, which is a watermark-eviction fact,
+    not a data fact.
+
+    The oracle restates that eviction rule exactly: the final global
+    watermark of an availableNow drain is min over SOURCES of max event
+    time (puts and deletes are separate sources, so the delete side's
+    lagging clock governs) minus the 10-minute horizon, and a null row
+    appears iff put_ts + 2h < that watermark (empirically pinned:
+    751/751 at sf0.001 — see the pipeline docstring). Younger unmatched
+    puts are retained in state and correctly absent from BOTH sides.
+    At 100 TB the same bound is why outer-join state stays
+    O(rate x (horizon + within)) instead of growing with history.
+    """
+    ensure_session_conf(spark)
+    from ..streaming.pipeline import streaming_put_delete_left_outer_join
+
+    base = _scratch("stream_lojoin_")
+    try:
+        cf_dir = _changefeed_dir(spark, sf_dir)
+        emitted = _drain_to_local(
+            spark,
+            streaming_put_delete_left_outer_join(
+                spark, cf_dir, horizon="10 minutes", within="2 hours"
+            ),
+            base,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted.select("rowkey", "qualifier", "put_ts", "put_seq", "del_ts")
+
+
+@register(
     "stream_tumbling_agg",
     oracle=f"""
 WITH cf AS ({_SQL_CF})

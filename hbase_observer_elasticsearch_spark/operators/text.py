@@ -974,3 +974,86 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "corpus_unigram_familiarity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(f.cnt) AS BIGINT) AS sum_cnt,
+         CAST(COUNT(*) FILTER (WHERE f.cnt = 1) AS BIGINT) AS n_hapax
+  FROM tok t JOIN freq f USING (w)
+  GROUP BY t.doc_id, t.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(sum_cnt) AS DOUBLE) / SUM(n_tokens) AS familiarity,
+       CAST(SUM(n_hapax) AS DOUBLE) / SUM(n_tokens) AS hapax_frac,
+       MIN(CAST(sum_cnt AS DOUBLE) / n_tokens) AS min_doc_familiarity,
+       MAX(CAST(sum_cnt AS DOUBLE) / n_tokens) AS max_doc_familiarity
+FROM per_doc
+GROUP BY lang
+""",
+)
+def corpus_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM familiarity scoring without transcendentals: a
+    document's familiarity is the mean corpus frequency of its tokens
+    (the exact-integer stand-in for unigram log-prob — same ranking
+    signal, no `ln`, which has no cross-engine rounding guarantee; see
+    profiling.py's entropy note). Low familiarity + high hapax fraction
+    flags boilerplate-free but possibly garbled text; the per-lang
+    rollup is the quality dashboard a corpus curator reads before
+    setting filter thresholds.
+
+    Determinism: every aggregate is a BIGINT sum; the only divisions are
+    BIGINT/BIGINT -> DOUBLE (correctly rounded in one step in both
+    engines), and MIN/MAX over identical doubles are order-insensitive.
+
+    Scale shape: one explode -> (token) hash agg for the frequency
+    table, one explode -> join -> (doc) hash agg for per-doc sums, one
+    tiny (lang) rollup. The frequency join shuffles on the token — at
+    100 TB the head of the Zipf curve is skew-salted or the top-k hot
+    tokens are broadcast as a map-side dictionary; the plan is otherwise
+    scan-shaped with no pairwise work.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        tok.join(freq, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_cnt"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        (
+            F.sum("sum_cnt").cast("double") / F.sum("n_tokens")
+        ).alias("familiarity"),
+        (
+            F.sum("n_hapax").cast("double") / F.sum("n_tokens")
+        ).alias("hapax_frac"),
+        F.min(
+            F.col("sum_cnt").cast("double") / F.col("n_tokens")
+        ).alias("min_doc_familiarity"),
+        F.max(
+            F.col("sum_cnt").cast("double") / F.col("n_tokens")
+        ).alias("max_doc_familiarity"),
+    )

@@ -95,6 +95,12 @@ _PRIORITY = (
     # CORRECTNESS_r01-r04 + CORRECTNESS_FULL_r04) appends in module order.
     "cdc_python_datasource_stream",  # changed: partition-parallel reader
     "orders_open_backlog",  # changed: same-day delta fix (r4 advice)
+    # new in r5 (no official row nor FULL row yet)
+    "stream_left_outer_join",
+    "corpus_eval_ngram_overlap",
+    "corpus_unigram_familiarity",
+    "similarity_range_search_rhp",
+    "join_asof_tolerance",
     # never-checked: streaming proofs
     "stream_tumbling_agg",
     "stream_session_agg",

@@ -282,3 +282,57 @@ def streaming_put_delete_interval_join(
             f"AND del_ts <= put_ts + INTERVAL {within}"
         ),
     ).select("rowkey", "qualifier", "put_ts", "put_seq", "del_ts")
+
+
+def streaming_put_delete_left_outer_join(
+    spark: SparkSession,
+    changefeed_dir: str,
+    horizon: str = "10 minutes",
+    within: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every put, matched to the
+    delete(s) that killed it within `within` — or emitted once with a
+    NULL del_ts when the watermark PROVES no such delete can arrive
+    ("surviving writes" audit, the complement of the inner join's churn
+    report).
+
+    The outer semantics are what make this the hard streaming operator:
+    a null-padded row may only be emitted when the engine can prove the
+    absence of a future match, i.e. when the put is evicted from join
+    state. Eviction uses the GLOBAL watermark, which is the MIN over
+    all sources' watermarks — here puts and deletes are separate
+    file-stream sources over the same dir, so the delete side's slower
+    max event time governs (traced empirically: the emitted/retained
+    boundary sits exactly at min(max put_ts, max del_ts) - horizon -
+    within, 751/751 rows at sf0.001). Unmatched puts younger than that
+    cutoff stay in state, correctly UNEMITTED, when the drain ends.
+    """
+    puts = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changefeed_dir)
+        .filter(F.col("op") == "put")
+        .withWatermark("ts", horizon)
+        .select(
+            "rowkey",
+            "qualifier",
+            F.col("ts").alias("put_ts"),
+            F.col("seq").alias("put_seq"),
+        )
+    )
+    dels = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changefeed_dir)
+        .filter(F.col("op") == "delete")
+        .withWatermark("ts", horizon)
+        .select(F.col("rowkey").alias("d_rowkey"), F.col("ts").alias("del_ts"))
+    )
+    return puts.join(
+        dels,
+        F.expr(
+            "rowkey = d_rowkey AND del_ts >= put_ts "
+            f"AND del_ts <= put_ts + INTERVAL {within}"
+        ),
+        "leftOuter",
+    ).select("rowkey", "qualifier", "put_ts", "put_seq", "del_ts")
