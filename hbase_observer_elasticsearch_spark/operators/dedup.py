@@ -1850,3 +1850,70 @@ def corpus_eval_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.count("__hit") * 2 >= F.count(F.lit(1))).alias("contaminated"),
     )
+
+
+@register(
+    "dedup_minhash_containment",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cool AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {PAIR_BUCKET_CAP}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM cool)
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS na,
+       CAST(sb.n AS BIGINT) AS nb,
+       n_shared * 1.0 / LEAST(sa.n, sb.n) AS containment,
+       n_shared * 1.0 / (sa.n + sb.n - n_shared) < 0.5 AS asymmetric
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE 5 * n_shared >= 4 * LEAST(sa.n, sb.n)
+""",
+)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (subset-duplicate) detection: pairs where the SMALLER
+    document's shingles are >= 80% contained in the other — the
+    asymmetric near-dup relation Jaccard systematically misses (a tweet
+    quoted inside an article has containment ~1.0 but Jaccard ~0, so a
+    Jaccard-threshold dedup keeps both and the training set double-counts
+    the quoted text). The `asymmetric` flag marks exactly those
+    Jaccard-blind pairs.
+
+    The threshold is integer cross-multiplied (5*n_shared >= 4*least) —
+    exact in both engines; containment itself is one exact
+    BIGINT*1.0/BIGINT division.
+
+    Scale shape: reads the shared capped-inverted-index pair memo
+    (`_verified_pairs_memo` provides n_shared; sizes re-join is two
+    broadcast-size lookups at fixture scale, a bucketed join at 100 TB) —
+    no new pairwise work at all; the whole query is a projection over
+    already-materialized candidates.
+    """
+    ensure_session_conf(spark)
+    vp = _verified_pairs_memo(spark, sf_dir)
+    sizes = shingle_docs(load_table(spark, sf_dir, "documents")).groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    least = F.least("na", "nb")
+    return (
+        vp.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(5 * F.col("n_shared") >= 4 * least)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            (F.col("n_shared") * F.lit(1.0) / least).alias("containment"),
+            (F.col("jaccard") < 0.5).alias("asymmetric"),
+        )
+    )

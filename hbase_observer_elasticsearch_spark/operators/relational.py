@@ -1296,3 +1296,56 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, stale_us).cast("bigint").alias("staleness_us"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+SELECT event_id,
+       user_id,
+       value AS purchase_value,
+       next_click_value
+FROM (
+  SELECT event_id, user_id, event_type, value,
+         FIRST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_click_value
+  FROM events
+) t
+WHERE event_type = 'purchase'
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof(direction='forward')): each
+    purchase enriched with the user's NEXT click — post-purchase
+    behavior attribution, the mirror of join_asof's backward lookup and
+    the missing direction in the asof family (backward: join_asof;
+    nearest: join_asof_nearest; tolerance: join_asof_tolerance).
+
+    Same single-shuffle shape: one keyed window pass with a FOLLOWING
+    frame — Catalyst evaluates first_value over the reversed frame in
+    the same sort, so forward costs exactly what backward costs.
+    """
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    clicks = F.when(F.col("event_type") == "click", F.col("value"))
+    return (
+        ev.withColumn(
+            "next_click_value", F.first(clicks, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").alias("purchase_value"),
+            "next_click_value",
+        )
+    )

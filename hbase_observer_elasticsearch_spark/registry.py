@@ -101,6 +101,8 @@ _PRIORITY = (
     "corpus_unigram_familiarity",
     "similarity_range_search_rhp",
     "join_asof_tolerance",
+    "join_asof_forward",
+    "dedup_minhash_containment",
     # never-checked: streaming proofs
     "stream_tumbling_agg",
     "stream_session_agg",
