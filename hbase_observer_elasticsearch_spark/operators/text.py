@@ -880,7 +880,12 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate's value is two counters.
     """
     ensure_session_conf(spark)
-    d = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread
+
+    # single-file fixture scan = one partition; spread so the explode +
+    # map-side partial aggregation use all cores (same reason as
+    # shingle_docs)
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(1), n - 1)

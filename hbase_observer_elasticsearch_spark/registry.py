@@ -97,6 +97,7 @@ _PRIORITY = (
     "orders_open_backlog",  # changed: same-day delta fix (r4 advice)
     # new in r5 (no official row nor FULL row yet)
     "stream_left_outer_join",
+    "stream_full_outer_join",
     "corpus_eval_ngram_overlap",
     "corpus_unigram_familiarity",
     "similarity_range_search_rhp",

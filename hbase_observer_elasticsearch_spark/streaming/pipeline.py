@@ -336,3 +336,64 @@ def streaming_put_delete_left_outer_join(
         ),
         "leftOuter",
     ).select("rowkey", "qualifier", "put_ts", "put_seq", "del_ts")
+
+
+def streaming_put_delete_full_outer_join(
+    spark: SparkSession,
+    changefeed_dir: str,
+    horizon: str = "10 minutes",
+    within: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matched put/delete pairs,
+    plus null-padded puts that provably outlived every delete, plus
+    null-padded deletes that provably hit no put — the complete
+    reconciliation view (writes that survived + deletes of nonexistent
+    keys, i.e. the reference pipeline's dropped-mutation audit).
+
+    Eviction rules (both traced exactly at sf0.001): a put emits
+    null-padded when put_ts + within < global watermark; a delete emits
+    null-padded when del_ts < global watermark (every put it could match
+    has put_ts <= del_ts, so watermark passage of del_ts itself closes
+    the candidate set). Global watermark = MIN over the two sources'
+    max event time − horizon.
+    """
+    puts = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changefeed_dir)
+        .filter(F.col("op") == "put")
+        .withWatermark("ts", horizon)
+        .select(
+            "rowkey",
+            "qualifier",
+            F.col("ts").alias("put_ts"),
+            F.col("seq").alias("put_seq"),
+        )
+    )
+    dels = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changefeed_dir)
+        .filter(F.col("op") == "delete")
+        .withWatermark("ts", horizon)
+        .select(
+            F.col("rowkey").alias("d_rowkey"),
+            F.col("ts").alias("del_ts"),
+            F.col("seq").alias("del_seq"),
+        )
+    )
+    return puts.join(
+        dels,
+        F.expr(
+            "rowkey = d_rowkey AND del_ts >= put_ts "
+            f"AND del_ts <= put_ts + INTERVAL {within}"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("rowkey"), F.col("d_rowkey")).alias("rowkey"),
+        "qualifier",
+        "put_ts",
+        "put_seq",
+        "del_ts",
+        "del_seq",
+    )

@@ -106,3 +106,33 @@ def test_range_search_agrees_with_topk(spark, sf_dir):
     )
     for r in above:
         assert rng.get(r.query_id, 0) >= r.n
+
+
+def test_full_outer_join_partitions_into_three_classes(spark, sf_dir):
+    """matched + put-null + delete-null rows partition the emission; the
+    matched class equals the inner join, and no seq appears in two
+    classes."""
+    fo = QS["stream_full_outer_join"](spark, sf_dir)
+    inner = QS["stream_put_delete_join"](spark, sf_dir)
+    matched = fo.filter("put_seq IS NOT NULL AND del_seq IS NOT NULL")
+    pnull = fo.filter("del_seq IS NULL")
+    dnull = fo.filter("put_seq IS NULL")
+    assert matched.count() == inner.count()
+    assert fo.count() == matched.count() + pnull.count() + dnull.count()
+    assert (
+        pnull.select("put_seq")
+        .intersect(matched.select("put_seq"))
+        .count()
+        == 0
+    )
+    assert (
+        dnull.select("del_seq")
+        .intersect(matched.select("del_seq"))
+        .count()
+        == 0
+    )
+    # left-outer's null set is exactly full-outer's put-null set
+    lo_null = QS["stream_left_outer_join"](spark, sf_dir).filter(
+        "del_ts IS NULL"
+    )
+    assert lo_null.count() == pnull.count()
