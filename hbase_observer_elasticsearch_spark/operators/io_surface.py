@@ -143,3 +143,56 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, back.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+SELECT 'orc' AS fmt,
+       COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+       COUNT(DISTINCT text) AS ndv_text,
+       MIN(text) AS min_text,
+       MAX(text) AS max_text
+FROM documents
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink connector, certified by round-trip — the columnar
+    sibling of the parquet path (Spark bundles native ORC readers with
+    predicate pushdown and vectorization, so a lakehouse mixing ORC and
+    parquet reads both through the same DataFrame API). Unlike the
+    CSV/JSON round-trip (delimiter-safe columns only), ORC is binary-
+    safe, so this one carries the FULL free-text column and certifies
+    its fidelity via length-sum, distinct-count, and min/max aggregates.
+
+    The Avro datasource is the one format gap: spark-avro is an external
+    module not present in this environment (only avro-core jars ship),
+    so its round-trip is env-gated out rather than stubbed as fake
+    coverage.
+
+    Scale shape: ORC splits by stripes exactly like parquet row groups;
+    the read-back is a parallel columnar scan and the aggregate is one
+    single-row multi-agg.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="io_orc_")
+    try:
+        path = f"{base}/docs_orc"
+        d.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        out = back.agg(
+            F.lit("orc").alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+            F.countDistinct("text").alias("ndv_text"),
+            F.min("text").alias("min_text"),
+            F.max("text").alias("max_text"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -104,6 +104,7 @@ _PRIORITY = (
     "join_asof_tolerance",
     "join_asof_forward",
     "dedup_minhash_containment",
+    "source_orc_roundtrip",
     # never-checked: streaming proofs
     "stream_tumbling_agg",
     "stream_session_agg",
