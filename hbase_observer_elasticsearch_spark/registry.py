@@ -98,6 +98,7 @@ _PRIORITY = (
     # new in r5 (no official row nor FULL row yet)
     "stream_left_outer_join",
     "stream_full_outer_join",
+    "stream_chained_stateful",
     "corpus_eval_ngram_overlap",
     "corpus_unigram_familiarity",
     "similarity_range_search_rhp",
