@@ -1718,7 +1718,15 @@ def dedup_lsh_vs_exact_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     ex = _jaccard_pairs_memo(spark, sf_dir)
-    lshv = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # pin the LSH-verified pair set once: it feeds BOTH the n_lsh count
+    # and the intersection join, and Spark recomputes diamond subtrees
+    # per use (the verification join is the expensive branch; the pinned
+    # result is a tiny pair table)
+    lshv = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     both = ex.join(lshv, ["doc_a", "doc_b"])
     counts = (
         ex.agg(F.count(F.lit(1)).alias("n_exact"))
