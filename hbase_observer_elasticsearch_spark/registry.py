@@ -106,6 +106,7 @@ _PRIORITY = (
     "join_asof_forward",
     "dedup_minhash_containment",
     "source_orc_roundtrip",
+    "udf_arrow_scalar",
     # never-checked: streaming proofs
     "stream_tumbling_agg",
     "stream_session_agg",

@@ -40,6 +40,13 @@ DOC_QUERIES = [
     "dedup_keep_best",
     "dedup_cluster_size_histogram",
 ]
+TEXT_QUERIES = [
+    "corpus_top_bigrams",
+    "corpus_unigram_familiarity",
+    "corpus_eval_ngram_overlap",
+    "text_tfidf_cosine_pairs",
+    "text_token_histogram",
+]
 VEC_QUERIES = [
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
@@ -64,7 +71,7 @@ def shuffle_totals(ui: str, app_id: str) -> tuple[int, int]:
 
 def run_scale(spark, ui, app_id, sf_dir, qs) -> dict:
     out: dict = {"sf_dir": sf_dir, "queries": {}}
-    for name in DOC_QUERIES + VEC_QUERIES:
+    for name in DOC_QUERIES + TEXT_QUERIES + VEC_QUERIES:
         r0, w0 = shuffle_totals(ui, app_id)
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -135,6 +142,7 @@ def main() -> None:
     }
     result = {
         "round": 5,
+        "families": ["dedup+cc", "text", "ann"],
         "scale_factor_ratio": 10,
         "one_x": one,
         "ten_x": ten,
