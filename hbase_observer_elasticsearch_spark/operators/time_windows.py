@@ -1539,3 +1539,71 @@ def orders_ship_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd_(0.95).alias("p95_days"),
         F.max("lag_days").cast("bigint").alias("max_days"),
     )
+
+
+@register(
+    "window_session_dynamic_gap",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         ts + CASE WHEN event_type IN ('purchase', 'error')
+                   THEN INTERVAL 5 MINUTE ELSE INTERVAL 30 MINUTE END
+           AS end_ts
+  FROM events
+),
+r AS (
+  SELECT *, MAX(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_max_end
+  FROM e
+),
+f AS (
+  SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                 THEN 1 ELSE 0 END AS is_new
+  FROM r
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(end_ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event inactivity gap
+    (`session_window(ts, gap_expr)`, Spark 3.2+): terminal events
+    (purchase/error) close their session after 5 minutes of silence
+    while browsing events keep it alive for 30 — the engagement
+    semantics fixed-gap sessions (window_session, stream_session_agg)
+    cannot express, because the timeout is a property of the LAST
+    event, not of the key.
+
+    The oracle restates Spark's merge rule from first principles: each
+    event contributes the interval [ts, ts + gap(event)); intervals
+    merge while the next event starts strictly BEFORE the running max
+    of previous interval ends (an event exactly at the boundary starts
+    a new session), so sessions are islands under a running-max sweep
+    — one window pass + one grouped aggregate, the same single-shuffle
+    shape at any scale.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(
+            F.col("event_type").isin("purchase", "error"), F.lit("5 minutes")
+        ).otherwise(F.lit("30 minutes"))
+    )
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), gap), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

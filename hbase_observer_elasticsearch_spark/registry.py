@@ -107,6 +107,7 @@ _PRIORITY = (
     "dedup_minhash_containment",
     "source_orc_roundtrip",
     "udf_arrow_scalar",
+    "window_session_dynamic_gap",
     # never-checked: streaming proofs
     "stream_tumbling_agg",
     "stream_session_agg",
