@@ -85,115 +85,56 @@ def _load() -> None:
 # CORRECTNESS_r01.json). Names not yet registered are skipped; registered
 # names not listed append in module-import order.
 _PRIORITY = (
-    # --- r5 window (the driver checks a ~50-entry prefix) ---
-    # r4 verdict directive #2: 75 registry queries had never received an
-    # OFFICIAL driver correctness row (union of the r1-r4 50-query windows
-    # = 140 of 215 names). This window leads with the two queries whose
-    # code changed this round, then 48 of the never-checked 75 picked for
-    # category spread; the remaining 26 never-checked follow immediately
-    # so r6's rotation finishes the job. Everything else (green in
-    # CORRECTNESS_r01-r04 + CORRECTNESS_FULL_r04) appends in module order.
-    "cdc_python_datasource_stream",  # changed: partition-parallel reader
-    "orders_open_backlog",  # changed: same-day delta fix (r4 advice)
-    # new in r5 (no official row nor FULL row yet)
-    "stream_left_outer_join",
-    "stream_full_outer_join",
-    "stream_chained_stateful",
-    "corpus_eval_ngram_overlap",
-    "corpus_unigram_familiarity",
-    "similarity_range_search_rhp",
-    "join_asof_tolerance",
-    "join_asof_forward",
-    "dedup_minhash_containment",
-    "source_orc_roundtrip",
-    "udf_arrow_scalar",
-    "window_session_dynamic_gap",
-    # never-checked: streaming proofs
-    "stream_tumbling_agg",
-    "stream_session_agg",
-    "stream_dedup_within_watermark",
-    # never-checked: ANN index families + recall audits
-    "similarity_topk_rhp",
-    "similarity_recall_rhp",
-    "similarity_topk_pq",
-    "similarity_recall_pq",
-    "similarity_pair_dot_stats",
-    # never-checked: graph analytics
-    "graph_pagerank",
-    "graph_triangle_count",
-    "graph_degree_distribution",
-    # never-checked: CDC history / lifecycle / connector batch face
-    "cdc_scd2_history",
-    "cdc_time_travel",
-    "cdc_snapshot_diff",
-    "cdc_retention_purge",
-    "cdc_python_datasource",
-    # never-checked: dedup meta-analysis + corpus analytics
-    "dedup_lsh_pr_curve",
-    "dedup_url_host",
-    "dedup_cluster_embedding_quality",
-    "docs_minhash_band_stats",
-    "corpus_dedup_savings",
-    "corpus_gate_report",
-    "corpus_source_overlap",
-    # never-checked: text analysis battery
-    "text_tfidf_cosine_pairs",
-    "text_dup_ngram_coverage",
-    "text_chunking",
-    "text_token_histogram",
-    "text_repetition_quality",
-    "text_blocklist_gate",
-    "text_boilerplate_chunks",
-    "text_prefix_dup_groups",
-    # never-checked: multimodal
-    "multimodal_phash_dedup",
-    "multimodal_payload_stats",
-    # never-checked: sketches
-    "sketch_battery",
-    "sketch_countmin",
-    "agg_sketch_quantiles",
+    # --- r6 window (the driver checks a ~50-entry prefix) ---
+    # r5 verdict directive #1: exactly 38 registry queries (computed as
+    # registry minus the union of the r1-r5 official windows, i.e.
+    # 227 - 189 = 38 -- the r5 spill comment said 26, undercounting by
+    # the 12 window slots r5 spent on brand-new queries) have never
+    # received an OFFICIAL driver correctness row. They lead this window
+    # so union(r1-r6) covers the whole registry; all 38 are green in
+    # CORRECTNESS_FULL_r05.json. New r6 queries follow (<= 12 fit in the
+    # 50-slot window); everything else appends in module-import order.
     "agg_approx_topk",
-    # never-checked: event/business analytics
-    "events_funnel",
-    "events_retention_cohort",
-    "events_attribution_last_touch",
-    "events_dau_mau_stickiness",
-    "time_asof_interpolate",
-    # never-checked: join flavors
-    "join_asof_nearest",
-    "join_interval_overlap",
-    "join_salted_skew",
-    "join_bucketed_colocated",
-    # never-checked: data quality
-    "quality_fk_orphans",
-    "quality_row_rules",
-    # --- spill: the remaining 26 never-checked (r6 window leads here) ---
-    "events_ewma_trailing",
-    "events_gap_fill_locf",
-    "events_value_trend",
-    "events_zscore_outliers",
-    "events_hourly_seasonality",
-    "events_interarrival_stats",
-    "events_rolling_actives",
-    "events_top_paths",
-    "orders_ship_latency_monthly",
-    "window_time_range_trailing",
-    "window_trailing_median",
-    "basket_brand_lift",
-    "customer_rfm_segments",
     "agg_conditional_battery",
     "agg_incremental_rollup",
+    "basket_brand_lift",
     "bitwise_funcs",
+    "customer_rfm_segments",
+    "events_attribution_last_touch",
+    "events_dau_mau_stickiness",
+    "events_ewma_trailing",
+    "events_funnel",
+    "events_gap_fill_locf",
+    "events_hourly_seasonality",
+    "events_interarrival_stats",
+    "events_retention_cohort",
+    "events_rolling_actives",
+    "events_top_paths",
+    "events_value_trend",
+    "events_zscore_outliers",
+    "join_asof_nearest",
+    "join_bucketed_colocated",
+    "join_interval_overlap",
+    "join_salted_skew",
     "null_handling_funcs",
-    "variant_funcs",
-    "recursive_markov_paths",
-    "subquery_exists_battery",
-    "sample_topk_per_group",
-    "sample_weighted_bernoulli",
+    "orders_ship_latency_monthly",
     "pack_length_buckets",
     "profile_column_histogram",
     "profile_file_layout",
     "profile_key_skew",
+    "quality_fk_orphans",
+    "quality_row_rules",
+    "recursive_markov_paths",
+    "sample_topk_per_group",
+    "sample_weighted_bernoulli",
+    "subquery_exists_battery",
+    "time_asof_interpolate",
+    "variant_funcs",
+    "window_time_range_trailing",
+    "window_trailing_median",
+    # --- new in r6 (no official row yet) ---
+    "sink_merge_idempotent_epochs",
+    "dedup_pair_mass_audit",
 )
 
 
