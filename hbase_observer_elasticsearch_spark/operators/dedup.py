@@ -1797,7 +1797,14 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVAL_SPLIT_MOD = 17  # doc_id % 17 == 0 -> held-out "benchmark" split
-CONTAM_T = 0.5  # shingle-overlap fraction above which a doc is contaminated
+# Contamination threshold as an exact integer fraction (r5 advice: the old
+# CONTAM_T float constant was dead — the predicate hard-coded the
+# cross-multiplication). A doc is contaminated when
+# n_in_train / n_shingles >= CONTAM_NUM / CONTAM_DEN, evaluated as
+# n_in_train * CONTAM_DEN >= n_shingles * CONTAM_NUM in BOTH engines so
+# the flag is exact integer arithmetic, never a float compare.
+CONTAM_NUM = 1
+CONTAM_DEN = 2
 
 
 @register(
@@ -1814,7 +1821,7 @@ SELECT e.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
        CAST(COUNT(t.s) AS BIGINT) AS n_in_train,
        CAST(COUNT(t.s) AS DOUBLE) / COUNT(*) AS overlap_frac,
-       COUNT(t.s) * 2 >= COUNT(*) AS contaminated
+       COUNT(t.s) * {CONTAM_DEN} >= COUNT(*) * {CONTAM_NUM} AS contaminated
 FROM eval_sh e LEFT JOIN train_sh t ON e.s = t.s
 GROUP BY e.doc_id
 """,
@@ -1830,9 +1837,10 @@ def corpus_eval_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_cross_split_contamination's pair-based view cannot subsume
     this set-containment view).
 
-    The contaminated flag uses integer cross-multiplication
-    (2*n_in >= n) rather than a float threshold compare — exact in both
-    engines.
+    The contaminated flag uses integer cross-multiplication derived
+    from the CONTAM_NUM/CONTAM_DEN fraction (n_in*DEN >= n*NUM) rather
+    than a float threshold compare — exact in both engines, and editing
+    the constants changes oracle and engine together.
 
     Scale shape: shingles are the shared `shingle_docs` subtree; the
     train shingle set is a distinct-project; the containment check is
@@ -1856,7 +1864,9 @@ def corpus_eval_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("__hit").cast("double") / F.count(F.lit(1))).alias(
             "overlap_frac"
         ),
-        (F.count("__hit") * 2 >= F.count(F.lit(1))).alias("contaminated"),
+        (
+            F.count("__hit") * CONTAM_DEN >= F.count(F.lit(1)) * CONTAM_NUM
+        ).alias("contaminated"),
     )
 
 
@@ -1885,7 +1895,11 @@ WHERE 5 * n_shared >= 4 * LEAST(sa.n, sb.n)
 """,
 )
 def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment (subset-duplicate) detection: pairs where the SMALLER
+    """Containment (subset-duplicate) detection — NOTE: despite the
+    registered name (kept for r5 attestation continuity), this is the
+    EXACT-containment variant: it reads the capped shingle
+    inverted-index pair memo (`_verified_pairs_memo`), no MinHash
+    sketching anywhere in the plan. Pairs where the SMALLER
     document's shingles are >= 80% contained in the other — the
     asymmetric near-dup relation Jaccard systematically misses (a tweet
     quoted inside an article has containment ~1.0 but Jaccard ~0, so a

@@ -879,7 +879,17 @@ def _rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rhp_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, neighbor_id, cos_sim): exact cosine over the RHP
     band-bucket candidate set — shared by the top-k query and the
-    radius (range) search."""
+    radius (range) search. Memoized per (app, sf_dir) like the top-k
+    result tables (r5 advice: without this, running top-k and range
+    search in one process recomputed the signature/band/cosine
+    pipeline twice — now the second consumer reads the checkpointed
+    scored table)."""
+    return _memo_topk(
+        spark, sf_dir, "rhp_scored", lambda: _rhp_scored_build(spark, sf_dir)
+    )
+
+
+def _rhp_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
     hp = (

@@ -143,14 +143,27 @@ def scratch_dir(prefix: str) -> str:
     tmpfs (/dev/shm) cuts the fixed per-micro-batch WAL/commit-log cost
     that dominates the streaming-twin queries at small SF (r4 verdict
     directive #3). Falls back to the default temp dir when /dev/shm is
-    absent. On a real cluster the checkpoint lives on durable shared
-    storage instead — this is a local-bench/test concern only."""
+    absent OR low on free space (r5 advice: tmpfs is typically RAM/2 and
+    checkpoints + cached fixture dirs at larger SF can fill it — an
+    ENOSPC mid-drain is strictly worse than a slower disk drain). The
+    floor is SPARK_GRAFT_SHM_MIN_MB (default 512 MiB), checked with
+    statvfs at every call so a tmpfs that filled up mid-process also
+    flips later allocations to disk. On a real cluster the checkpoint
+    lives on durable shared storage instead — this is a
+    local-bench/test concern only."""
     import os
     import tempfile
 
     shm = "/dev/shm"
+    min_free = int(os.environ.get("SPARK_GRAFT_SHM_MIN_MB", "512")) * 2**20
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return tempfile.mkdtemp(prefix=prefix, dir=shm)
+        try:
+            st = os.statvfs(shm)
+            free = st.f_bavail * st.f_frsize
+        except OSError:
+            free = 0
+        if free >= min_free:
+            return tempfile.mkdtemp(prefix=prefix, dir=shm)
     return tempfile.mkdtemp(prefix=prefix)
 
 

@@ -177,6 +177,14 @@ class ChangefeedStreamReader(DataSourceStreamReader):
         self.n = int(options.get("numPartitions", "4"))
         self._bounds = None  # (min_eid, max_eid) from the parquet footer
         self._planned = None  # highest eid watermark handed to Spark
+        # Observability for the partitions() inverted-range guard (r5
+        # advice): the lo-1 first-call ratchet anchor relies on the
+        # traced Spark-4.1 recovery ordering (partitions() before
+        # latestOffset()). If a future Spark changes that order, the
+        # guard silently yields empty triggers until the ratchet catches
+        # up — counting + logging each firing makes a protocol-order
+        # change observable instead of silent.
+        self.inverted_range_count = 0
 
     # -- driver-side helpers (footer metadata only, never data) ------------
     def _eid_bounds(self) -> tuple[int, int]:
@@ -227,6 +235,19 @@ class ChangefeedStreamReader(DataSourceStreamReader):
         self._anchor(start["eid"], end["eid"])
         lo, hi = start["eid"], end["eid"]
         if lo >= hi:
+            if lo > hi:
+                self.inverted_range_count += 1
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "changefeed stream reader: inverted offset range "
+                    "(start eid %d > end eid %d) — planning an empty "
+                    "batch; if this fires on a restart, Spark's "
+                    "recovery call order changed (guard firing #%d)",
+                    lo,
+                    hi,
+                    self.inverted_range_count,
+                )
             return []
         return [
             _EidRangePartition(i, self.n, self.path, lo, hi)
