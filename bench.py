@@ -3,7 +3,11 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Each query is materialized with the noop sink (full execution, no
 output-format cost). The headline metric is total wall-seconds across the
-registered query set.
+registered query set PLUS the named memo_build_* rows, which charge each
+memoized family's cold build (dedup pair tables, CC labels, ANN top-k
+tables, the drained-changefeed fixture dir) explicitly instead of hiding
+it in whichever query touches the memo first (r5 verdict directive #2) —
+per-query numbers are then honest warm incremental costs.
 """
 
 from __future__ import annotations
@@ -22,6 +26,74 @@ from hbase_observer_elasticsearch_spark.session import get_spark  # noqa: E402
 def materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def load_prior(repo: str, sf: str) -> tuple[str, dict] | None:
+    """Newest committed per-query map at the same sf, for the delta line
+    and the in-loop regression escalation. BENCH_PREV.json is the
+    committed snapshot of the previous round's official full map, then
+    the last bench_out.json; the driver's BENCH_r{N}.json wrappers only
+    parse the slowest-10 tail line, so they are the final fallback."""
+    prior_files = ["BENCH_PREV.json", "bench_out.json"] + sorted(
+        (
+            f for f in os.listdir(repo)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+        ),
+        reverse=True,
+    )
+    for fname in prior_files:
+        try:
+            with open(os.path.join(repo, fname)) as f:
+                prior = json.load(f)
+            parsed = prior.get("parsed") or prior  # driver wrapper or raw
+            if float(parsed.get("sf", -1)) != float(sf):
+                continue
+            prev_q = parsed.get("queries") or {}
+            if prev_q:
+                return fname, prev_q
+        except Exception:  # noqa: BLE001 — malformed artifact never kills bench
+            continue
+    return None
+
+
+def memo_build_rows(spark, sf_dir: str, per_query: dict) -> None:
+    """Charge each memo family's cold build to a named memo_build_* row
+    (r5 verdict directive #2): the per-(app, sf_dir) localCheckpoint
+    memos (dedup pair tables, CC labels, ANN top-k tables, the shared
+    drained-changefeed fixture dir) amortize shared subtrees across the
+    query loop — the materialized-view idiom — but without these rows
+    the warm per-query numbers hid the build cost entirely (e.g.
+    similarity_topk_pq read 0.026 s warm vs ~14 s cold in SCALE_r5).
+    Build rows are timed cold, included in the headline total, and every
+    registered query then measures its honest warm incremental cost.
+    Ordering matters: CC labels read the verified-pairs memo, the RHP
+    top-k reads the scored-candidate memo — so each row isolates one
+    build stage."""
+    from hbase_observer_elasticsearch_spark.operators import dedup as _dd
+    from hbase_observer_elasticsearch_spark.operators import (
+        similarity as _sim,
+    )
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        shared_changefeed_stream_dir,
+    )
+
+    builds = [
+        ("memo_build_dedup_verified_pairs", _dd._verified_pairs_memo),
+        ("memo_build_dedup_lsh_candidates", _dd._lsh_cand_memo),
+        ("memo_build_dedup_cc_labels", _dd._jaccard_cc_labels),
+        ("memo_build_similarity_topk_bf", _sim.similarity_topk_bruteforce),
+        ("memo_build_similarity_rhp_scored", _sim._rhp_scored),
+        ("memo_build_similarity_topk_rhp", _sim.similarity_topk_rhp),
+        ("memo_build_similarity_topk_pq", _sim.similarity_topk_pq),
+        (
+            "memo_build_changefeed_dir",
+            lambda s, d: shared_changefeed_stream_dir(s, d, n_files=2),
+        ),
+    ]
+    for name, fn in builds:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir)  # localCheckpoint inside the memo is eager
+        per_query[name] = round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -68,9 +140,14 @@ def main() -> None:
     # so single unlucky draws masqueraded as regressions. The System.gc()
     # settle drains cross-query allocation debt so query N doesn't pay
     # query N-1's collection.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prior = load_prior(repo, sf)
+    prev_q: dict = prior[1] if prior else {}
+
     per_query: dict[str, float] = {}
     noisy: list[str] = []
     jvm_system = spark._jvm.System  # noqa: SLF001 — JVM GC hook
+    memo_build_rows(spark, sf_dir, per_query)
     for name in sorted(qs):
         jvm_system.gc()
         times = []
@@ -78,7 +155,20 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(qs[name](spark, sf_dir))
             times.append(time.perf_counter() - t0)
-        if min(times) > 0.15 and abs(times[0] - times[1]) > 0.3 * min(times):
+        # Escalate best-of-2 -> best-of-3 when the two samples disagree
+        # by >30%, OR when the best-of-2 would be recorded as a
+        # regression vs the prior snapshot (r5 verdict directive #6:
+        # agg_case_bucketing regressed 0.38->1.32 s code-unchanged and
+        # the sample-disagreement trigger alone missed it — a
+        # would-be-regression is exactly the case worth one more draw
+        # before it lands in the committed artifact).
+        looks_regressed = name in prev_q and min(times) > prev_q[name] + max(
+            0.3, 0.3 * prev_q[name]
+        )
+        if (
+            min(times) > 0.15
+            and abs(times[0] - times[1]) > 0.3 * min(times)
+        ) or looks_regressed:
             noisy.append(name)
             t0 = time.perf_counter()
             materialize(qs[name](spark, sf_dir))
@@ -98,30 +188,11 @@ def main() -> None:
     # Common-subset delta vs the newest committed BENCH_r{N}.json at the
     # same sf, so round-over-round regressions are visible in the driver
     # artifact itself (r2 verdict #8).
-    repo = os.path.dirname(os.path.abspath(__file__))
     delta = None
-    # BENCH_PREV.json is the committed snapshot of the PREVIOUS round's
-    # official full per-query map (refreshed at each round end), then the
-    # last bench_out.json; the driver's BENCH_r{N}.json wrappers only
-    # parse the slowest-10 tail line, so they are the final fallback.
-    prior_files = ["BENCH_PREV.json", "bench_out.json"] + sorted(
-        (
-            f for f in os.listdir(repo)
-            if f.startswith("BENCH_r") and f.endswith(".json")
-        ),
-        reverse=True,
-    )
-    for fname in prior_files:
-        try:
-            with open(os.path.join(repo, fname)) as f:
-                prior = json.load(f)
-            parsed = prior.get("parsed") or prior  # driver wrapper or raw
-            if float(parsed.get("sf", -1)) != float(sf):
-                continue
-            prev_q = parsed.get("queries") or {}
-            common = [k for k in prev_q if k in per_query]
-            if not common:
-                continue
+    if prior is not None:
+        fname, prev_q = prior
+        common = [k for k in prev_q if k in per_query]
+        if common:
             delta = {
                 "vs": fname,
                 "n_common": len(common),
@@ -133,9 +204,6 @@ def main() -> None:
                     if per_query[k] > prev_q[k] + max(0.3, 0.3 * prev_q[k])
                 },
             }
-            break
-        except Exception:  # noqa: BLE001 — a malformed artifact never kills bench
-            continue
 
     full = {
         "metric": "total_query_wall_seconds",
