@@ -305,7 +305,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature subtree is shared with dedup_lsh_pr_curve)
     cand = _lsh_cand_memo(spark, sf_dir)
 
-    sh = shingle_docs(d)
+    # Verify-join input pruning (r5 verdict directive #3, the 4.58x 10x
+    # curve): only docs that appear in some candidate pair can
+    # contribute to n_shared or be looked up for sizes, so the shingle
+    # table is semi-joined down to candidate docs BEFORE the two verify
+    # joins — the verify cost then tracks candidate mass (LSH's whole
+    # point), not corpus size. The candidate-doc list is ≤ 2·|cand| and
+    # orders of magnitude under |corpus| at any dup rate worth
+    # deduping, hence the broadcast (map-side filter, no shuffle of the
+    # full shingle table); at 100 TB with a larger kill list this
+    # becomes a bloom-filter pushdown or a bucketed semi-join.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_docs(d).join(F.broadcast(cand_docs), "doc_id", "semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
