@@ -12,7 +12,13 @@ that prove the complexity claims empirically:
   data is ~10x scan at worst (brute-force baseline) and far less for the
   bucketed families.
 
-Writes SCALE_r5.json at the repo root. Usage:
+r6 additions (r5 verdict directives #3/#5): the dedup_pair_mass_audit
+band decomposition is committed into the structure section, and a
+streaming family drains the three put-delete interval joins over 1x vs
+10x HISTORY (same rate) recording max state-store rows — the empirical
+check of the O(rate x (horizon + within)) state bound.
+
+Writes SCALE_r6.json at the repo root. Usage:
     python tools/gen_scale10.py   # once
     python tools/scale_rehearsal.py
 """
@@ -36,6 +42,7 @@ DOC_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_pair_mass_audit",
     "dedup_clusters",
     "dedup_keep_best",
     "dedup_cluster_size_histogram",
@@ -94,12 +101,28 @@ def run_scale(spark, ui, app_id, sf_dir, qs) -> dict:
     verified = dd._verified_pairs_memo(spark, sf_dir).count()
     labels = dd._jaccard_cc_labels(spark, sf_dir)
     n_clusters = labels.select("label").distinct().count()
+    # pair-mass decomposition (r5 directive #3): band rows are tiny
+    # (<= ~20), and their capped_pair_mass totals ARE the work the
+    # exact verify path performs — committed here so wall-ratio growth
+    # is attributable to duplicate mass, not guessed at.
+    bands = {
+        int(r["sz_band"]): {
+            "n_buckets": int(r["n_buckets"]),
+            "pair_mass": int(r["pair_mass"]),
+            "capped_pair_mass": int(r["capped_pair_mass"]),
+        }
+        for r in qs["dedup_pair_mass_audit"](spark, sf_dir).collect()
+    }
     out["structure"] = {
         "n_docs": n_docs,
         "lsh_candidate_pairs": cand,
         "verified_pairs": verified,
         "cc_clusters": n_clusters,
         "all_pairs_would_be": n_docs * (n_docs - 1) // 2,
+        "pair_mass_bands": bands,
+        "capped_pair_mass_total": sum(
+            b["capped_pair_mass"] for b in bands.values()
+        ),
     }
     out["family_wall_s"] = round(
         sum(q["wall_s"] for q in out["queries"].values()), 2
@@ -107,6 +130,146 @@ def run_scale(spark, ui, app_id, sf_dir, qs) -> dict:
     out["family_shuffle_write_mb"] = round(
         sum(q["shuffle_write_mb"] for q in out["queries"].values()), 2
     )
+    return out
+
+
+def _scaled_changefeed_dir(spark, sf_dir: str, mult: int) -> tuple[str, int]:
+    """A changefeed dir with ``mult``x the HISTORY of the sf events feed:
+    the event stream replicated ``mult`` times, each copy shifted by the
+    full time span (and seq range) of the original — same event RATE,
+    ``mult``x the duration. This is the shape that tests the streaming
+    state bound: state must track O(rate x (horizon + within)), so a
+    longer history at constant rate should leave max state rows ~flat
+    while input rows grow ``mult``x. File count scales with mult so each
+    micro-batch covers a constant slice of event time (constant
+    watermark cadence)."""
+    import pyspark.sql.functions as F
+
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        events_as_changefeed,
+        scratch_dir,
+        write_changefeed_stream_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lo_ts, hi_ts, max_id = ev.agg(
+        F.min("ts"), F.max("ts"), F.max("event_id")
+    ).first()
+    span_s = int((hi_ts - lo_ts).total_seconds()) + 3600
+    parts = [
+        ev.select(
+            (F.col("event_id") + k * (max_id + 1)).alias("event_id"),
+            "event_type",
+            "user_id",
+            "value",
+            (
+                F.col("ts") + F.expr(f"INTERVAL {k * span_s} SECONDS")
+            ).alias("ts"),
+        )
+        for k in range(mult)
+    ]
+    allev = parts[0]
+    for p in parts[1:]:
+        allev = allev.unionByName(p)
+    cf = events_as_changefeed(allev)
+    n_files = 4 * mult
+    d = scratch_dir(f"scale_stream_{mult}x_")
+    import os as _os
+
+    feed_dir = _os.path.join(d, "cf")
+    write_changefeed_stream_dir(cf, feed_dir, n_files=n_files)
+    return feed_dir, n_files
+
+
+def _drain_state_metrics(spark, stream_df, output_mode: str = "append") -> dict:
+    """availableNow drain into a memory sink, recording wall seconds,
+    micro-batch count, total input rows, output rows, and the MAX total
+    state-store rows across all stateful operators and batches (from
+    StreamingQuery progress events — the number the O(rate x horizon)
+    claim is about)."""
+    import shutil
+    import uuid
+
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        scratch_dir,
+    )
+
+    base = scratch_dir("scale_drain_")
+    name = "scale_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        t0 = time.perf_counter()
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(900):
+            q.stop()
+            raise RuntimeError("scale-rehearsal drain timed out")
+        wall = time.perf_counter() - t0
+        max_state = 0
+        n_batches = 0
+        total_in = 0
+        for p in q.recentProgress:
+            n_batches += 1
+            total_in += int(p.get("numInputRows", 0))
+            for so in p.get("stateOperators", []):
+                max_state = max(max_state, int(so.get("numRowsTotal", 0)))
+        n_out = spark.table(name).count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(base, ignore_errors=True)
+    return {
+        "wall_s": round(wall, 3),
+        "n_batches": n_batches,
+        "input_rows": total_in,
+        "output_rows": n_out,
+        "max_state_rows": max_state,
+    }
+
+
+STREAM_JOINS = ["interval_join", "left_outer_join", "full_outer_join"]
+
+
+def run_streaming_scale(spark, sf_dir: str, mult: int) -> dict:
+    """Drain the three put-delete interval joins over a mult-x-history
+    feed and record per-query state + wall metrics."""
+    from hbase_observer_elasticsearch_spark.streaming import pipeline as pl
+
+    feed_dir, n_files = _scaled_changefeed_dir(spark, sf_dir, mult)
+    builders = {
+        "interval_join": pl.streaming_put_delete_interval_join,
+        "left_outer_join": pl.streaming_put_delete_left_outer_join,
+        "full_outer_join": pl.streaming_put_delete_full_outer_join,
+    }
+    out: dict = {"mult": mult, "n_files": n_files, "queries": {}}
+    try:
+        for name in STREAM_JOINS:
+            df = builders[name](
+                spark, feed_dir, horizon="10 minutes", within="2 hours"
+            )
+            m = _drain_state_metrics(spark, df)
+            out["queries"][name] = m
+            print(
+                f"  stream {name} {mult}x: {m['wall_s']:.2f}s "
+                f"state_max {m['max_state_rows']} "
+                f"in {m['input_rows']} out {m['output_rows']}",
+                flush=True,
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(os.path.dirname(feed_dir), ignore_errors=True)
     return out
 
 
@@ -132,6 +295,37 @@ def main() -> None:
     ten = run_scale(spark, ui, app_id, scale_dir, qs)
     clear_memos(spark)
 
+    # streaming state family (r5 verdict directive #5): same event rate,
+    # 1x vs 10x HISTORY — max state rows must stay ~flat while input
+    # rows grow 10x, or the O(rate x (horizon + within)) docstring bound
+    # is prose, not fact.
+    print("=== streaming state: 1x history ===", flush=True)
+    s_one = run_streaming_scale(spark, "/root/testdata/sf0.1", 1)
+    clear_memos(spark)
+    print("=== streaming state: 10x history ===", flush=True)
+    s_ten = run_streaming_scale(spark, "/root/testdata/sf0.1", 10)
+    clear_memos(spark)
+    streaming = {
+        "one_x": s_one,
+        "ten_x": s_ten,
+        "state_rows_ratio_10x_over_1x": {
+            n: round(
+                s_ten["queries"][n]["max_state_rows"]
+                / max(s_one["queries"][n]["max_state_rows"], 1),
+                2,
+            )
+            for n in STREAM_JOINS
+        },
+        "input_rows_ratio_10x_over_1x": {
+            n: round(
+                s_ten["queries"][n]["input_rows"]
+                / max(s_one["queries"][n]["input_rows"], 1),
+                2,
+            )
+            for n in STREAM_JOINS
+        },
+    }
+
     ratios = {
         name: round(
             ten["queries"][name]["wall_s"]
@@ -141,11 +335,12 @@ def main() -> None:
         for name in ten["queries"]
     }
     result = {
-        "round": 5,
-        "families": ["dedup+cc", "text", "ann"],
+        "round": 6,
+        "families": ["dedup+cc", "text", "ann", "streaming"],
         "scale_factor_ratio": 10,
         "one_x": one,
         "ten_x": ten,
+        "streaming": streaming,
         "wall_ratios_10x_over_1x": ratios,
         "max_wall_ratio": max(ratios.values()),
         "pair_growth": round(
@@ -161,7 +356,7 @@ def main() -> None:
             "the measured numbers)."
         ),
     }
-    with open(os.path.join(REPO, "SCALE_r5.json"), "w") as f:
+    with open(os.path.join(REPO, "SCALE_r6.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k not in ("one_x", "ten_x")}, indent=1))
 
