@@ -729,3 +729,115 @@ def cdc_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seq").cast("bigint").alias("min_seq"),
         F.max("seq").cast("bigint").alias("max_seq"),
     )
+
+
+@register(
+    "stream_exact_dedup_keyed_state",
+    oracle="""
+SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+         AS canon_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def stream_exact_dedup_keyed_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact dedup ON INGEST: the documents corpus replayed as a stream
+    and deduplicated with UNBOUNDED Spark-managed keyed state
+    (applyInPandasWithState, NoTimeout) — emit a document the first time
+    its canonical sorted-bag-of-words hash is seen, silently drop every
+    later copy. The complement of stream_dedup_within_watermark: that
+    operator bounds state by the watermark horizon (duplicates beyond it
+    pass), this one keeps the full seen-set because training-data
+    ingestion must never re-admit a document no matter how much later
+    the copy arrives.
+
+    Determinism of the keeper: the feed is written as contiguous
+    doc_id-ordered files, so the first micro-batch containing a hash
+    also contains its globally smallest doc_id, and within that batch
+    the handler takes the min — hence keeper == MIN(doc_id) per hash,
+    which is exactly what the batch oracle restates. Duplicate emission
+    is impossible by construction (state.exists short-circuits), so the
+    update-mode memory sink holds one row per distinct hash.
+
+    Scale shape (100 TB ingest): state is one long per distinct
+    canonical hash, hash-partitioned across executors by the groupBy —
+    the classic sharded seen-set. With the RocksDB state-store provider
+    the set spills to local SSD and is checkpointed incrementally;
+    admission cost per batch is one state lookup per grouped key. The
+    canonical hash itself is computed map-side (built-in md5 over
+    array_sort — no Python in the per-row path; Python touches only
+    grouped first-sight batches).
+    """
+    ensure_session_conf(spark)
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.changefeed import write_changefeed_stream_dir
+
+    out_schema = T.StructType(
+        [
+            T.StructField("canon_hash", T.StringType(), False),
+            T.StructField("keeper_doc_id", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("keeper", T.LongType(), False)]
+    )
+
+    def _first_sight(key, pdfs, state):
+        (canon,) = key
+        mn = None
+        for pdf in pdfs:
+            m = int(pdf["seq"].min())
+            mn = m if mn is None else min(mn, m)
+        if state.exists:
+            return  # later copies: drop, emit nothing
+        state.update((mn,))
+        yield pd.DataFrame(
+            {"canon_hash": [canon], "keeper_doc_id": [mn]}
+        )
+
+    base = _scratch("stream_dedup_ingest_")
+    try:
+        feed_dir = os.path.join(base, "docs")
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("seq"), "text"
+        )
+        write_changefeed_stream_dir(docs, feed_dir, n_files=2)
+        feed_schema = T.StructType(
+            [
+                T.StructField("seq", T.LongType(), False),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+            .withColumn(
+                "canon_hash",
+                F.md5(
+                    F.concat_ws(
+                        " ", F.array_sort(F.split(F.col("text"), " "))
+                    )
+                ),
+            )
+            .drop("text")
+        )
+        deduped = stream.groupBy("canon_hash").applyInPandasWithState(
+            _first_sight,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        emitted = _drain_to_local(spark, deduped, base, output_mode="update")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted.select(
+        "canon_hash", F.col("keeper_doc_id").cast("bigint").alias("keeper_doc_id")
+    )

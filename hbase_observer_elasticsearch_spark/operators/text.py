@@ -1062,3 +1062,134 @@ def corpus_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_cnt").cast("double") / F.col("n_tokens")
         ).alias("max_doc_familiarity"),
     )
+
+
+@register(
+    "corpus_mix_waterfill",
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok
+),
+r AS (
+  SELECT source, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rk,
+         SUM(n_tokens) OVER (ORDER BY n_tokens, source
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+),
+f AS (
+  SELECT r.source, r.n_tokens, r.rk, r.cum, t.budget, t.n,
+         CASE WHEN r.cum + (t.n - r.rk) * r.n_tokens <= t.budget
+              THEN 1 ELSE 0 END AS unc
+  FROM r, tot t
+),
+k AS (
+  SELECT CAST(SUM(unc) AS BIGINT) AS kk,
+         CAST(COALESCE(SUM(CASE WHEN unc = 1 THEN n_tokens END), 0)
+              AS BIGINT) AS ss
+  FROM f
+),
+cap AS (
+  SELECT CASE WHEN k.kk >= t.n THEN NULL
+              ELSE (t.budget - k.ss) // (t.n - k.kk) END AS cap
+  FROM k, tot t
+)
+SELECT f.source, f.n_tokens,
+       CAST(CASE WHEN cap.cap IS NULL THEN f.n_tokens
+                 ELSE LEAST(f.n_tokens, cap.cap) END AS BIGINT)
+         AS allocated_tokens,
+       (cap.cap IS NOT NULL AND f.n_tokens > cap.cap) AS is_capped
+FROM f, cap
+""",
+)
+def corpus_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing token allocation across sources by exact integer
+    waterfill — the budgeting step of every large-scale pre-training
+    recipe: given a token budget (here total//2, derived from the corpus
+    so both engines compute it identically), take each source in full
+    until a common per-source cap binds, i.e. allocate
+    min(n_tokens, cap) with cap chosen so the allocations fill the
+    budget. Small sources are never starved (uniform caps only bind on
+    the heavy tail), which is why waterfill rather than proportional
+    scaling is the standard mixing rule when one crawl dwarfs the
+    curated sources.
+
+    The cap is found in ONE window pass, no iteration: sort sources
+    ascending by size — source at rank r is uncapped iff taking ranks
+    1..r in full and capping the rest at s_r fits the budget
+    (cum_r + (n-r)·s_r <= T; this expression is nondecreasing in r, so
+    the uncapped set is a prefix). With K uncapped sources of total S,
+    cap = (T - S) DIV (n - K). All arithmetic is BIGINT with integer
+    division — bit-exact across engines, no float thresholds.
+
+    Scale shape: one groupBy(source) token count (map-side combine),
+    one window over |sources| rows (thousands at worst — a broadcast-
+    scale table), two scalar aggregates cross-joined back. The corpus
+    is read once; at 100 TB the allocation plan is computed in
+    milliseconds from the source-stats table and drives the downstream
+    per-source sampling gates (sampling.py).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    tot = tok.agg(
+        # DIV, not /: true division goes through double and a cast, which
+        # diverges from DuckDB's integer // once totals pass 2^53
+        F.expr("sum(n_tokens) DIV 2").cast("bigint").alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("n_tokens", "source")
+    r = tok.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    f = r.crossJoin(F.broadcast(tot)).withColumn(
+        "unc",
+        (
+            F.col("cum") + (F.col("n") - F.col("rk")) * F.col("n_tokens")
+            <= F.col("budget")
+        ).cast("int"),
+    )
+    k = f.agg(
+        F.sum("unc").cast("bigint").alias("kk"),
+        F.coalesce(
+            F.sum(F.when(F.col("unc") == 1, F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("ss"),
+    )
+    cap = (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("kk") >= F.col("n"), F.lit(None).cast("bigint"))
+            .otherwise(
+                F.expr("(budget - ss) DIV (n - kk)").cast("bigint")
+            )
+            .alias("cap")
+        )
+    )
+    return f.crossJoin(F.broadcast(cap)).select(
+        "source",
+        "n_tokens",
+        F.when(F.col("cap").isNull(), F.col("n_tokens"))
+        .otherwise(F.least(F.col("n_tokens"), F.col("cap")))
+        .cast("bigint")
+        .alias("allocated_tokens"),
+        (F.col("cap").isNotNull() & (F.col("n_tokens") > F.col("cap"))).alias(
+            "is_capped"
+        ),
+    )

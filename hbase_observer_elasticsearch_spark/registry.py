@@ -135,6 +135,8 @@ _PRIORITY = (
     # --- new in r6 (no official row yet) ---
     "sink_merge_idempotent_epochs",
     "dedup_pair_mass_audit",
+    "corpus_mix_waterfill",
+    "stream_exact_dedup_keyed_state",
 )
 
 
