@@ -2017,3 +2017,73 @@ def dedup_pair_mass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("capped_pair_mass"),
         F.sum("n").cast("bigint").alias("posting_mass"),
     )
+
+
+NOVELTY_BUCKETS = 10
+
+
+@register(
+    "corpus_ngram_novelty_curve",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+sb AS (
+  SELECT s, (sh.doc_id * {NOVELTY_BUCKETS}) // mx.m AS bucket
+  FROM sh, mx
+),
+firsts AS (SELECT s, MIN(bucket) AS first_bucket FROM sb GROUP BY s)
+SELECT b.bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_shingle_instances,
+       CAST(COUNT(DISTINCT b.s) AS BIGINT) AS n_distinct_shingles,
+       CAST(COUNT(DISTINCT CASE WHEN f.first_bucket = b.bucket
+                                THEN b.s END) AS BIGINT)
+         AS n_novel_shingles
+FROM sb b JOIN firsts f ON b.s = f.s
+GROUP BY b.bucket
+""",
+)
+def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation (Heaps'-law) measurement: split the corpus into
+    NOVELTY_BUCKETS contiguous doc_id ranges and count, per range, how
+    many distinct 3-shingles appear there for the FIRST time — the
+    marginal-novelty curve that tells a data buyer whether the next 10%
+    of a crawl still contributes vocabulary or is rehashing what the
+    first 90% already said (the curve the 10x scale fixture's
+    Heaps-law generator is calibrated against, tools/gen_scale10.py).
+    A near-flat tail means additional data mostly re-states existing
+    n-grams — dedup and mixing decisions should see this BEFORE
+    committing the tokens to training.
+
+    All-BIGINT output (instances / distinct / novel per bucket), bucket
+    = doc_id·K // (max_id+1) in integer arithmetic — hash-exact across
+    engines with no float thresholds anywhere.
+
+    Scale shape: shared `shingle_docs` subtree; first-sight bucket is
+    one groupBy(s) MIN (map-side combine); the per-bucket rollup joins
+    shingle instances back to their first bucket on the shingle key —
+    inverted-index shape, linear shuffle, no pairwise work. At 100 TB
+    the curve is computed per crawl snapshot from the same shingle
+    table the dedup family already materializes.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    m = d.agg((F.max("doc_id") + 1).alias("m"))
+    sh = shingle_docs(d)
+    sb = sh.crossJoin(F.broadcast(m)).select(
+        "s",
+        F.expr(f"doc_id * {NOVELTY_BUCKETS} DIV m").alias("bucket"),
+    )
+    firsts = sb.groupBy("s").agg(F.min("bucket").alias("first_bucket"))
+    return (
+        sb.join(firsts, "s")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingle_instances"),
+            F.countDistinct("s").cast("bigint").alias("n_distinct_shingles"),
+            F.countDistinct(
+                F.when(F.col("first_bucket") == F.col("bucket"), F.col("s"))
+            )
+            .cast("bigint")
+            .alias("n_novel_shingles"),
+        )
+    )

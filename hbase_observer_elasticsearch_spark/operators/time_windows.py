@@ -1607,3 +1607,119 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+CEP_STEP_MS = 86_400_000  # each funnel step must follow within 24 hours
+# (fixture users average ~40 events over a long span, so a 1-hour step
+# yields an empty funnel at every SF; 24 h matches the fixture cadence)
+CEP_ORD_BITS = 20  # event_id packed into the low bits of the order key
+
+
+@register(
+    "events_cep_funnel_3step",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_ms(ts) * {1 << CEP_ORD_BITS} + event_id AS ord,
+         epoch_ms(ts) AS t_ms
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+w AS (
+  SELECT user_id, event_type, ord, t_ms,
+         MAX(CASE WHEN event_type = 'view' THEN ord END)
+           OVER (PARTITION BY user_id ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_ord
+  FROM e
+),
+c AS (
+  SELECT user_id, event_type, ord, t_ms,
+         MAX(CASE WHEN event_type = 'click'
+                   AND last_view_ord IS NOT NULL
+                   AND last_view_ord // {1 << CEP_ORD_BITS}
+                       >= t_ms - {CEP_STEP_MS}
+                  THEN ord END)
+           OVER (PARTITION BY user_id ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_chained_click_ord
+  FROM w
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_funnel_purchases
+FROM c
+WHERE event_type = 'purchase'
+  AND last_chained_click_ord IS NOT NULL
+  AND last_chained_click_ord // {1 << CEP_ORD_BITS} >= t_ms - {CEP_STEP_MS}
+GROUP BY user_id
+""",
+)
+def events_cep_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step CEP sequence detection — view → click → purchase, each
+    step within 24 hours of the previous (CEP_STEP_MS) — counted per user: the
+    complex-event-processing pattern one level up from
+    events_pattern_within's 2-step form (a purchase only counts if it
+    follows a click that ITSELF followed a view within the step bound,
+    so a stray purchase after an un-preceded click is rejected — the transitive condition
+    that makes 3-step patterns irreducible to two 2-step passes).
+
+    Single-pass plan, NO joins: events are totally ordered per user by
+    the packed key ord = epoch_ms << 20 | event_id (event_id fits 20
+    bits at every fixture SF; the packing gives a BIGINT total order
+    with the (ts, event_id) tie-break both engines agree on). Two
+    running-MAX windows — "latest view so far", then "latest click
+    already chained to a view" — turn the sequence test into two
+    constant-state comparisons per row; ROWS ... AND 1 PRECEDING
+    enforces strict precedence even at equal timestamps. One shuffle on
+    user_id, O(1) state per user: at 100 TB this is the CEP shape that
+    survives, where the naive 3-way interval self-join explodes.
+
+    All arithmetic BIGINT (epoch millis, shifts, integer division) —
+    hash-exact across engines.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        "user_id",
+        "event_type",
+        (ms * (1 << CEP_ORD_BITS) + F.col("event_id")).alias("ord"),
+        ms.alias("t_ms"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = e.withColumn(
+        "last_view_ord",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("ord"))
+        ).over(w_prev),
+    )
+    chained_click = F.when(
+        (F.col("event_type") == "click")
+        & F.col("last_view_ord").isNotNull()
+        & (
+            F.expr(f"last_view_ord DIV {1 << CEP_ORD_BITS}")
+            >= F.col("t_ms") - CEP_STEP_MS
+        ),
+        F.col("ord"),
+    )
+    c = w.withColumn(
+        "last_chained_click_ord", F.max(chained_click).over(w_prev)
+    )
+    return (
+        c.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_chained_click_ord").isNotNull()
+            & (
+                F.expr(f"last_chained_click_ord DIV {1 << CEP_ORD_BITS}")
+                >= F.col("t_ms") - CEP_STEP_MS
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_funnel_purchases"))
+    )

@@ -137,6 +137,8 @@ _PRIORITY = (
     "dedup_pair_mass_audit",
     "corpus_mix_waterfill",
     "stream_exact_dedup_keyed_state",
+    "corpus_ngram_novelty_curve",
+    "events_cep_funnel_3step",
 )
 
 

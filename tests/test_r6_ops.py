@@ -102,3 +102,82 @@ def test_stream_dedup_unique_and_min_keeper(spark, sf_dir):
         == 0
     )
     assert expect.count() == n
+
+
+def test_novelty_curve_partitions_vocabulary(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.dedup import (
+        corpus_ngram_novelty_curve,
+        shingle_docs,
+    )
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+
+    rows = corpus_ngram_novelty_curve(spark, sf_dir).collect()
+    total_novel = sum(r.n_novel_shingles for r in rows)
+    vocab = (
+        shingle_docs(load_table(spark, sf_dir, "documents"))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    # every distinct shingle is novel in exactly one bucket
+    assert total_novel == vocab
+    for r in rows:
+        assert 0 <= r.n_novel_shingles <= r.n_distinct_shingles
+        assert r.n_distinct_shingles <= r.n_shingle_instances
+
+
+def test_cep_funnel_subset_of_2step(spark, sf_dir):
+    """Every user with a 3-step funnel purchase necessarily has a
+    click-within-bound purchase (the 2-step suffix), and the 3-step
+    count can never exceed the 2-step count."""
+    from pyspark.sql import functions as F
+
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+    from hbase_observer_elasticsearch_spark.operators.time_windows import (
+        CEP_ORD_BITS,
+        CEP_STEP_MS,
+        events_cep_funnel_3step,
+    )
+    from pyspark.sql import Window
+
+    got = {
+        r.user_id: r.n_funnel_purchases
+        for r in events_cep_funnel_3step(spark, sf_dir).collect()
+    }
+    assert got, "fixture should produce at least one funnel user"
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        "user_id",
+        "event_type",
+        (ms * (1 << CEP_ORD_BITS) + F.col("event_id")).alias("ord"),
+        ms.alias("t_ms"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    two_step = (
+        e.withColumn(
+            "lc",
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("ord"))
+            ).over(w_prev),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("lc").isNotNull()
+            & (
+                F.expr(f"lc DIV {1 << CEP_ORD_BITS}")
+                >= F.col("t_ms") - CEP_STEP_MS
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    two = {r.user_id: r.n2 for r in two_step.collect()}
+    for uid, n3 in got.items():
+        assert uid in two and n3 <= two[uid]
