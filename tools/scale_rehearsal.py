@@ -352,8 +352,9 @@ def main() -> None:
             "sub-quadratic evidence: candidate/verified pairs stay "
             "orders of magnitude under all-pairs, CC rounds are O(log "
             "d), and family wall/shuffle grow sub-linearly in corpus "
-            "size on fixed resources (see committed SCALE_r5.json for "
-            "the measured numbers)."
+            "size on fixed resources, and max streaming state rows stay "
+            "flat under 10x history (see the committed SCALE_r6.json "
+            "for the measured numbers)."
         ),
     }
     with open(os.path.join(REPO, "SCALE_r6.json"), "w") as f:
