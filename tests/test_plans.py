@@ -470,3 +470,22 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cep_funnel_single_pass_no_join(spark, sf_dir):
+    """events_cep_funnel_3step must stay the windowed single-pass plan:
+    one hash exchange on user_id feeding both running-MAX windows and
+    the final aggregate — and NO join operator anywhere (the naive CEP
+    formulation is a 3-way interval self-join that explodes at scale)."""
+    df = QS["events_cep_funnel_3step"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert "Join" not in plan
+    # exactly ONE shuffle, on user_id: both windows and the final
+    # aggregate reuse the same partitioning
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    parts = re.findall(r"hashpartitioning\(([^,]+)", plan)
+    assert parts and all("user_id" in p for p in parts)
+    # the event-type filter reaches the parquet scan
+    assert "In(event_type" in plan
