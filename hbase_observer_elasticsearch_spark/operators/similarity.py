@@ -1465,3 +1465,60 @@ def similarity_range_search_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cos_sim").alias("best_cos"),
         F.min("cos_sim").alias("worst_cos"),
     )
+
+
+@register(
+    "embeddings_dim_stats",
+    oracle="""
+WITH exu AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+)
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS mean_x,
+       MIN(CAST(x AS DOUBLE)) AS min_x,
+       MAX(CAST(x AS DOUBLE)) AS max_x,
+       CAST(COUNT(DISTINCT x) AS BIGINT) AS n_distinct
+FROM exu
+GROUP BY d
+""",
+)
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA profile — the pre-flight check every
+    vector pipeline runs before building an index: mean (drift off
+    zero-center breaks cosine pruning bounds), min/max (saturated or
+    clipped dims), and distinct-value count (a near-constant "dead"
+    dimension carries no signal but still costs index space; dead dims
+    are the first thing PQ codebook training trips over).
+
+    Determinism: means use the decimal-cast sum discipline
+    (functions/deterministic.py) with an explicit float→double→decimal
+    chain mirrored in the oracle; MIN/MAX over identical doubles and
+    COUNT(DISTINCT) over raw float32 values are order-insensitive and
+    engine-exact by construction.
+
+    Scale shape: one posexplode (map-side, `spread` for core
+    parallelism) → one groupBy(d) with map-side partial aggregation
+    into |dims| groups — output is 64 rows regardless of corpus size;
+    at 100 TB this is a single linear pass that pre-aggregates to
+    nothing, the cheapest audit in the vector family.
+    """
+    ensure_session_conf(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    exu = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select((F.col("pos") + 1).cast("bigint").alias("d"), "x")
+    xd = F.col("x").cast("double")
+    return exu.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.sum(xd.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_x"),
+        F.min(xd).alias("min_x"),
+        F.max(xd).alias("max_x"),
+        F.countDistinct("x").cast("bigint").alias("n_distinct"),
+    )

@@ -139,6 +139,7 @@ _PRIORITY = (
     "stream_exact_dedup_keyed_state",
     "corpus_ngram_novelty_curve",
     "events_cep_funnel_3step",
+    "embeddings_dim_stats",
 )
 
 
