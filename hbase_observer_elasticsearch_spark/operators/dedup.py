@@ -2031,15 +2031,20 @@ sb AS (
   SELECT s, (sh.doc_id * {NOVELTY_BUCKETS}) // mx.m AS bucket
   FROM sh, mx
 ),
-firsts AS (SELECT s, MIN(bucket) AS first_bucket FROM sb GROUP BY s)
-SELECT b.bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_shingle_instances,
-       CAST(COUNT(DISTINCT b.s) AS BIGINT) AS n_distinct_shingles,
-       CAST(COUNT(DISTINCT CASE WHEN f.first_bucket = b.bucket
-                                THEN b.s END) AS BIGINT)
-         AS n_novel_shingles
-FROM sb b JOIN firsts f ON b.s = f.s
-GROUP BY b.bucket
+per_bucket AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_shingle_instances,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct_shingles
+  FROM sb GROUP BY bucket
+),
+novel AS (
+  SELECT first_bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM (SELECT s, MIN(bucket) AS first_bucket FROM sb GROUP BY s) t
+  GROUP BY first_bucket
+)
+SELECT p.bucket, p.n_shingle_instances, p.n_distinct_shingles,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel_shingles
+FROM per_bucket p LEFT JOIN novel n ON p.bucket = n.bucket
 """,
 )
 def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2059,11 +2064,15 @@ def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines with no float thresholds anywhere.
 
     Scale shape: shared `shingle_docs` subtree; first-sight bucket is
-    one groupBy(s) MIN (map-side combine); the per-bucket rollup joins
-    shingle instances back to their first bucket on the shingle key —
-    inverted-index shape, linear shuffle, no pairwise work. At 100 TB
-    the curve is computed per crawl snapshot from the same shingle
-    table the dedup family already materializes.
+    one groupBy(s) MIN (map-side combine), then BOTH sides collapse to
+    per-bucket aggregates (≤ NOVELTY_BUCKETS rows each) BEFORE they
+    meet — the final join is broadcast-trivial, so no shuffle ever
+    happens at shingle granularity beyond the two linear groupBys (the
+    first cut of this query joined instances↔first-sight on the shingle
+    key; the plan audit flagged the extra corpus-scale shuffle and this
+    aggregate-then-join shape removed it). At 100 TB the curve is
+    computed per crawl snapshot from the same shingle table the dedup
+    family already materializes.
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
@@ -2073,17 +2082,21 @@ def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         F.expr(f"doc_id * {NOVELTY_BUCKETS} DIV m").alias("bucket"),
     )
-    firsts = sb.groupBy("s").agg(F.min("bucket").alias("first_bucket"))
-    return (
-        sb.join(firsts, "s")
+    per_bucket = sb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingle_instances"),
+        F.countDistinct("s").cast("bigint").alias("n_distinct_shingles"),
+    )
+    novel = (
+        sb.groupBy("s")
+        .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingle_instances"),
-            F.countDistinct("s").cast("bigint").alias("n_distinct_shingles"),
-            F.countDistinct(
-                F.when(F.col("first_bucket") == F.col("bucket"), F.col("s"))
-            )
-            .cast("bigint")
-            .alias("n_novel_shingles"),
-        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return per_bucket.join(F.broadcast(novel), "bucket", "left").select(
+        "bucket",
+        "n_shingle_instances",
+        "n_distinct_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0))
+        .cast("bigint")
+        .alias("n_novel_shingles"),
     )

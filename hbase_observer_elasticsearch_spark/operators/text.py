@@ -1143,6 +1143,12 @@ def corpus_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens")
     )
+    # The allocation tree reads tok from four branches (ranking, total,
+    # uncapped-prefix aggregate, final select); without materialization
+    # Spark re-runs the corpus scan + groupBy per branch (plan audit:
+    # 8 exchanges). tok is |sources| rows — checkpoint it once and every
+    # branch reads the tiny table; the corpus is scanned exactly once.
+    tok = tok.localCheckpoint()
     tot = tok.agg(
         # DIV, not /: true division goes through double and a cast, which
         # diverges from DuckDB's integer // once totals pass 2^53
