@@ -2066,11 +2066,12 @@ def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: shared `shingle_docs` subtree; first-sight bucket is
     one groupBy(s) MIN (map-side combine), then BOTH sides collapse to
     per-bucket aggregates (≤ NOVELTY_BUCKETS rows each) BEFORE they
-    meet — the final join is broadcast-trivial, so no shuffle ever
-    happens at shingle granularity beyond the two linear groupBys (the
-    first cut of this query joined instances↔first-sight on the shingle
-    key; the plan audit flagged the extra corpus-scale shuffle and this
-    aggregate-then-join shape removed it). At 100 TB the curve is
+    meet — the final join is broadcast-trivial; every shuffle in the
+    plan is a LINEAR groupBy of the shingle table, never a
+    shingle-granularity join (the first cut joined instances↔first-
+    sight on the shingle key; the plan audit flagged the corpus-scale
+    join shuffle and this aggregate-then-join shape removed it). At
+    100 TB the curve is
     computed per crawl snapshot from the same shingle table the dedup
     family already materializes.
     """
