@@ -140,6 +140,8 @@ _PRIORITY = (
     "corpus_ngram_novelty_curve",
     "events_cep_funnel_3step",
     "embeddings_dim_stats",
+    "similarity_topk_ivfpq",
+    "similarity_recall_ivfpq",
 )
 
 
