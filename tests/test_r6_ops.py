@@ -181,3 +181,219 @@ def test_cep_funnel_subset_of_2step(spark, sf_dir):
     two = {r.user_id: r.n2 for r in two_step.collect()}
     for uid, n3 in got.items():
         assert uid in two and n3 <= two[uid]
+
+
+# --- property-based depth (hypothesis) ------------------------------------
+
+
+def test_waterfill_properties_random():
+    """The closed-form waterfill rule satisfies the allocation axioms on
+    random instances: never over budget, small sources never starved
+    below the cap, maximality (adding one token to any capped source
+    would either exceed its size or break the uniform cap)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 10_000), min_size=1, max_size=30),
+        frac=st.integers(1, 99),
+    )
+    def check(sizes, frac):
+        total = sum(sizes)
+        budget = total * frac // 100
+        named = {f"s{i}": v for i, v in enumerate(sizes)}
+        alloc, cap = _waterfill_reference(named, budget)
+        assert sum(alloc.values()) <= budget
+        for k, v in named.items():
+            a = alloc[k]
+            assert 0 <= a <= v
+            if cap is None:
+                assert a == v  # whole corpus fits
+            else:
+                assert a == min(v, cap)
+        if cap is not None:
+            # maximality: raising the cap by 1 must overshoot the budget
+            over = sum(min(v, cap + 1) for v in named.values())
+            assert over > budget
+
+    check()
+
+
+def test_cep_funnel_matches_bruteforce_random(spark):
+    """Random small event logs: the windowed single-pass CEP result
+    equals a direct triple-scan (for each purchase, find a prior click
+    within the bound that has a prior view within the bound)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import hbase_observer_elasticsearch_spark.operators.time_windows as tw
+
+    STEP = tw.CEP_STEP_MS
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(1, 3),  # user
+                st.sampled_from(["view", "click", "purchase", "error"]),
+                st.integers(0, 5_000_000),  # ms offset (~83 min span)
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(rows):
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (i + 1, typ, uid, 0.0, base + dt.timedelta(milliseconds=off))
+            for i, (uid, typ, off) in enumerate(rows)
+        ]
+        ev = spark.createDataFrame(
+            data,
+            "event_id long, event_type string, user_id long, "
+            "value double, ts timestamp_ntz",
+        )
+        orig = tw.load_table
+        tw.load_table = lambda spark, sf_dir, name: ev
+        try:
+            got = {
+                r.user_id: r.n_funnel_purchases
+                for r in tw.events_cep_funnel_3step(spark, "x").collect()
+            }
+        finally:
+            tw.load_table = orig
+        # brute force with the same (ts, event_id) strict order
+        keyed = [
+            (uid, typ, (base + dt.timedelta(milliseconds=off), i + 1))
+            for i, (uid, typ, off) in enumerate(rows)
+        ]
+        expect: dict[int, int] = {}
+        for uid in {u for u, _, _ in keyed}:
+            evs = sorted(
+                [(o, t) for u, t, o in keyed if u == uid],
+                key=lambda x: x[0],
+            )
+            n = 0
+            for o_p, t_p in evs:
+                if t_p != "purchase":
+                    continue
+                ok = False
+                for o_c, t_c in evs:
+                    if t_c != "click" or not (o_c < o_p):
+                        continue
+                    if (o_p[0] - o_c[0]).total_seconds() * 1000 > STEP:
+                        continue
+                    for o_v, t_v in evs:
+                        if (
+                            t_v == "view"
+                            and o_v < o_c
+                            and (o_c[0] - o_v[0]).total_seconds() * 1000
+                            <= STEP
+                        ):
+                            ok = True
+                            break
+                    if ok:
+                        break
+                if ok:
+                    n += 1
+            if n:
+                expect[uid] = n
+        assert got == expect
+
+    check()
+
+
+def test_stream_dedup_keyed_state_survives_restart(spark, tmp_path):
+    """Exactly-once admission across a RESTART: drain file 1, stop, add
+    file 2 (which re-contains every file-1 document plus new ones),
+    restart from the same checkpoint — the keyed seen-set must come back
+    from the state store, so run 2 emits ONLY the genuinely new hashes
+    and the union equals one keeper per distinct hash."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        pd.DataFrame(rows, columns=["seq", "text"]).to_parquet(
+            feed / name, index=False
+        )
+
+    write_file("00001.parquet", [(1, "a b c"), (2, "b a c"), (3, "x y z")])
+    # file 2: duplicates of both file-1 hashes + one new
+    write_file_rows2 = [(4, "c b a"), (5, "z y x"), (6, "new doc here")]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("canon_hash", T.StringType(), False),
+            T.StructField("keeper_doc_id", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("keeper", T.LongType(), False)])
+
+    def _first_sight(key, pdfs, state):
+        (canon,) = key
+        mn = None
+        for pdf in pdfs:
+            m = int(pdf["seq"].min())
+            mn = m if mn is None else min(mn, m)
+        if state.exists:
+            return
+        state.update((mn,))
+        yield pd.DataFrame({"canon_hash": [canon], "keeper_doc_id": [mn]})
+
+    def drain(_run):
+        # memory sink cannot recover from a checkpoint — foreachBatch can,
+        # and is the sink shape a real dedup-on-ingest pipeline uses
+        rows: list[tuple] = []
+
+        def capture(batch_df, _epoch):
+            rows.extend(tuple(r) for r in batch_df.collect())
+
+        stream = (
+            spark.readStream.schema("seq long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+            .withColumn(
+                "canon_hash",
+                F.md5(
+                    F.concat_ws(
+                        " ", F.array_sort(F.split(F.col("text"), " "))
+                    )
+                ),
+            )
+            .drop("text")
+            .groupBy("canon_hash")
+            .applyInPandasWithState(
+                _first_sight,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            stream.writeStream.foreachBatch(capture)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return rows
+
+    first = drain("dedup_run1")
+    assert {r[1] for r in first} == {1, 3}  # canon(a b c)==canon(b a c)
+    write_file("00002.parquet", write_file_rows2)
+    second = drain("dedup_run2")
+    # restart resumed the seen-set: only the new hash is emitted
+    assert {r[1] for r in second} == {6}
+    both = first + second
+    assert len({h for h, _ in both}) == len(both) == 3
