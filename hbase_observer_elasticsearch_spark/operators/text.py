@@ -1199,3 +1199,82 @@ def corpus_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_capped"
         ),
     )
+
+
+CHUNK_DUP_CAP = 64  # hot-chunk cap, same rationale as dedup.PAIR_BUCKET_CAP
+
+
+@register(
+    "text_chunk_dup_spans",
+    oracle=f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, GREATEST(length(text), 1), {CHUNK_STRIDE}))
+           AS start_pos
+  FROM documents
+),
+ch AS (
+  SELECT DISTINCT doc_id, md5(substring(text, start_pos, {CHUNK_LEN})) AS h
+  FROM starts
+  WHERE length(substring(text, start_pos, {CHUNK_LEN})) = {CHUNK_LEN}
+),
+cool AS (SELECT h FROM ch GROUP BY h HAVING COUNT(*) <= {CHUNK_DUP_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+WHERE a.h IN (SELECT h FROM cool)
+GROUP BY 1, 2
+""",
+)
+def text_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular duplicate spans: document pairs sharing identical
+    full-width chunks (the 120-char stride-90 chunks of text_chunking,
+    hashed) — the SUB-document dedup view that doc-level Jaccard and
+    containment both miss when two long documents share one lifted
+    passage but differ elsewhere. Modern pre-training dedup operates at
+    exactly this granularity (drop or down-weight the repeated span,
+    keep both documents), and n_shared_chunks is the span-mass signal
+    that decision needs.
+
+    Only full-length chunks participate (a short trailing fragment
+    matches too easily), and chunks shared by more than CHUNK_DUP_CAP
+    docs are dropped as boilerplate — the same hot-bucket cap rule as
+    the shingle index, mirrored in the oracle so the cap semantics stay
+    checked.
+
+    Scale shape: chunk hashes via one map-side pass (sequence+substring
+    +md5, no token arrays), then a groupBy(hash) inverted index with
+    collect_list pair fan-out — bounded at cap² per bucket, never a
+    corpus self-join; the feeding subtree is computed once, not per
+    join side.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+    from .dedup import _pairs_from_groups
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text"), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.substring(F.col("text"), F.col("start_pos"), CHUNK_LEN)
+    ch = (
+        d.select("doc_id", "text", F.explode(starts).alias("start_pos"))
+        .filter(F.length(chunk) == CHUNK_LEN)
+        .select("doc_id", F.md5(chunk).alias("h"))
+        .distinct()
+    )
+    grouped = (
+        ch.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        _pairs_from_groups(grouped, cap=CHUNK_DUP_CAP)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_chunks"))
+    )

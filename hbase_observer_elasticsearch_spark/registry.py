@@ -142,6 +142,7 @@ _PRIORITY = (
     "embeddings_dim_stats",
     "similarity_topk_ivfpq",
     "similarity_recall_ivfpq",
+    "text_chunk_dup_spans",
 )
 
 
