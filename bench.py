@@ -85,6 +85,7 @@ def memo_build_rows(spark, sf_dir: str, per_query: dict) -> None:
         ("memo_build_similarity_rhp_scored", _sim._rhp_scored),
         ("memo_build_similarity_topk_rhp", _sim.similarity_topk_rhp),
         ("memo_build_similarity_topk_pq", _sim.similarity_topk_pq),
+        ("memo_build_similarity_topk_ivfpq", _sim.similarity_topk_ivfpq),
         (
             "memo_build_changefeed_dir",
             lambda s, d: shared_changefeed_stream_dir(s, d, n_files=2),

@@ -1046,16 +1046,24 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+    ob = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
     )
-    n_orders = ob.agg(F.countDistinct("okey").alias("n"))
-    brand_n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("nb"))
-    grouped = ob.groupBy("okey").agg(
-        F.array_sort(F.collect_list("brand")).alias("brands")
+    # ONE shuffle builds the basket table (collect_set subsumes the old
+    # separate distinct), checkpointed because all three downstream
+    # branches (order count, per-brand totals, pair fan-out) read it —
+    # without the pin each branch re-ran the scan+join+aggregate
+    # (plan audit: 9 exchanges, 3 lineitem scans). At 100 TB the basket
+    # table is exactly what you'd materialize.
+    grouped = (
+        ob.groupBy("okey")
+        .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
+        .localCheckpoint()
     )
+    n_orders = grouped.agg(F.count(F.lit(1)).alias("n"))
+    brand_n = grouped.select(F.explode("brands").alias("brand")).groupBy(
+        "brand"
+    ).agg(F.count(F.lit(1)).alias("nb"))
     pairs = grouped.select(
         F.explode(
             F.flatten(
