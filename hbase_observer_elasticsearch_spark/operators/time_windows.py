@@ -171,10 +171,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     ev = load_table(spark, sf_dir, "events")
+    # each stage table is one row per surviving user (tiny) and feeds
+    # BOTH the next stage and its own count — checkpointed so the event
+    # scan + stage chain runs once per stage instead of once per branch
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -182,6 +186,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
