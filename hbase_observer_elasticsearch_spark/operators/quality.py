@@ -717,15 +717,28 @@ def quality_row_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (_, pred) in enumerate(rules):
             aggs.append(F.sum(F.expr(pred).cast("long")).alias(f"v{i}"))
         one = t.agg(*aggs)
-        for i, (rule, _) in enumerate(rules):
-            parts.append(
-                one.select(
+        # unpivot the single agg row with explode instead of one union
+        # branch per rule — a per-rule branch re-ran the table scan+agg
+        # per rule (plan audit: 8 exchanges); this keeps it at exactly
+        # one scan per table
+        rules_arr = F.array(
+            *[
+                F.struct(
                     F.lit(rule).alias("rule"),
-                    "n_rows",
+                    F.col("n_rows").alias("n_rows"),
                     F.col(f"v{i}").alias("n_violations"),
-                    (F.col(f"v{i}") == 0).alias("passes"),
                 )
+                for i, (rule, _) in enumerate(rules)
+            ]
+        )
+        parts.append(
+            one.select(F.explode(rules_arr).alias("r")).select(
+                "r.rule",
+                "r.n_rows",
+                "r.n_violations",
+                (F.col("r.n_violations") == 0).alias("passes"),
             )
+        )
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
