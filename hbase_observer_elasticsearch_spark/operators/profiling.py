@@ -291,15 +291,10 @@ _GINI_COLS = (
 SELECT '{tbl}.{col}' AS col,
        CAST(SUM(c) AS BIGINT) AS n_rows,
        COUNT(*) AS ndv,
-       1.0 - CAST(SUM(CAST(
-           (CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n)
-         AS DECIMAL(28,12))) AS DOUBLE) AS gini_impurity
-FROM (
-  SELECT {col}, COUNT(*) AS c,
-         SUM(COUNT(*)) OVER () AS n
-  FROM {tbl} GROUP BY {col}
-)
-GROUP BY n"""
+       1.0 - CAST(SUM(c * c) AS DOUBLE)
+           / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+         AS gini_impurity
+FROM (SELECT {col}, COUNT(*) AS c FROM {tbl} GROUP BY {col})"""
         for tbl, col in _GINI_COLS
     ),
 )
@@ -314,26 +309,30 @@ def profile_column_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one hash aggregation per column to value-grain counts
     (map-side partials; value grain is tiny by construction for
-    categorical columns), then O(ndv) arithmetic. The Σ pᵢ² ride
-    through DECIMAL(28,12) so the fold order cannot matter.
+    categorical columns), then ONE more aggregate — the identity
+    1 − Σpᵢ² = 1 − Σcᵢ²/n² keeps the sum in EXACT BIGINT (cᵢ² of
+    per-value counts), so the only float op is a single final
+    division: bit-reproducible with no decimal machinery and no
+    global window (the previous p²-sum formulation needed a
+    single-partition window to carry n — plan audit flagged it).
     """
     ensure_session_conf(spark)
     parts = []
     for tbl, col in _GINI_COLS:
         t = load_table(spark, sf_dir, tbl)
         counts = t.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        counts = counts.withColumn(
-            "n", F.sum("c").over(Window.partitionBy())
-        )
-        p = F.col("c").cast("double") / F.col("n")
         parts.append(
-            counts.groupBy("n").agg(
+            counts.agg(
                 F.lit(f"{tbl}.{col}").alias("col"),
-                F.sum("c").alias("n_rows"),
+                F.sum("c").cast("bigint").alias("n_rows"),
                 F.count(F.lit(1)).alias("ndv"),
                 (
                     F.lit(1.0)
-                    - F.sum((p * p).cast("decimal(28,12)")).cast("double")
+                    - F.sum(F.col("c") * F.col("c")).cast("double")
+                    / (
+                        F.sum("c").cast("double")
+                        * F.sum("c").cast("double")
+                    )
                 ).alias("gini_impurity"),
             ).select("col", "n_rows", "ndv", "gini_impurity")
         )
