@@ -1617,7 +1617,10 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 CEP_STEP_MS = 86_400_000  # each funnel step must follow within 24 hours
 # (fixture users average ~40 events over a long span, so a 1-hour step
 # yields an empty funnel at every SF; 24 h matches the fixture cadence)
-CEP_ORD_BITS = 20  # event_id packed into the low bits of the order key
+CEP_ORD_BITS = 22  # event_id packed into the low bits of the order key
+# 22 bits = 4.19M event ids (covers sf1's ~2M; sf0.1 uses 200k) while
+# epoch_ms << 22 stays under 2^63 (1.8e12 * 4.2e6 = 7.4e18 < 9.2e18);
+# 23 bits would overflow BIGINT for post-2024 timestamps.
 
 
 @register(
@@ -1669,8 +1672,8 @@ def events_cep_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes 3-step patterns irreducible to two 2-step passes).
 
     Single-pass plan, NO joins: events are totally ordered per user by
-    the packed key ord = epoch_ms << 20 | event_id (event_id fits 20
-    bits at every fixture SF; the packing gives a BIGINT total order
+    the packed key ord = epoch_ms << 22 | event_id (event_id fits 22
+    bits at every fixture SF incl. sf1; the packing gives a BIGINT total order
     with the (ts, event_id) tie-break both engines agree on). Two
     running-MAX windows — "latest view so far", then "latest click
     already chained to a view" — turn the sequence test into two

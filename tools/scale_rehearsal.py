@@ -51,8 +51,10 @@ TEXT_QUERIES = [
     "corpus_top_bigrams",
     "corpus_unigram_familiarity",
     "corpus_eval_ngram_overlap",
+    "corpus_ngram_novelty_curve",
     "text_tfidf_cosine_pairs",
     "text_token_histogram",
+    "text_chunk_dup_spans",
 ]
 VEC_QUERIES = [
     "similarity_topk_bruteforce",
@@ -62,6 +64,8 @@ VEC_QUERIES = [
     "similarity_recall_rhp",
     "similarity_topk_pq",
     "similarity_recall_pq",
+    "similarity_topk_ivfpq",
+    "similarity_recall_ivfpq",
 ]
 
 
