@@ -2101,3 +2101,64 @@ def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_novel_shingles"),
     )
+
+
+INCR_SPLIT_NUM = 3  # docs with doc_id >= 3/4 of the id space are the
+INCR_SPLIT_DEN = 4  # "new batch"; the rest are the standing corpus
+
+
+@register(
+    "dedup_incremental_new_batch",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+mx AS (SELECT (MAX(doc_id) + 1) * {INCR_SPLIT_NUM} // {INCR_SPLIT_DEN}
+         AS split FROM documents)
+SELECT doc_b AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_corpus_dups,
+       MAX(jaccard) AS best_jaccard
+FROM jp, mx
+WHERE doc_a < mx.split AND doc_b >= mx.split
+GROUP BY doc_b
+""",
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) dedup — the query a daily ingest
+    actually runs: treat the last quarter of the id space as today's
+    batch and report, per NEW document, how many near-duplicates it has
+    IN THE STANDING CORPUS and its best Jaccard — new-vs-new duplicates
+    deliberately excluded (they are next run's corpus problem; admitting
+    one of them today is correct-by-keep-first). The full-corpus pair
+    queries answer "how duplicated is the lake"; this answers "which of
+    today's documents do we refuse", which is the decision made at
+    ingest frequency.
+
+    Scale shape: a pure projection over the shared thresholded pair memo
+    (`_verified_pairs_memo` → filter ≥ JACCARD_T) with the split
+    predicate — ZERO new pairwise work; at 100 TB you run the expensive
+    index against new-batch shingles only, and this query is its output
+    contract. The split bound is exact integer arithmetic from the data
+    (no engine-specific constant drift).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    split_df = d.agg(
+        F.expr(
+            f"(MAX(doc_id) + 1) * {INCR_SPLIT_NUM} DIV {INCR_SPLIT_DEN}"
+        ).alias("split")
+    )
+    vp = _verified_pairs_memo(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_T
+    )
+    return (
+        vp.crossJoin(F.broadcast(split_df))
+        .filter(
+            (F.col("doc_a") < F.col("split"))
+            & (F.col("doc_b") >= F.col("split"))
+        )
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_corpus_dups"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )

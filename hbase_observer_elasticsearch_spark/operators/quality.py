@@ -743,3 +743,87 @@ def quality_row_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+RECON_TOL = 0.01  # absolute dollars: |recomputed - recorded| <= tol passes
+
+
+@register(
+    "quality_order_price_reconciliation",
+    oracle=f"""
+WITH r AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS recomputed
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderpriority,
+         abs(r.recomputed - o.o_totalprice) AS abs_diff,
+         abs(r.recomputed - o.o_totalprice) / o.o_totalprice AS rel_diff
+  FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE abs_diff <= {RECON_TOL}) AS BIGINT)
+         AS n_reconciled,
+       MAX(abs_diff) AS max_abs_diff,
+       CAST(SUM(CAST(rel_diff AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS mean_rel_diff
+FROM j
+GROUP BY o_orderpriority
+""",
+)
+def quality_order_price_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table AGGREGATE reconciliation — the fourth audit leg next
+    to fk_orphans (edges), pk_uniqueness (keys), and row_rules (cells):
+    does the recorded order total equal the rollup of its line items
+    (Σ extendedprice·(1−discount)·(1+tax))? On this synthetic fixture
+    the identity deliberately does NOT hold (totals are generated
+    independently), which is exactly what the audit exists to surface —
+    a warehouse whose denormalized totals silently drifted from their
+    detail rows.
+
+    Determinism: the per-line product is a left-associated double
+    expression written identically in both engines; the per-order sum
+    rides DECIMAL(18,6); diffs/ratios are then single double ops over
+    identical values, so counts, max, and the decimal-summed mean are
+    bit-exact.
+
+    Scale shape: one groupBy(l_orderkey) rollup (map-side partials) +
+    one key-colocated join to orders + a tiny per-priority aggregate —
+    the same one-shuffle shape as every LWW merge here; at 100 TB both
+    sides are bucketed by orderkey and the join is exchange-free.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    prod = (
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax"))
+    )
+    r = li.groupBy("l_orderkey").agg(
+        F.sum(prod.cast("decimal(18,6)")).cast("double").alias("recomputed")
+    )
+    j = r.join(o, r.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.abs(F.col("recomputed") - F.col("o_totalprice")).alias("abs_diff"),
+        (
+            F.abs(F.col("recomputed") - F.col("o_totalprice"))
+            / F.col("o_totalprice")
+        ).alias("rel_diff"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("abs_diff") <= RECON_TOL).cast("long"))
+        .cast("bigint")
+        .alias("n_reconciled"),
+        F.max("abs_diff").alias("max_abs_diff"),
+        (
+            F.sum(F.col("rel_diff").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_rel_diff"),
+    )

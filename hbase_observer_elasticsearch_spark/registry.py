@@ -143,6 +143,8 @@ _PRIORITY = (
     "similarity_topk_ivfpq",
     "similarity_recall_ivfpq",
     "text_chunk_dup_spans",
+    "dedup_incremental_new_batch",
+    "quality_order_price_reconciliation",
 )
 
 
