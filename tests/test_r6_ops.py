@@ -397,3 +397,58 @@ def test_stream_dedup_keyed_state_survives_restart(spark, tmp_path):
     assert {r[1] for r in second} == {6}
     both = first + second
     assert len({h for h, _ in both}) == len(both) == 3
+
+
+def test_incremental_dedup_is_cross_batch_only(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+    from hbase_observer_elasticsearch_spark.operators.dedup import (
+        INCR_SPLIT_DEN,
+        INCR_SPLIT_NUM,
+        JACCARD_T,
+        _verified_pairs_memo,
+        dedup_incremental_new_batch,
+    )
+
+    out = {r.doc_id: r for r in dedup_incremental_new_batch(spark, sf_dir).collect()}
+    max_id = load_table(spark, sf_dir, "documents").agg(
+        F.max("doc_id")
+    ).first()[0]
+    split = (max_id + 1) * INCR_SPLIT_NUM // INCR_SPLIT_DEN
+    assert all(d >= split for d in out)
+    # cross-check against the raw pair memo
+    vp = (
+        _verified_pairs_memo(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .collect()
+    )
+    expect: dict[int, list[float]] = {}
+    for r in vp:
+        if r.doc_a < split <= r.doc_b:
+            expect.setdefault(r.doc_b, []).append(r.jaccard)
+    assert set(out) == set(expect)
+    for d, js in expect.items():
+        assert out[d].n_corpus_dups == len(js)
+        assert out[d].best_jaccard == max(js)
+
+
+def test_reconciliation_counts_are_consistent(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.catalog import load_table
+    from hbase_observer_elasticsearch_spark.operators.quality import (
+        quality_order_price_reconciliation,
+    )
+
+    rows = quality_order_price_reconciliation(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_reconciled <= r.n_orders
+        assert r.max_abs_diff >= 0 and r.mean_rel_diff >= 0
+    # every order with lineitems is audited exactly once
+    li_orders = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == li_orders
