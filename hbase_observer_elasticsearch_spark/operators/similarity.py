@@ -241,55 +241,66 @@ def kmeans_fit(e: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
     """Lloyd's k-means over ARRAY<FLOAT> embeddings in pure DataFrame ops.
 
     The IVF coarse-quantizer trainer. Per iteration: assignment is a
-    map-side broadcast-crossJoin + `min_by` over k tiny centroids (no
+    map-side broadcast-crossJoin + argmin over k tiny centroids (no
     shuffle of the vectors), update is one (cluster, dim) aggregation.
-    The driver loop only ever handles the k×dim centroid table — the
-    vectors never leave the cluster, so the same code runs at 100 TB with
-    k in the thousands.
+    The centroid table stays distributed between iterations (k rows,
+    localCheckpoint'd) — nothing ever round-trips to the driver, so the
+    same code runs at 100 TB with k in the thousands.
 
     Deterministic: seeded from the first k vec_ids, distance is the
     sequential-fold HOF (functions/vectors.py), centroid means use exact
     decimal sums, and the argmin tiebreak is (dist, cluster_id).
     """
-    # centroids are MODEL state: k×dim floats live on the driver between
-    # iterations (what every production trainer does); the vectors
-    # themselves never shuffle — assignment is a pure map-side expression
-    # over literal centroids, update is one (cluster, dim) partial+final agg.
-    cents: list[tuple[int, list[float]]] = [
-        (int(r["cluster_id"]), list(r["cv"]))
-        for r in e.filter(F.col("vec_id") < k)
-        .select(
-            F.col("vec_id").cast("int").alias("cluster_id"),
-            F.col("embedding").alias("cv"),
-        )
-        .collect()
-    ]
+    # centroids are MODEL state, but they never round-trip to the driver
+    # between iterations: each Lloyd step broadcast-joins the k-row
+    # centroid table (nested into one array<struct<cid, cv>> row) against
+    # the vectors and assigns with the same lexicographic array_min over
+    # (d2, cid) structs the literal-centroid version used — bit-identical
+    # argmin, but the per-iteration cost is one localCheckpoint of k rows
+    # instead of a collect plus re-compiling a k×dim literal expression
+    # tree (the dominant wall cost at small SF: k=8 centroids × 64
+    # literal floats each made every action ~1.3 s of codegen). The
+    # vectors themselves still never shuffle — assignment stays map-side
+    # behind a broadcast; update is one (cluster, dim) partial+final agg.
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.col("embedding").alias("cv"),
+    )
     e = spread(e)  # assignment math parallelizes across all cores
 
-    def assign(cents) -> F.Column:
-        def d2(cv: list[float]) -> F.Column:
-            lit_cv = F.array(*[F.lit(float(x)) for x in cv])
-            return F.aggregate(
-                F.zip_with(
-                    "embedding",
-                    lit_cv,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-
-        scored = F.array(
-            *[
-                F.struct(d2(cv).alias("d2"), F.lit(cid).alias("cid"))
-                for cid, cv in cents
-            ]
+    def d2(emb_col, cv_col) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                emb_col,
+                cv_col,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        return F.array_min(scored).getField("cid")
 
     for _ in range(iters):
-        assigned = e.select("vec_id", "embedding", assign(cents).alias("cluster_id"))
-        new_cent = (
+        nested = cent.groupBy().agg(
+            F.collect_list(
+                F.struct(F.col("cluster_id").alias("cid"), "cv")
+            ).alias("cents")
+        )
+        assigned = e.crossJoin(F.broadcast(nested)).select(
+            "embedding",
+            F.array_min(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        d2(F.col("embedding"), c["cv"]).alias("d2"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )
+            .getField("cid")
+            .alias("cluster_id"),
+        )
+        cent = (
             assigned.select(
                 "cluster_id", F.posexplode("embedding").alias("pos", "x")
             )
@@ -306,14 +317,9 @@ def kmeans_fit(e: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
                 "cluster_id",
                 F.transform("pm", lambda s: s.m.cast("float")).alias("cv"),
             )
+            .localCheckpoint()  # k rows: keeps the next iteration's plan shallow
         )
-        cents = [
-            (int(r["cluster_id"]), list(r["cv"])) for r in new_cent.collect()
-        ]
-        cents.sort()
-    return e.sparkSession.createDataFrame(
-        [(cid, cv) for cid, cv in cents], "cluster_id int, cv array<float>"
-    )
+    return cent
 
 
 KMEANS_K = 8
@@ -334,10 +340,10 @@ def _coarse_cents(
     got = _TOPK_CACHE.get(key)
     if got is None:
         e = load_table(spark, sf_dir, "embeddings")
-        got = [
+        got = sorted(
             (int(r["cluster_id"]), list(r["cv"]))
             for r in kmeans_fit(e, k=KMEANS_K, iters=KMEANS_ITERS).collect()
-        ]
+        )
         _TOPK_CACHE[key] = got
     return got
 
