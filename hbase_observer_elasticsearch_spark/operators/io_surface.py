@@ -196,3 +196,69 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(source) AS BIGINT) AS n_with_source,
+       COUNT(DISTINCT source) AS ndv_source,
+       COUNT(DISTINCT lang) AS ndv_lang
+FROM (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN doc_id % 2 = 1 THEN source END AS source
+  FROM documents
+) t
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution, certified by round-trip: an "old" batch
+    (doc_id, lang, n_chars — the even doc_ids) and a "new" batch that
+    added a `source` column (the odd doc_ids) are written as separate
+    parquet datasets, then read back through ONE mergeSchema scan. The
+    merged relation must null-fill `source` for exactly the old rows —
+    the oracle restates that contract as a CASE over the fixture, so a
+    green row certifies both the union of schemas and the null-fill.
+
+    This is the table-format reality at 100 TB: columns get added over a
+    corpus's life, and historical partitions must stay readable without
+    rewrite. mergeSchema reconciles footers at planning time; the scan
+    itself stays a parallel pruned columnar read (the per-file footer
+    merge is why production tables cache the merged schema in a
+    catalog — flagged here rather than hidden).
+
+    Scale shape: two one-pass writes, one merged scan, one single-row
+    multi-agg. No shuffle besides the final aggregate.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="io_evolve_")
+    try:
+        old_dir = f"{base}/batch_v1"
+        new_dir = f"{base}/batch_v2"
+        (
+            d.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang", "n_chars")
+            .write.mode("overwrite")
+            .parquet(old_dir)
+        )
+        (
+            d.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "lang", "n_chars", "source")
+            .write.mode("overwrite")
+            .parquet(new_dir)
+        )
+        back = spark.read.option("mergeSchema", True).parquet(old_dir, new_dir)
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.count("source").cast("bigint").alias("n_with_source"),
+            F.countDistinct("source").alias("ndv_source"),
+            F.countDistinct("lang").alias("ndv_lang"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

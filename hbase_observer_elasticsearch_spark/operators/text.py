@@ -1278,3 +1278,129 @@ def text_chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_chunks"))
     )
+
+
+# --- BM25 ranked retrieval -------------------------------------------------
+
+# Fixed multi-term query for the registered proof (terms chosen from the
+# fixture vocabulary with spread document frequencies).
+BM25_TERMS = ("spark", "join", "window", "stream", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "search_bm25_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, w
+),
+dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+term_scores AS (
+  SELECT t.doc_id,
+         ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+            / (CAST(f.df AS DOUBLE) + 0.5))
+         * ((CAST(t.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+            / (CAST(t.tf AS DOUBLE)
+               + CAST({BM25_K1!r} AS DOUBLE)
+                 * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                    + CAST({BM25_B!r} AS DOUBLE)
+                      * (CAST(l.dl AS DOUBLE)
+                         / (CAST(s.sum_dl AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))))) AS ts
+  FROM tf t JOIN dfq f USING (w) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ts AS DECIMAL(28,6))) AS DOUBLE) AS bm25,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM agg
+) t WHERE rk <= {BM25_TOPK}
+""",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-10 documents for a fixed multi-term
+    query — the lexical-search complement to text_tfidf_cosine_pairs
+    (that one scores doc↔doc topical similarity; this one ranks docs
+    against a query, the retrieval half of a RAG / dedup-by-retrieval
+    pipeline).
+
+    Determinism without transcendentals: the classic BM25 idf is
+    ln((N-df+0.5)/(df+0.5)); ln is a libm call whose last ulp differs
+    between the JVM and DuckDB, so this uses the raw-odds idf
+    (N-df+0.5)/(df+0.5) — the SAME monotone ranking per term — and every
+    remaining op (int→double casts, +, *, /) is an exactly-rounded IEEE
+    double op, written in identical evaluation order in both dialects.
+    The per-term score sum goes through DECIMAL(28,6) (order-free; scale
+    6 keeps value·10^6 far below 2^53 so DuckDB's double-scaling cast
+    agrees with Spark's exact BigDecimal conversion — see registry
+    determinism rule 1).
+
+    Scale shape: inverted-index retrieval — the term filter prunes the
+    token explode to the query's postings before any shuffle; df/tf are
+    hash aggs over those postings only; doc length (dl) is a corpus-wide
+    agg but joins broadcast-side stats (n_docs, sum_dl) as one row. The
+    final top-k compiles to TakeOrderedAndProject. At 100 TB the tf/dl
+    tables are the persisted index; a query touches only its terms'
+    postings — never the corpus.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tfn = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tfn).alias("ts"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.col("ts").cast("decimal(28,6)")).cast("double").alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # partial top-k, no global sort Exchange); the rank window then runs
+    # over just the k surviving rows.
+    top = agg.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(BM25_TOPK)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        "bm25",
+        "n_terms",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )

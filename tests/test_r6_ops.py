@@ -452,3 +452,74 @@ def test_reconciliation_counts_are_consistent(spark, sf_dir):
         .count()
     )
     assert sum(r.n_orders for r in rows) == li_orders
+
+
+def test_bm25_invariants(spark, sf_dir):
+    """BM25 retrieval invariants independent of the oracle: every hit
+    contains at least one query term, n_terms counts exactly the distinct
+    query terms present, scores are positive and rank-ordered, and a
+    brute-force python re-score of the top hit agrees."""
+    from hbase_observer_elasticsearch_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        search_bm25_topk,
+    )
+
+    hits = search_bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(hits) <= 10
+    scores = [h.bm25 for h in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert all(h.bm25 > 0 for h in hits)
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        w: sum(1 for toks in docs.values() if w in toks) for w in BM25_TERMS
+    }
+    for h in hits:
+        toks = docs[h.doc_id]
+        present = [w for w in BM25_TERMS if w in toks]
+        assert present, "hit shares no term with the query"
+        assert h.n_terms == len(present)
+    # python re-score of the top hit (float-tolerant: the engine sums
+    # through decimals, python sums raw doubles)
+    top = hits[0]
+    toks = docs[top.doc_id]
+    expect = 0.0
+    for w in BM25_TERMS:
+        tf = toks.count(w)
+        if tf == 0:
+            continue
+        idf = (n - df[w] + 0.5) / (df[w] + 0.5)
+        tfn = (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (len(toks) / avgdl))
+        )
+        expect += idf * tfn
+    assert abs(expect - top.bm25) < 1e-6 * max(1.0, abs(expect))
+
+
+def test_schema_evolution_nullfill(spark, sf_dir):
+    """The merged scan null-fills the added column for exactly the
+    old-batch rows (restated row-level, not just via the aggregate)."""
+    import duckdb
+
+    from hbase_observer_elasticsearch_spark.operators.io_surface import (
+        source_schema_evolution,
+    )
+
+    row = source_schema_evolution(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    ref = con.sql(
+        f"""
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+        FROM '{sf_dir}/documents.parquet'
+        """
+    ).fetchone()
+    assert row.n_rows == ref[0]
+    assert row.n_with_source == ref[1]
