@@ -1404,3 +1404,185 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         F.row_number().over(w).cast("bigint").alias("rk"),
     )
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget,
+         CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,6)))
+              AS DOUBLE) AS tot_w
+  FROM tok
+),
+share AS (
+  SELECT k.source, k.n_tokens, t.budget,
+         (CAST(t.budget AS DOUBLE) * sqrt(CAST(k.n_tokens AS DOUBLE)))
+           / t.tot_w AS share
+  FROM tok k, tot t
+),
+base AS (
+  SELECT source, n_tokens, budget,
+         CAST(FLOOR(share) AS BIGINT) AS base,
+         share - FLOOR(share) AS frac
+  FROM share
+),
+rem AS (
+  SELECT CAST(MAX(budget) - SUM(base) AS BIGINT) AS rem FROM base
+)
+SELECT b.source, b.n_tokens,
+       CAST(b.base + CASE WHEN ROW_NUMBER() OVER (
+                            ORDER BY b.frac DESC, b.source) <= r.rem
+                          THEN 1 ELSE 0 END AS BIGINT) AS allocated_tokens,
+       (b.base + CASE WHEN ROW_NUMBER() OVER (
+                        ORDER BY b.frac DESC, b.source) <= r.rem
+                      THEN 1 ELSE 0 END) > b.n_tokens AS is_upsampled
+FROM base b, rem r
+""",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data mixing (T = 0.5): allocate the token
+    budget across sources proportionally to n_tokens^T — the standard
+    multilingual / multi-source rebalancing rule (small sources are
+    upsampled relative to proportional sampling, large crawls
+    downweighted) and the smooth complement to corpus_mix_waterfill's
+    hard caps. Allocations may exceed a source's size — that IS the
+    mechanism (an allocation of 1.7× a small source means ~1.7 epochs
+    over it), flagged per-row as `is_upsampled`.
+
+    T = 0.5 makes the weight sqrt(n_tokens): sqrt is correctly rounded
+    in IEEE double on both engines (unlike pow/ln, which differ in the
+    last ulp between the JVM and libm — same reasoning as
+    search_bm25_topk's raw-odds idf). The weight total goes through
+    DECIMAL(28,6) so the only order-sensitive sum is exact; shares are
+    then one multiply + one divide in identical evaluation order, and
+    the integer allocation uses largest-remainder rounding (floor each
+    share, hand the leftover tokens to the largest fractional parts,
+    ties by source) — Σ allocated == budget EXACTLY, bit-for-bit across
+    engines.
+
+    Scale shape: identical to waterfill — one corpus groupBy(source)
+    with map-side combine, then all allocation math on the |sources|-row
+    stats table (one broadcast scalar row, one window over sources).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+        .localCheckpoint()  # |sources| rows; corpus scanned exactly once
+    )
+    tot = tok.agg(
+        F.expr("sum(n_tokens) DIV 2").cast("bigint").alias("budget"),
+        F.sum(
+            F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("tot_w"),
+    )
+    share = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "budget",
+        (
+            (
+                F.col("budget").cast("double")
+                * F.sqrt(F.col("n_tokens").cast("double"))
+            )
+            / F.col("tot_w")
+        ).alias("share"),
+    )
+    base = share.select(
+        "source",
+        "n_tokens",
+        "budget",
+        F.floor("share").cast("bigint").alias("base"),
+        (F.col("share") - F.floor("share")).alias("frac"),
+    )
+    rem = base.agg(
+        (F.max("budget") - F.sum("base")).cast("bigint").alias("rem")
+    )
+    w = Window.orderBy(F.col("frac").desc(), F.col("source"))
+    alloc = F.col("base") + F.when(
+        F.row_number().over(w) <= F.col("rem"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return base.crossJoin(F.broadcast(rem)).select(
+        "source",
+        "n_tokens",
+        alloc.cast("bigint").alias("allocated_tokens"),
+        (alloc > F.col("n_tokens")).alias("is_upsampled"),
+    )
+
+
+# Fixed phrase for the registered positional-search proof.
+PHRASE = ("data", "stream")
+
+_PHRASE_JOIN_SQL = " ".join(
+    f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i} "
+    f"AND p{i}.w = '{w}'"
+    for i, w in enumerate(PHRASE)
+    if i > 0
+)
+
+
+@register(
+    "search_phrase_positional",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+)
+SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM pos p0 {_PHRASE_JOIN_SQL}
+WHERE p0.w = '{PHRASE[0]}'
+GROUP BY p0.doc_id
+""",
+)
+def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over a positional inverted index: documents
+    containing the phrase, with occurrence counts — the third retrieval
+    member next to BM25 (ranked bag-of-words) and TF-IDF pairs
+    (doc↔doc). A phrase hit is a chain of adjacent postings: term k of
+    the phrase at position i+k for each k, expressed as k-1 equi-joins
+    on (doc_id, position) — all-integer, bit-exact.
+
+    Scale shape: each join side filters to ONE term's postings before
+    any shuffle (predicate pushdown to the token explode — the plan
+    never self-joins the full positional index), so join input is the
+    postings mass of the phrase's terms, exactly like a search engine's
+    positional-list intersection. At 100 TB the (w, doc_id, i) table is
+    the persisted positional index, partitioned by term.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    out = (
+        pos.filter(F.col("w") == PHRASE[0])
+        .select("doc_id", F.col("i").alias("i0"))
+    )
+    for k, term in enumerate(PHRASE):
+        if k == 0:
+            continue
+        nxt = pos.filter(F.col("w") == term).select(
+            F.col("doc_id").alias(f"d{k}"), F.col("i").alias(f"i{k}")
+        )
+        out = out.join(
+            nxt,
+            (F.col(f"d{k}") == F.col("doc_id"))
+            & (F.col(f"i{k}") == F.col("i0") + k),
+        ).drop(f"d{k}", f"i{k}")
+    return out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )

@@ -523,3 +523,59 @@ def test_schema_evolution_nullfill(spark, sf_dir):
     ).fetchone()
     assert row.n_rows == ref[0]
     assert row.n_with_source == ref[1]
+
+
+def test_temperature_mix_exact_budget_and_reference(spark, sf_dir):
+    """Largest-remainder allocation fills the budget EXACTLY, and a
+    python reference of the same rule agrees per-source."""
+    import math
+
+    from hbase_observer_elasticsearch_spark.operators.text import (
+        corpus_mix_temperature,
+    )
+
+    rows = corpus_mix_temperature(spark, sf_dir).collect()
+    sizes = {r.source: r.n_tokens for r in rows}
+    budget = sum(sizes.values()) // 2
+    assert sum(r.allocated_tokens for r in rows) == budget
+
+    tot_w = sum(math.sqrt(float(n)) for n in sizes.values())
+    share = {
+        s: budget * math.sqrt(float(n)) / tot_w for s, n in sizes.items()
+    }
+    base = {s: math.floor(v) for s, v in share.items()}
+    rem = budget - sum(base.values())
+    order = sorted(
+        sizes, key=lambda s: (-(share[s] - base[s]), s)
+    )
+    bonus = set(order[:rem])
+    for r in rows:
+        # float-tolerant on the remainder ranking: the engine sums
+        # weights through decimals, python sums raw doubles — only the
+        # borderline fractional ranks could differ, so check base/+1
+        expect = base[r.source] + (1 if r.source in bonus else 0)
+        assert abs(r.allocated_tokens - expect) <= 1
+        assert r.is_upsampled == (r.allocated_tokens > r.n_tokens)
+
+
+def test_phrase_search_matches_python_scan(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.text import (
+        PHRASE,
+        search_phrase_positional,
+    )
+
+    got = {
+        r.doc_id: r.n_hits
+        for r in search_phrase_positional(spark, sf_dir).collect()
+    }
+    expect: dict[int, int] = {}
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        toks = r.text.split(" ")
+        n = sum(
+            1
+            for i in range(len(toks) - len(PHRASE) + 1)
+            if tuple(toks[i : i + len(PHRASE)]) == PHRASE
+        )
+        if n:
+            expect[r.doc_id] = n
+    assert got == expect
