@@ -1873,3 +1873,187 @@ def similarity_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- Hybrid-retrieval fusion and truncation audits (late r6) ---------------
+
+RRF_K = 60  # the classic reciprocal-rank-fusion damping constant
+
+
+@register(
+    "similarity_rank_fusion_rrf",
+    oracle=f"""
+{_SQL_PQ},
+{_SQL_RHP.strip().lstrip()},
+rhp_scored AS (
+  SELECT r.query_id, r.neighbor_id,
+         {sql_cosine('qe.embedding', 'ce.embedding')} AS cos_sim
+  FROM rcand r
+  JOIN embeddings qe ON qe.vec_id = r.query_id
+  JOIN embeddings ce ON ce.vec_id = r.neighbor_id
+),
+rhp_top AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM rhp_scored
+  ) t WHERE rk <= {TOPK}
+),
+lists AS (
+  SELECT query_id, neighbor_id, rk FROM rhp_top
+  UNION ALL
+  SELECT query_id, neighbor_id, rk FROM pq
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         SUM(CAST(1.0 AS DOUBLE) / (CAST({RRF_K} AS DOUBLE)
+                                    + CAST(rk AS DOUBLE))) AS rrf,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM lists GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rrf, n_lists, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf DESC, neighbor_id)
+                 AS BIGINT) AS rk
+  FROM fused
+) t WHERE rk <= {TOPK}
+""",
+)
+def similarity_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two ANN families (RHP-LSH and PQ-ADC)
+    — the standard hybrid-retrieval ensemble: each candidate scores
+    Σ 1/(60 + rank) over the lists that returned it, so items ranked
+    well by BOTH index families rise above either family's solo list.
+    In production hybrid search the two lists are typically lexical
+    (BM25) + vector; here both inputs are registered, hash-checked ANN
+    top-k tables, making the fusion itself fully oracle-checkable.
+
+    Determinism: 1/(60+rk) is one exactly-rounded IEEE division on
+    integer-valued operands; each (query, candidate) sums at most TWO
+    such terms, and IEEE addition of two doubles is commutative
+    bit-for-bit, so the aggregation order cannot matter. The final
+    ordering carries the usual neighbor_id tiebreak.
+
+    Scale shape: reads the two memoized top-k result tables (≤ |queries|
+    × k rows each — the persisted index-scan outputs at 100 TB), one
+    hash agg, one per-query top-k. The expensive index scans are charged
+    to their own memo_build rows; fusion itself is list-merge-sized,
+    exactly as in a real retrieval stack.
+    """
+    ensure_session_conf(spark)
+    rhp = similarity_topk_rhp(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rk"
+    )
+    pq = similarity_topk_pq(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rk"
+    )
+    both = rhp.unionByName(pq)
+    contrib = F.lit(1.0) / (
+        F.lit(float(RRF_K)) + F.col("rk").cast("double")
+    )
+    fused = both.groupBy("query_id", "neighbor_id").agg(
+        F.sum(contrib).alias("rrf"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id")
+    )
+    return fused.select(
+        "*", F.row_number().over(w).cast("bigint").alias("rk")
+    ).filter(F.col("rk") <= TOPK)
+
+
+TRUNC_DIM = 16  # matryoshka prefix length under audit (of 64 dims)
+
+
+@register(
+    "similarity_recall_truncated",
+    oracle=f"""
+WITH {_SQL_E_Q}, {_SQL_BF},
+trunc_scored AS (
+  SELECT q.query_id,
+         e.vec_id AS neighbor_id,
+         {sql_cosine(f'q.qv[1:{TRUNC_DIM}]', f'e.embedding[1:{TRUNC_DIM}]')}
+           AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+trunc_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM trunc_scored
+  ) t WHERE rk <= {TOPK}
+)
+SELECT b.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_matched,
+       CAST(COALESCE(h.n, 0) AS DOUBLE) / {TOPK} AS recall
+FROM (SELECT DISTINCT query_id FROM bf) b
+LEFT JOIN (
+  SELECT t2.query_id, COUNT(*) AS n
+  FROM trunc_top t2 JOIN bf USING (query_id, neighbor_id)
+  GROUP BY 1
+) h USING (query_id)
+""",
+)
+def similarity_recall_truncated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: exact cosine top-k
+    using only the FIRST {TRUNC_DIM} of 64 dimensions, scored for
+    recall against the full-dimension exact top-k — the measurement
+    that decides whether a 4× cheaper prefix embedding (the
+    matryoshka-representation deployment trick: store the prefix, scan
+    4× less) is shippable, exactly parallel to the int8/PQ/IVF recall
+    audits that gate those compressions.
+
+    Same determinism story as every recall audit: both rankings use the
+    sequential-fold cosine with the neighbor_id tiebreak; recall is one
+    exact integer count divided by k.
+
+    Scale shape: the truncated scan reads a prefix slice per vector
+    (F.slice pushes no extra data — at 100 TB the prefix would be a
+    separate narrower column), same broadcast-queries × candidates
+    shape as the brute-force baseline it audits against.
+    """
+    ensure_session_conf(spark)
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, TRUNC_DIM).alias("tv")
+    ).withColumn("nrm", norm(F.col("tv")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(spread(e))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("nrm")))
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    trunc_top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = trunc_top.join(bf, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = bf.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_matched"),
+        (
+            F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.lit(TOPK)
+        ).alias("recall"),
+    )

@@ -579,3 +579,51 @@ def test_phrase_search_matches_python_scan(spark, sf_dir):
         if n:
             expect[r.doc_id] = n
     assert got == expect
+
+
+def test_rrf_fusion_invariants(spark, sf_dir):
+    """RRF output invariants: per-query exactly 10 results, scores
+    match the closed form from the two input lists, and any candidate
+    on both lists beats a same-rank single-list candidate."""
+    from hbase_observer_elasticsearch_spark.operators.similarity import (
+        RRF_K,
+        TOPK,
+        similarity_rank_fusion_rrf,
+        similarity_topk_pq,
+        similarity_topk_rhp,
+    )
+
+    fused = similarity_rank_fusion_rrf(spark, sf_dir).collect()
+    rhp = {
+        (r.query_id, r.neighbor_id): r.rk
+        for r in similarity_topk_rhp(spark, sf_dir).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id): r.rk
+        for r in similarity_topk_pq(spark, sf_dir).collect()
+    }
+    per_q: dict[int, int] = {}
+    for r in fused:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        key = (r.query_id, r.neighbor_id)
+        expect = 0.0
+        n = 0
+        for lst in (rhp, pq):
+            if key in lst:
+                expect += 1.0 / (RRF_K + lst[key])
+                n += 1
+        assert n == r.n_lists and n >= 1
+        assert abs(r.rrf - expect) < 1e-12
+    assert all(v == TOPK for v in per_q.values())
+
+
+def test_truncated_recall_bounds(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.similarity import (
+        similarity_recall_truncated,
+    )
+
+    rows = similarity_recall_truncated(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_matched <= 10
+        assert abs(r.recall - r.n_matched / 10.0) < 1e-15
