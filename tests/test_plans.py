@@ -489,3 +489,38 @@ def test_cep_funnel_single_pass_no_join(spark, sf_dir):
     assert parts and all("user_id" in p for p in parts)
     # the event-type filter reaches the parquet scan
     assert "In(event_type" in plan
+
+
+def test_bm25_topk_take_ordered_and_no_cartesian(spark, sf_dir):
+    """BM25: the final top-k compiles to TakeOrderedAndProject (no
+    global-sort Exchange), the postings term filter applies before the
+    tf aggregation, and nothing nested-loops over the corpus."""
+    df = QS["search_bm25_topk"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the one-row corpus-stats side rides a broadcast, never a shuffle
+    assert plans.has_broadcast_join(df)
+
+
+def test_phrase_search_is_postings_equi_join(spark, sf_dir):
+    """Positional phrase search joins term postings on (doc_id,
+    position) equi-keys — never a cartesian over the positional index."""
+    df = QS["search_phrase_positional"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "doc_id" in plan
+
+
+def test_rrf_fusion_reads_memoized_lists(spark, sf_dir):
+    """RRF fusion must be list-merge-sized: its plan reads the two
+    checkpointed top-k tables (Scan ExistingRDD), not the RHP/PQ
+    index-build subtrees."""
+    df = QS["similarity_rank_fusion_rrf"](spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert "ExistingRDD" in plan
+    # neither family's training machinery may appear in the fusion plan
+    assert "posexplode" not in plan.lower()
+    # hash agg + per-query rank window over the tiny fused list only
+    assert plan.count("Exchange") <= 4
+    assert "Scan parquet" not in plan  # embeddings never rescanned
