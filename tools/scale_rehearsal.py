@@ -55,6 +55,11 @@ TEXT_QUERIES = [
     "text_tfidf_cosine_pairs",
     "text_token_histogram",
     "text_chunk_dup_spans",
+    # retrieval family (late r6): postings-pruned ranked and positional
+    # search — cost should track the query terms' postings mass, far
+    # sublinear in corpus size
+    "search_bm25_topk",
+    "search_phrase_positional",
 ]
 VEC_QUERIES = [
     "similarity_topk_bruteforce",
