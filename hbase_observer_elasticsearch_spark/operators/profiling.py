@@ -340,3 +340,69 @@ def profile_column_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "profile_observed_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_input_rows,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discounted,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_price,
+       CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_taxfree
+FROM lineitem
+""",
+)
+def profile_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API: data-quality
+    metrics (row count, predicate incidence, exact decimal volume) are attached to the scan with `df.observe(...)` and collected
+    as a side effect of a REAL downstream job — zero extra passes over
+    the data. This is how a 100 TB ingest gets its per-batch health
+    metrics: the monitoring rides the job you were running anyway,
+    instead of doubling the scan (the naive profile-then-process shape).
+    The oracle recomputes the same metrics straight from the table, so a
+    green row certifies the observed values are the true full-scan
+    statistics, not a sample.
+
+    The downstream job here is a genuine aggregation (revenue by return
+    flag) whose result is intentionally discarded — only the observed
+    metrics are returned, mirroring a monitoring hook. The collect() is
+    the Observation contract (metrics surface on action completion);
+    what crosses the driver is ONE metrics row.
+    """
+    ensure_session_conf(spark)
+    from pyspark.sql import Observation
+
+    from ..functions.deterministic import dsum
+
+    obs = Observation("ingest_health")
+    li = load_table(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discounted"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_taxfree"),
+    )
+    # the real job the metrics piggyback on
+    li.groupBy("l_returnflag").agg(
+        dsum("l_extendedprice").alias("revenue")
+    ).collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_input_rows"],
+                m["n_discounted"],
+                m["sum_price"],
+                m["n_taxfree"],
+            )
+        ],
+        "n_input_rows bigint, n_discounted bigint, sum_price double, "
+        "n_taxfree bigint",
+    )

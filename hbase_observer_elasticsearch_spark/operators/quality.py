@@ -827,3 +827,65 @@ def quality_order_price_reconciliation(
             / F.count(F.lit(1))
         ).alias("mean_rel_diff"),
     )
+
+
+@register(
+    "quality_benford_leading_digit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS leading_digit
+  FROM orders
+  WHERE o_totalprice >= 1
+)
+SELECT leading_digit,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+         / (SELECT COUNT(*) FROM digits) AS frac
+FROM digits GROUP BY leading_digit
+""",
+)
+def quality_benford_leading_digit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford leading-digit audit over order totals — the classic
+    anomaly screen for fabricated or truncated monetary data: natural
+    multi-scale amounts put ~30.1% of leading digits at 1, and a flat
+    or spiky profile flags generator bugs or filtering artifacts
+    upstream. The output is the observed digit distribution (counts +
+    exact-division fractions); the expected Benford curve needs log10,
+    a transcendental whose last ulp differs across engines, so judging
+    against it stays a consumer-side comparison — the engine's job is
+    the exact distribution.
+
+    Determinism: the leading digit is extracted through
+    floor → BIGINT → string (all exact; no double formatting anywhere),
+    and frac is one IEEE division of two exact counts.
+
+    Scale shape: map-side digit extraction, one 9-group hash agg, one
+    broadcast scalar total. A 100 TB audit is one scan.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("leading_digit")
+    )
+    total = digits.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        digits.groupBy("leading_digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "leading_digit",
+            "n",
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+                "frac"
+            ),
+        )
+    )

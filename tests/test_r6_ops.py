@@ -627,3 +627,31 @@ def test_truncated_recall_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_matched <= 10
         assert abs(r.recall - r.n_matched / 10.0) < 1e-15
+
+
+def test_benford_distribution_is_complete(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.quality import (
+        quality_benford_leading_digit,
+    )
+
+    rows = quality_benford_leading_digit(spark, sf_dir).collect()
+    assert {r.leading_digit for r in rows} <= set(range(1, 10))
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        "o_totalprice >= 1"
+    ).count()
+    assert sum(r.n for r in rows) == n_orders
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-12
+
+
+def test_observed_metrics_match_direct_aggregates(spark, sf_dir):
+    """The observe() side channel must report the same statistics a
+    direct aggregation computes (metrics ride the real job's scan)."""
+    from hbase_observer_elasticsearch_spark.operators.profiling import (
+        profile_observed_metrics,
+    )
+
+    got = profile_observed_metrics(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert got.n_input_rows == li.count()
+    assert got.n_discounted == li.where("l_discount > 0.05").count()
+    assert got.n_taxfree == li.where("l_tax = 0").count()
