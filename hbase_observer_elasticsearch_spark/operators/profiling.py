@@ -406,3 +406,145 @@ def profile_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_input_rows bigint, n_discounted bigint, sum_price double, "
         "n_taxfree bigint",
     )
+
+
+N_SHARDS = 8  # rendezvous ring size under audit (and N_SHARDS-1 after removal)
+
+
+def _sql_hrw(n: int, col: str) -> str:
+    """DuckDB CTE body: per-doc HRW argmax over shards 0..n-1."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, md5('rv:' || CAST(doc_id AS VARCHAR) || ':{s}') "
+        f"AS h, {s} AS s FROM {col}"
+        for s in range(n)
+    )
+
+
+@register(
+    "layout_rendezvous_sharding",
+    oracle=f"""
+WITH scores AS ({_sql_hrw(N_SHARDS, 'documents')}),
+a8 AS (
+  SELECT doc_id, s AS shard8 FROM (
+    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY h DESC, s DESC) AS rn
+    FROM scores) t WHERE rn = 1
+),
+a7 AS (
+  SELECT doc_id, s AS shard7 FROM (
+    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY h DESC, s DESC) AS rn
+    FROM scores WHERE s < {N_SHARDS - 1}) t WHERE rn = 1
+),
+pairs AS (
+  SELECT a8.shard8, a7.shard7, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM a8 JOIN a7 USING (doc_id) GROUP BY 1, 2
+),
+shards AS (SELECT range AS shard FROM range({N_SHARDS}))
+SELECT s.shard,
+       CAST(COALESCE((SELECT SUM(cnt) FROM pairs p WHERE p.shard8 = s.shard), 0)
+            AS BIGINT) AS n_docs_8,
+       CAST(COALESCE((SELECT SUM(cnt) FROM pairs p WHERE p.shard7 = s.shard), 0)
+            AS BIGINT) AS n_docs_7,
+       CAST(COALESCE((SELECT SUM(cnt) FROM pairs p
+                      WHERE p.shard7 = s.shard AND p.shard8 <> p.shard7), 0)
+            AS BIGINT) AS n_moved_in,
+       CAST(COALESCE((SELECT SUM(cnt) FROM pairs p
+                      WHERE p.shard8 = s.shard AND p.shard8 <> {N_SHARDS - 1}
+                        AND p.shard7 <> p.shard8), 0)
+            AS BIGINT) AS n_moved_wrongly
+FROM shards s
+""",
+)
+def layout_rendezvous_sharding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding with its
+    minimal-disruption contract AUDITED: every doc is assigned
+    argmax over shards of md5('rv:' || doc_id || ':' || shard), under
+    the full {N_SHARDS}-shard ring and again with the last shard
+    removed. HRW's defining property — removing a shard remaps ONLY
+    that shard's documents — comes back as a checked column:
+    n_moved_wrongly must be 0 for every surviving shard, while
+    n_moved_in shows how the removed shard's docs redistribute. This is
+    the resharding math a 100 TB store lives by (consistent placement
+    without a central directory, graceful decommission).
+
+    Determinism: assignments are md5-string argmax (128-bit lexicographic
+    order, same bytes in both engines, shard-id tiebreak for formality);
+    every output is an exact BIGINT count.
+
+    Scale shape: the per-doc argmax is MAP-SIDE (an array of
+    {N_SHARDS} md5 structs + array_max — no join, no shuffle); the only
+    shuffle is one groupBy to the ≤{N_SHARDS}×{N_SHARDS} transition
+    table, from which all four statistics reshape without touching the
+    corpus again.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+
+    def scored(n: int):
+        return F.array(
+            *[
+                F.struct(
+                    F.md5(
+                        F.concat(
+                            F.lit("rv:"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(f":{s}"),
+                        )
+                    ).alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n)
+            ]
+        )
+
+    assigned = d.select(
+        F.array_max(scored(N_SHARDS)).getField("s").alias("shard8"),
+        F.array_max(scored(N_SHARDS - 1)).getField("s").alias("shard7"),
+    )
+    pairs = (
+        assigned.groupBy("shard8", "shard7")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()  # <= 8x8 rows; 4 reshapes below read this
+    )
+    shards = spark.range(N_SHARDS).select(F.col("id").alias("shard"))
+
+    def stat(df, key, name):
+        return df.groupBy(F.col(key).alias("shard")).agg(
+            F.sum("cnt").cast("bigint").alias(name)
+        )
+
+    out = (
+        shards.join(stat(pairs, "shard8", "n_docs_8"), "shard", "left")
+        .join(stat(pairs, "shard7", "n_docs_7"), "shard", "left")
+        .join(
+            stat(
+                pairs.filter(F.col("shard7") != F.col("shard8")),
+                "shard7",
+                "n_moved_in",
+            ),
+            "shard",
+            "left",
+        )
+        .join(
+            stat(
+                pairs.filter(
+                    (F.col("shard8") != N_SHARDS - 1)
+                    & (F.col("shard7") != F.col("shard8"))
+                ),
+                "shard8",
+                "n_moved_wrongly",
+            ),
+            "shard",
+            "left",
+        )
+    )
+    return out.select(
+        "shard",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ("n_docs_8", "n_docs_7", "n_moved_in", "n_moved_wrongly")
+        ],
+    )

@@ -655,3 +655,22 @@ def test_observed_metrics_match_direct_aggregates(spark, sf_dir):
     assert got.n_input_rows == li.count()
     assert got.n_discounted == li.where("l_discount > 0.05").count()
     assert got.n_taxfree == li.where("l_tax = 0").count()
+
+
+def test_rendezvous_sharding_minimal_disruption(spark, sf_dir):
+    """The HRW contract, checked directly: removing the last shard
+    remaps only that shard's documents, totals are conserved, and the
+    redistribution lands only on surviving shards."""
+    from hbase_observer_elasticsearch_spark.operators.profiling import (
+        N_SHARDS,
+        layout_rendezvous_sharding,
+    )
+
+    rows = {r.shard: r for r in layout_rendezvous_sharding(spark, sf_dir).collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs_8 for r in rows.values()) == n_docs
+    assert sum(r.n_docs_7 for r in rows.values()) == n_docs
+    assert all(r.n_moved_wrongly == 0 for r in rows.values())
+    removed = rows[N_SHARDS - 1]
+    assert removed.n_docs_7 == 0 and removed.n_moved_in == 0
+    assert sum(r.n_moved_in for r in rows.values()) == removed.n_docs_8
