@@ -28,17 +28,31 @@ def materialize(df) -> int:
     return 0
 
 
-def load_prior(repo: str, sf: str) -> tuple[str, dict] | None:
+def load_prior(
+    repo: str, sf: str, current_names: set[str] | None = None
+) -> tuple[str, dict] | None:
     """Newest committed per-query map at the same sf, for the delta line
     and the in-loop regression escalation. BENCH_PREV.json is the
     committed snapshot of the previous round's official full map, then
     the last bench_out.json; the driver's BENCH_r{N}.json wrappers only
-    parse the slowest-10 tail line, so they are the final fallback."""
+    parse the slowest-10 tail line, so they are the final fallback
+    (sorted by parsed round number — lexicographic order would put r9
+    after r10 from round 10 on). A candidate that shares no query names
+    with the current registry (e.g. after a rename sweep) is skipped so
+    the delta falls through to an older comparable prior instead of
+    silently becoming null and disabling looks_regressed escalation."""
+    import re
+
+    def _round_no(fname: str) -> int:
+        m = re.search(r"BENCH_r(\d+)", fname)
+        return int(m.group(1)) if m else -1
+
     prior_files = ["BENCH_PREV.json", "bench_out.json"] + sorted(
         (
             f for f in os.listdir(repo)
             if f.startswith("BENCH_r") and f.endswith(".json")
         ),
+        key=_round_no,
         reverse=True,
     )
     for fname in prior_files:
@@ -49,6 +63,10 @@ def load_prior(repo: str, sf: str) -> tuple[str, dict] | None:
             if float(parsed.get("sf", -1)) != float(sf):
                 continue
             prev_q = parsed.get("queries") or {}
+            if current_names is not None and not (
+                set(prev_q) & current_names
+            ):
+                continue
             if prev_q:
                 return fname, prev_q
         except Exception:  # noqa: BLE001 — malformed artifact never kills bench
@@ -142,7 +160,7 @@ def main() -> None:
     # settle drains cross-query allocation debt so query N doesn't pay
     # query N-1's collection.
     repo = os.path.dirname(os.path.abspath(__file__))
-    prior = load_prior(repo, sf)
+    prior = load_prior(repo, sf, current_names=set(qs))
     prev_q: dict = prior[1] if prior else {}
 
     per_query: dict[str, float] = {}
@@ -194,6 +212,14 @@ def main() -> None:
         fname, prev_q = prior
         common = [k for k in prev_q if k in per_query]
         if common:
+            # When the prior snapshot predates the memo_build_* rows, its
+            # memo-consuming entries were cold while ours are warm: the
+            # common-subset delta then overstates improvement and the
+            # regressed tripwire can't fire for those families (warm never
+            # regresses vs cold). Flag that one-round comparability gap.
+            warm_vs_cold_prior = any(
+                k.startswith("memo_build_") for k in per_query
+            ) and not any(k.startswith("memo_build_") for k in prev_q)
             delta = {
                 "vs": fname,
                 "n_common": len(common),
@@ -205,6 +231,8 @@ def main() -> None:
                     if per_query[k] > prev_q[k] + max(0.3, 0.3 * prev_q[k])
                 },
             }
+            if warm_vs_cold_prior:
+                delta["warm_vs_cold_prior"] = True
 
     full = {
         "metric": "total_query_wall_seconds",

@@ -333,9 +333,11 @@ def _coarse_cents(
     iterations), trained once per (app, sf_dir) and shared by
     similarity_ivf_kmeans and the IVF-PQ composite — at 100 TB the
     coarse codebook is a persisted model artifact read by every search,
-    not retrained per query. The memoized value is the k×dim driver-side
-    list kmeans_fit already materializes (its return is a
-    createDataFrame of exactly this list, so sharing it is lossless)."""
+    not retrained per query. kmeans_fit itself stays distributed (its
+    Lloyd iterations localCheckpoint k-row DataFrames, no driver
+    round-trip); this memo is the one place the trained k-row codebook
+    is collected — once per (app, sf_dir) — so IVF and IVF-PQ can share
+    it as a broadcast-sized literal."""
     key = (spark.sparkContext.applicationId, sf_dir, "coarse_cents")
     got = _TOPK_CACHE.get(key)
     if got is None:
@@ -427,7 +429,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compile (data-size independent); at 100 TB you would run to
     # convergence on a sample and only assign the full corpus once.
     # The trained codebook is memoized and shared with the IVF-PQ
-    # composite (_ivfpq_topk) — one training run per corpus snapshot.
+    # composite (_ivfpq_pool) — one training run per corpus snapshot.
     cent = spark.createDataFrame(
         _coarse_cents(spark, sf_dir), "cluster_id int, cv array<float>"
     )
@@ -1627,6 +1629,7 @@ def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # search time.
 
 IVFPQ_NPROBE = 2
+IVFPQ_POOL = 30  # ADC candidate pool width for the exact re-rank stage
 
 _SQL_IVFPQ = (
     "WITH e AS (SELECT vec_id, embedding FROM embeddings),\n"
@@ -1680,7 +1683,10 @@ adc AS (
 )
 
 
-def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC-ranked candidate pool (rk <= IVFPQ_POOL) — one memo serves both
+    the top-k query (rk <= TOPK prefix) and the exact re-rank audit,
+    which needs the wider pool."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = _coarse_cents(spark, sf_dir)
 
@@ -1733,7 +1739,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     return (
         adc.select("*", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= TOPK)
+        .filter(F.col("rk") <= IVFPQ_POOL)
     )
 
 
@@ -1774,13 +1780,15 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     separately.
     """
     ensure_session_conf(spark)
-    return _memo_topk(
-        spark, sf_dir, "ivfpq", lambda: _ivfpq_topk(spark, sf_dir)
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.col("dist").cast("double").alias("adc_dist"),
-        F.col("rk").cast("bigint").alias("rk"),
+    return (
+        _memo_topk(spark, sf_dir, "ivfpq", lambda: _ivfpq_pool(spark, sf_dir))
+        .filter(F.col("rk") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("dist").cast("double").alias("adc_dist"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
     )
 
 
@@ -2056,4 +2064,278 @@ def similarity_recall_truncated(
         (
             F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.lit(TOPK)
         ).alias("recall"),
+    )
+
+
+# --- r7: exact re-rank over the ADC pool, and SemDeDup -----------------------
+
+
+def _exact_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-k ids per query (broadcast-queries fold scan)
+    — the ground truth shared by the IVF-PQ recall and re-rank audits."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "qv",
+            "embedding",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        spread(e)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+
+@register(
+    "similarity_rerank_recall_ivfpq",
+    oracle=f"""
+{_SQL_IVFPQ},
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rk
+  FROM adc
+),
+pool AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= {IVFPQ_POOL}),
+adc_top AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= {TOPK}),
+rr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, p.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {sql_sq_dist('qe.embedding', 'ce.embedding')},
+                      p.neighbor_id) AS rk
+    FROM pool p
+    JOIN embeddings qe ON qe.vec_id = p.query_id
+    JOIN embeddings ce ON ce.vec_id = p.neighbor_id
+  ) t WHERE rk <= {TOPK}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {sql_sq_dist('q.embedding', 'v.embedding')}, v.vec_id)
+             AS rk
+    FROM e q JOIN e v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) t WHERE rk <= {TOPK}
+)
+SELECT b.query_id,
+       CAST(COALESCE(ha.n, 0) AS BIGINT) AS n_matched_adc,
+       CAST(COALESCE(ha.n, 0) AS DOUBLE) / {TOPK} AS recall_adc,
+       CAST(COALESCE(hr.n, 0) AS BIGINT) AS n_matched_rerank,
+       CAST(COALESCE(hr.n, 0) AS DOUBLE) / {TOPK} AS recall_rerank
+FROM (SELECT DISTINCT query_id FROM exact) b
+LEFT JOIN (
+  SELECT e2.query_id, COUNT(*) AS n
+  FROM exact e2 JOIN adc_top USING (query_id, neighbor_id) GROUP BY 1
+) ha USING (query_id)
+LEFT JOIN (
+  SELECT e3.query_id, COUNT(*) AS n
+  FROM exact e3 JOIN rr USING (query_id, neighbor_id) GROUP BY 1
+) hr USING (query_id)
+""",
+)
+def similarity_rerank_recall_ivfpq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage retrieval audit: IVF-PQ ADC generates a {IVFPQ_POOL}-wide
+    candidate pool, an exact squared-L2 re-rank over the pool's FULL
+    vectors picks the final top-{TOPK}, and both stages are scored for
+    recall against the exact answer — the candidate-generation +
+    re-ranking architecture every production vector store runs (PQ codes
+    for the cheap wide scan, full vectors only for ~pool_width rows per
+    query). recall_rerank ≥ recall_adc by construction whenever ADC
+    misranks inside the pool; the residual gap is pure probe loss
+    (true neighbors whose cell was never probed), which re-ranking
+    cannot recover — the audit separates the two loss sources.
+
+    Determinism: both rankings use the sequential-fold squared distance
+    with the neighbor_id tiebreak; recalls are exact integer counts over
+    k. Scale shape: the re-rank join touches |queries| × pool_width full
+    vectors (row-fetch-sized, never a scan) — exactly the I/O contract
+    that makes the architecture viable at 100 TB.
+    """
+    ensure_session_conf(spark)
+    pool = _memo_topk(
+        spark, sf_dir, "ivfpq", lambda: _ivfpq_pool(spark, sf_dir)
+    )
+    adc_top = pool.filter(F.col("rk") <= TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nb = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "qv",
+            "nv",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    rr = (
+        pool.select("query_id", "neighbor_id")
+        .join(nb, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    exact = _exact_sq_topk(spark, sf_dir)
+    ha = exact.join(adc_top, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("na"))
+    hr = exact.join(rr, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("nr"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(ha, "query_id", "left")
+        .join(hr, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("na"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matched_adc"),
+            (
+                F.coalesce(F.col("na"), F.lit(0)).cast("double")
+                / F.lit(TOPK)
+            ).alias("recall_adc"),
+            F.coalesce(F.col("nr"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matched_rerank"),
+            (
+                F.coalesce(F.col("nr"), F.lit(0)).cast("double")
+                / F.lit(TOPK)
+            ).alias("recall_rerank"),
+        )
+    )
+
+
+SEMDEDUP_T = 0.35  # same fixture-calibrated bar as dedup.COSINE_T
+
+
+_SQL_SEMDEDUP_ASGN = (
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+       FROM e WHERE vec_id < {KMEANS_K}),
+"""
+    + ",".join(
+        _sql_lloyd_iter(f"c{i - 1}", i) for i in range(1, KMEANS_ITERS + 1)
+    )
+    + f""",
+asgn AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.cv')}
+                                       DESC, c.cid) AS rn
+    FROM e CROSS JOIN c{KMEANS_ITERS} c
+  ) t WHERE rn = 1
+)
+"""
+)
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=f"""
+{_SQL_SEMDEDUP_ASGN}
+SELECT a.cid AS cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM asgn a JOIN asgn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {SEMDEDUP_T}
+""",
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: block by LEARNED k-means
+    cluster (the trained coarse codebook shared with IVF / IVF-PQ),
+    then emit within-cluster embedding pairs with cosine ≥ threshold —
+    the Abbas et al. 2023 recipe for pruning semantically redundant
+    web data, and the learned-blocking complement to
+    dedup_embedding_cosine (which blocks by the GIVEN label column).
+    The canonical keep rule is "keep the lowest id per near-dup group";
+    vec_b of each emitted pair is the candidate to drop.
+
+    Fully hash-checked: cluster assignment restates the unrolled Lloyd
+    chain (shared CTE machinery with similarity_ivf_kmeans) with the
+    best-cosine/cid-tiebreak argmax, and pair cosines are the identical
+    sequential fold in both engines.
+
+    Scale shape: training cost is amortized (memoized codebook; at
+    100 TB trained on a sample, assignment is one broadcast-codebook
+    map pass), and the pairwise stage is Σ cell² instead of n² — with
+    the cluster id as a partition column the self-join is co-partitioned,
+    no wide shuffle. Cluster granularity (k) bounds the per-cell pair
+    mass exactly like the LSH band cap bounds bucket fan-out.
+    """
+    ensure_session_conf(spark)
+    cent = spark.createDataFrame(
+        _coarse_cents(spark, sf_dir), "cluster_id int, cv array<float>"
+    )
+    sim = cosine(F.col("embedding"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cluster_id")
+    )
+    asgn = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cluster_id", sim.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster_id")
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
+    a = asgn.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = asgn.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "cluster_id",
+            "vec_a",
+            "vec_b",
+            (
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_T)
     )

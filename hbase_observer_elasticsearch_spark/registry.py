@@ -85,66 +85,24 @@ def _load() -> None:
 # CORRECTNESS_r01.json). Names not yet registered are skipped; registered
 # names not listed append in module-import order.
 _PRIORITY = (
-    # --- r6 window (the driver checks a ~50-entry prefix) ---
-    # r5 verdict directive #1: exactly 38 registry queries (computed as
-    # registry minus the union of the r1-r5 official windows, i.e.
-    # 227 - 189 = 38 -- the r5 spill comment said 26, undercounting by
-    # the 12 window slots r5 spent on brand-new queries) have never
-    # received an OFFICIAL driver correctness row. They lead this window
-    # so union(r1-r6) covers the whole registry; all 38 are green in
-    # CORRECTNESS_FULL_r05.json. New r6 queries follow (<= 12 fit in the
-    # 50-slot window); everything else appends in module-import order.
-    "agg_approx_topk",
-    "agg_conditional_battery",
-    "agg_incremental_rollup",
-    "basket_brand_lift",
-    "bitwise_funcs",
-    "customer_rfm_segments",
-    "events_attribution_last_touch",
-    "events_dau_mau_stickiness",
-    "events_ewma_trailing",
-    "events_funnel",
-    "events_gap_fill_locf",
-    "events_hourly_seasonality",
-    "events_interarrival_stats",
-    "events_retention_cohort",
-    "events_rolling_actives",
-    "events_top_paths",
-    "events_value_trend",
-    "events_zscore_outliers",
-    "join_asof_nearest",
-    "join_bucketed_colocated",
-    "join_interval_overlap",
-    "join_salted_skew",
-    "null_handling_funcs",
-    "orders_ship_latency_monthly",
-    "pack_length_buckets",
-    "profile_column_histogram",
-    "profile_file_layout",
-    "profile_key_skew",
-    "quality_fk_orphans",
-    "quality_row_rules",
-    "recursive_markov_paths",
-    "sample_topk_per_group",
-    "sample_weighted_bernoulli",
-    "subquery_exists_battery",
-    "time_asof_interpolate",
-    "variant_funcs",
-    "window_time_range_trailing",
-    "window_trailing_median",
-    # --- new in r6 (no official row yet) ---
-    "sink_merge_idempotent_epochs",
-    "dedup_pair_mass_audit",
-    "corpus_mix_waterfill",
-    "stream_exact_dedup_keyed_state",
-    "corpus_ngram_novelty_curve",
-    "events_cep_funnel_3step",
-    "embeddings_dim_stats",
-    "similarity_topk_ivfpq",
-    "similarity_recall_ivfpq",
-    "text_chunk_dup_spans",
-    "dedup_incremental_new_batch",
-    "quality_order_price_reconciliation",
+    # --- r7 window (the driver checks a ~50-entry prefix) ---
+    # After r6, union(r1-r6 official windows) covers the registry except
+    # the 9 late-r6 queries added beyond the 50-slot prefix (computed as
+    # registry 248 minus the 239 names in the union of CORRECTNESS_r0*
+    # files). They lead this window; new r7 queries follow. All 9 are
+    # green in CORRECTNESS_FULL_r06.json.
+    "corpus_mix_temperature",
+    "layout_rendezvous_sharding",
+    "profile_observed_metrics",
+    "quality_benford_leading_digit",
+    "search_bm25_topk",
+    "search_phrase_positional",
+    "similarity_rank_fusion_rrf",
+    "similarity_recall_truncated",
+    "source_schema_evolution",
+    # --- new in r7 (no official row yet) ---
+    "similarity_rerank_recall_ivfpq",
+    "dedup_semantic_kmeans",
 )
 
 

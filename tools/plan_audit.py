@@ -2,7 +2,13 @@
 plan-quality facts the 100 TB design cares about, written to
 PLAN_AUDIT_r6.json.
 
-Per query (static plan inspection, no execution):
+Per query (plans are inspected AFTER any eager build stages run: many
+queries execute real jobs while the DataFrame is constructed — the
+memoized dedup/similarity families localCheckpoint their memos, the IO
+round-trips write+read back, profile_observed_metrics runs an observed
+aggregate — so "audit" means the final plan of the returned DataFrame,
+not a zero-execution build; only the end-to-end streaming/sink drains
+are excluded entirely):
 - n_exchanges: shuffle count in the final plan (lower = fewer all-to-all
   data movements; 0 = scan-local or broadcast-only);
 - n_joins / join kinds, and whether any is a CartesianProduct or
