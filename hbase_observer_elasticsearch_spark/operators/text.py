@@ -1291,11 +1291,9 @@ BM25_TOPK = 10
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-
-@register(
-    "search_bm25_topk",
-    oracle=f"""
-WITH tok AS (
+# Shared BM25 CTE chain ending in `agg(doc_id, bm25, n_terms)` — composed by
+# the top-k query and the PRF expansion (which re-ranks from the same list).
+_SQL_BM25_CTE = f"""tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ),
 dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
@@ -1328,7 +1326,13 @@ agg AS (
          CAST(SUM(CAST(ts AS DECIMAL(28,6))) AS DOUBLE) AS bm25,
          CAST(COUNT(*) AS BIGINT) AS n_terms
   FROM term_scores GROUP BY doc_id
-)
+)"""
+
+
+@register(
+    "search_bm25_topk",
+    oracle=f"""
+WITH {_SQL_BM25_CTE}
 SELECT doc_id, bm25, n_terms, rk FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM agg
 ) t WHERE rk <= {BM25_TOPK}
@@ -1585,4 +1589,357 @@ def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop(f"d{k}", f"i{k}")
     return out.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+
+
+# --- r7: bigram LM scoring, duplicated-span removal map, PRF expansion ------
+
+BACKOFF_NUM = 2  # stupid-backoff alpha = 2/5 = 0.4, kept as exact integers
+BACKOFF_DEN = 5
+
+
+@register(
+    "corpus_bigram_familiarity",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, w, pos FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  ) t
+),
+big AS (
+  SELECT doc_id, lang,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         w AS w2
+  FROM tok
+),
+hb AS (SELECT doc_id, lang, w1, w2 FROM big
+       WHERE w1 IS NOT NULL AND doc_id % 10 = 0),
+tuni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+         WHERE doc_id % 10 <> 0 GROUP BY w),
+tbig AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM big
+         WHERE w1 IS NOT NULL AND doc_id % 10 <> 0 GROUP BY w1, w2),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tuni),
+scored AS (
+  SELECT h.doc_id, h.lang,
+         CASE WHEN b.cnt IS NOT NULL THEN 0 ELSE 1 END AS backed_off,
+         CASE WHEN b.cnt IS NOT NULL
+              THEN CAST(b.cnt AS DOUBLE) / u1.cnt
+              ELSE CAST({BACKOFF_NUM} * COALESCE(u2.cnt, 0) AS DOUBLE)
+                   / ({BACKOFF_DEN} * t.total)
+         END AS score
+  FROM hb h
+  LEFT JOIN tbig b ON b.w1 = h.w1 AND b.w2 = h.w2
+  LEFT JOIN tuni u1 ON u1.w = h.w1
+  LEFT JOIN tuni u2 ON u2.w = h.w2
+  CROSS JOIN tot t
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(backed_off) AS BIGINT) AS n_backoff,
+       CAST(SUM(backed_off) AS DOUBLE) / COUNT(*) AS backoff_rate,
+       CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS mean_score
+FROM scored
+GROUP BY lang
+""",
+)
+def corpus_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with stupid backoff (α = 0.4): train
+    bigram/unigram tables on 90% of the corpus (doc_id % 10 ≠ 0), score
+    the held-out 10% — the n-gram-LM step up from
+    corpus_unigram_familiarity, and the exact-arithmetic stand-in for
+    KenLM-style perplexity filtering (CCNet's quality signal). A
+    held-out bigram scores cnt(w1,w2)/cnt(w1) when seen in training,
+    else backs off to α·cnt(w2)/total; low mean_score or high
+    backoff_rate per language flags text unlike the training
+    distribution.
+
+    Determinism without transcendentals: every score is ONE
+    exactly-rounded IEEE division of integer-valued operands (α = 2/5
+    is applied as integer numerator/denominator scaling, not a float
+    multiply), and the per-lang mean goes through DECIMAL(28,6) like
+    the BM25 term sum.
+
+    Scale shape: the trained tables are token-grain hash aggs (the
+    persisted LM at 100 TB); scoring is two postings joins on w1 /
+    (w1,w2) — Zipf-head skew on the token join is the known watch item,
+    same mitigation as corpus_unigram_familiarity (salt or broadcast
+    the head). No pairwise work anywhere.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", "lang", F.lag("w").over(wdoc).alias("w1"),
+        F.col("w").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    train_tok = tok.filter(F.col("doc_id") % 10 != 0)
+    tuni = train_tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tbig = (
+        big.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = tuni.agg(F.sum("cnt").cast("bigint").alias("total"))
+    hb = big.filter(F.col("doc_id") % 10 == 0)
+    scored = (
+        hb.join(
+            tbig.withColumnRenamed("cnt", "bcnt"), ["w1", "w2"], "left"
+        )
+        .join(
+            tuni.select(F.col("w").alias("w1"), F.col("cnt").alias("u1")),
+            "w1",
+            "left",
+        )
+        .join(
+            tuni.select(F.col("w").alias("w2"), F.col("cnt").alias("u2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("bcnt").isNotNull(), 0).otherwise(1).alias(
+                "backed_off"
+            ),
+            F.when(
+                F.col("bcnt").isNotNull(),
+                F.col("bcnt").cast("double") / F.col("u1"),
+            )
+            .otherwise(
+                (
+                    F.lit(BACKOFF_NUM) * F.coalesce(F.col("u2"), F.lit(0))
+                ).cast("double")
+                / (F.lit(BACKOFF_DEN) * F.col("total"))
+            )
+            .alias("score"),
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("backed_off").cast("bigint").alias("n_backoff"),
+        (
+            F.sum("backed_off").cast("double") / F.count(F.lit(1))
+        ).alias("backoff_rate"),
+        (
+            F.sum(F.col("score").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_score"),
+    )
+
+
+@register(
+    "text_dup_span_merge",
+    oracle=f"""
+WITH starts AS (
+  SELECT doc_id, n_chars, text,
+         unnest(generate_series(1, GREATEST(length(text), 1), {CHUNK_STRIDE}))
+           AS start_pos
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, n_chars, start_pos,
+         md5(substring(text, start_pos, {CHUNK_LEN})) AS h
+  FROM starts
+  WHERE length(substring(text, start_pos, {CHUNK_LEN})) = {CHUNK_LEN}
+),
+dup_h AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dup_starts AS (
+  SELECT c.doc_id, c.n_chars, c.start_pos,
+         c.start_pos - {CHUNK_STRIDE} * ROW_NUMBER() OVER (
+           PARTITION BY c.doc_id ORDER BY c.start_pos) AS grp
+  FROM ch c WHERE c.h IN (SELECT h FROM dup_h)
+),
+spans AS (
+  SELECT doc_id, n_chars,
+         MAX(start_pos) + {CHUNK_LEN} - MIN(start_pos) AS span_chars
+  FROM dup_starts GROUP BY doc_id, n_chars, grp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_chars) AS BIGINT) AS dup_chars,
+       CAST(MAX(span_chars) AS BIGINT) AS max_span_chars,
+       CAST(SUM(span_chars) AS DOUBLE) / MAX(n_chars) AS dup_char_frac
+FROM spans
+GROUP BY doc_id
+""",
+)
+def text_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans per document — the REMOVAL MAP of exact
+    substring deduplication (Lee et al. 2022): chunk hashes shared by
+    ≥ 2 documents mark duplicated text, and runs of stride-adjacent
+    duplicated chunks merge (gaps-and-islands) into maximal character
+    spans, yielding per-document span count, duplicated character mass,
+    and fraction — exactly what a span-dropping dedup pass consumes.
+    Complements text_chunk_dup_spans (which scores doc PAIRS by shared
+    chunk mass; this one localizes WHERE in each doc the duplication
+    lives).
+
+    Islands without sequential scans: chunk starts come from a fixed
+    stride grid, so grp = start_pos − stride·row_number() is constant
+    exactly within a maximal run — the classic O(1)-per-row island key,
+    identical in both engines (integer arithmetic, ordered by the
+    unique start_pos).
+
+    Scale shape: one map-side chunk-hash pass, a groupBy(h) to find
+    shared hashes (no pair fan-out — distinct-doc COUNT, not a
+    self-join), a semi-join back, and per-doc windows over each doc's
+    own ≤ len/stride chunk rows. Linear end to end; the only shuffles
+    are the hash agg and the per-doc window.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars", "text"
+        ),
+        "doc_id",
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.substring(F.col("text"), F.col("start_pos"), CHUNK_LEN)
+    ch = (
+        d.select(
+            "doc_id", "n_chars", F.explode(starts).alias("start_pos"), "text"
+        )
+        .filter(F.length(chunk) == CHUNK_LEN)
+        .select("doc_id", "n_chars", "start_pos", F.md5(chunk).alias("h"))
+    )
+    dup_h = (
+        ch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("start_pos")
+    dup_starts = (
+        ch.join(dup_h, "h", "semi")
+        .select(
+            "doc_id",
+            "n_chars",
+            "start_pos",
+            (
+                F.col("start_pos")
+                - F.lit(CHUNK_STRIDE) * F.row_number().over(wd)
+            ).alias("grp"),
+        )
+    )
+    spans = dup_starts.groupBy("doc_id", "n_chars", "grp").agg(
+        (
+            F.max("start_pos") + F.lit(CHUNK_LEN) - F.min("start_pos")
+        ).alias("span_chars")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_chars").cast("bigint").alias("dup_chars"),
+        F.max("span_chars").cast("bigint").alias("max_span_chars"),
+        (
+            F.sum("span_chars").cast("double") / F.max("n_chars")
+        ).alias("dup_char_frac"),
+    )
+
+
+PRF_EXPAND_K = 10  # expansion terms returned
+
+
+@register(
+    "search_prf_expansion",
+    oracle=f"""
+WITH {_SQL_BM25_CTE},
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+    FROM agg
+  ) t WHERE rk <= {BM25_TOPK}
+),
+dfall AS (
+  SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY w
+),
+fbtf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS tf_fb
+  FROM tok WHERE doc_id IN (SELECT doc_id FROM fb)
+        AND w NOT IN ({_BM25_TERMS_SQL})
+  GROUP BY w
+),
+cand AS (
+  SELECT f.w AS term, f.tf_fb, d.df AS df_corpus,
+         f.tf_fb * (s.n_docs - d.df) AS score
+  FROM fbtf f JOIN dfall d ON d.w = f.w CROSS JOIN stats s
+)
+SELECT term, tf_fb, df_corpus, CAST(score AS BIGINT) AS score, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, term) AS BIGINT)
+           AS rk
+  FROM cand
+) t WHERE rk <= {PRF_EXPAND_K}
+""",
+)
+def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite): take the
+    BM25 top-{BM25_TOPK} feedback documents, and rank their terms by an
+    exact-integer rarity-weighted feedback frequency
+    tf_fb · (N − df) — high when a term is FREQUENT in the feedback
+    set but RARE in the corpus, the same signal RM3's
+    P(w|feedback)·idf estimates with floats. Original query terms are
+    excluded. The top PRF_EXPAND_K terms are what a retrieval stack
+    appends to the query for the second-pass search. (A production stack would also
+    stoplist terms above a df cap; the fixture's 31-token vocabulary
+    makes any such cap degenerate, and the (N − df) factor already
+    drives ubiquitous terms to the bottom of the ranking.)
+
+    Determinism: the feedback list is the hash-checked BM25 ranking;
+    every expansion score is a product/difference of BIGINTs — no
+    floats anywhere past the (already-checked) BM25 stage.
+
+    Scale shape: the feedback set is k docs, so fbtf explodes only k
+    documents' tokens (row-fetch-sized); dfall is the corpus document-
+    frequency table — a persisted index-stats table at 100 TB, here one
+    distinct+agg pass; the final ranking is over the feedback
+    vocabulary only. The expensive corpus-wide structures (postings,
+    df) are exactly the ones a search engine already maintains.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    fb = search_bm25_topk(spark, sf_dir).select("doc_id")
+    dfall = tok.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df_corpus")
+    )
+    fbtf = (
+        tok.join(F.broadcast(fb), "doc_id", "semi")
+        .filter(~F.col("w").isin(*BM25_TERMS))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf_fb"))
+    )
+    cand = (
+        fbtf.join(dfall, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("w").alias("term"),
+            "tf_fb",
+            "df_corpus",
+            (
+                F.col("tf_fb") * (F.col("n_docs") - F.col("df_corpus"))
+            ).cast("bigint").alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        cand.select(
+            "*", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+        .filter(F.col("rk") <= PRF_EXPAND_K)
     )
