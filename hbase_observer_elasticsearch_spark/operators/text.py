@@ -1329,6 +1329,48 @@ agg AS (
 )"""
 
 
+def _bm25_agg(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """Shared BM25 scoring core for a given query-term set: returns
+    ``(doc_id, bm25, n_terms)`` — the DataFrame twin of `_SQL_BM25_CTE`'s
+    ``agg`` relation (identical formula and evaluation order; the term
+    filter is the only parameter). Used by the first-pass top-k and the
+    PRF-expanded second pass."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tfn = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tfn).alias("ts"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum(F.col("ts").cast("decimal(28,6)")).cast("double").alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
 @register(
     "search_bm25_topk",
     oracle=f"""
@@ -1365,38 +1407,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings — never the corpus.
     """
     ensure_session_conf(spark)
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        tok.filter(F.col("w").isin(*BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-
-    idf = (
-        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
-    ) / (F.col("df").cast("double") + F.lit(0.5))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    tfn = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(BM25_K1)
-        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
-    )
-    scored = (
-        tf.join(F.broadcast(dfq), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", (idf * tfn).alias("ts"))
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum(F.col("ts").cast("decimal(28,6)")).cast("double").alias("bm25"),
-        F.count(F.lit(1)).alias("n_terms"),
-    )
+    agg = _bm25_agg(spark, sf_dir, BM25_TERMS)
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition
     # partial top-k, no global sort Exchange); the rank window then runs
     # over just the k surviving rows.
@@ -1739,6 +1750,63 @@ def corpus_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merged_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated character spans per document: columns
+    ``(doc_id, n_chars, span_start, span_chars)``. Shared by the
+    removal-map query (text_dup_span_merge) and the span-excision
+    consumer (text_dedup_apply_spans).
+
+    Spans are guaranteed NON-OVERLAPPING: distinct islands are grid
+    runs separated by >= 1 missing start, so consecutive island starts
+    differ by >= 2*CHUNK_STRIDE = 180 > CHUNK_LEN = 120 — a span's
+    reach never crosses the next span's start. That makes per-doc char
+    accounting (kept + duplicated = total) exact."""
+    from ..catalog import spread
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars", "text"
+        ),
+        "doc_id",
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.substring(F.col("text"), F.col("start_pos"), CHUNK_LEN)
+    ch = (
+        d.select(
+            "doc_id", "n_chars", F.explode(starts).alias("start_pos"), "text"
+        )
+        .filter(F.length(chunk) == CHUNK_LEN)
+        .select("doc_id", "n_chars", "start_pos", F.md5(chunk).alias("h"))
+    )
+    dup_h = (
+        ch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("start_pos")
+    dup_starts = (
+        ch.join(dup_h, "h", "semi")
+        .select(
+            "doc_id",
+            "n_chars",
+            "start_pos",
+            (
+                F.col("start_pos")
+                - F.lit(CHUNK_STRIDE) * F.row_number().over(wd)
+            ).alias("grp"),
+        )
+    )
+    return dup_starts.groupBy("doc_id", "n_chars", "grp").agg(
+        F.min("start_pos").alias("span_start"),
+        (
+            F.max("start_pos") + F.lit(CHUNK_LEN) - F.min("start_pos")
+        ).alias("span_chars"),
+    )
+
+
 @register(
     "text_dup_span_merge",
     oracle=f"""
@@ -1799,49 +1867,7 @@ def text_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the hash agg and the per-doc window.
     """
     ensure_session_conf(spark)
-    from ..catalog import spread
-
-    d = spread(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "n_chars", "text"
-        ),
-        "doc_id",
-    )
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
-    )
-    chunk = F.substring(F.col("text"), F.col("start_pos"), CHUNK_LEN)
-    ch = (
-        d.select(
-            "doc_id", "n_chars", F.explode(starts).alias("start_pos"), "text"
-        )
-        .filter(F.length(chunk) == CHUNK_LEN)
-        .select("doc_id", "n_chars", "start_pos", F.md5(chunk).alias("h"))
-    )
-    dup_h = (
-        ch.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    wd = Window.partitionBy("doc_id").orderBy("start_pos")
-    dup_starts = (
-        ch.join(dup_h, "h", "semi")
-        .select(
-            "doc_id",
-            "n_chars",
-            "start_pos",
-            (
-                F.col("start_pos")
-                - F.lit(CHUNK_STRIDE) * F.row_number().over(wd)
-            ).alias("grp"),
-        )
-    )
-    spans = dup_starts.groupBy("doc_id", "n_chars", "grp").agg(
-        (
-            F.max("start_pos") + F.lit(CHUNK_LEN) - F.min("start_pos")
-        ).alias("span_chars")
-    )
+    spans = _merged_dup_spans(spark, sf_dir)
     return spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum("span_chars").cast("bigint").alias("dup_chars"),
@@ -1942,4 +1968,298 @@ def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "*", F.row_number().over(w).cast("bigint").alias("rk")
         )
         .filter(F.col("rk") <= PRF_EXPAND_K)
+    )
+
+
+# --- r8: PRF second pass, span-excision dedup apply --------------------------
+
+
+@register(
+    "search_bm25_expanded",
+    oracle=f"""
+WITH {_SQL_BM25_CTE},
+first_rk AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS rk_first
+  FROM agg
+),
+fb AS (SELECT doc_id FROM first_rk WHERE rk_first <= {BM25_TOPK}),
+dfall AS (
+  SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY w
+),
+fbtf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS tf_fb
+  FROM tok WHERE doc_id IN (SELECT doc_id FROM fb)
+        AND w NOT IN ({_BM25_TERMS_SQL})
+  GROUP BY w
+),
+exp_terms AS (
+  SELECT w FROM (
+    SELECT f.w,
+           ROW_NUMBER() OVER (ORDER BY f.tf_fb * (s.n_docs - d.df) DESC, f.w)
+             AS rk
+    FROM fbtf f JOIN dfall d ON d.w = f.w CROSS JOIN stats s
+  ) t WHERE rk <= {PRF_EXPAND_K}
+),
+qterms AS (
+  SELECT w FROM exp_terms
+  UNION ALL
+  SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in BM25_TERMS)}) v(w)
+),
+tf2 AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok JOIN qterms USING (w) GROUP BY doc_id, w
+),
+df2 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf2 GROUP BY w),
+ts2 AS (
+  SELECT t.doc_id,
+         ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+            / (CAST(f.df AS DOUBLE) + 0.5))
+         * ((CAST(t.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+            / (CAST(t.tf AS DOUBLE)
+               + CAST({BM25_K1!r} AS DOUBLE)
+                 * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                    + CAST({BM25_B!r} AS DOUBLE)
+                      * (CAST(l.dl AS DOUBLE)
+                         / (CAST(s.sum_dl AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))))) AS ts
+  FROM tf2 t JOIN df2 f USING (w) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg2 AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ts AS DECIMAL(28,6))) AS DOUBLE) AS bm25_exp,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+  FROM ts2 GROUP BY doc_id
+),
+top2 AS (
+  SELECT * FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY bm25_exp DESC, doc_id)
+                   AS BIGINT) AS rk_exp
+    FROM agg2
+  ) t WHERE rk_exp <= {BM25_TOPK}
+)
+SELECT t.doc_id, t.bm25_exp, t.n_terms_matched, t.rk_exp,
+       COALESCE(f.rk_first, 0) AS rk_first,
+       f.rk_first IS NULL AS is_new,
+       CAST(CASE WHEN f.rk_first IS NULL THEN 0
+                 ELSE f.rk_first - t.rk_exp END AS BIGINT) AS rank_gain
+FROM top2 t LEFT JOIN first_rk f USING (doc_id)
+""",
+)
+def search_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRF second-pass retrieval — closes the pseudo-relevance-feedback
+    loop that search_prf_expansion opens: re-run BM25 with the query
+    expanded by the top-{PRF_EXPAND_K} feedback terms and score RANK
+    MOVEMENT against the first pass. Per second-pass top-{BM25_TOPK}
+    doc: its expanded score/rank, its full first-pass rank (0 when the
+    doc matched NO original term — recall the expansion recovered), and
+    rank_gain = rk_first − rk_exp (positive = promoted; 0 sentinel for
+    newly-recalled docs, flagged separately by is_new). This is the
+    RM3 architecture end-to-end: pass 1 → feedback → term selection →
+    pass 2.
+
+    Determinism: the expansion term set is the already-hash-checked
+    integer ranking (tf_fb·(N−df), term tiebreak); both BM25 passes use
+    the shared exact-decimal scoring core (`_bm25_agg` /
+    `_SQL_BM25_CTE`-shaped SQL with identical evaluation order).
+
+    Scale shape: the {PRF_EXPAND_K}-term expansion vocabulary returns
+    to the query planner (a k-row driver fetch — exactly how a real
+    engine issues the second postings scan; same class as the k-row
+    codebook collects), so BOTH passes stay inverted-index-shaped: the
+    term filter prunes the token explode to the expanded query's
+    postings before any shuffle. Nothing corpus-wide is added beyond
+    the df stats pass 1 already needs.
+    """
+    ensure_session_conf(spark)
+    exp_rows = (
+        search_prf_expansion(spark, sf_dir).select("term").collect()
+    )
+    exp_terms = tuple(sorted(r.term for r in exp_rows))
+    agg1 = _bm25_agg(spark, sf_dir, BM25_TERMS)
+    agg2 = _bm25_agg(spark, sf_dir, BM25_TERMS + exp_terms)
+    w1 = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    first_rk = agg1.select(
+        "doc_id", F.row_number().over(w1).cast("bigint").alias("rk_first")
+    )
+    w2 = Window.orderBy(F.col("bm25_exp").desc(), F.col("doc_id"))
+    top2 = (
+        agg2.select(
+            "doc_id",
+            F.col("bm25").alias("bm25_exp"),
+            F.col("n_terms").cast("bigint").alias("n_terms_matched"),
+        )
+        .select(
+            "*", F.row_number().over(w2).cast("bigint").alias("rk_exp")
+        )
+        .filter(F.col("rk_exp") <= BM25_TOPK)
+    )
+    return top2.join(first_rk, "doc_id", "left").select(
+        "doc_id",
+        "bm25_exp",
+        "n_terms_matched",
+        "rk_exp",
+        F.coalesce(F.col("rk_first"), F.lit(0)).cast("bigint").alias(
+            "rk_first"
+        ),
+        F.col("rk_first").isNull().alias("is_new"),
+        F.when(F.col("rk_first").isNull(), F.lit(0))
+        .otherwise(F.col("rk_first") - F.col("rk_exp"))
+        .cast("bigint")
+        .alias("rank_gain"),
+    )
+
+
+@register(
+    "text_dedup_apply_spans",
+    oracle=f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, GREATEST(length(text), 1), {CHUNK_STRIDE}))
+           AS start_pos
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, start_pos,
+         md5(substring(text, start_pos, {CHUNK_LEN})) AS h
+  FROM starts
+  WHERE length(substring(text, start_pos, {CHUNK_LEN})) = {CHUNK_LEN}
+),
+dup_h AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dup_starts AS (
+  SELECT c.doc_id, c.start_pos,
+         c.start_pos - {CHUNK_STRIDE} * ROW_NUMBER() OVER (
+           PARTITION BY c.doc_id ORDER BY c.start_pos) AS grp
+  FROM ch c WHERE c.h IN (SELECT h FROM dup_h)
+),
+spans AS (
+  SELECT doc_id, MIN(start_pos) AS s,
+         MAX(start_pos) + {CHUNK_LEN} - MIN(start_pos) AS ln
+  FROM dup_starts GROUP BY doc_id, grp
+),
+sp2 AS (
+  SELECT doc_id, s, ln,
+         COALESCE(LAG(s + ln) OVER (PARTITION BY doc_id ORDER BY s), 1)
+           AS prev_end
+  FROM spans
+),
+segs AS (
+  SELECT p.doc_id, CAST(p.s AS BIGINT) AS ord,
+         substring(d.text, CAST(p.prev_end AS INT),
+                   CAST(p.s - p.prev_end AS INT)) AS seg
+  FROM sp2 p JOIN documents d ON d.doc_id = p.doc_id
+  UNION ALL
+  SELECT mx.doc_id, CAST(2147483647 AS BIGINT) AS ord,
+         substring(d.text, CAST(mx.e AS INT)) AS seg
+  FROM (SELECT doc_id, MAX(s + ln) AS e FROM spans GROUP BY doc_id) mx
+  JOIN documents d ON d.doc_id = mx.doc_id
+),
+clean AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
+  FROM segs GROUP BY doc_id
+),
+dmass AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(ln) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       m.n_spans, m.dup_chars,
+       CAST(length(c.clean_text) AS BIGINT) AS kept_chars,
+       (length(c.clean_text) + m.dup_chars) = length(d.text) AS chars_ok,
+       md5(c.clean_text) AS clean_hash
+FROM clean c
+JOIN dmass m ON m.doc_id = c.doc_id
+JOIN documents d ON d.doc_id = c.doc_id
+""",
+)
+def text_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-excision dedup APPLY — the consumer of text_dup_span_merge's
+    removal map: per affected document, excise the merged duplicated
+    spans and emit the deduplicated text's exact char accounting
+    (kept + duplicated = total, asserted per-row as chars_ok) plus an
+    md5 of the cleaned text, so the reconstruction itself — not just
+    its length — is hash-checked across engines. This is the write
+    side of Lee et al. exact-substring dedup: the map says WHERE, this
+    produces the corpus you actually train on.
+
+    Reconstruction without per-row loops: spans are non-overlapping
+    (see _merged_dup_spans), so the kept text is the ordered
+    concatenation of GAP segments — each span contributes the slice
+    from the previous span's end (lag window, default position 1) to
+    its own start, plus one per-doc tail slice after the last span.
+    Sorted-struct concat (array_sort over (ord, seg), ord = span start,
+    tail ord = INT_MAX) makes the assembly order deterministic in both
+    engines.
+
+    Scale shape: everything per-doc — the chunk-hash pass and dup-hash
+    semi-join are the (linear) removal-map stages; the new work is one
+    lag window and one collect_list/concat per AFFECTED doc, each over
+    that doc's own span rows (≤ len/stride). No pairwise anything; the
+    full text moves through exactly one groupBy, partitioned by doc_id.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = _merged_dup_spans(spark, sf_dir).select(
+        "doc_id", F.col("span_start").alias("s"),
+        F.col("span_chars").alias("ln"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("s")
+    sp2 = sp.select(
+        "doc_id", "s", "ln",
+        F.coalesce(
+            F.lag(F.col("s") + F.col("ln")).over(wd), F.lit(1)
+        ).alias("prev_end"),
+    )
+    head_segs = sp2.join(d, "doc_id").select(
+        "doc_id",
+        F.col("s").cast("bigint").alias("ord"),
+        F.expr(
+            "substring(text, CAST(prev_end AS INT), CAST(s - prev_end AS INT))"
+        ).alias("seg"),
+    )
+    tail_segs = (
+        sp.groupBy("doc_id")
+        .agg(F.max(F.col("s") + F.col("ln")).alias("e"))
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            F.lit(2147483647).cast("bigint").alias("ord"),
+            F.expr("substring(text, CAST(e AS INT))").alias("seg"),
+        )
+    )
+    clean = (
+        head_segs.unionByName(tail_segs)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "seg"))),
+                    lambda x: x["seg"],
+                ),
+            ).alias("clean_text")
+        )
+    )
+    dmass = sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("ln").cast("bigint").alias("dup_chars"),
+    )
+    return (
+        clean.join(dmass, "doc_id")
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            "n_spans",
+            "dup_chars",
+            F.length("clean_text").cast("bigint").alias("kept_chars"),
+            (
+                (F.length("clean_text") + F.col("dup_chars"))
+                == F.length("text")
+            ).alias("chars_ok"),
+            F.md5("clean_text").alias("clean_hash"),
+        )
     )

@@ -85,24 +85,23 @@ def _load() -> None:
 # CORRECTNESS_r01.json). Names not yet registered are skipped; registered
 # names not listed append in module-import order.
 _PRIORITY = (
-    # --- r7 window (the driver checks a ~50-entry prefix) ---
-    # After r6, union(r1-r6 official windows) covers the registry except
-    # the 9 late-r6 queries added beyond the 50-slot prefix (computed as
-    # registry 248 minus the 239 names in the union of CORRECTNESS_r0*
-    # files). They lead this window; new r7 queries follow. All 9 are
-    # green in CORRECTNESS_FULL_r06.json.
-    "corpus_mix_temperature",
-    "layout_rendezvous_sharding",
-    "profile_observed_metrics",
-    "quality_benford_leading_digit",
-    "search_bm25_topk",
-    "search_phrase_positional",
-    "similarity_rank_fusion_rrf",
-    "similarity_recall_truncated",
-    "source_schema_evolution",
-    # --- new in r7 (no official row yet) ---
-    "similarity_rerank_recall_ivfpq",
-    "dedup_semantic_kmeans",
+    # --- r8 window (the driver checks a ~50-entry prefix) ---
+    # After r7, union(r1-r7 official windows) covers the registry except
+    # the 3 late-r7 text queries (landed at b60dafd after the r7 window
+    # ran); they lead. Next: similarity_topk_ivfpq / similarity_recall_ivfpq,
+    # whose r6 official rows predate the 40e4beb pool-widening refactor
+    # (rk<=30 via _ivfpq_pool) — re-attested post-change. New r8 queries
+    # follow.
+    "corpus_bigram_familiarity",
+    "search_prf_expansion",
+    "text_dup_span_merge",
+    "similarity_topk_ivfpq",
+    "similarity_recall_ivfpq",
+    # --- new in r8 ---
+    "search_bm25_expanded",
+    "text_dedup_apply_spans",
+    "dedup_semantic_incremental",
+    "search_quality_scorecard",
 )
 
 
