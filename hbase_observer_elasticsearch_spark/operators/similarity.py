@@ -1831,36 +1831,12 @@ def similarity_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall in TWO places (a true neighbor's cell may not be probed;
     ADC quantization may misrank within probed cells), so its recall
     must be measured, not inferred from the separate IVF and PQ audits.
-    Reads the memoized composite top-k; the exact side is the same
-    broadcast-query deterministic fold the PQ audit uses.
+    Reads the memoized composite top-k; the exact side is the shared
+    `_exact_sq_topk` ground truth (same fold/window/tiebreak as the
+    re-rank audit — one copy, per r7 advice).
     """
     ensure_session_conf(spark)
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            "qv",
-            "embedding",
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact = (
-        spread(e)
-        .crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
-        )
-        .select("*", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= TOPK)
-        .select("query_id", "neighbor_id")
-    )
+    exact = _exact_sq_topk(spark, sf_dir)
     ann = similarity_topk_ivfpq(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
@@ -2265,6 +2241,29 @@ asgn AS (
 )
 
 
+def _semdedup_asgn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-cosine cluster assignment against the shared learned coarse
+    codebook: ``(vec_id, embedding, cluster_id, nrm)`` — the blocking
+    structure common to SemDeDup full-corpus dedup and the incremental
+    admission query (DataFrame twin of `_SQL_SEMDEDUP_ASGN`'s asgn)."""
+    cent = spark.createDataFrame(
+        _coarse_cents(spark, sf_dir), "cluster_id int, cv array<float>"
+    )
+    sim = cosine(F.col("embedding"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cluster_id")
+    )
+    return (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cluster_id", sim.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster_id")
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
+
+
 @register(
     "dedup_semantic_kmeans",
     oracle=f"""
@@ -2298,22 +2297,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass exactly like the LSH band cap bounds bucket fan-out.
     """
     ensure_session_conf(spark)
-    cent = spark.createDataFrame(
-        _coarse_cents(spark, sf_dir), "cluster_id int, cv array<float>"
-    )
-    sim = cosine(F.col("embedding"), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("cluster_id")
-    )
-    asgn = (
-        spread(load_table(spark, sf_dir, "embeddings"))
-        .crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cluster_id", sim.alias("c_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster_id")
-        .withColumn("nrm", norm(F.col("embedding")))
-    )
+    asgn = _semdedup_asgn(spark, sf_dir)
     a = asgn.select(
         "cluster_id",
         F.col("vec_id").alias("vec_a"),
@@ -2338,4 +2322,281 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= SEMDEDUP_T)
+    )
+
+
+# --- r8: incremental SemDeDup admission, retrieval quality scorecard ---------
+
+# Same new-batch split rule as dedup.dedup_incremental_new_batch (vec ids in
+# the top quarter of the id space are "today's batch").
+SEM_INCR_NUM = 3
+SEM_INCR_DEN = 4
+
+
+@register(
+    "dedup_semantic_incremental",
+    oracle=f"""
+{_SQL_SEMDEDUP_ASGN},
+mx AS (SELECT (MAX(vec_id) + 1) * {SEM_INCR_NUM} // {SEM_INCR_DEN}
+         AS split FROM embeddings),
+newv AS (SELECT a.* FROM asgn a, mx WHERE a.vec_id >= mx.split),
+oldv AS (SELECT a.* FROM asgn a, mx WHERE a.vec_id < mx.split),
+hits AS (
+  SELECT n.vec_id, {sql_cosine('n.embedding', 'o.embedding')} AS cs
+  FROM newv n JOIN oldv o ON o.cid = n.cid
+  WHERE {sql_cosine('n.embedding', 'o.embedding')} >= {SEMDEDUP_T}
+),
+hagg AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+         MAX(cs) AS best_cos
+  FROM hits GROUP BY vec_id
+)
+SELECT n.vec_id, CAST(n.cid AS INT) AS cluster_id,
+       CAST(COALESCE(a.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       CAST(COALESCE(a.best_cos, -2.0) AS DOUBLE) AS best_cos,
+       a.vec_id IS NULL AS admit
+FROM newv n LEFT JOIN hagg a ON a.vec_id = n.vec_id
+""",
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup admission — the ANN analog of
+    dedup_incremental_new_batch: treat the top quarter of the vec-id
+    space as today's embedding batch and decide, per NEW vector, whether
+    the STANDING corpus already contains a semantic near-duplicate
+    (cosine >= {SEMDEDUP_T} within its assigned codebook cluster).
+    Emits every new vector with its cluster, standing-near-dup count,
+    best standing cosine (-2.0 sentinel when none — below any real
+    cosine), and the admit verdict. New-vs-new duplicates are
+    deliberately out of scope (next run's corpus problem; keep-first
+    admits exactly one of them today).
+
+    Scale shape: this is the query an embedding-ingest pipeline runs at
+    batch frequency, and its cost is batch-sized, not corpus-sized: the
+    standing codebook is fixed infrastructure (memoized; trained on a
+    sample at 100 TB), assignment of the new batch is one broadcast map
+    pass, and the probe join touches only the standing vectors in the
+    new batch's clusters — with cluster_id as the partition key it is
+    co-partitioned, and k scaling with corpus size bounds per-cell probe
+    mass exactly as in the full SemDeDup pass.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    split_df = e.agg(
+        F.expr(
+            f"(MAX(vec_id) + 1) * {SEM_INCR_NUM} DIV {SEM_INCR_DEN}"
+        ).alias("split")
+    )
+    asgn = _semdedup_asgn(spark, sf_dir).crossJoin(F.broadcast(split_df))
+    newv = asgn.filter(F.col("vec_id") >= F.col("split"))
+    oldv = asgn.filter(F.col("vec_id") < F.col("split"))
+    cs = dot(F.col("ne"), F.col("oe")) / (F.col("nn") * F.col("on"))
+    hits = (
+        newv.select(
+            "cluster_id", "vec_id",
+            F.col("embedding").alias("ne"), F.col("nrm").alias("nn"),
+        )
+        .join(
+            oldv.select(
+                "cluster_id",
+                F.col("embedding").alias("oe"), F.col("nrm").alias("on"),
+            ),
+            "cluster_id",
+        )
+        .select("vec_id", cs.alias("cs"))
+        .filter(F.col("cs") >= SEMDEDUP_T)
+    )
+    hagg = hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near_dups"),
+        F.max("cs").alias("best_cos"),
+    )
+    return newv.select("vec_id", "cluster_id").join(
+        hagg, "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(F.col("n_near_dups"), F.lit(0))
+        .cast("bigint")
+        .alias("n_near_dups"),
+        F.coalesce(F.col("best_cos"), F.lit(-2.0))
+        .cast("double")
+        .alias("best_cos"),
+        F.col("n_near_dups").isNull().alias("admit"),
+    )
+
+
+@register(
+    "search_quality_scorecard",
+    oracle=f"""
+{_SQL_IVFPQ},
+{_SQL_RHP.strip()},
+qq AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+       WHERE vec_id < {N_QUERIES}),
+bfs AS (
+  SELECT qq.query_id, e.vec_id AS neighbor_id,
+         {sql_cosine('qq.qv', 'e.embedding')} AS cos_sim
+  FROM qq JOIN e ON e.vec_id <> qq.query_id
+),
+bft AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM bfs
+  ) t WHERE rk <= {TOPK}
+),
+ivfpq_top AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist, neighbor_id) AS rk
+    FROM adc
+  ) t WHERE rk <= {TOPK}
+),
+pq_all AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         SUM(CAST(qd AS DECIMAL(28,12))) AS dist
+  FROM adc_terms
+  WHERE vec_id <> query_id
+  GROUP BY 1, 2
+),
+pq_top AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist, neighbor_id) AS rk
+    FROM pq_all
+  ) t WHERE rk <= {TOPK}
+),
+rhp_scored AS (
+  SELECT r.query_id, r.neighbor_id,
+         {sql_cosine('qe.embedding', 'ce.embedding')} AS cos_sim
+  FROM rcand r
+  JOIN embeddings qe ON qe.vec_id = r.query_id
+  JOIN embeddings ce ON ce.vec_id = r.neighbor_id
+),
+rhp_top AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM rhp_scored
+  ) t WHERE rk <= {TOPK}
+),
+rrf_lists AS (
+  SELECT query_id, neighbor_id, rk FROM rhp_top
+  UNION ALL
+  SELECT query_id, neighbor_id, rk FROM pq_top
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         SUM(CAST(1.0 AS DOUBLE) / (CAST({RRF_K} AS DOUBLE)
+                                    + CAST(rk AS DOUBLE))) AS rrf
+  FROM rrf_lists GROUP BY 1, 2
+),
+rrf_top AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, neighbor_id) AS rk
+    FROM fused
+  ) t WHERE rk <= {TOPK}
+),
+systems AS (
+  SELECT 'rhp' AS system, query_id, neighbor_id, rk FROM rhp_top
+  UNION ALL
+  SELECT 'pq' AS system, query_id, neighbor_id, rk FROM pq_top
+  UNION ALL
+  SELECT 'ivfpq' AS system, query_id, neighbor_id, rk FROM ivfpq_top
+  UNION ALL
+  SELECT 'rrf' AS system, query_id, neighbor_id, rk FROM rrf_top
+),
+shits AS (
+  SELECT s.system, s.query_id, s.rk
+  FROM systems s
+  JOIN bft b ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+),
+perq AS (
+  SELECT system, query_id, CAST(COUNT(*) AS BIGINT) AS nh,
+         CAST(MIN(rk) AS BIGINT) AS fh
+  FROM shits GROUP BY 1, 2
+),
+sysret AS (
+  SELECT system, CAST(COUNT(*) AS BIGINT) AS n_returned
+  FROM systems GROUP BY 1
+)
+SELECT r.system, r.n_returned,
+       CAST(COALESCE(SUM(p.nh), 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(SUM(p.nh), 0) AS DOUBLE)
+         / CAST({N_QUERIES * TOPK} AS DOUBLE) AS recall_at_k,
+       CAST(COALESCE(SUM(CAST(CAST(1.0 AS DOUBLE) / CAST(p.fh AS DOUBLE)
+                              AS DECIMAL(28,6))), 0) AS DOUBLE)
+         / CAST({N_QUERIES} AS DOUBLE) AS mrr
+FROM sysret r LEFT JOIN perq p ON p.system = r.system
+GROUP BY r.system, r.n_returned
+""",
+)
+def search_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family retrieval quality scorecard — the search analog of
+    the dedup agreement scorecard: score every ANN family that emits a
+    per-query ranked list (RHP-LSH, PQ-ADC, IVF-PQ, and the RRF hybrid
+    of the first two) against the DECLARED relevance oracle — exact
+    brute-force cosine top-{TOPK} — on two standard IR metrics per
+    system: recall@{TOPK} (hit mass over {N_QUERIES}x{TOPK} relevant
+    slots) and MRR (mean reciprocal rank of the first relevant result;
+    0 contribution for queries a system misses entirely). One table
+    answers "which index family is losing, and is it losing recall or
+    rank placement" — the comparison a retrieval team runs before
+    picking the production index.
+
+    Determinism: every input list is an already-hash-checked registered
+    query; recall is integer hit counting; each MRR contribution is ONE
+    IEEE division 1/rank quantized to DECIMAL(28,6) before the
+    order-free sum (the BM25 discipline), divided by the constant query
+    count.
+
+    Scale shape: reads four memoized top-k result tables
+    (≤ |queries|·k rows each — persisted index-scan outputs at 100 TB)
+    plus the brute-force truth (an audit-time artifact by design,
+    sampled queries at scale); everything downstream is list-merge-
+    sized joins and one tiny hash agg. The scorecard adds ZERO index
+    work of its own.
+    """
+    ensure_session_conf(spark)
+    bf = _bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    fams = {
+        "rhp": similarity_topk_rhp(spark, sf_dir),
+        "pq": similarity_topk_pq(spark, sf_dir),
+        "ivfpq": similarity_topk_ivfpq(spark, sf_dir),
+        "rrf": similarity_rank_fusion_rrf(spark, sf_dir),
+    }
+    systems = None
+    for name, df in fams.items():
+        part = df.select(
+            F.lit(name).alias("system"), "query_id", "neighbor_id",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        systems = part if systems is None else systems.unionByName(part)
+    shits = systems.join(bf, ["query_id", "neighbor_id"])
+    perq = shits.groupBy("system", "query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.min("rk").cast("bigint").alias("fh"),
+    )
+    sysret = systems.groupBy("system").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returned")
+    )
+    mrr_term = (F.lit(1.0) / F.col("fh").cast("double")).cast(
+        "decimal(28,6)"
+    )
+    return (
+        sysret.join(perq, "system", "left")
+        .groupBy("system", "n_returned")
+        .agg(
+            F.coalesce(F.sum("nh"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.sum("nh"), F.lit(0)).cast("double")
+                / F.lit(float(N_QUERIES * TOPK))
+            ).alias("recall_at_k"),
+            (
+                F.coalesce(F.sum(mrr_term), F.lit(0)).cast("double")
+                / F.lit(float(N_QUERIES))
+            ).alias("mrr"),
+        )
+        .select(
+            "system", "n_returned", "n_hits", "recall_at_k", "mrr"
+        )
     )

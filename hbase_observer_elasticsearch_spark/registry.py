@@ -97,6 +97,9 @@ _PRIORITY = (
     "text_dup_span_merge",
     "similarity_topk_ivfpq",
     "similarity_recall_ivfpq",
+    # --- refactored in r8 (shared-helper extraction; re-attest) ---
+    "search_bm25_topk",
+    "dedup_semantic_kmeans",
     # --- new in r8 ---
     "search_bm25_expanded",
     "text_dedup_apply_spans",
