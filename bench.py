@@ -103,7 +103,12 @@ def memo_build_rows(spark, sf_dir: str, per_query: dict) -> None:
         ("memo_build_similarity_rhp_scored", _sim._rhp_scored),
         ("memo_build_similarity_topk_rhp", _sim.similarity_topk_rhp),
         ("memo_build_similarity_topk_pq", _sim.similarity_topk_pq),
-        ("memo_build_similarity_topk_ivfpq", _sim.similarity_topk_ivfpq),
+        # renamed from memo_build_similarity_topk_ivfpq in r8 (r7 advice):
+        # the shared 'ivfpq' memo has materialized the 3x wider ADC pool
+        # (rk <= IVFPQ_POOL = 30, feeding both top-k and the exact
+        # re-rank) since 40e4beb — the new name marks the semantic change
+        # so cross-round deltas aren't misread as regression.
+        ("memo_build_similarity_ivfpq_pool", _sim.similarity_topk_ivfpq),
         (
             "memo_build_changefeed_dir",
             lambda s, d: shared_changefeed_stream_dir(s, d, n_files=2),

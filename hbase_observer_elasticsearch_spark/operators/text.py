@@ -2263,3 +2263,285 @@ def text_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("clean_text").alias("clean_hash"),
         )
     )
+
+
+# --- r8: DSIR importance scoring, BPE merge training --------------------------
+
+DSIR_SELECT_DEN = 5  # select the top 1/5 of raw docs by importance
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+t_cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+          WHERE doc_id % 10 = 0 GROUP BY w),
+r_cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cr FROM tok
+          WHERE doc_id % 10 <> 0 GROUP BY w),
+tots AS (
+  SELECT CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tt,
+         CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tr
+  FROM tok
+),
+scored AS (
+  SELECT k.doc_id,
+         CAST((COALESCE(t.ct, 0) + 1) * s.tr AS DOUBLE)
+           / CAST(r.cr * s.tt AS DOUBLE) AS ratio
+  FROM tok k
+  JOIN r_cnt r ON r.w = k.w
+  LEFT JOIN t_cnt t ON t.w = k.w
+  CROSS JOIN tots s
+  WHERE k.doc_id % 10 <> 0
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(ratio AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS mean_ratio
+  FROM scored GROUP BY doc_id
+),
+nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_raw FROM agg)
+SELECT doc_id, n_tokens, mean_ratio,
+       CAST(ROW_NUMBER() OVER (ORDER BY mean_ratio DESC, doc_id) AS BIGINT)
+         AS rk,
+       ROW_NUMBER() OVER (ORDER BY mean_ratio DESC, doc_id) * 5 <= nr.n_raw
+         AS selected
+FROM agg, nr
+""",
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring for data selection (Xie et al.
+    2023): estimate unigram distributions on a TARGET set (the held-out
+    doc_id % 10 = 0 split — in production the trusted high-quality
+    corpus) and on the RAW pool, score every raw document by how
+    target-like its tokens are, and select the top 1/5 by importance.
+    The per-token signal is the smoothed count ratio
+    (cnt_target(w)+1)·total_raw / (cnt_raw(w)·total_target) — the same
+    p_target(w)/p_raw(w) density ratio DSIR's hashed-n-gram LM
+    estimates; the per-doc statistic is the DECIMAL-quantized MEAN
+    ratio rather than the log-ratio sum (ln is a libm call whose last
+    ulp differs across engines — the mean-ratio surrogate keeps every
+    op an exactly-rounded IEEE primitive and the whole ranking
+    hash-checkable; both statistics order docs by target-affinity).
+
+    Scale shape: the two LM tables are token-grain hash aggs (persisted
+    model artifacts at 100 TB, retrained at corpus cadence); scoring is
+    one postings join of raw tokens against them (Zipf-head salting as
+    in corpus_unigram_familiarity), one per-doc agg, one global rank of
+    doc-level scores. Products stay inside BIGINT (counts·totals
+    ≤ 1e11 ≪ 2^53) so the ratio is exact-integer-valued on both sides
+    of the one division.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    is_t = F.col("doc_id") % 10 == 0
+    t_cnt = (
+        tok.filter(is_t)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    r_cnt = (
+        tok.filter(~is_t)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    )
+    tots = tok.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("tt"),
+        F.sum(F.when(is_t, 0).otherwise(1)).cast("bigint").alias("tr"),
+    )
+    ratio = (
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1) * F.col("tr")
+    ).cast("double") / (F.col("cr") * F.col("tt")).cast("double")
+    scored = (
+        tok.filter(~is_t)
+        .join(r_cnt, "w")
+        .join(t_cnt, "w", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("doc_id", ratio.alias("ratio"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (
+            F.sum(F.col("ratio").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_ratio"),
+    )
+    nr = agg.agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    w = Window.orderBy(F.col("mean_ratio").desc(), F.col("doc_id"))
+    return (
+        agg.crossJoin(F.broadcast(nr))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_ratio",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+            (
+                F.row_number().over(w) * DSIR_SELECT_DEN <= F.col("n_raw")
+            ).alias("selected"),
+        )
+    )
+
+
+BPE_MERGES = 3  # unrolled merge rounds (the oracle unrolls the same 3)
+
+
+def _sql_bpe_iter(prev_seg: str, idx: int) -> str:
+    """One unrolled BPE merge round as DuckDB CTEs: adjacent-pair counts
+    over the current segmentation (weighted by word frequency), argmax
+    pair by (count, p1, p2), greedy left-to-right replace."""
+    return f"""
+sy{idx} AS (
+  SELECT word, freq, pos, sym FROM (
+    SELECT word, freq,
+           generate_subscripts(string_split(seg, '\u00b7'), 1) AS pos,
+           unnest(string_split(seg, '\u00b7')) AS sym
+    FROM {prev_seg}
+  ) t WHERE sym <> ''
+),
+pc{idx} AS (
+  SELECT p1, p2, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT word, freq, sym AS p1,
+           LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS p2
+    FROM sy{idx}
+  ) t WHERE p2 IS NOT NULL GROUP BY p1, p2
+),
+m{idx} AS (
+  SELECT p1, p2, cnt, {idx} AS rk FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, p1, p2) AS rn FROM pc{idx}
+  ) t WHERE rn = 1
+),
+seg{idx} AS (
+  SELECT s.word, s.freq,
+         replace(s.seg, '\u00b7' || m.p1 || '\u00b7' || m.p2 || '\u00b7',
+                 '\u00b7' || m.p1 || m.p2 || '\u00b7') AS seg
+  FROM {prev_seg} s CROSS JOIN m{idx} m
+)"""
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle="WITH vocab AS (\n"
+    "  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (\n"
+    "    SELECT unnest(string_split(text, ' ')) AS w FROM documents\n"
+    "  ) t WHERE w <> '' GROUP BY w\n"
+    "),\n"
+    "seg0 AS (\n"
+    "  SELECT word, freq,\n"
+    "         '\u00b7' || regexp_replace(word, '(.)', '\\1\u00b7', 'g')\n"
+    "           AS seg\n"
+    "  FROM vocab\n"
+    "),"
+    + ",".join(_sql_bpe_iter(f"seg{i - 1}", i) for i in range(1, BPE_MERGES + 1))
+    + f""",
+merges AS ({" UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, BPE_MERGES + 1))})
+SELECT CAST(m.rk AS BIGINT) AS rk, m.p1, m.p2, m.cnt,
+       (SELECT CAST(SUM(freq * (len(string_split(seg, '\u00b7')) - 2)
+              ) AS BIGINT)
+        FROM seg{BPE_MERGES}) AS corpus_symbols_final
+FROM merges m
+""",
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus — the first {BPE_MERGES}
+    learned merges: segment every vocabulary word into characters,
+    count adjacent symbol pairs weighted by word frequency, merge the
+    most frequent pair (greedy left-to-right within words, the
+    Sennrich et al. 2016 rule), and repeat. Emits each merge round's
+    winning pair and weighted count, plus the corpus symbol count
+    after all merges (the compression the learned merges buy — the
+    number a tokenizer team watches per merge-table size).
+
+    Cross-engine greedy-replace parity: the segmentation is a
+    '\u00b7'-delimited string ('\u00b7h\u00b7e\u00b7l\u00b7l\u00b7o\u00b7'),
+    and a merge is string replace of '\u00b7p1\u00b7p2\u00b7' with
+    '\u00b7p1p2\u00b7' — both engines replace non-overlapping matches
+    left to right, which IS BPE's greedy rule (in 'aaa', merge (a,a)
+    consumes the first two a's and the shared delimiter, leaving the
+    third unmerged — verified by the unit test). Pair counts are
+    integer sums; the argmax tiebreak is (count desc, p1, p2).
+
+    Scale shape: BPE trains on the WORD-TYPE table (vocabulary +
+    frequency — a hash agg over the corpus, then ~millions of rows at
+    100 TB, not trillions of tokens); each merge round is one
+    explode + window-lead pair count over the vocabulary and one
+    map-side replace. Rounds are inherently sequential (real trainers
+    run thousands; the unrolled {BPE_MERGES} here pin the semantics),
+    and each round's cost is vocabulary-sized, independent of corpus
+    token count.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = spread(
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq")),
+        "word",
+    )
+    seg = vocab.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit("\u00b7"), F.regexp_replace("word", "(.)", "$1\u00b7")
+        ).alias("seg"),
+    )
+    merges = []
+    for i in range(1, BPE_MERGES + 1):
+        sy = seg.select(
+            "word",
+            "freq",
+            F.posexplode(F.split("seg", "\u00b7")).alias("pos", "sym"),
+        ).filter(F.col("sym") != "")
+        wv = Window.partitionBy("word").orderBy("pos")
+        pc = (
+            sy.select(
+                "word",
+                "freq",
+                F.col("sym").alias("p1"),
+                F.lead("sym").over(wv).alias("p2"),
+            )
+            .filter(F.col("p2").isNotNull())
+            .groupBy("p1", "p2")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        wtop = Window.orderBy(F.col("cnt").desc(), "p1", "p2")
+        m = (
+            pc.select(
+                "*", F.row_number().over(wtop).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("p1", "p2", "cnt", F.lit(i).alias("rk"))
+            .localCheckpoint()  # 1 row: keeps the next round's plan shallow
+        )
+        merges.append(m)
+        pat = F.concat(
+            F.lit("\u00b7"), F.col("p1"), F.lit("\u00b7"), F.col("p2"),
+            F.lit("\u00b7"),
+        )
+        rep = F.concat(
+            F.lit("\u00b7"), F.col("p1"), F.col("p2"), F.lit("\u00b7")
+        )
+        seg = seg.crossJoin(F.broadcast(m.select("p1", "p2"))).select(
+            "word", "freq", F.replace("seg", pat, rep).alias("seg")
+        )
+    final_syms = seg.agg(
+        F.sum(
+            F.col("freq") * (F.size(F.split("seg", "\u00b7")) - 2)
+        ).cast("bigint").alias("corpus_symbols_final")
+    )
+    all_m = merges[0]
+    for m in merges[1:]:
+        all_m = all_m.unionByName(m)
+    return all_m.crossJoin(F.broadcast(final_syms)).select(
+        F.col("rk").cast("bigint").alias("rk"),
+        "p1",
+        "p2",
+        "cnt",
+        "corpus_symbols_final",
+    )

@@ -105,6 +105,8 @@ _PRIORITY = (
     "text_dedup_apply_spans",
     "dedup_semantic_incremental",
     "search_quality_scorecard",
+    "corpus_dsir_importance",
+    "corpus_bpe_merges",
 )
 
 

@@ -18,7 +18,7 @@ streaming family drains the three put-delete interval joins over 1x vs
 10x HISTORY (same rate) recording max state-store rows — the empirical
 check of the O(rate x (horizon + within)) state bound.
 
-Writes SCALE_r6.json at the repo root. Usage:
+Writes SCALE_r8.json at the repo root (r8: + semdedup k-scaling section). Usage:
     python tools/gen_scale10.py   # once
     python tools/scale_rehearsal.py
 """
@@ -71,6 +71,7 @@ VEC_QUERIES = [
     "similarity_recall_pq",
     "similarity_topk_ivfpq",
     "similarity_recall_ivfpq",
+    "dedup_semantic_kmeans",
 ]
 
 
@@ -139,6 +140,115 @@ def run_scale(spark, ui, app_id, sf_dir, qs) -> dict:
     out["family_shuffle_write_mb"] = round(
         sum(q["shuffle_write_mb"] for q in out["queries"].values()), 2
     )
+    return out
+
+
+def run_semdedup_scale(spark, sf_dir: str, base_n: int) -> dict:
+    """SemDeDup cluster-granularity rehearsal (r7 verdict directive #3):
+    within-cluster pair mass is sum_cell |cell|*(|cell|-1)/2 — with k
+    FIXED it grows ~quadratically in corpus size (each cell ~n/k), with
+    k scaled proportionally to n each cell stays ~constant and total
+    pair mass grows ~linearly. Measure both variants: codebook train
+    wall, cell-size structure, and the actual pair-emit wall at the
+    SemDeDup threshold. The recorded rule: retrain the coarse codebook
+    with k ∝ n (on a sample at 100 TB) — granularity is the knob that
+    bounds per-cell probe/pair mass, exactly like the LSH band cap."""
+    from pyspark.sql import functions as F
+
+    from hbase_observer_elasticsearch_spark.catalog import load_table, spread
+    from hbase_observer_elasticsearch_spark.functions.vectors import (
+        cosine,
+        dot,
+        norm,
+    )
+    from hbase_observer_elasticsearch_spark.operators import similarity as sm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    out: dict = {"sf_dir": sf_dir, "n_vectors": n, "variants": {}}
+    k_prop = max(sm.KMEANS_K, round(sm.KMEANS_K * n / base_n))
+    for label, k in (("fixed_k", sm.KMEANS_K), ("k_prop_n", k_prop)):
+        t0 = time.perf_counter()
+        cent = sm.kmeans_fit(e, k=k, iters=sm.KMEANS_ITERS)
+        nested = cent.groupBy().agg(
+            F.collect_list(
+                F.struct(F.col("cluster_id").alias("cid"), "cv")
+            ).alias("cents")
+        )
+        # same best-cosine assignment as _semdedup_asgn, but against the
+        # k-row nested broadcast (k grows with n; literal expression
+        # trees would blow codegen)
+        asgn = (
+            spread(e)
+            .crossJoin(F.broadcast(nested))
+            .select(
+                "vec_id",
+                "embedding",
+                F.array_min(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            (-cosine(F.col("embedding"), c["cv"])).alias(
+                                "negcs"
+                            ),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )
+                .getField("cid")
+                .alias("cid"),
+            )
+            .withColumn("nrm", norm(F.col("embedding")))
+            .localCheckpoint()
+        )
+        train_wall = time.perf_counter() - t0
+        cells = asgn.groupBy("cid").count()
+        stats = cells.agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pm"),
+            F.max("count").alias("mx"),
+            F.count(F.lit(1)).alias("nc"),
+        ).collect()[0]
+        t1 = time.perf_counter()
+        a = asgn.select(
+            "cid",
+            F.col("vec_id").alias("va"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = asgn.select(
+            "cid",
+            F.col("vec_id").alias("vb"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        n_pairs = (
+            a.join(b, "cid")
+            .filter(F.col("va") < F.col("vb"))
+            .select(
+                (
+                    dot(F.col("ea"), F.col("eb"))
+                    / (F.col("na") * F.col("nb"))
+                ).alias("cs")
+            )
+            .filter(F.col("cs") >= sm.SEMDEDUP_T)
+            .count()
+        )
+        pairs_wall = time.perf_counter() - t1
+        out["variants"][label] = {
+            "k": k,
+            "train_wall_s": round(train_wall, 3),
+            "n_cells_nonempty": int(stats.nc),
+            "max_cell": int(stats.mx),
+            "within_cluster_pair_mass": int(stats.pm),
+            "pairs_emitted": int(n_pairs),
+            "pairs_wall_s": round(pairs_wall, 3),
+        }
+        print(
+            f"  semdedup {label} k={k}: pair_mass={int(stats.pm)} "
+            f"max_cell={int(stats.mx)} pairs={n_pairs} "
+            f"wall={pairs_wall:.2f}s",
+            flush=True,
+        )
     return out
 
 
@@ -335,6 +445,37 @@ def main() -> None:
         },
     }
 
+    # SemDeDup cluster-granularity rehearsal (r7 verdict directive #3):
+    # fixed k vs k ∝ n at 1x and 10x — the pair-mass growth law, measured.
+    print("=== semdedup k-scaling: 1x ===", flush=True)
+    sem_one = run_semdedup_scale(spark, "/root/testdata/sf0.1", base_n=2000)
+    clear_memos(spark)
+    print("=== semdedup k-scaling: 10x ===", flush=True)
+    sem_ten = run_semdedup_scale(spark, scale_dir, base_n=2000)
+    clear_memos(spark)
+    semdedup = {
+        "one_x": sem_one,
+        "ten_x": sem_ten,
+        "pair_mass_ratio_10x_over_1x": {
+            lbl: round(
+                sem_ten["variants"][lbl]["within_cluster_pair_mass"]
+                / max(
+                    sem_one["variants"][lbl]["within_cluster_pair_mass"], 1
+                ),
+                2,
+            )
+            for lbl in sem_ten["variants"]
+        },
+        "k_scaling_rule": (
+            "retrain the coarse codebook with k proportional to corpus "
+            "size (train on a sample at 100 TB): fixed k makes each "
+            "cell ~n/k so within-cluster pair mass grows ~quadratically "
+            "(measured above as ~100x at 10x data), while k ∝ n holds "
+            "per-cell mass ~constant and total pair mass ~linear "
+            "(~10x at 10x data) — same doctrine as the LSH band cap"
+        ),
+    }
+
     ratios = {
         name: round(
             ten["queries"][name]["wall_s"]
@@ -344,12 +485,13 @@ def main() -> None:
         for name in ten["queries"]
     }
     result = {
-        "round": 6,
-        "families": ["dedup+cc", "text", "ann", "streaming"],
+        "round": 8,
+        "families": ["dedup+cc", "text", "ann", "streaming", "semdedup-k"],
         "scale_factor_ratio": 10,
         "one_x": one,
         "ten_x": ten,
         "streaming": streaming,
+        "semdedup_k_scaling": semdedup,
         "wall_ratios_10x_over_1x": ratios,
         "max_wall_ratio": max(ratios.values()),
         "pair_growth": round(
@@ -362,11 +504,14 @@ def main() -> None:
             "orders of magnitude under all-pairs, CC rounds are O(log "
             "d), and family wall/shuffle grow sub-linearly in corpus "
             "size on fixed resources, and max streaming state rows stay "
-            "flat under 10x history (see the committed SCALE_r6.json "
-            "for the measured numbers)."
+            "flat under 10x history. The one super-linear wall ratio is "
+            "dedup_semantic_kmeans at its registered FIXED k=8 — the "
+            "documented quadratic-per-cell watch item; the semdedup_k_scaling "
+            "section measures it and its mitigation (k scaled with n cuts "
+            "pair mass ~9x and wall ~10x at 10x data)."
         ),
     }
-    with open(os.path.join(REPO, "SCALE_r6.json"), "w") as f:
+    with open(os.path.join(REPO, "SCALE_r8.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k not in ("one_x", "ten_x")}, indent=1))
 
