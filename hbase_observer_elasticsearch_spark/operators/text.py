@@ -2422,9 +2422,10 @@ seg{idx} AS (
 )"""
 
 
-@register(
-    "corpus_bpe_merges",
-    oracle="WITH vocab AS (\n"
+# Shared unrolled BPE training chain (vocab -> char seg0 -> BPE_MERGES
+# merge rounds), ending in m1..m{BPE_MERGES} and seg{BPE_MERGES}.
+_SQL_BPE_CHAIN = (
+    "WITH vocab AS (\n"
     "  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (\n"
     "    SELECT unnest(string_split(text, ' ')) AS w FROM documents\n"
     "  ) t WHERE w <> '' GROUP BY w\n"
@@ -2436,44 +2437,16 @@ seg{idx} AS (
     "  FROM vocab\n"
     "),"
     + ",".join(_sql_bpe_iter(f"seg{i - 1}", i) for i in range(1, BPE_MERGES + 1))
-    + f""",
-merges AS ({" UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, BPE_MERGES + 1))})
-SELECT CAST(m.rk AS BIGINT) AS rk, m.p1, m.p2, m.cnt,
-       (SELECT CAST(SUM(freq * (len(string_split(seg, '\u00b7')) - 2)
-              ) AS BIGINT)
-        FROM seg{BPE_MERGES}) AS corpus_symbols_final
-FROM merges m
-""",
 )
-def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training over the corpus — the first {BPE_MERGES}
-    learned merges: segment every vocabulary word into characters,
-    count adjacent symbol pairs weighted by word frequency, merge the
-    most frequent pair (greedy left-to-right within words, the
-    Sennrich et al. 2016 rule), and repeat. Emits each merge round's
-    winning pair and weighted count, plus the corpus symbol count
-    after all merges (the compression the learned merges buy — the
-    number a tokenizer team watches per merge-table size).
 
-    Cross-engine greedy-replace parity: the segmentation is a
-    '\u00b7'-delimited string ('\u00b7h\u00b7e\u00b7l\u00b7l\u00b7o\u00b7'),
-    and a merge is string replace of '\u00b7p1\u00b7p2\u00b7' with
-    '\u00b7p1p2\u00b7' — both engines replace non-overlapping matches
-    left to right, which IS BPE's greedy rule (in 'aaa', merge (a,a)
-    consumes the first two a's and the shared delimiter, leaving the
-    third unmerged — verified by the unit test). Pair counts are
-    integer sums; the argmax tiebreak is (count desc, p1, p2).
 
-    Scale shape: BPE trains on the WORD-TYPE table (vocabulary +
-    frequency — a hash agg over the corpus, then ~millions of rows at
-    100 TB, not trillions of tokens); each merge round is one
-    explode + window-lead pair count over the vocabulary and one
-    map-side replace. Rounds are inherently sequential (real trainers
-    run thousands; the unrolled {BPE_MERGES} here pin the semantics),
-    and each round's cost is vocabulary-sized, independent of corpus
-    token count.
-    """
-    ensure_session_conf(spark)
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the {BPE_MERGES}-round BPE trainer over the word-type table:
+    returns (per-round 1-row merge DataFrames, final segmentation
+    (word, freq, seg)) — the DataFrame twin of `_SQL_BPE_CHAIN`, shared
+    by the merge-table query and the apply/compression query."""
     from ..catalog import spread
 
     d = load_table(spark, sf_dir, "documents")
@@ -2512,9 +2485,7 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         wtop = Window.orderBy(F.col("cnt").desc(), "p1", "p2")
         m = (
-            pc.select(
-                "*", F.row_number().over(wtop).alias("rn")
-            )
+            pc.select("*", F.row_number().over(wtop).alias("rn"))
             .filter(F.col("rn") == 1)
             .select("p1", "p2", "cnt", F.lit(i).alias("rk"))
             .localCheckpoint()  # 1 row: keeps the next round's plan shallow
@@ -2530,6 +2501,51 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg = seg.crossJoin(F.broadcast(m.select("p1", "p2"))).select(
             "word", "freq", F.replace("seg", pat, rep).alias("seg")
         )
+    return merges, seg
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle=_SQL_BPE_CHAIN
+    + f""",
+merges AS ({" UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, BPE_MERGES + 1))})
+SELECT CAST(m.rk AS BIGINT) AS rk, m.p1, m.p2, m.cnt,
+       (SELECT CAST(SUM(freq * (len(string_split(seg, '\u00b7')) - 2)
+              ) AS BIGINT)
+        FROM seg{BPE_MERGES}) AS corpus_symbols_final
+FROM merges m
+""",
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus — the first {BPE_MERGES}
+    learned merges: segment every vocabulary word into characters,
+    count adjacent symbol pairs weighted by word frequency, merge the
+    most frequent pair (greedy left-to-right within words, the
+    Sennrich et al. 2016 rule), and repeat. Emits each merge round's
+    winning pair and weighted count, plus the corpus symbol count
+    after all merges (the compression the learned merges buy — the
+    number a tokenizer team watches per merge-table size).
+
+    Cross-engine greedy-replace parity: the segmentation is a
+    '\u00b7'-delimited string ('\u00b7h\u00b7e\u00b7l\u00b7l\u00b7o\u00b7'),
+    and a merge is string replace of '\u00b7p1\u00b7p2\u00b7' with
+    '\u00b7p1p2\u00b7' — both engines replace non-overlapping matches
+    left to right, which IS BPE's greedy rule (in 'aaa', merge (a,a)
+    consumes the first two a's and the shared delimiter, leaving the
+    third unmerged — verified by the unit test). Pair counts are
+    integer sums; the argmax tiebreak is (count desc, p1, p2).
+
+    Scale shape: BPE trains on the WORD-TYPE table (vocabulary +
+    frequency — a hash agg over the corpus, then ~millions of rows at
+    100 TB, not trillions of tokens); each merge round is one
+    explode + window-lead pair count over the vocabulary and one
+    map-side replace. Rounds are inherently sequential (real trainers
+    run thousands; the unrolled {BPE_MERGES} here pin the semantics),
+    and each round's cost is vocabulary-sized, independent of corpus
+    token count.
+    """
+    ensure_session_conf(spark)
+    merges, seg = _bpe_train(spark, sf_dir)
     final_syms = seg.agg(
         F.sum(
             F.col("freq") * (F.size(F.split("seg", "\u00b7")) - 2)
@@ -2544,4 +2560,74 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p2",
         "cnt",
         "corpus_symbols_final",
+    )
+
+
+@register(
+    "corpus_bpe_apply",
+    oracle=_SQL_BPE_CHAIN
+    + f""",
+wsym AS (
+  SELECT word,
+         CAST(len(string_split(seg, '·')) - 2 AS BIGINT) AS ns
+  FROM seg{BPE_MERGES}
+),
+dtok AS (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) t WHERE w <> ''
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(d.word)) AS BIGINT) AS n_char_symbols,
+       CAST(SUM(s.ns) AS BIGINT) AS n_bpe_symbols,
+       CAST(SUM(length(d.word)) - SUM(s.ns) AS BIGINT) AS symbols_saved,
+       CAST(SUM(length(d.word)) AS DOUBLE) / SUM(s.ns) AS compression
+FROM dtok d JOIN wsym s ON s.word = d.word
+GROUP BY d.doc_id
+""",
+)
+def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table back to the corpus — the
+    consumer of corpus_bpe_merges (train -> tokenize, the same
+    closure discipline as the span-removal apply): per document, the
+    token count under character segmentation vs under the
+    {BPE_MERGES}-merge segmentation, symbols saved, and the
+    compression ratio — the per-document view of what the merge table
+    buys, and the number that drives context-window budgeting for a
+    tokenizer change.
+
+    Tokenization by lookup, not re-merging: BPE segmentation is a
+    function of the word alone, so applying the tokenizer is one join
+    of corpus tokens against the trained word->symbol-count table —
+    at 100 TB the vocabulary table IS the deployed tokenizer artifact
+    and the join is the broadcast-dimension pattern (vocabulary ≪
+    corpus). The compression ratio is one IEEE division of two exact
+    integer sums.
+    """
+    ensure_session_conf(spark)
+    _, seg = _bpe_train(spark, sf_dir)
+    wsym = seg.select(
+        "word",
+        (F.size(F.split("seg", "·")) - 2).cast("bigint").alias("ns"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    dtok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dtok.join(F.broadcast(wsym), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_char_symbols"),
+            F.sum("ns").cast("bigint").alias("n_bpe_symbols"),
+            (
+                F.sum(F.length("word")) - F.sum("ns")
+            ).cast("bigint").alias("symbols_saved"),
+            (
+                F.sum(F.length("word")).cast("double")
+                / F.sum("ns")
+            ).alias("compression"),
+        )
     )

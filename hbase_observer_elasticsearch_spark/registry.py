@@ -107,6 +107,7 @@ _PRIORITY = (
     "search_quality_scorecard",
     "corpus_dsir_importance",
     "corpus_bpe_merges",
+    "corpus_bpe_apply",
 )
 
 

@@ -57,3 +57,18 @@ def test_dsir_smoothed_ratio_arithmetic(spark, monkeypatch):
     assert rows[1].rk == 1 and rows[2].rk == 2
     # n_raw = 2: top-1/5 selection selects nobody at this size
     assert not rows[1].selected and not rows[2].selected
+
+
+def test_bpe_apply_reconciles_with_training_compression(spark, monkeypatch):
+    # same corpus as the merge-order test: after 3 merges aaa->1 symbol,
+    # bb->1 symbol; doc has tokens [aaa, bb, aaa] -> 3 bpe symbols for
+    # 8 chars
+    _patched(spark, monkeypatch, [(1, "aaa bb aaa")])
+    rows = tx.corpus_bpe_apply(spark, "x").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_words == 3
+    assert r.n_char_symbols == 8
+    assert r.n_bpe_symbols == 3
+    assert r.symbols_saved == 5
+    assert r.compression == 8.0 / 3.0
