@@ -2333,9 +2333,11 @@ SEM_INCR_NUM = 3
 SEM_INCR_DEN = 4
 
 
-@register(
-    "dedup_semantic_incremental",
-    oracle=f"""
+# Shared batch restatement of the incremental SemDeDup admission — the
+# oracle of BOTH the batch query and its streaming twin
+# (stream_queries.stream_semantic_admission), which must emit exactly
+# these rows.
+_SQL_SEM_INCR = f"""
 {_SQL_SEMDEDUP_ASGN},
 mx AS (SELECT (MAX(vec_id) + 1) * {SEM_INCR_NUM} // {SEM_INCR_DEN}
          AS split FROM embeddings),
@@ -2356,8 +2358,10 @@ SELECT n.vec_id, CAST(n.cid AS INT) AS cluster_id,
        CAST(COALESCE(a.best_cos, -2.0) AS DOUBLE) AS best_cos,
        a.vec_id IS NULL AS admit
 FROM newv n LEFT JOIN hagg a ON a.vec_id = n.vec_id
-""",
-)
+"""
+
+
+@register("dedup_semantic_incremental", oracle=_SQL_SEM_INCR)
 def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SemDeDup admission — the ANN analog of
     dedup_incremental_new_batch: treat the top quarter of the vec-id

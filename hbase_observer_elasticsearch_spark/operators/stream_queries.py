@@ -841,3 +841,135 @@ def stream_exact_dedup_keyed_state(
     return emitted.select(
         "canon_hash", F.col("keeper_doc_id").cast("bigint").alias("keeper_doc_id")
     )
+
+
+from .similarity import _SQL_SEM_INCR as _SQL_SEM_ADMISSION  # noqa: E402
+
+
+@register(
+    "stream_semantic_admission",
+    # same batch restatement as dedup_semantic_incremental: the streaming
+    # drain must emit exactly the batch admission table
+    oracle=_SQL_SEM_ADMISSION,
+)
+def stream_semantic_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup admission ON INGEST — the streaming twin of
+    dedup_semantic_incremental: the new-batch embeddings (top quarter of
+    the id space) replayed as a 2-file stream, each micro-batch assigned
+    to the standing coarse codebook MAP-SIDE (array-argmin over the k
+    literal centroids — no window, stream-safe, same best-cosine/cid
+    tiebreak as the batch `_semdedup_asgn`), left-outer stream-static
+    joined against the standing corpus on (same cluster AND cosine >=
+    threshold), and aggregated per new vector in update mode. Emits the
+    identical admission table the batch query computes — proven by
+    sharing its DuckDB oracle verbatim.
+
+    Update-mode soundness: the feed is range-partitioned on vec_id, so
+    each new vector's rows arrive in exactly one micro-batch and its
+    aggregate settles there — the memory sink holds one final row per
+    vector, no cross-batch revision.
+
+    Scale shape (100 TB ingest): the standing side is cluster-keyed
+    (the ANN index's own partitioning) and pinned once, not recomputed
+    per batch (localCheckpoint here; a persisted table in production);
+    per micro-batch cost is batch-rows x probed-cell size, the same
+    bound as the batch query, paid incrementally at ingest frequency.
+    """
+    ensure_session_conf(spark)
+    from pyspark.sql import types as T
+
+    from ..functions.vectors import cosine, dot, norm
+    from ..operators.similarity import (
+        SEM_INCR_DEN,
+        SEM_INCR_NUM,
+        SEMDEDUP_T,
+        _coarse_cents,
+        _semdedup_asgn,
+    )
+    from ..sources.changefeed import write_changefeed_stream_dir
+
+    e = load_table(spark, sf_dir, "embeddings")
+    split = e.agg(
+        F.expr(f"(MAX(vec_id) + 1) * {SEM_INCR_NUM} DIV {SEM_INCR_DEN}")
+    ).collect()[0][0]
+    # standing side: batch assignment, pinned so micro-batches re-join a
+    # materialized table instead of re-running the assignment window
+    old = (
+        _semdedup_asgn(spark, sf_dir)
+        .filter(F.col("vec_id") < split)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("old_vec"),
+            F.col("embedding").alias("oe"),
+            F.col("nrm").alias("onrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def cos_to(cv: list[float]) -> F.Column:
+        lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+        return cosine(F.col("embedding"), lit_cv)
+
+    scored = F.array(
+        *[
+            F.struct((-cos_to(cv)).alias("negcs"), F.lit(cid).alias("cid"))
+            for cid, cv in _coarse_cents(spark, sf_dir)
+        ]
+    )
+    base = _scratch("stream_sem_admission_")
+    try:
+        feed_dir = os.path.join(base, "newvecs")
+        write_changefeed_stream_dir(
+            e.filter(F.col("vec_id") >= split).select(
+                F.col("vec_id").alias("seq"), "embedding"
+            ),
+            feed_dir,
+            n_files=2,
+        )
+        feed_schema = T.StructType(
+            [
+                T.StructField("seq", T.LongType(), False),
+                T.StructField(
+                    "embedding", T.ArrayType(T.FloatType()), True
+                ),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+            .select(
+                F.col("seq").alias("vec_id"),
+                "embedding",
+                F.array_min(scored).getField("cid").alias("cluster_id"),
+                norm(F.col("embedding")).alias("nnrm"),
+            )
+        )
+        cs = dot(F.col("embedding"), F.col("oe")) / (
+            F.col("nnrm") * F.col("onrm")
+        )
+        joined = stream.join(
+            old,
+            (stream["cluster_id"] == old["cluster_id"]) & (cs >= SEMDEDUP_T),
+            "left_outer",
+        ).select(
+            "vec_id",
+            stream["cluster_id"].alias("cluster_id"),
+            "old_vec",
+            cs.alias("cs"),
+        )
+        admitted = joined.groupBy("vec_id", "cluster_id").agg(
+            F.count("old_vec").cast("bigint").alias("n_near_dups"),
+            F.coalesce(F.max("cs"), F.lit(-2.0))
+            .cast("double")
+            .alias("best_cos"),
+            (F.count("old_vec") == 0).alias("admit"),
+        )
+        emitted = _drain_to_local(spark, admitted, base, output_mode="update")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted.select(
+        "vec_id", "cluster_id", "n_near_dups", "best_cos", "admit"
+    )

@@ -108,6 +108,7 @@ _PRIORITY = (
     "corpus_dsir_importance",
     "corpus_bpe_merges",
     "corpus_bpe_apply",
+    "stream_semantic_admission",
 )
 
 

@@ -72,3 +72,25 @@ def test_bpe_apply_reconciles_with_training_compression(spark, monkeypatch):
     assert r.n_bpe_symbols == 3
     assert r.symbols_saved == 5
     assert r.compression == 8.0 / 3.0
+
+
+def test_stream_semantic_admission_equals_batch(spark, sf_dir):
+    # the streaming drain and the batch query share one oracle; pin the
+    # stronger row-identity claim directly (same data, same fold -> the
+    # doubles must be bit-identical, not approximately equal)
+    from hbase_observer_elasticsearch_spark.operators.similarity import (
+        dedup_semantic_incremental,
+    )
+    from hbase_observer_elasticsearch_spark.operators.stream_queries import (
+        stream_semantic_admission,
+    )
+
+    batch = {
+        r.vec_id: (r.cluster_id, r.n_near_dups, r.best_cos, r.admit)
+        for r in dedup_semantic_incremental(spark, sf_dir).collect()
+    }
+    stream = {
+        r.vec_id: (r.cluster_id, r.n_near_dups, r.best_cos, r.admit)
+        for r in stream_semantic_admission(spark, sf_dir).collect()
+    }
+    assert stream == batch
