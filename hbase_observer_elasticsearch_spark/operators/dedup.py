@@ -2162,3 +2162,205 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("best_jaccard"),
         )
     )
+
+
+# --- r8: end-to-end pipeline funnel ------------------------------------------
+
+
+@register(
+    "corpus_pipeline_funnel",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS doc_id, rc.r
+  FROM edges e JOIN reach rc ON rc.doc_id = e.dst
+),
+cc AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+docs0 AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+         md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+           AS canon
+  FROM documents
+),
+s1 AS (
+  SELECT d.* FROM docs0 d
+  JOIN (SELECT canon, MIN(doc_id) AS keeper FROM docs0 GROUP BY canon) k
+    ON k.canon = d.canon AND k.keeper = d.doc_id
+),
+s2 AS (
+  SELECT s.* FROM s1 s
+  JOIN cc ON cc.doc_id = s.doc_id
+  JOIN (SELECT c.cluster_id, MIN(t.doc_id) AS keeper
+        FROM s1 t JOIN cc c ON c.doc_id = t.doc_id
+        GROUP BY c.cluster_id) k
+    ON k.cluster_id = cc.cluster_id AND k.keeper = s.doc_id
+),
+starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, GREATEST(length(text), 1), 90))
+           AS start_pos
+  FROM documents
+),
+chp AS (
+  SELECT doc_id, start_pos, md5(substring(text, start_pos, 120)) AS h
+  FROM starts
+  WHERE length(substring(text, start_pos, 120)) = 120
+),
+dup_h AS (SELECT h FROM chp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dup_starts AS (
+  SELECT c.doc_id, c.start_pos,
+         c.start_pos - 90 * ROW_NUMBER() OVER (
+           PARTITION BY c.doc_id ORDER BY c.start_pos) AS grp
+  FROM chp c WHERE c.h IN (SELECT h FROM dup_h)
+),
+spans AS (
+  SELECT doc_id, MAX(start_pos) + 120 - MIN(start_pos) AS span_chars
+  FROM dup_starts GROUP BY doc_id, grp
+),
+dmap AS (
+  SELECT doc_id, CAST(SUM(span_chars) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+),
+raw AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(nc) AS BIGINT) AS ch
+  FROM docs0
+),
+stages AS (
+  SELECT CAST(0 AS BIGINT) AS stage_no, 'raw' AS stage,
+         nd AS n_docs, ch AS n_chars
+  FROM raw
+  UNION ALL
+  SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(nc) AS BIGINT)
+  FROM s1
+  UNION ALL
+  SELECT 2, 'fuzzy_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(nc) AS BIGINT)
+  FROM s2
+  UNION ALL
+  SELECT 3, 'span_excision', CAST((SELECT COUNT(*) FROM s2) AS BIGINT),
+         CAST((SELECT SUM(nc) FROM s2)
+              - COALESCE((SELECT SUM(m.dup_chars)
+                          FROM s2 JOIN dmap m ON m.doc_id = s2.doc_id), 0)
+              AS BIGINT)
+)
+SELECT s.stage_no, s.stage, s.n_docs, s.n_chars,
+       CAST(s.n_docs AS DOUBLE) / r.nd AS docs_retained_frac,
+       CAST(s.n_chars AS DOUBLE) / r.ch AS chars_retained_frac
+FROM stages s CROSS JOIN raw r
+""",
+)
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup-pipeline FUNNEL — the accounting report every
+    training-data team keeps: documents and characters surviving each
+    stage of the standard pipeline, applied in sequence:
+
+      0 raw -> 1 exact dedup (keep MIN doc_id per canonical
+      sorted-bag-of-words hash) -> 2 fuzzy dedup (among exact
+      survivors, keep MIN doc_id per Jaccard connected component) ->
+      3 span excision (subtract each survivor's duplicated-char mass
+      from the removal map).
+
+    One table answers "where does the data go" — which stage pays for
+    itself, and what fraction of chars the final corpus keeps. Stages
+    compose the registered operators' exact semantics (dedup_exact's
+    canonical hash, dedup_clusters' CC labels, text_dup_span_merge's
+    merged spans), so the funnel is consistent with every per-stage
+    query by construction.
+
+    Scale shape: reads the memoized CC label table and the span map's
+    linear chunk-hash pass; the keep-rules are two windowed MINs (one
+    per blocking key). Nothing here adds pairwise work — the funnel is
+    a projection over artifacts the pipeline already maintains. Each
+    retained fraction is one IEEE division of exact integer sums.
+    """
+    ensure_session_conf(spark)
+    from .text import _merged_dup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.concat_ws(" ", F.array_sort(F.split(F.col("text"), " ")))
+    )
+    docs0 = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("nc"),
+        canon.alias("canon"),
+    )
+    w_canon = Window.partitionBy("canon")
+    s1 = (
+        docs0.withColumn("keeper", F.min("doc_id").over(w_canon))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    labels = _jaccard_cc_labels(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    w_cl = Window.partitionBy("cluster_id")
+    s2 = (
+        s1.join(labels, "doc_id")
+        .withColumn("keeper", F.min("doc_id").over(w_cl))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper", "cluster_id")
+    )
+    dmap = _merged_dup_spans(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum("span_chars").cast("bigint").alias("dup_chars")
+    )
+    raw = docs0.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("nc").cast("bigint").alias("ch"),
+    )
+
+    def _stage(df, no: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(no).cast("bigint").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+        )
+
+    s3_chars = (
+        s2.join(dmap, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum("nc") - F.coalesce(F.sum("dup_chars"), F.lit(0))
+            ).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            F.lit(3).cast("bigint").alias("stage_no"),
+            F.lit("span_excision").alias("stage"),
+            "n_docs",
+            "n_chars",
+        )
+    )
+    stages = (
+        raw.select(
+            F.lit(0).cast("bigint").alias("stage_no"),
+            F.lit("raw").alias("stage"),
+            F.col("nd").alias("n_docs"),
+            F.col("ch").alias("n_chars"),
+        )
+        .unionByName(_stage(s1, 1, "exact_dedup"))
+        .unionByName(_stage(s2, 2, "fuzzy_dedup"))
+        .unionByName(s3_chars)
+    )
+    return stages.crossJoin(F.broadcast(raw)).select(
+        "stage_no",
+        "stage",
+        "n_docs",
+        "n_chars",
+        (F.col("n_docs").cast("double") / F.col("nd")).alias(
+            "docs_retained_frac"
+        ),
+        (F.col("n_chars").cast("double") / F.col("ch")).alias(
+            "chars_retained_frac"
+        ),
+    )

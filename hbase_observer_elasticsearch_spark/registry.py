@@ -109,6 +109,7 @@ _PRIORITY = (
     "corpus_bpe_merges",
     "corpus_bpe_apply",
     "stream_semantic_admission",
+    "corpus_pipeline_funnel",
 )
 
 

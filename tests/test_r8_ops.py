@@ -94,3 +94,30 @@ def test_stream_semantic_admission_equals_batch(spark, sf_dir):
         for r in stream_semantic_admission(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_pipeline_funnel_monotone_and_consistent(spark, sf_dir):
+    from hbase_observer_elasticsearch_spark.operators.dedup import (
+        corpus_pipeline_funnel,
+        dedup_exact,
+    )
+
+    rows = sorted(
+        corpus_pipeline_funnel(spark, sf_dir).collect(),
+        key=lambda r: r.stage_no,
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "exact_dedup", "fuzzy_dedup", "span_excision",
+    ]
+    # docs and chars never increase down the funnel; fractions in (0, 1]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_chars <= prev.n_chars
+    for r in rows:
+        assert 0 < r.docs_retained_frac <= 1.0
+        assert 0 < r.chars_retained_frac <= 1.0
+    # stage-1 consistency with the registered exact-dedup query
+    n_canon = (
+        dedup_exact(spark, sf_dir).select("canon_hash").distinct().count()
+    )
+    assert rows[1].n_docs == n_canon
