@@ -1,0 +1,432 @@
+"""Query-planning & physical-layout audit operators [NORTH-STAR].
+
+The optimizer-facing side of running at 100 TB: cardinality estimation
+(the statistics a CBO would keep, and how wrong each fidelity level is),
+sample-driven range partitioning (what ``repartitionByRange`` does
+internally, made auditable), and watermark-delay selection for streaming
+(how late *would* data be, measured from arrival skew).
+
+Reference parity: the reference (observer6/*.java) has no planner — it
+hard-codes flush thresholds (ElasticSearchBulkOperator.java:33-35). These
+operators are the north-star engine surface that replaces hard-coded
+constants with data-derived plans.
+
+Everything is exact BIGINT / md5 arithmetic (the repo's determinism
+discipline): estimates use integer DIV, ratios are single IEEE divisions
+of integer operands, so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..session import ensure_session_conf
+
+# layout_range_partition_balance
+RANGE_PARTS = 32  # target partition count (mirrors spark.sql.shuffle.partitions)
+SAMPLE_HEX = "10"  # md5-gate: first 2 hex chars < '10' => 16/256 = 1/16 sample
+
+# stream_watermark_lateness_audit
+JITTER_MOD_US = 600_000_000  # deterministic "network delay": 0..10 min
+BLOCK_US = 3_600_000_000  # 1-hour arrival blocks for the distributed prefix-scan
+WM_DELAYS_S = (60, 300, 900)  # candidate withWatermark delays to audit
+
+
+@register(
+    "profile_join_cardinality_est",
+    oracle="""
+WITH ok AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, strftime(o_orderdate, '%Y-%m') AS m
+  FROM orders
+),
+lk AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, strftime(l_shipdate, '%Y-%m') AS m
+  FROM lineitem
+),
+oc AS (SELECT d, m, CAST(COUNT(*) AS BIGINT) AS c FROM ok GROUP BY d, m),
+lc AS (SELECT d, m, CAST(COUNT(*) AS BIGINT) AS c FROM lk GROUP BY d, m),
+act AS (
+  SELECT CAST(COALESCE(SUM(oc.c * lc.c), 0) AS BIGINT) AS actual_rows
+  FROM oc JOIN lc ON oc.d = lc.d
+),
+tots AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ok) AS n_o,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lk) AS n_l,
+         (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM ok) AS ndv_o,
+         (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM lk) AS ndv_l
+),
+om AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c,
+              CAST(COUNT(DISTINCT d) AS BIGINT) AS nd
+       FROM ok GROUP BY m),
+lm AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c,
+              CAST(COUNT(DISTINCT d) AS BIGINT) AS nd
+       FROM lk GROUP BY m),
+hist AS (
+  SELECT CAST(COALESCE(SUM(om.c * lm.c
+                           // GREATEST(om.nd, lm.nd)), 0) AS BIGINT)
+           AS est_hist_month
+  FROM om JOIN lm ON om.m = lm.m
+)
+SELECT t.n_o, t.n_l, t.ndv_o, t.ndv_l, a.actual_rows,
+       CAST(t.n_o * t.n_l // GREATEST(t.ndv_o, t.ndv_l) AS BIGINT)
+         AS est_uniform_ndv,
+       h.est_hist_month,
+       CAST(GREATEST(t.n_o * t.n_l // GREATEST(t.ndv_o, t.ndv_l),
+                     a.actual_rows) AS DOUBLE)
+         / LEAST(t.n_o * t.n_l // GREATEST(t.ndv_o, t.ndv_l),
+                 a.actual_rows) AS qerr_uniform,
+       CAST(GREATEST(h.est_hist_month, a.actual_rows) AS DOUBLE)
+         / LEAST(h.est_hist_month, a.actual_rows) AS qerr_hist_month
+FROM tots t, act a, hist h
+""",
+)
+def profile_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation at three statistics fidelities — the
+    cost-based-optimizer story behind every join-order / broadcast
+    decision at 100 TB. The probe join is the *non-key* date join
+    orders.o_orderdate = lineitem.l_shipdate (many-to-many), and the
+    estimate ladder is:
+
+    1. **uniform-NDV (Selinger)**: |O|·|L| DIV max(ndv) — what an engine
+       with only table counts + distinct counts predicts;
+    2. **monthly histogram**: Σ_m cO_m·cL_m DIV max(ndv_days_O_m,
+       ndv_days_L_m) — equi-time buckets with per-bucket NDV, the
+       ANALYZE-level statistic;
+    3. **per-key histogram**: Σ_d cO_d·cL_d — lossless; this identity IS
+       the actual join count, computed here from the two count tables
+       without materializing a single joined row (the same trick lets a
+       planner *bound* a join exactly when both MCV lists are complete).
+
+    q-errors (max(est,act)/min) quantify each level's risk. On this
+    synthetic corpus the date keys are near-uniform, so the audit
+    *certifies* the cheap estimate (qerr ~1.0 at sf0.01) — that
+    certification is the operational point: run on skewed production
+    keys the same query is the alarm that says "uniform-NDV would
+    mis-size this join; keep histograms" (the skewed case is pinned by
+    a literal-DataFrame unit test, where uniform-NDV underestimates a
+    geometric key by >2x and the month-grain histogram recovers it).
+    All estimates are exact BIGINT with integer DIV; each q-error is
+    one IEEE division of integer operands — bit-identical across
+    engines.
+
+    Scale shape: two date-grain groupBys (map-side combine to |dates|
+    rows) and month-grain aggregates over those; the fact tables are
+    each scanned once and the estimation itself runs on KB-sized stats
+    tables — exactly how a CBO consumes statistics.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("d"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+    )
+    oc = o.groupBy("d", "m").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lc = l.groupBy("d", "m").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    act = (
+        oc.select("d", "c")
+        .join(lc.select("d", F.col("c").alias("c2")), "d")
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("c2")), F.lit(0))
+            .cast("bigint")
+            .alias("actual_rows")
+        )
+    )
+    tots = (
+        o.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_o"),
+            F.countDistinct("d").cast("bigint").alias("ndv_o"),
+        )
+        .crossJoin(
+            l.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_l"),
+                F.countDistinct("d").cast("bigint").alias("ndv_l"),
+            )
+        )
+    )
+    om = oc.groupBy("m").agg(
+        F.sum("c").cast("bigint").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    lm = lc.groupBy("m").agg(
+        F.sum("c").cast("bigint").alias("c2"),
+        F.count(F.lit(1)).cast("bigint").alias("nd2"),
+    )
+    hist = om.join(lm, "m").agg(
+        F.coalesce(
+            F.sum(
+                F.expr("c * c2 DIV greatest(nd, nd2)")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("est_hist_month")
+    )
+    est_u = F.expr("n_o * n_l DIV greatest(ndv_o, ndv_l)").cast("bigint")
+    return (
+        tots.crossJoin(F.broadcast(act))
+        .crossJoin(F.broadcast(hist))
+        .select(
+            "n_o",
+            "n_l",
+            "ndv_o",
+            "ndv_l",
+            "actual_rows",
+            est_u.alias("est_uniform_ndv"),
+            "est_hist_month",
+            (
+                F.greatest(est_u, F.col("actual_rows")).cast("double")
+                / F.least(est_u, F.col("actual_rows"))
+            ).alias("qerr_uniform"),
+            (
+                F.greatest(F.col("est_hist_month"), F.col("actual_rows")).cast(
+                    "double"
+                )
+                / F.least(F.col("est_hist_month"), F.col("actual_rows"))
+            ).alias("qerr_hist_month"),
+        )
+    )
+
+
+@register(
+    "layout_range_partition_balance",
+    oracle=f"""
+WITH samp AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE substr(md5('rps:' || CAST(l_orderkey AS VARCHAR) || ':'
+               || CAST(l_linenumber AS VARCHAR)), 1, 2) < '{SAMPLE_HEX}'
+),
+tiles AS (
+  SELECT l_orderkey,
+         ntile({RANGE_PARTS}) OVER (ORDER BY l_orderkey, l_linenumber) AS t
+  FROM samp
+),
+bounds AS (
+  SELECT CAST(MAX(l_orderkey) AS BIGINT) AS b FROM tiles
+  WHERE t < {RANGE_PARTS} GROUP BY t
+),
+blist AS (SELECT list(b ORDER BY b) AS bl FROM bounds),
+assigned AS (
+  SELECT CAST(len(list_filter(bl.bl, x -> li.l_orderkey > x)) AS BIGINT)
+           AS partition_id,
+         li.l_orderkey
+  FROM lineitem li CROSS JOIN blist bl
+),
+parts AS (
+  SELECT partition_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+         CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+  FROM assigned GROUP BY partition_id
+)
+SELECT partition_id, n_rows, min_key, max_key,
+       CAST(n_rows * {RANGE_PARTS} AS DOUBLE)
+         / SUM(n_rows) OVER () AS load_x_avg
+FROM parts
+""",
+)
+def layout_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-driven range partitioning, made auditable — exactly what
+    Spark's ``repartitionByRange`` / ``RangePartitioner`` does with its
+    reservoir sample, but with a deterministic md5-gate sample so the
+    boundary choice (and its imbalance cost) can be *measured* instead
+    of trusted: draw a 1/16 sample of lineitem, cut it into
+    {RANGE_PARTS} ntiles on (l_orderkey, l_linenumber), take each
+    tile's max key as a boundary, then assign the FULL table by binary-
+    search semantics (partition = #boundaries < key, here expressed as
+    size(filter(boundaries, b -> key > b)) over a broadcast boundary
+    array — no row blow-up, no extra shuffle).
+
+    ``load_x_avg`` (n_rows x P / total) is the balance verdict: 1.0 is
+    perfect; a partition at 2.0 would straggle at 2x. Duplicate keys
+    must land in one partition (range partitioning cannot split a key),
+    so heavy keys surface here as load > 1 — the audit a 100 TB sort or
+    write-with-sorted-layout should run before committing to a boundary
+    set. The boundary table is {RANGE_PARTS}-1 rows: broadcast-scale by
+    construction, same doctrine as the IVF codebook.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    gate = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("rps:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+    samp = li.filter(gate < SAMPLE_HEX)
+    tiles = samp.select(
+        "l_orderkey",
+        F.ntile(RANGE_PARTS)
+        .over(Window.orderBy("l_orderkey", "l_linenumber"))
+        .alias("t"),
+    )
+    bounds = (
+        tiles.filter(F.col("t") < RANGE_PARTS)
+        .groupBy("t")
+        .agg(F.max("l_orderkey").cast("bigint").alias("b"))
+    )
+    blist = bounds.agg(
+        F.array_sort(F.collect_list("b")).alias("bl")
+    )
+    assigned = li.crossJoin(F.broadcast(blist)).select(
+        F.size(
+            F.filter("bl", lambda x: F.col("l_orderkey") > x)
+        )
+        .cast("bigint")
+        .alias("partition_id"),
+        "l_orderkey",
+    )
+    parts = assigned.groupBy("partition_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("l_orderkey").cast("bigint").alias("min_key"),
+        F.max("l_orderkey").cast("bigint").alias("max_key"),
+    )
+    return parts.select(
+        "partition_id",
+        "n_rows",
+        "min_key",
+        "max_key",
+        (
+            (F.col("n_rows") * RANGE_PARTS).cast("double")
+            / F.sum("n_rows").over(Window.partitionBy())
+        ).alias("load_x_avg"),
+    )
+
+
+@register(
+    "stream_watermark_lateness_audit",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS t,
+         epoch_us(ts)
+           + CAST(CONCAT('0x', substr(md5('wmj:' ||
+                 CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % {JITTER_MOD_US} AS arr
+  FROM events
+),
+lagged AS (
+  SELECT t,
+         MAX(t) OVER (ORDER BY arr, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS runmax_prev
+  FROM ev
+),
+lags AS (
+  SELECT GREATEST(COALESCE(runmax_prev, -1) - t, 0) AS lag_us FROM lagged
+)
+SELECT d.delay_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE lag_us > d.delay_s * 1000000) AS BIGINT)
+         AS n_dropped,
+       CAST(COUNT(*) FILTER (WHERE lag_us > d.delay_s * 1000000) AS DOUBLE)
+         / COUNT(*) AS drop_rate,
+       CAST(MAX(lag_us) // 1000000 AS BIGINT) AS max_lag_s
+FROM lags, (VALUES {", ".join(f"({d})" for d in WM_DELAYS_S)}) d(delay_s)
+GROUP BY d.delay_s
+""",
+)
+def stream_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay selection from measured arrival skew — the audit
+    that turns ``withWatermark("ts", ???)`` from a guess into a number.
+    events.parquet is stored in event-time order, so out-of-order
+    arrival is modeled with a deterministic md5 "network delay" of
+    0..10 min per event (both engines derive the identical jitter);
+    arrival order is (arrival_us, event_id). An event would be dropped
+    by a watermark of delay D iff max(event-time seen before it in
+    arrival order) − its event-time > D — exactly Spark Structured
+    Streaming's late-data rule. One pass computes that lag; the output
+    grid scores candidate delays {WM_DELAYS_S} by events dropped.
+
+    The running max is NOT a single-partition window at scale: arrival
+    time is blocked into 1-hour ranges (block = arrival DIV 1h, monotone
+    in arrival order), the scan is within-block running max (parallel
+    across blocks) combined with a prefix max over the tiny per-block
+    summary (#blocks rows, broadcast back) — the classic two-pass
+    distributed prefix-scan, the same shape a 100 TB arrival-log audit
+    needs. The DuckDB oracle uses the plain global window; the
+    block-decomposed Spark plan must (and does) agree exactly.
+    """
+    ensure_session_conf(spark)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        t_us.alias("t"),
+        (
+            t_us
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("wmj:"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % JITTER_MOD_US
+        ).alias("arr"),
+    )
+    ev = ev.withColumn("blk", F.expr(f"arr DIV {BLOCK_US}"))
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = ev.withColumn("in_prev", F.max("t").over(w_in))
+    blk_sum = ev.groupBy("blk").agg(F.max("t").alias("blk_max"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_prefix = blk_sum.select(
+        "blk", F.max("blk_max").over(w_blk).alias("pre_prev")
+    )
+    lags = (
+        within.join(F.broadcast(blk_prefix), "blk")
+        .select(
+            F.greatest(
+                F.greatest(
+                    F.coalesce(F.col("in_prev"), F.lit(-1)),
+                    F.coalesce(F.col("pre_prev"), F.lit(-1)),
+                )
+                - F.col("t"),
+                F.lit(0),
+            ).alias("lag_us")
+        )
+    )
+    delays = spark.createDataFrame(
+        [(d,) for d in WM_DELAYS_S], "delay_s int"
+    )
+    return (
+        lags.crossJoin(F.broadcast(delays))
+        .groupBy("delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                (F.col("lag_us") > F.col("delay_s") * 1_000_000).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+            (
+                F.sum(
+                    (F.col("lag_us") > F.col("delay_s") * 1_000_000).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("drop_rate"),
+            F.expr("max(lag_us) DIV 1000000").cast("bigint").alias("max_lag_s"),
+        )
+    )

@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "hbase_observer_elasticsearch_spark.operators.profiling",
     "hbase_observer_elasticsearch_spark.operators.sketches",
     "hbase_observer_elasticsearch_spark.operators.quality",
+    "hbase_observer_elasticsearch_spark.operators.planning",
     "hbase_observer_elasticsearch_spark.operators.io_surface",
 )
 
@@ -110,6 +111,9 @@ _PRIORITY = (
     "corpus_bpe_apply",
     "stream_semantic_admission",
     "corpus_pipeline_funnel",
+    "profile_join_cardinality_est",
+    "layout_range_partition_balance",
+    "stream_watermark_lateness_audit",
 )
 
 
