@@ -376,3 +376,121 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "sample_matched_pairs",
+    oracle="""
+WITH grp AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS g
+  FROM documents
+),
+dec AS (
+  SELECT doc_id, lang, n_chars, g,
+         ntile(10) OVER (PARTITION BY lang, g
+                         ORDER BY n_chars, doc_id) AS decile
+  FROM grp
+),
+rk AS (
+  SELECT doc_id, lang, n_chars, g, decile,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, g, decile
+           ORDER BY md5('mp:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM dec
+),
+pairs AS (
+  SELECT a.lang, a.decile,
+         ABS(a.n_chars - b.n_chars) AS len_diff
+  FROM rk a JOIN rk b
+    ON a.lang = b.lang AND a.decile = b.decile AND a.r = b.r
+   AND a.g = 'A' AND b.g = 'B'
+)
+SELECT lang, CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(len_diff) AS BIGINT) AS sum_len_diff,
+       CAST(MAX(len_diff) AS BIGINT) AS max_len_diff,
+       CAST(SUM(len_diff) AS DOUBLE) / COUNT(*) AS mean_len_diff
+FROM pairs GROUP BY lang, decile
+""",
+)
+def sample_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-pair construction for controlled comparisons — the eval /
+    A-B-corpus counterpart of stratified sampling: split sources into
+    two arms (even vs odd source number), cut each (lang, arm) into
+    length deciles, give rows a deterministic md5 shuffle rank within
+    their (lang, arm, decile) cell, and pair arm-A rank r with arm-B
+    rank r. The result is a 1:1 sample where each pair is matched on
+    language and length decile — the standard guard against "model B
+    looks better because its eval docs are shorter". Odd rows beyond
+    the shorter arm's count are unmatched and dropped (exactly the
+    inner-join semantics reported by n_pairs vs cell size).
+
+    Everything is deterministic: decile = ntile over (n_chars, doc_id),
+    rank = md5-ordered with doc_id tiebreak (same coin as the Bernoulli
+    gates above), so the pairing is reproducible by any engine. The
+    per-(lang, decile) len_diff stats are the match-quality audit —
+    tight deciles give small diffs; a decile whose mean_len_diff blows
+    up says the two arms' length distributions diverge there.
+
+    Scale shape: two window passes keyed (lang, arm[, decile]) — both
+    shuffle-partition-parallel across cells — and one equi-join on
+    (lang, decile, rank): co-partitioned, never wider than the smaller
+    arm. No pairwise blow-up anywhere; at 100 TB the cells stay
+    independent so skew is bounded by the largest (lang, decile) cell.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(
+            F.substring("source", 4, 10).cast("bigint") % 2 == 0, "A"
+        )
+        .otherwise("B")
+        .alias("g"),
+    )
+    dec = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "g",
+        F.ntile(10)
+        .over(
+            Window.partitionBy("lang", "g").orderBy("n_chars", "doc_id")
+        )
+        .alias("decile"),
+    )
+    rk = dec.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "g",
+        "decile",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang", "g", "decile").orderBy(
+                F.md5(F.concat(F.lit("mp:"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .alias("r"),
+    )
+    a = rk.filter(F.col("g") == "A").select(
+        "lang", "decile", "r", F.col("n_chars").alias("ca")
+    )
+    b = rk.filter(F.col("g") == "B").select(
+        "lang", "decile", "r", F.col("n_chars").alias("cb")
+    )
+    pairs = a.join(b, ["lang", "decile", "r"]).select(
+        "lang", "decile", F.abs(F.col("ca") - F.col("cb")).alias("len_diff")
+    )
+    return pairs.groupBy("lang", F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("len_diff").cast("bigint").alias("sum_len_diff"),
+        F.max("len_diff").cast("bigint").alias("max_len_diff"),
+        (F.sum("len_diff").cast("double") / F.count(F.lit(1))).alias(
+            "mean_len_diff"
+        ),
+    )

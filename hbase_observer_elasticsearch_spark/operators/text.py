@@ -1682,60 +1682,7 @@ def corpus_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the head). No pairwise work anywhere.
     """
     ensure_session_conf(spark)
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    big = tok.select(
-        "doc_id", "lang", F.lag("w").over(wdoc).alias("w1"),
-        F.col("w").alias("w2"),
-    ).filter(F.col("w1").isNotNull())
-    train_tok = tok.filter(F.col("doc_id") % 10 != 0)
-    tuni = train_tok.groupBy("w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    tbig = (
-        big.filter(F.col("doc_id") % 10 != 0)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    tot = tuni.agg(F.sum("cnt").cast("bigint").alias("total"))
-    hb = big.filter(F.col("doc_id") % 10 == 0)
-    scored = (
-        hb.join(
-            tbig.withColumnRenamed("cnt", "bcnt"), ["w1", "w2"], "left"
-        )
-        .join(
-            tuni.select(F.col("w").alias("w1"), F.col("cnt").alias("u1")),
-            "w1",
-            "left",
-        )
-        .join(
-            tuni.select(F.col("w").alias("w2"), F.col("cnt").alias("u2")),
-            "w2",
-            "left",
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            "lang",
-            F.when(F.col("bcnt").isNotNull(), 0).otherwise(1).alias(
-                "backed_off"
-            ),
-            F.when(
-                F.col("bcnt").isNotNull(),
-                F.col("bcnt").cast("double") / F.col("u1"),
-            )
-            .otherwise(
-                (
-                    F.lit(BACKOFF_NUM) * F.coalesce(F.col("u2"), F.lit(0))
-                ).cast("double")
-                / (F.lit(BACKOFF_DEN) * F.col("total"))
-            )
-            .alias("score"),
-        )
-    )
+    scored = _bigram_backoff_scored(spark, sf_dir, heldout_only=True)
     return scored.groupBy("lang").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -2630,4 +2577,296 @@ def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("ns")
             ).alias("compression"),
         )
+    )
+
+
+def _bigram_backoff_scored(
+    spark: SparkSession, sf_dir: str, heldout_only: bool
+) -> DataFrame:
+    """Shared stupid-backoff bigram scorer (train split: doc_id % 10 != 0).
+
+    Returns one row per scored bigram (doc_id, lang, backed_off, score).
+    ``heldout_only`` scores just the 10% held-out docs (the familiarity
+    audit); False scores EVERY doc (the CCNet-style selection pass —
+    training docs are scored by the same LM that saw them, which is
+    exactly what CCNet does when it buckets the whole crawl with one
+    fixed LM). Single source of truth so the two queries cannot drift
+    (the r7-advice lesson from _exact_sq_topk).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", "lang", F.lag("w").over(wdoc).alias("w1"),
+        F.col("w").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    train_tok = tok.filter(F.col("doc_id") % 10 != 0)
+    tuni = train_tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tbig = (
+        big.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = tuni.agg(F.sum("cnt").cast("bigint").alias("total"))
+    hb = big.filter(F.col("doc_id") % 10 == 0) if heldout_only else big
+    return (
+        hb.join(tbig.withColumnRenamed("cnt", "bcnt"), ["w1", "w2"], "left")
+        .join(
+            tuni.select(F.col("w").alias("w1"), F.col("cnt").alias("u1")),
+            "w1",
+            "left",
+        )
+        .join(
+            tuni.select(F.col("w").alias("w2"), F.col("cnt").alias("u2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("bcnt").isNotNull(), 0).otherwise(1).alias(
+                "backed_off"
+            ),
+            F.when(
+                F.col("bcnt").isNotNull(),
+                F.col("bcnt").cast("double") / F.col("u1"),
+            )
+            .otherwise(
+                (
+                    F.lit(BACKOFF_NUM) * F.coalesce(F.col("u2"), F.lit(0))
+                ).cast("double")
+                / (F.lit(BACKOFF_DEN) * F.col("total"))
+            )
+            .alias("score"),
+        )
+    )
+
+
+# The shared scoring CTE chain both perplexity oracles build on.
+_SQL_BIGRAM_SCORED = f"""
+tok AS (
+  SELECT doc_id, lang, w, pos FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  ) t
+),
+big AS (
+  SELECT doc_id, lang,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         w AS w2
+  FROM tok
+),
+allb AS (SELECT doc_id, lang, w1, w2 FROM big WHERE w1 IS NOT NULL),
+tuni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+         WHERE doc_id % 10 <> 0 GROUP BY w),
+tbig AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM allb
+         WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tuni),
+scored AS (
+  SELECT h.doc_id, h.lang,
+         CASE WHEN b.cnt IS NOT NULL THEN 0 ELSE 1 END AS backed_off,
+         CASE WHEN b.cnt IS NOT NULL
+              THEN CAST(b.cnt AS DOUBLE) / u1.cnt
+              ELSE CAST({BACKOFF_NUM} * COALESCE(u2.cnt, 0) AS DOUBLE)
+                   / ({BACKOFF_DEN} * t.total)
+         END AS score
+  FROM allb h
+  LEFT JOIN tbig b ON b.w1 = h.w1 AND b.w2 = h.w2
+  LEFT JOIN tuni u1 ON u1.w = h.w1
+  LEFT JOIN tuni u2 ON u2.w = h.w2
+  CROSS JOIN tot t
+)
+"""
+
+
+@register(
+    "corpus_perplexity_buckets",
+    oracle=f"""
+WITH {_SQL_BIGRAM_SCORED},
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS doc_score
+  FROM scored GROUP BY doc_id, lang
+),
+bk AS (
+  SELECT lang, doc_id, doc_score,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY doc_score DESC, doc_id) AS b
+  FROM per_doc
+)
+SELECT bk.lang,
+       CASE bk.b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(bk.doc_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS mean_doc_score
+FROM bk JOIN documents d USING (doc_id)
+GROUP BY bk.lang, bk.b
+""",
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail selection: score EVERY document with the
+    fixed bigram LM (stupid backoff, trained once on the 90% split —
+    `_bigram_backoff_scored`), average per doc, and cut each language
+    into perplexity terciles — head = most LM-like (kept), tail = least
+    (dropped or down-sampled). This is the consuming operator for
+    corpus_bigram_familiarity's score: the familiarity audit says how
+    well the LM fits; this query turns the same score into the actual
+    per-language keep/drop partition of the corpus.
+
+    Determinism: per-doc mean goes through DECIMAL(28,6) (exact sum of
+    IEEE-division scores), tercile assignment is ntile over
+    (doc_score DESC, doc_id) — fully tiebroken. Docs with fewer than 2
+    tokens have no bigrams and are out of scope (none in the fixture).
+
+    Scale shape: scoring is the same two postings joins as the
+    familiarity audit (token-grain, Zipf-head mitigation documented
+    there); bucketing is a per-language window over DOC-grain rows
+    (1000x smaller than token grain). At 100 TB the ntile becomes two
+    quantile thresholds per language from a KLL sketch (sketches.py) —
+    same buckets, no global sort; ntile is the exact-arithmetic twin
+    the oracle can check.
+    """
+    ensure_session_conf(spark)
+    scored = _bigram_backoff_scored(spark, sf_dir, heldout_only=False)
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        (
+            F.sum(F.col("score").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("doc_score")
+    )
+    bk = per_doc.select(
+        "lang",
+        "doc_id",
+        "doc_score",
+        F.ntile(3)
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.desc("doc_score"), F.asc("doc_id")
+            )
+        )
+        .alias("b"),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        bk.join(d, "doc_id")
+        .groupBy(
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            (
+                F.sum(F.col("doc_score").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_doc_score"),
+        )
+    )
+
+
+@register(
+    "search_postings_delta_stats",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT w, doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) t
+),
+g AS (
+  SELECT w, doc_id,
+         doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY w
+                                             ORDER BY doc_id), -1) AS gap
+  FROM tok
+),
+pt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM((length(bin(gap)) + 6) // 7) AS BIGINT) AS delta_bytes,
+         CAST(SUM((length(bin(doc_id + 1)) + 6) // 7) AS BIGINT)
+           AS raw_bytes,
+         CAST(SUM(gap) AS BIGINT) AS sum_gap
+  FROM g GROUP BY w
+)
+SELECT CAST(length(bin(df)) AS BIGINT) AS df_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(df) AS BIGINT) AS n_postings,
+       CAST(SUM(delta_bytes) AS BIGINT) AS delta_bytes,
+       CAST(SUM(raw_bytes) AS BIGINT) AS raw_bytes,
+       CAST(SUM(raw_bytes) - SUM(delta_bytes) AS DOUBLE) / SUM(raw_bytes)
+         AS savings_frac,
+       CAST(SUM(sum_gap) AS DOUBLE) / SUM(df) AS avg_gap
+FROM pt GROUP BY df_bucket
+""",
+)
+def search_postings_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index size planning: per-term postings lists (sorted doc
+    ids) are stored delta-encoded + varint in every real engine
+    (Lucene/ES — the reference's sink indexes into exactly such lists);
+    this query prices that layout BEFORE building it. Per term: gaps
+    between consecutive doc ids (first gap = doc_id + 1, so every gap
+    >= 1), varint size = ceil(bitlen/7) bytes where bitlen =
+    length(bin(gap)) — exact integer arithmetic, no logs. Rolled up by
+    document-frequency octave (df_bucket = floor(log2 df) + 1, also via
+    bin-length): frequent terms have dense lists -> tiny gaps -> 1-byte
+    varints (high savings_frac); rare terms approach raw doc-id cost.
+
+    The aggregate answers the 100 TB capacity question — index bytes by
+    term class, hence what df-threshold to stopword away — from one
+    token-grain pass: distinct (term, doc) -> per-term window (shuffle
+    keyed by term, Zipf-head skew bounded because postings are DISTINCT
+    doc ids <= |docs|) -> term-grain rollup to ~64 octave rows.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    g = tok.select(
+        "w",
+        "doc_id",
+        (
+            F.col("doc_id")
+            - F.coalesce(
+                F.lag("doc_id").over(
+                    Window.partitionBy("w").orderBy("doc_id")
+                ),
+                F.lit(-1),
+            )
+        ).alias("gap"),
+    )
+    pt = g.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.expr("(length(bin(gap)) + 6) DIV 7"))
+        .cast("bigint")
+        .alias("delta_bytes"),
+        F.sum(F.expr("(length(bin(doc_id + 1)) + 6) DIV 7"))
+        .cast("bigint")
+        .alias("raw_bytes"),
+        F.sum("gap").cast("bigint").alias("sum_gap"),
+    )
+    return pt.groupBy(
+        F.length(F.bin("df")).cast("bigint").alias("df_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("df").cast("bigint").alias("n_postings"),
+        F.sum("delta_bytes").cast("bigint").alias("delta_bytes"),
+        F.sum("raw_bytes").cast("bigint").alias("raw_bytes"),
+        (
+            (F.sum("raw_bytes") - F.sum("delta_bytes")).cast("double")
+            / F.sum("raw_bytes")
+        ).alias("savings_frac"),
+        (F.sum("sum_gap").cast("double") / F.sum("df")).alias("avg_gap"),
     )

@@ -114,6 +114,9 @@ _PRIORITY = (
     "profile_join_cardinality_est",
     "layout_range_partition_balance",
     "stream_watermark_lateness_audit",
+    "corpus_perplexity_buckets",
+    "search_postings_delta_stats",
+    "sample_matched_pairs",
 )
 
 
