@@ -2364,3 +2364,120 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_retained_frac"
         ),
     )
+
+
+KCORE_K = 2  # peel threshold: the 2-core keeps only multiply-linked dups
+KCORE_ROUNDS = 3  # unrolled peel rounds (fixture converges in 2)
+
+
+@register(
+    "dedup_graph_kcore",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp),
+d0 AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM
+       (SELECT a AS x FROM e0 UNION ALL SELECT b FROM e0) u GROUP BY x),
+r1 AS MATERIALIZED (SELECT x FROM d0 WHERE c < {KCORE_K}),
+e1 AS MATERIALIZED (SELECT a, b FROM e0
+                    WHERE a NOT IN (SELECT x FROM r1)
+                      AND b NOT IN (SELECT x FROM r1)),
+d1 AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM
+       (SELECT a AS x FROM e1 UNION ALL SELECT b FROM e1) u GROUP BY x),
+r2 AS MATERIALIZED (SELECT x FROM d1 WHERE c < {KCORE_K}),
+e2 AS MATERIALIZED (SELECT a, b FROM e1
+                    WHERE a NOT IN (SELECT x FROM r2)
+                      AND b NOT IN (SELECT x FROM r2)),
+d2 AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM
+       (SELECT a AS x FROM e2 UNION ALL SELECT b FROM e2) u GROUP BY x),
+r3 AS MATERIALIZED (SELECT x FROM d2 WHERE c < {KCORE_K}),
+e3 AS MATERIALIZED (SELECT a, b FROM e2
+                    WHERE a NOT IN (SELECT x FROM r3)
+                      AND b NOT IN (SELECT x FROM r3))
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS round,
+         CAST((SELECT COUNT(*) FROM r1) AS BIGINT) AS n_removed,
+         CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS n_edges,
+         CAST((SELECT COUNT(DISTINCT x) FROM
+               (SELECT a AS x FROM e1 UNION ALL SELECT b FROM e1) u)
+              AS BIGINT) AS n_nodes
+  UNION ALL
+  SELECT 2, CAST((SELECT COUNT(*) FROM r2) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM e2) AS BIGINT),
+         CAST((SELECT COUNT(DISTINCT x) FROM
+               (SELECT a AS x FROM e2 UNION ALL SELECT b FROM e2) u)
+              AS BIGINT)
+  UNION ALL
+  SELECT 3, CAST((SELECT COUNT(*) FROM r3) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM e3) AS BIGINT),
+         CAST((SELECT COUNT(DISTINCT x) FROM
+               (SELECT a AS x FROM e3 UNION ALL SELECT b FROM e3) u)
+              AS BIGINT)
+) t
+""",
+)
+def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition ({KCORE_K}-core) of the near-dup similarity
+    graph by iterative peeling — the graph-structural dedup signal the
+    CC labels can't give: a connected component keeps chains and stars
+    (one template touching many one-off variants), while the 2-core
+    strips every degree-1 leaf until only multiply-corroborated
+    duplicate cliques remain. Rounds report (n_removed, n_edges,
+    n_nodes) after each peel; a round with n_removed = 0 is the fixed
+    point (the fixture converges by round 2 — pinned in tests).
+
+    Peeling is the textbook distributed k-core: per round one degree
+    count (groupBy over both edge endpoints) and two anti-joins to drop
+    edges touching peeled nodes. Rounds are unrolled like the k-means
+    Lloyd rounds (similarity.py) so both engines run the identical
+    bounded computation; at 100 TB rounds continue until the removed
+    count (a 1-row aggregate, same driver-scalar doctrine as the CC
+    convergence check) hits zero — O(peel-depth) passes, each a
+    linear-in-edges shuffle keyed by vertex, never pairwise.
+
+    Consumes the shared verified-pairs memo (`_jaccard_pairs_memo`), so
+    the graph build is charged once to memo_build_dedup_verified_pairs.
+    """
+    ensure_session_conf(spark)
+    e = _jaccard_pairs_memo(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    out = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("a").alias("x"))
+            .unionByName(e.select(F.col("b").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # Materialize each round's survivors: the per-round aggregates and
+        # the next round all re-read `e`, and without a cut the lineage
+        # re-derives every prior round per consumer (branching ~3^rounds).
+        # Edge lists are pair-memo-sized — tiny relative to the corpus.
+        rm = deg.filter(F.col("c") < KCORE_K).select("x").localCheckpoint()
+        e = (
+            e.join(rm, e["a"] == rm["x"], "left_anti")
+            .join(rm, e["b"] == rm["x"], "left_anti")
+            .localCheckpoint()
+        )
+        nodes = (
+            e.select(F.col("a").alias("x"))
+            .unionByName(e.select(F.col("b").alias("x")))
+            .agg(F.countDistinct("x").cast("bigint").alias("n_nodes"))
+        )
+        row = (
+            rm.agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+            .crossJoin(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+            .crossJoin(nodes)
+            .select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                "n_removed",
+                "n_edges",
+                "n_nodes",
+            )
+        )
+        out.append(row)
+    res = out[0]
+    for r in out[1:]:
+        res = res.unionByName(r)
+    return res

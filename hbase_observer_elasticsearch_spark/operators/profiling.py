@@ -548,3 +548,109 @@ def layout_rendezvous_sharding(
             for c in ("n_docs_8", "n_docs_7", "n_moved_in", "n_moved_wrongly")
         ],
     )
+
+
+ZONE_ROWS = 8  # rows per simulated row-group (parquet row-group stand-in)
+ZONE_LO, ZONE_HI = 120, 180  # the audited predicate: n_chars BETWEEN lo AND hi
+
+
+@register(
+    "layout_zone_map_skipping",
+    oracle=f"""
+WITH nat AS (
+  SELECT doc_id // {ZONE_ROWS} AS grp, n_chars FROM documents
+),
+srt AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) // {ZONE_ROWS}
+           AS grp,
+         n_chars
+  FROM documents
+),
+both_ AS (
+  SELECT 'natural' AS layout, grp, n_chars FROM nat
+  UNION ALL
+  SELECT 'sorted', grp, n_chars FROM srt
+),
+zones AS (
+  SELECT layout, grp, CAST(COUNT(*) AS BIGINT) AS rows_in_grp,
+         MIN(n_chars) AS lo, MAX(n_chars) AS hi,
+         CAST(COUNT(*) FILTER (WHERE n_chars BETWEEN {ZONE_LO} AND {ZONE_HI})
+              AS BIGINT) AS rows_matching
+  FROM both_ GROUP BY layout, grp
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE hi >= {ZONE_LO} AND lo <= {ZONE_HI})
+            AS BIGINT) AS groups_read,
+       CAST(SUM(CASE WHEN hi >= {ZONE_LO} AND lo <= {ZONE_HI}
+                     THEN rows_in_grp ELSE 0 END) AS BIGINT) AS rows_read,
+       CAST(SUM(rows_matching) AS BIGINT) AS rows_matching,
+       CAST(SUM(CASE WHEN hi >= {ZONE_LO} AND lo <= {ZONE_HI}
+                     THEN rows_in_grp ELSE 0 END) AS DOUBLE)
+         / SUM(rows_matching) AS read_amplification
+FROM zones GROUP BY layout
+""",
+)
+def layout_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping audit — the quantified
+    version of what layout_zorder_locality shows spatially: parquet row
+    groups store per-column min/max, and a range predicate skips every
+    group whose [min, max] misses the range. Simulated at row-group
+    grain {ZONE_ROWS}: the 'natural' layout groups by insertion order
+    (doc_id), the 'sorted' layout clusters by the predicate column
+    first — the before/after of an OPTIMIZE ... ZORDER/ORDER BY run.
+
+    Per layout: groups whose zone overlaps [{ZONE_LO}, {ZONE_HI}],
+    rows scanned vs rows actually matching, and read_amplification =
+    rows_read / rows_matching. On unsorted data a selective range reads
+    nearly every group (amplification >> 1, min/max zones are all wide);
+    on clustered data amplification approaches 1 — the measured
+    justification for paying the sort at write time at 100 TB, where
+    rows_read IS the scan bill. Pure integer arithmetic; the sorted
+    layout's global ROW_NUMBER is rank assignment for the simulation
+    only (a real rewrite uses repartitionByRange — audited by
+    layout_range_partition_balance in planning.py).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    nat = d.select(
+        F.lit("natural").alias("layout"),
+        F.expr(f"doc_id DIV {ZONE_ROWS}").alias("grp"),
+        "n_chars",
+    )
+    srt = d.select(
+        F.lit("sorted").alias("layout"),
+        F.expr(
+            f"(row_number() OVER (ORDER BY n_chars, doc_id) - 1) DIV {ZONE_ROWS}"
+        ).alias("grp"),
+        "n_chars",
+    )
+    zones = (
+        nat.unionByName(srt)
+        .groupBy("layout", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_in_grp"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+            F.sum(
+                F.col("n_chars").between(ZONE_LO, ZONE_HI).cast("long")
+            )
+            .cast("bigint")
+            .alias("rows_matching"),
+        )
+    )
+    overlaps = (F.col("hi") >= ZONE_LO) & (F.col("lo") <= ZONE_HI)
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(overlaps.cast("long")).cast("bigint").alias("groups_read"),
+        F.sum(F.when(overlaps, F.col("rows_in_grp")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_read"),
+        F.sum("rows_matching").cast("bigint").alias("rows_matching"),
+        (
+            F.sum(F.when(overlaps, F.col("rows_in_grp")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("rows_matching")
+        ).alias("read_amplification"),
+    )

@@ -889,3 +889,122 @@ def quality_benford_leading_digit(
             ),
         )
     )
+
+
+@register(
+    "quality_bucket_checksum_diff",
+    oracle="""
+WITH a AS (SELECT * FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 7 THEN '[BITROT]' || text ELSE text END
+           AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 97 <> 13
+),
+ka AS (
+  SELECT doc_id % 64 AS bucket,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || text
+              || ':' || lang || ':' || source), 1, 8)) AS BIGINT) AS h
+  FROM a
+),
+kb AS (
+  SELECT doc_id % 64 AS bucket,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || text
+              || ':' || lang || ':' || source), 1, 8)) AS BIGINT) AS h
+  FROM b
+),
+sa AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt_a,
+              CAST(SUM(h) AS BIGINT) AS sum_a FROM ka GROUP BY bucket),
+sb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt_b,
+              CAST(SUM(h) AS BIGINT) AS sum_b FROM kb GROUP BY bucket)
+SELECT COALESCE(sa.bucket, sb.bucket) AS bucket,
+       COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b,
+       COALESCE(sum_a, 0) AS sum_a, COALESCE(sum_b, 0) AS sum_b,
+       (COALESCE(cnt_a, 0) = COALESCE(cnt_b, 0)
+        AND COALESCE(sum_a, 0) = COALESCE(sum_b, 0)) AS is_equal
+FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+""",
+)
+def quality_bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica anti-entropy by bucket checksums — the verification tool
+    the reference's HBase -> Elasticsearch mirror never had (its
+    coprocessor ships mutations fire-and-forget,
+    observer6/ElasticSearchBulkOperator.java:84-96; nothing ever proves
+    the index equals the source). Replica B is the source with two
+    deterministic fault injections (doc_id % 97 = 13 dropped -> a lost
+    bulk; doc_id % 101 = 7 text-mutated -> bitrot / stale overwrite).
+    Each side reduces to 64 (count, checksum-sum) buckets keyed
+    doc_id % 64, where the row checksum is the md5-derived 32-bit code
+    of the full row payload; unequal buckets localize the damage to
+    1/64 of the keyspace.
+
+    This is the Merkle-tree leaf level (Cassandra repair, DynamoDB
+    anti-entropy): comparing replicas costs two table scans + 64-row
+    exchange instead of a cross-cluster row join; only flagged buckets
+    (here ~ (500/97 + 500/101) / 64 of them) need the row-level drill-
+    down that cdc_snapshot_diff (cdc.py) already provides. Checksums
+    SUM 32-bit codes into BIGINT — commutative, so bucket sums are
+    partition-order-independent; at 10^12 rows/bucket switch the sum to
+    DECIMAL(38,0) before overflow (headroom documented, not needed
+    below ~2^31 rows/bucket).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    b = d.filter(F.col("doc_id") % 97 != 13).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 101 == 7, F.concat(F.lit("[BITROT]"), "text")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+    def side(df: DataFrame, ca: str, sa: str) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        "text",
+                        "lang",
+                        "source",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (
+            df.groupBy((F.col("doc_id") % 64).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(ca),
+                F.sum(h).cast("bigint").alias(sa),
+            )
+        )
+
+    sa = side(d, "cnt_a", "sum_a")
+    sb = side(b, "cnt_b", "sum_b")
+    return (
+        sa.join(sb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+            F.coalesce("sum_a", F.lit(0)).alias("sum_a"),
+            F.coalesce("sum_b", F.lit(0)).alias("sum_b"),
+            (
+                (F.coalesce("cnt_a", F.lit(0)) == F.coalesce("cnt_b", F.lit(0)))
+                & (
+                    F.coalesce("sum_a", F.lit(0))
+                    == F.coalesce("sum_b", F.lit(0))
+                )
+            ).alias("is_equal"),
+        )
+    )

@@ -368,3 +368,139 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "mv_join_delta_maintenance",
+    oracle="""
+WITH o0 AS (SELECT * FROM orders   WHERE o_orderkey % 7 <> 0),
+do_ AS (SELECT * FROM orders   WHERE o_orderkey % 7 = 0),
+l0 AS (SELECT * FROM lineitem WHERE l_linenumber < 5),
+dl AS (SELECT * FROM lineitem WHERE l_linenumber >= 5),
+term AS (
+  SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+         COUNT(*) AS c, SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS s,
+         0 AS is_delta
+  FROM o0 o JOIN l0 l ON o.o_orderkey = l.l_orderkey GROUP BY 1
+  UNION ALL
+  SELECT strftime(o.o_orderdate, '%Y-%m'), COUNT(*),
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 1
+  FROM do_ o JOIN l0 l ON o.o_orderkey = l.l_orderkey GROUP BY 1
+  UNION ALL
+  SELECT strftime(o.o_orderdate, '%Y-%m'), COUNT(*),
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 1
+  FROM o0 o JOIN dl l ON o.o_orderkey = l.l_orderkey GROUP BY 1
+  UNION ALL
+  SELECT strftime(o.o_orderdate, '%Y-%m'), COUNT(*),
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 1
+  FROM do_ o JOIN dl l ON o.o_orderkey = l.l_orderkey GROUP BY 1
+),
+inc AS (
+  SELECT month, CAST(SUM(c) AS BIGINT) AS inc_cnt,
+         CAST(SUM(s) AS DOUBLE) AS inc_rev,
+         CAST(SUM(CASE WHEN is_delta = 1 THEN c ELSE 0 END) AS BIGINT)
+           AS delta_cnt
+  FROM term GROUP BY month
+),
+full_ AS (
+  SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS full_cnt,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS full_rev
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 1
+)
+SELECT f.month, f.full_cnt, i.inc_cnt, i.delta_cnt, f.full_rev, i.inc_rev,
+       (f.full_cnt = i.inc_cnt AND f.full_rev = i.inc_rev) AS maintained_ok
+FROM full_ f JOIN inc i USING (month)
+""",
+)
+def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN materialization — the
+    DBSP/differential-dataflow identity (A+dA) JOIN (B+dB) =
+    A JOIN B + dA JOIN B + A JOIN dB + dA JOIN dB, proven exactly on a
+    monthly revenue view over orders JOIN lineitem. The batch world
+    splits deterministically (dO = orderkey % 7 = 0 — a late-arriving
+    order batch; dL = linenumber >= 5 — a late line-item batch, chosen
+    cross-cutting so every delta term is non-empty), the view is
+    maintained as base-term + three delta terms, and the output compares
+    the incrementally-maintained aggregate against the full recompute
+    per month: `maintained_ok` must be true for every row, counts AND
+    decimal-exact revenue.
+
+    This is the missing join half of agg_incremental_rollup (above):
+    together they cover the two IVM algebras a 100 TB nightly ETL needs
+    — at scale only the delta terms shuffle (dA JOIN B broadcast- or
+    bucket-joins a small delta against the big base; the base term is
+    the standing MV, never recomputed), turning an O(|A|+|B|) nightly
+    job into O(|dA|+|dB|).
+
+    Determinism: counts are BIGINT; revenue sums go through
+    DECIMAL(18,6) (exact, order-independent) and cast to DOUBLE only at
+    the end, so full == incremental is byte-exact, and the driver hash
+    checks both paths.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o0 = o.filter(F.col("o_orderkey") % 7 != 0)
+    do_ = o.filter(F.col("o_orderkey") % 7 == 0)
+    l0 = li.filter(F.col("l_linenumber") < 5)
+    dl = li.filter(F.col("l_linenumber") >= 5)
+
+    def term(odf: DataFrame, ldf: DataFrame, is_delta: int) -> DataFrame:
+        return (
+            odf.select("o_orderkey", "o_orderdate")
+            .join(
+                ldf.select("l_orderkey", "l_extendedprice"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
+                    "s"
+                ),
+            )
+            .withColumn("is_delta", F.lit(is_delta))
+        )
+
+    inc = (
+        term(o0, l0, 0)
+        .unionByName(term(do_, l0, 1))
+        .unionByName(term(o0, dl, 1))
+        .unionByName(term(do_, dl, 1))
+        .groupBy("month")
+        .agg(
+            F.sum("c").cast("bigint").alias("inc_cnt"),
+            F.sum("s").cast("double").alias("inc_rev"),
+            F.sum(F.when(F.col("is_delta") == 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("delta_cnt"),
+        )
+    )
+    full = (
+        o.select("o_orderkey", "o_orderdate")
+        .join(
+            li.select("l_orderkey", "l_extendedprice"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("full_cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("full_rev"),
+        )
+    )
+    return full.join(inc, "month").select(
+        "month",
+        "full_cnt",
+        "inc_cnt",
+        "delta_cnt",
+        "full_rev",
+        "inc_rev",
+        (
+            (F.col("full_cnt") == F.col("inc_cnt"))
+            & (F.col("full_rev") == F.col("inc_rev"))
+        ).alias("maintained_ok"),
+    )

@@ -117,6 +117,10 @@ _PRIORITY = (
     "corpus_perplexity_buckets",
     "search_postings_delta_stats",
     "sample_matched_pairs",
+    "mv_join_delta_maintenance",
+    "quality_bucket_checksum_diff",
+    "layout_zone_map_skipping",
+    "dedup_graph_kcore",
 )
 
 
