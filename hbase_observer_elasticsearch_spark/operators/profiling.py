@@ -654,3 +654,128 @@ def layout_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rows_matching")
         ).alias("read_amplification"),
     )
+
+
+@register(
+    "profile_encoding_advisor",
+    oracle="""
+WITH vals AS (
+  SELECT doc_id, 'lang' AS col, lang AS v FROM documents
+  UNION ALL
+  SELECT doc_id, 'source', source FROM documents
+  UNION ALL
+  SELECT doc_id, 'text', text FROM documents
+),
+runs AS (
+  SELECT col, v, length(v) AS len,
+         CASE WHEN v = LAG(v) OVER (PARTITION BY col ORDER BY doc_id)
+              THEN 0 ELSE 1 END AS is_run_start
+  FROM vals
+),
+st AS (
+  SELECT col,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+         CAST(SUM(len) AS BIGINT) AS plain_bytes,
+         CAST(SUM(is_run_start) AS BIGINT) AS n_runs
+  FROM runs GROUP BY col
+),
+dl AS (
+  SELECT col, CAST(SUM(len) AS BIGINT) AS dict_payload
+  FROM (SELECT DISTINCT col, v, length(v) AS len FROM vals) d GROUP BY col
+),
+est AS (
+  SELECT st.col, st.n_rows, st.ndv, st.n_runs, st.plain_bytes,
+         dl.dict_payload
+           + st.n_rows * ((length(bin(st.ndv)) + 7) // 8) AS dict_bytes,
+         dl.dict_payload
+           + st.n_runs * (((length(bin(st.ndv)) + 7) // 8) + 2)
+           AS rle_dict_bytes
+  FROM st JOIN dl USING (col)
+)
+SELECT col, n_rows, ndv, n_runs, plain_bytes,
+       CAST(dict_bytes AS BIGINT) AS dict_bytes,
+       CAST(rle_dict_bytes AS BIGINT) AS rle_dict_bytes,
+       CASE WHEN rle_dict_bytes <= dict_bytes
+             AND rle_dict_bytes <= plain_bytes THEN 'rle_dict'
+            WHEN dict_bytes <= plain_bytes THEN 'dict'
+            ELSE 'plain' END AS recommended
+FROM est
+""",
+)
+def profile_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor — the write-path twin of
+    layout_zone_map_skipping: before a 100 TB rewrite, price each string
+    column under the three parquet encodings from one scan. Models (all
+    exact integers): plain = total value bytes; dictionary = distinct
+    payload + ceil(log2 ndv)/8-byte codes per row; RLE-on-dictionary =
+    distinct payload + (code + 2-byte run length) per run, where runs
+    count value changes in insertion order (LAG per column). Low-ndv
+    columns (lang, source) should recommend dict or rle_dict; the
+    free-text column must fall back to plain — the advisor's CASE picks
+    the byte-minimal encoding, and the recommendation drives whether a
+    sort-before-write (which collapses n_runs toward ndv) pays for
+    itself.
+
+    Shape: one unpivot (3x row multiply on the string columns only),
+    one lag window per column partition, two column-grain aggregates —
+    linear, no joins wider than the 3-row stats table. The same pass
+    extended with min/max feeds the zone-map audit; together they are
+    the table-format writer's planning inputs (parquet
+    ColumnChunkMetaData encodings + Delta/Iceberg OPTIMIZE decisions).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    vals = d.selectExpr(
+        "doc_id",
+        "stack(3, 'lang', lang, 'source', source, 'text', text) AS (col, v)",
+    )
+    runs = vals.select(
+        "col",
+        "v",
+        F.length("v").alias("len"),
+        F.when(
+            F.col("v")
+            == F.lag("v").over(Window.partitionBy("col").orderBy("doc_id")),
+            0,
+        )
+        .otherwise(1)
+        .alias("is_run_start"),
+    )
+    st = runs.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("v").cast("bigint").alias("ndv"),
+        F.sum("len").cast("bigint").alias("plain_bytes"),
+        F.sum("is_run_start").cast("bigint").alias("n_runs"),
+    )
+    dl = (
+        vals.select("col", "v")
+        .distinct()
+        .groupBy("col")
+        .agg(F.sum(F.length("v")).cast("bigint").alias("dict_payload"))
+    )
+    code_bytes = F.expr("(length(bin(ndv)) + 7) DIV 8")
+    est = st.join(dl, "col").select(
+        "col",
+        "n_rows",
+        "ndv",
+        "n_runs",
+        "plain_bytes",
+        (F.col("dict_payload") + F.col("n_rows") * code_bytes)
+        .cast("bigint")
+        .alias("dict_bytes"),
+        (F.col("dict_payload") + F.col("n_runs") * (code_bytes + 2))
+        .cast("bigint")
+        .alias("rle_dict_bytes"),
+    )
+    return est.select(
+        "*",
+        F.when(
+            (F.col("rle_dict_bytes") <= F.col("dict_bytes"))
+            & (F.col("rle_dict_bytes") <= F.col("plain_bytes")),
+            "rle_dict",
+        )
+        .when(F.col("dict_bytes") <= F.col("plain_bytes"), "dict")
+        .otherwise("plain")
+        .alias("recommended"),
+    )

@@ -1008,3 +1008,55 @@ def quality_bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_equal"),
         )
     )
+
+
+K_ANON = 5  # the k in k-anonymity: groups below this size are re-identifiable
+
+
+@register(
+    "quality_k_anonymity",
+    oracle=f"""
+WITH qi AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket FROM documents
+),
+cls AS (
+  SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM qi GROUP BY lang, source, len_bucket
+)
+SELECT sz AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       (sz < {K_ANON}) AS is_at_risk
+FROM cls GROUP BY sz
+""",
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (lang, source,
+    length-bucket) — the compliance twin of text_pii_redaction: PII
+    scrubbing removes direct identifiers, but rows remain
+    re-identifiable when their quasi-identifier combination is rare.
+    Every equivalence class is counted and the output is the class-size
+    histogram with `is_at_risk` marking sizes below k = {K_ANON}; the
+    at-risk row count is what a release gate must suppress, generalize
+    (coarser buckets) or drop before publishing the corpus.
+
+    Shape: one groupBy over the QI columns (map-side combine), one
+    groupBy over class sizes — two linear passes, the same skew profile
+    as any categorical rollup. At 100 TB the QI groupBy is the only
+    data-sized stage and partitions by the QI hash; the histogram is
+    KB-sized. Integer-only output — trivially hash-stable.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    cls = (
+        d.select(
+            "lang", "source", F.expr("n_chars DIV 100").alias("len_bucket")
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    return cls.groupBy(F.col("sz").alias("class_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.max((F.col("sz") < K_ANON).cast("boolean")).alias("is_at_risk"),
+    )

@@ -121,6 +121,8 @@ _PRIORITY = (
     "quality_bucket_checksum_diff",
     "layout_zone_map_skipping",
     "dedup_graph_kcore",
+    "profile_encoding_advisor",
+    "quality_k_anonymity",
 )
 
 
