@@ -98,3 +98,49 @@ def test_zone_map_sorted_layout_dominates(spark, monkeypatch):
     # sorted clusters the matching half -> reads exactly the match
     assert srt.rows_read == 64 and srt.read_amplification == 1.0
     assert ZONE_LO < 320 and ZONE_HI < 320  # stripe really is out of range
+
+
+def test_encoding_advisor_arithmetic(spark, monkeypatch):
+    # col 'lang': values a,a,b,a -> ndv 2, runs 3, plain 4 bytes,
+    # dict payload 2 + 4 rows x 1 code byte = 6, rle 2 + 3*(1+2) = 11.
+    docs = spark.createDataFrame(
+        [
+            (1, "xyz1", "a", "s1", 4),
+            (2, "xyz2", "a", "s1", 4),
+            (3, "xyz3", "b", "s1", 4),
+            (4, "xyz4", "a", "s1", 4),
+        ],
+        DOC_SCHEMA,
+    )
+    monkeypatch.setattr(pf, "load_table", lambda s, sf, n: docs)
+    from hbase_observer_elasticsearch_spark.operators.profiling import (
+        profile_encoding_advisor,
+    )
+
+    rows = {r.col: r for r in profile_encoding_advisor(spark, "x").collect()}
+    lang = rows["lang"]
+    assert (lang.ndv, lang.n_runs, lang.plain_bytes) == (2, 3, 4)
+    assert lang.dict_bytes == 2 + 4 * 1
+    assert lang.rle_dict_bytes == 2 + 3 * (1 + 2)
+    assert lang.recommended == "plain"  # 4 bytes plain beats 6-byte dict
+    src = rows["source"]  # single value: 1 run -> rle_dict wins
+    assert src.n_runs == 1 and src.recommended == "rle_dict"
+    assert rows["text"].recommended == "plain"  # all-distinct 4-byte values
+
+
+def test_k_anonymity_class_histogram(spark, monkeypatch):
+    from hbase_observer_elasticsearch_spark.operators.quality import (
+        quality_k_anonymity,
+    )
+
+    # QI classes: (en,s1,1) x 6 rows, (en,s2,1) x 1 row.
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s1", 150) for i in range(6)]
+        + [(99, "t", "en", "s2", 150)],
+        DOC_SCHEMA,
+    )
+    monkeypatch.setattr(ql, "load_table", lambda s, sf, n: docs)
+    rows = {r.class_size: r for r in quality_k_anonymity(spark, "x").collect()}
+    assert rows[6].n_classes == 1 and not rows[6].is_at_risk
+    assert rows[1].n_classes == 1 and rows[1].is_at_risk
+    assert sum(r.n_rows for r in rows.values()) == 7
