@@ -94,6 +94,28 @@ def gen_embeddings(rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_events(rng: np.random.Generator) -> pa.Table:
+    # 10x sf0.1's events (1M vs 100k) over the SAME 30-day span — rate
+    # grows, horizon doesn't, mirroring a hotter production stream. ts
+    # is event-time-ordered like the real fixture; arrival disorder is
+    # injected deterministically by the watermark-audit query itself.
+    n = 1_000_000
+    base_us = np.int64(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z
+    span_us = np.int64(30 * 86_400 * 1_000_000)
+    offs = np.sort(rng.integers(0, span_us, n))
+    types = np.array(["view", "click", "cart", "purchase", "refund"])
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(base_us + offs, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 1500, n), pa.int64()),
+            "event_type": pa.array(types[rng.integers(0, 5, n)], pa.string()),
+            "value": pa.array(rng.random(n) * 100.0, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+
+
 def main() -> None:
     os.makedirs(SCALE_DIR, exist_ok=True)
     rng = np.random.default_rng(42)
@@ -106,7 +128,14 @@ def main() -> None:
     pq.write_table(
         embs, os.path.join(SCALE_DIR, "embeddings.parquet"), row_group_size=2000
     )
-    print(f"wrote {docs.num_rows} docs, {embs.num_rows} embeddings -> {SCALE_DIR}")
+    evs = gen_events(rng)
+    pq.write_table(
+        evs, os.path.join(SCALE_DIR, "events.parquet"), row_group_size=100_000
+    )
+    print(
+        f"wrote {docs.num_rows} docs, {embs.num_rows} embeddings, "
+        f"{evs.num_rows} events -> {SCALE_DIR}"
+    )
 
 
 if __name__ == "__main__":

@@ -46,6 +46,9 @@ DOC_QUERIES = [
     "dedup_clusters",
     "dedup_keep_best",
     "dedup_cluster_size_histogram",
+    # r8: iterative peel on the same pair memo — wall should track edge
+    # count (~= verified pairs), and rounds are bounded by peel depth
+    "dedup_graph_kcore",
 ]
 TEXT_QUERIES = [
     "corpus_top_bigrams",
@@ -60,6 +63,15 @@ TEXT_QUERIES = [
     # sublinear in corpus size
     "search_bm25_topk",
     "search_phrase_positional",
+    # r8: postings sizing is one distinct+window pass (token grain);
+    # perplexity bucketing re-runs the bigram-LM joins at doc grain
+    "search_postings_delta_stats",
+    "corpus_perplexity_buckets",
+]
+EVENT_QUERIES = [
+    # r8: the blocked prefix-scan — wall must grow ~linearly with event
+    # count (blocks are fixed-width arrival hours; rows/block grow 10x)
+    "stream_watermark_lateness_audit",
 ]
 VEC_QUERIES = [
     "similarity_topk_bruteforce",
@@ -88,7 +100,7 @@ def shuffle_totals(ui: str, app_id: str) -> tuple[int, int]:
 
 def run_scale(spark, ui, app_id, sf_dir, qs) -> dict:
     out: dict = {"sf_dir": sf_dir, "queries": {}}
-    for name in DOC_QUERIES + TEXT_QUERIES + VEC_QUERIES:
+    for name in DOC_QUERIES + TEXT_QUERIES + VEC_QUERIES + EVENT_QUERIES:
         r0, w0 = shuffle_totals(ui, app_id)
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
