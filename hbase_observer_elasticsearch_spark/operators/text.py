@@ -1137,43 +1137,74 @@ def corpus_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source sampling gates (sampling.py).
     """
     ensure_session_conf(spark)
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.groupBy("source").agg(
-        F.sum(F.size(F.split(F.col("text"), " ")))
-        .cast("bigint")
-        .alias("n_tokens")
+    alloc = _waterfill_capacities(
+        spark, sf_dir, capacity=F.col("n_tokens"), budget_expr="sum(n_tokens) DIV 2"
     )
-    # The allocation tree reads tok from four branches (ranking, total,
-    # uncapped-prefix aggregate, final select); without materialization
-    # Spark re-runs the corpus scan + groupBy per branch (plan audit:
-    # 8 exchanges). tok is |sources| rows — checkpoint it once and every
-    # branch reads the tiny table; the corpus is scanned exactly once.
-    tok = tok.localCheckpoint()
+    return alloc.select(
+        "source",
+        "n_tokens",
+        F.col("allocated").alias("allocated_tokens"),
+        "is_capped",
+    )
+
+
+def _waterfill_capacities(
+    spark: SparkSession, sf_dir: str, capacity, budget_expr: str
+) -> DataFrame:
+    """Shared exact-integer waterfill over per-source capacities.
+
+    Tokenizes `documents` per source, assigns each source a `capacity`
+    column expression (waterfill: its own n_tokens; UniMax: E x
+    n_tokens) and a BIGINT `budget_expr` over n_tokens, then allocates
+    min(capacity, cap) with the uniform cap found in ONE window pass
+    (sort by capacity ascending; rank r is uncapped iff
+    cum_r + (n - r) * cap_r <= budget, a nondecreasing predicate, so
+    the uncapped set is a prefix; cap = (budget - S_unc) DIV (n - K)).
+    Returns (source, n_tokens, capacity, allocated, is_capped).
+
+    The allocation tree reads tok from four branches (ranking, total,
+    uncapped-prefix aggregate, final select); without materialization
+    Spark re-runs the corpus scan + groupBy per branch (plan audit:
+    8 exchanges). tok is |sources| rows — checkpoint it once and every
+    branch reads the tiny table; the corpus is scanned exactly once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+        .withColumn("capacity", capacity.cast("bigint"))
+        .localCheckpoint()
+    )
     tot = tok.agg(
         # DIV, not /: true division goes through double and a cast, which
         # diverges from DuckDB's integer // once totals pass 2^53
-        F.expr("sum(n_tokens) DIV 2").cast("bigint").alias("budget"),
+        F.expr(budget_expr).cast("bigint").alias("budget"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    w = Window.orderBy("n_tokens", "source")
+    w = Window.orderBy("capacity", "source")
     r = tok.select(
         "source",
         "n_tokens",
+        "capacity",
         F.row_number().over(w).alias("rk"),
-        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        F.sum("capacity").over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum"),
     )
     f = r.crossJoin(F.broadcast(tot)).withColumn(
         "unc",
         (
-            F.col("cum") + (F.col("n") - F.col("rk")) * F.col("n_tokens")
+            F.col("cum") + (F.col("n") - F.col("rk")) * F.col("capacity")
             <= F.col("budget")
         ).cast("int"),
     )
     k = f.agg(
         F.sum("unc").cast("bigint").alias("kk"),
         F.coalesce(
-            F.sum(F.when(F.col("unc") == 1, F.col("n_tokens"))), F.lit(0)
+            F.sum(F.when(F.col("unc") == 1, F.col("capacity"))), F.lit(0)
         )
         .cast("bigint")
         .alias("ss"),
@@ -1191,11 +1222,12 @@ def corpus_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.crossJoin(F.broadcast(cap)).select(
         "source",
         "n_tokens",
-        F.when(F.col("cap").isNull(), F.col("n_tokens"))
-        .otherwise(F.least(F.col("n_tokens"), F.col("cap")))
+        "capacity",
+        F.when(F.col("cap").isNull(), F.col("capacity"))
+        .otherwise(F.least(F.col("capacity"), F.col("cap")))
         .cast("bigint")
-        .alias("allocated_tokens"),
-        (F.col("cap").isNotNull() & (F.col("n_tokens") > F.col("cap"))).alias(
+        .alias("allocated"),
+        (F.col("cap").isNotNull() & (F.col("capacity") > F.col("cap"))).alias(
             "is_capped"
         ),
     )
@@ -2869,4 +2901,101 @@ def search_postings_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("raw_bytes")
         ).alias("savings_frac"),
         (F.sum("sum_gap").cast("double") / F.sum("df")).alias("avg_gap"),
+    )
+
+
+UNIMAX_EPOCHS = 4  # max passes over any single source (the UniMax cap)
+
+
+@register(
+    "corpus_mix_unimax",
+    oracle=f"""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST({UNIMAX_EPOCHS} * SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS capacity
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok
+),
+r AS (
+  SELECT source, n_tokens, capacity,
+         ROW_NUMBER() OVER (ORDER BY capacity, source) AS rk,
+         SUM(capacity) OVER (ORDER BY capacity, source
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+),
+f AS (
+  SELECT r.source, r.n_tokens, r.capacity, r.rk, r.cum, t.budget, t.n,
+         CASE WHEN r.cum + (t.n - r.rk) * r.capacity <= t.budget
+              THEN 1 ELSE 0 END AS unc
+  FROM r, tot t
+),
+k AS (
+  SELECT CAST(SUM(unc) AS BIGINT) AS kk,
+         CAST(COALESCE(SUM(CASE WHEN unc = 1 THEN capacity END), 0)
+              AS BIGINT) AS ss
+  FROM f
+),
+cap AS (
+  SELECT CASE WHEN k.kk >= t.n THEN NULL
+              ELSE (t.budget - k.ss) // (t.n - k.kk) END AS cap
+  FROM k, tot t
+)
+SELECT f.source, f.n_tokens, f.capacity,
+       CAST(CASE WHEN cap.cap IS NULL THEN f.capacity
+                 ELSE LEAST(f.capacity, cap.cap) END AS BIGINT)
+         AS allocated_tokens,
+       CAST(CASE WHEN cap.cap IS NULL THEN f.capacity
+                 ELSE LEAST(f.capacity, cap.cap) END AS DOUBLE) / f.n_tokens
+         AS epochs,
+       (cap.cap IS NOT NULL AND f.capacity > cap.cap) AS is_capped
+FROM f, cap
+""",
+)
+def corpus_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixing (Chung et al. 2023): distribute the token budget as
+    uniformly as possible across sources, but never take more than
+    {UNIMAX_EPOCHS} epochs of any one source — the published answer to
+    "temperature sampling either starves small languages or overfits
+    them". Structurally it is the same exact-integer waterfill as
+    corpus_mix_waterfill but on capacities E x n_tokens with the full
+    token total as budget (shared `_waterfill_capacities` core, so the
+    two strategies cannot drift): small sources are repeated up to E
+    times (epochs > 1), the heavy tail is cut at the uniform cap, and
+    the budget is filled exactly.
+
+    Together the three registered mixers span the design space a 100 TB
+    pre-training run picks from: waterfill (cap big sources, one epoch
+    max), temperature (smooth proportional reweighting), UniMax
+    (uniform-with-epoch-cap). `epochs` (one IEEE division of BIGINTs)
+    is the per-source audit column: > 1 means repetition, exactly E
+    means the cap bound, < 1 means the uniform share undershoots even
+    one pass.
+
+    Scale shape: identical to waterfill — one token-count groupBy, a
+    |sources|-row window, broadcast scalars; allocation plans for a
+    100 TB corpus are computed from the source-stats table in
+    milliseconds.
+    """
+    ensure_session_conf(spark)
+    alloc = _waterfill_capacities(
+        spark,
+        sf_dir,
+        capacity=F.col("n_tokens") * UNIMAX_EPOCHS,
+        budget_expr="sum(n_tokens)",
+    )
+    return alloc.select(
+        "source",
+        "n_tokens",
+        "capacity",
+        F.col("allocated").alias("allocated_tokens"),
+        (F.col("allocated").cast("double") / F.col("n_tokens")).alias(
+            "epochs"
+        ),
+        "is_capped",
     )

@@ -87,12 +87,12 @@ def _load() -> None:
 # names not listed append in module-import order.
 _PRIORITY = (
     # --- r8 window (the driver checks a ~50-entry prefix) ---
-    # After r7, union(r1-r7 official windows) covers the registry except
-    # the 3 late-r7 text queries (landed at b60dafd after the r7 window
-    # ran); they lead. Next: similarity_topk_ivfpq / similarity_recall_ivfpq,
-    # whose r6 official rows predate the 40e4beb pool-widening refactor
-    # (rk<=30 via _ivfpq_pool) — re-attested post-change. New r8 queries
-    # follow.
+    # Leads: the 3 late-r7 text queries (no official row yet) and the
+    # post-refactor re-attestations (ivfpq pool widening, shared-helper
+    # extractions). Then every query NEW in r8 — both sessions — plus
+    # corpus_mix_waterfill, refactored onto the shared
+    # _waterfill_capacities core late in r8. Union(r1-r8 windows) must
+    # cover the registry with every row postdating its code.
     "corpus_bigram_familiarity",
     "search_prf_expansion",
     "text_dup_span_merge",
@@ -123,6 +123,9 @@ _PRIORITY = (
     "dedup_graph_kcore",
     "profile_encoding_advisor",
     "quality_k_anonymity",
+    "corpus_mix_unimax",
+    # refactored in r8b (shared _waterfill_capacities core; re-attest)
+    "corpus_mix_waterfill",
 )
 
 

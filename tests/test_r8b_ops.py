@@ -178,3 +178,31 @@ def test_matched_pairs_counts_are_min_of_cells(spark, monkeypatch):
     assert len(out) == 10  # every decile pairs
     assert all(r.n_pairs == 1 for r in out)  # min(|A cell|=2, |B cell|=1)
     assert all(r.sum_len_diff >= 0 and r.max_len_diff >= 0 for r in out)
+
+
+def test_unimax_epoch_cap_arithmetic(spark, monkeypatch):
+    # sources of 10/20/100 tokens; budget = 130; capacities 40/80/400.
+    # Uncapped prefix = {s1} (40 + 2*40 <= 130); cap = (130-40) DIV 2 = 45.
+    # Allocations 40/45/45 fill the budget exactly; epochs 4.0/2.25/0.45.
+    def words(n):
+        return " ".join(["w"] * n)
+
+    rows = [
+        (1, words(10), "en", "s1", 10),
+        (2, words(20), "en", "s2", 20),
+        (3, words(100), "en", "s3", 100),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    monkeypatch.setattr(tx, "load_table", lambda s, sf, n: docs)
+    from hbase_observer_elasticsearch_spark.operators.text import (
+        corpus_mix_unimax,
+    )
+
+    out = {r.source: r for r in corpus_mix_unimax(spark, "x").collect()}
+    assert out["s1"].allocated_tokens == 40 and not out["s1"].is_capped
+    assert out["s2"].allocated_tokens == 45 and out["s2"].is_capped
+    assert out["s3"].allocated_tokens == 45 and out["s3"].is_capped
+    assert sum(r.allocated_tokens for r in out.values()) == 130
+    assert out["s1"].epochs == 4.0
+    assert out["s2"].epochs == 2.25
+    assert out["s3"].epochs == 0.45

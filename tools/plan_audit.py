@@ -50,6 +50,9 @@ EXECUTING = (
     "cdc_python_datasource_stream",
     "sink_merge_idempotent_epochs",
 )
+# batch queries whose name matches an EXECUTING prefix but that build a
+# plain DataFrame (no drain): audit them normally.
+BATCH_EXCEPTIONS = ("stream_watermark_lateness_audit",)
 
 
 def audit_one(df) -> dict:
@@ -80,7 +83,9 @@ def main() -> None:
     skipped: list[str] = []
     errors: dict[str, str] = {}
     for name, fn in sorted(qs.items()):
-        if any(name.startswith(p) or name == p for p in EXECUTING):
+        if name not in BATCH_EXCEPTIONS and any(
+            name.startswith(p) or name == p for p in EXECUTING
+        ):
             skipped.append(name)
             continue
         try:
