@@ -1060,3 +1060,192 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("bigint").alias("n_rows"),
         F.max((F.col("sz") < K_ANON).cast("boolean")).alias("is_at_risk"),
     )
+
+
+# --- r8c: fastText-style hashed linear quality classifier --------------------
+
+from ..functions.hashing import sql_token_code, token_code  # noqa: E402
+
+HASH_DIM = 64  # feature-hash buckets (the fastText -bucket knob)
+CLF_A, CLF_B, CLF_P = 2654435761, 104729, 97  # frozen weight congruence
+CLF_SHIFT = CLF_P // 2  # weights span [-48, 48] — zero-centered
+# Per-bucket integer weight: ((bucket*A + B) % P) - SHIFT.  A frozen
+# congruential weight vector stands in for trained fastText weights: the
+# Spark-side plumbing (hash → bucket → weight → mean) is byte-identical to
+# serving a real model, and integer weights keep the score exactly
+# portable (the per-doc score is one BIGINT sum and one final division).
+
+_SQL_CLF_SCORED = f"""
+tok AS (
+  SELECT doc_id, source, lang,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, source, lang,
+         COUNT(*) AS n_tok,
+         SUM((({sql_token_code('w')} % {HASH_DIM}) * {CLF_A} + {CLF_B})
+             % {CLF_P} - {CLF_SHIFT}) AS w_sum
+  FROM tok GROUP BY doc_id, source, lang
+),
+clf_scored AS (
+  SELECT doc_id, source, lang, n_tok,
+         CAST(w_sum AS DOUBLE) / n_tok AS score
+  FROM feat
+)
+"""
+
+
+def _hash_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc hashed-linear score: ``(doc_id, source, lang, n_tok,
+    score)`` — DataFrame twin of the ``clf_scored`` CTE. Token → md5
+    bucket → integer weight stays entirely in JVM expression codegen; the
+    doc score is an exact BIGINT sum divided once, so it hash-compares
+    without rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    )
+    bucket = token_code(F.col("w")) % F.lit(HASH_DIM)
+    weight = (bucket * F.lit(CLF_A) + F.lit(CLF_B)) % F.lit(CLF_P) - F.lit(
+        CLF_SHIFT
+    )
+    return (
+        tok.groupBy("doc_id", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(weight).alias("w_sum"),
+        )
+        .select(
+            "doc_id", "source", "lang", "n_tok",
+            (F.col("w_sum").cast("double") / F.col("n_tok")).alias("score"),
+        )
+    )
+
+
+@register(
+    "quality_hash_classifier",
+    oracle=f"""
+WITH {_SQL_CLF_SCORED}
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE score > 0) AS n_hi,
+       CAST(COUNT(*) FILTER (WHERE score > 0) AS DOUBLE) / COUNT(*)
+         AS hi_rate,
+       CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         AS mean_score
+FROM clf_scored
+GROUP BY source, lang
+""",
+)
+def quality_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality classifier pass over the corpus: every
+    token feature-hashes into HASH_DIM buckets (md5-portable, the
+    hashing-trick that lets vocabulary size stay unbounded), each bucket
+    carries a frozen integer weight, and a document's quality score is
+    the mean bucket weight of its tokens — exactly the linear
+    bag-of-hashed-ngrams scoring fastText serves, minus training.
+    Reported per (source, lang): volume, above-threshold rate, mean
+    score — the slice table a curation run uses to set per-source keep
+    quotas (CCNet / DCLM-style quality partitioning).
+
+    Scale shape: one explode + one hash-groupBy per doc (map-side
+    combine does the token-grain work), then a tiny (source, lang)
+    rollup. No joins, no UDFs — the entire scorer is whole-stage
+    codegen; at 100 TB this is a single linear pass, embarrassingly
+    partition-parallel, and the model (weight table) ships as literals
+    rather than a broadcast (a trained HASH_DIM-row weight table would
+    broadcast at KB size).
+    """
+    ensure_session_conf(spark)
+    s = _hash_doc_scores(spark, sf_dir)
+    return s.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hi"),
+        (
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hi_rate"),
+        (
+            F.sum(F.col("score").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_score"),
+    )
+
+
+@register(
+    "quality_classifier_calibration",
+    oracle=f"""
+WITH {_SQL_CLF_SCORED},
+ext AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM clf_scored),
+pred AS (
+  SELECT s.doc_id,
+         CASE WHEN e.mx = e.mn THEN 0.5
+              ELSE (s.score - e.mn) / (e.mx - e.mn) END AS p,
+         CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END AS y,
+         NTILE(10) OVER (ORDER BY s.score, s.doc_id) AS decile
+  FROM clf_scored s CROSS JOIN ext e
+)
+SELECT decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         AS mean_pred,
+       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS obs_rate,
+       ABS(CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+           - CAST(SUM(y) AS DOUBLE) / COUNT(*)) AS abs_gap
+FROM pred
+GROUP BY decile
+""",
+)
+def quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram for the hashed quality classifier: scores
+    min-max-normalize to pseudo-probabilities, documents bucket into
+    score deciles (NTILE over the total (score, doc_id) order), and each
+    decile compares mean predicted probability against the observed
+    positive rate (proxy truth: lang = 'en'). abs_gap per decile is the
+    per-bucket term of expected calibration error — the audit that
+    decides whether classifier scores can gate a corpus directly or need
+    temperature scaling first.
+
+    Scale shape: the per-doc scorer is the shared linear pass; min/max
+    is a single-row aggregate broadcast back (one tiny cross join); the
+    NTILE over a global order is the one genuinely global stage — at
+    100 TB it becomes a rangepartition + per-partition offset (the same
+    distributed-rank decomposition sampling.py's split queries use), and
+    the decile rollup is 10 rows.
+    """
+    ensure_session_conf(spark)
+    s = _hash_doc_scores(spark, sf_dir)
+    ext = s.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    pred = (
+        s.crossJoin(F.broadcast(ext))
+        .select(
+            "doc_id",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0.5))
+            .otherwise(
+                (F.col("score") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+            )
+            .alias("p"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.ntile(10)
+            .over(Window.orderBy("score", "doc_id"))
+            .cast("bigint")
+            .alias("decile"),
+        )
+    )
+    mean_pred = (
+        F.sum(F.col("p").cast("decimal(28,12)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    obs_rate = F.sum("y").cast("double") / F.count(F.lit(1))
+    return pred.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        mean_pred.alias("mean_pred"),
+        obs_rate.alias("obs_rate"),
+        F.abs(mean_pred - obs_rate).alias("abs_gap"),
+    )

@@ -2604,3 +2604,203 @@ def search_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "system", "n_returned", "n_hits", "recall_at_k", "mrr"
         )
     )
+
+
+# --- r8c: embedding-space curation — contrastive mining + label-noise audit --
+
+N_ANCHORS = 16  # anchor set for contrastive pair mining (vec_id < N_ANCHORS)
+K_CONTRAST = 5  # pairs mined per (anchor, role)
+K_NOISE = 5  # neighborhood size for the kNN label vote
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+anc AS (SELECT vec_id AS anchor_id, label AS a_label, embedding AS av
+        FROM e WHERE vec_id < {N_ANCHORS}),
+scored AS (
+  SELECT a.anchor_id,
+         CASE WHEN e.label = a.a_label THEN 'hard_pos' ELSE 'hard_neg' END
+           AS role,
+         e.vec_id AS neighbor_id,
+         {sql_cosine('a.av', 'e.embedding')} AS cos_sim
+  FROM anc a JOIN e ON e.vec_id <> a.anchor_id
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor_id, role
+           ORDER BY CASE WHEN role = 'hard_pos' THEN cos_sim
+                         ELSE -cos_sim END ASC,
+                    neighbor_id) AS rk
+  FROM scored
+)
+SELECT anchor_id, role, neighbor_id, cos_sim, rk
+FROM ranked WHERE rk <= {K_CONTRAST}
+""",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training data: for each
+    anchor vector, the K_CONTRAST hardest negatives (different label,
+    HIGHEST cosine — the confusable impostors) and the K_CONTRAST hardest
+    positives (same label, LOWEST cosine — the stragglers the model must
+    still pull in). The standard curation step that turns a labeled corpus
+    into triplet/InfoNCE training batches; random negatives are too easy
+    to carry gradient signal at scale.
+
+    One broadcast(anchors) × candidates pass scores every pair once; a
+    single window partitioned by (anchor, role) with a CASE sort key ranks
+    both roles without a second scan. No shuffle of the candidate table —
+    the window input is ≤ |anchors| × n rows pre-filtered to the top ranks
+    per partition by TakeOrderedAndProject-shaped pruning.
+
+    Scale shape: anchors batch through the IVF/RHP blocking exactly like
+    query vectors in similarity_topk_ivf (mine negatives only among probed
+    cells); the brute pass here is the exactness baseline at fixture
+    scale, the same audit role _bruteforce_topk plays for recall.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    anc = e.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    scored = (
+        F.broadcast(anc)
+        .crossJoin(spread(e))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.when(F.col("label") == F.col("a_label"), "hard_pos")
+            .otherwise("hard_neg")
+            .alias("role"),
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("av"), F.col("embedding")) / (F.col("an") * F.col("nrm")))
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "role").orderBy(
+        F.when(F.col("role") == "hard_pos", F.col("cos_sim"))
+        .otherwise(-F.col("cos_sim"))
+        .asc(),
+        "neighbor_id",
+    )
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rk") <= K_CONTRAST)
+
+
+@register(
+    "quality_knn_label_noise",
+    oracle=f"""
+{_SQL_SEMDEDUP_ASGN},
+lab AS (SELECT vec_id, label FROM embeddings),
+al AS (SELECT a.vec_id, a.cid, a.embedding, l.label
+       FROM asgn a JOIN lab l ON l.vec_id = a.vec_id),
+knn AS (
+  SELECT vec_id, n_label FROM (
+    SELECT a.vec_id, b.label AS n_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {sql_cosine('a.embedding', 'b.embedding')} DESC,
+                      b.vec_id) AS rk
+    FROM al a JOIN al b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+  ) t WHERE rk <= {K_NOISE}
+),
+votes AS (SELECT vec_id, n_label, COUNT(*) AS c
+          FROM knn GROUP BY vec_id, n_label),
+maj AS (
+  SELECT vec_id, n_label AS maj_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY c DESC, n_label) AS rn
+    FROM votes
+  ) t WHERE rn = 1
+)
+SELECT l.label,
+       COUNT(*) AS n_vecs,
+       COUNT(m.maj_label) AS n_audited,
+       COUNT(*) FILTER (WHERE m.maj_label IS NOT NULL
+                          AND m.maj_label <> l.label) AS n_flagged,
+       CASE WHEN COUNT(m.maj_label) = 0 THEN NULL
+            ELSE CAST(COUNT(*) FILTER (WHERE m.maj_label IS NOT NULL
+                                         AND m.maj_label <> l.label)
+                      AS DOUBLE) / COUNT(m.maj_label)
+       END AS noise_rate
+FROM lab l LEFT JOIN maj m ON m.vec_id = l.vec_id
+GROUP BY l.label
+""",
+)
+def quality_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (Confident-Learning-lite): each vector's K_NOISE
+    nearest neighbors vote on its label; a vector whose neighborhood
+    majority disagrees with its own label is flagged as probably
+    mislabeled. Reported per label class — the triage report that decides
+    which annotation slices to re-collect before training on them.
+
+    Neighborhoods are restricted to the vector's learned k-means cell (the
+    shared coarse codebook of IVF / SemDeDup), so the pair stage is
+    Σ cell² co-partitioned work, never n² — identical blocking economics
+    to dedup_semantic_kmeans. Majority = argmax vote count with
+    smallest-label tiebreak; singleton-cell vectors have no neighbors and
+    are counted as unaudited (n_vecs vs n_audited) rather than silently
+    dropped.
+
+    The reference has no embedding surface at all (SURVEY §2.3 north-star
+    row); this extends the SemDeDup blocking into the label-QA use case.
+    """
+    ensure_session_conf(spark)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    al = _semdedup_asgn(spark, sf_dir).join(lab, "vec_id")
+    a = al.select("vec_id", "cluster_id", F.col("embedding").alias("va"),
+                  F.col("nrm").alias("na"))
+    b = al.select("cluster_id", F.col("vec_id").alias("nb_id"),
+                  F.col("label").alias("n_label"),
+                  F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nb_id")
+    )
+    knn = (
+        a.join(b, "cluster_id")
+        .filter(F.col("nb_id") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "nb_id",
+            "n_label",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            .alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_NOISE)
+    )
+    votes = knn.groupBy("vec_id", "n_label").agg(F.count("*").alias("c"))
+    w2 = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), "n_label")
+    maj = (
+        votes.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("n_label").alias("maj_label"))
+    )
+    flagged = F.sum(
+        F.when(
+            F.col("maj_label").isNotNull()
+            & (F.col("maj_label") != F.col("label")),
+            1,
+        ).otherwise(0)
+    ).cast("bigint")
+    audited = F.count("maj_label")
+    return (
+        lab.join(maj, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            audited.alias("n_audited"),
+            flagged.alias("n_flagged"),
+            F.when(audited == 0, F.lit(None).cast("double"))
+            .otherwise(flagged.cast("double") / audited)
+            .alias("noise_rate"),
+        )
+    )

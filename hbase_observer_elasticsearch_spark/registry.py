@@ -126,6 +126,11 @@ _PRIORITY = (
     "corpus_mix_unimax",
     # refactored in r8b (shared _waterfill_capacities core; re-attest)
     "corpus_mix_waterfill",
+    # --- new in r8d (post-snapshot continuation) ---
+    "similarity_hard_negatives",
+    "quality_knn_label_noise",
+    "quality_hash_classifier",
+    "quality_classifier_calibration",
 )
 
 
