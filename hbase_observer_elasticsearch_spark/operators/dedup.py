@@ -2481,3 +2481,130 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in out[1:]:
         res = res.unionByName(r)
     return res
+
+
+# --- r8e: semi-supervised label propagation over the near-dup graph --------
+
+_LPA_ROUNDS = 2
+
+
+def _sql_lpa_round(idx: int) -> str:
+    """One synchronous LPA round unrolled in SQL: every node takes the
+    modal label over its neighbors' round-(idx-1) labels PLUS its own
+    (self-inclusive vote), ties broken by keep-current-label first, then
+    the lexicographically smallest label. Self-vote + keep-current is
+    the standard stabilized LPA: it damps the 2-cycle oscillation plain
+    synchronous LPA exhibits on bipartite subgraphs."""
+    return f"""
+cnt{idx} AS (
+  SELECT e.u AS id, l.lbl, COUNT(*) AS c
+  FROM und2 e JOIN l{idx - 1} l ON l.id = e.v
+  GROUP BY e.u, l.lbl
+),
+l{idx} AS (
+  SELECT id, lbl FROM (
+    SELECT c.id, c.lbl,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.id
+             ORDER BY c.c DESC,
+                      CASE WHEN c.lbl = cur.lbl THEN 0 ELSE 1 END,
+                      c.lbl) AS rn
+    FROM cnt{idx} c JOIN l{idx - 1} cur ON cur.id = c.id
+  ) t WHERE rn = 1
+)"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM jp
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM jp
+),
+und2 AS (
+  SELECT u, v FROM und
+  UNION ALL
+  SELECT DISTINCT u, u FROM und
+),
+l0 AS (
+  SELECT DISTINCT e.u AS id, d.lang AS lbl
+  FROM (SELECT DISTINCT u FROM und) e
+  JOIN documents d ON d.doc_id = e.u
+),
+{",".join(_sql_lpa_round(i) for i in range(1, _LPA_ROUNDS + 1))}
+SELECT l0.id AS doc_id, l0.lbl AS lang0,
+       l{_LPA_ROUNDS}.lbl AS lang_final,
+       l0.lbl <> l{_LPA_ROUNDS}.lbl AS changed
+FROM l0 JOIN l{_LPA_ROUNDS} ON l0.id = l{_LPA_ROUNDS}.id
+""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (LPA) over the near-dup graph:
+    each connected document synchronously adopts the modal ``lang`` of
+    its neighborhood (neighbors + itself) for a fixed number of rounds,
+    ties keeping the current label, then smallest label. The classic
+    cheap community/label-denoising pass: a mislabeled near-duplicate
+    inherits the consensus language of its duplicate cluster — the graph
+    analog of the kNN label-noise audit. The self-vote + keep-current
+    tie-break is the stabilized LPA variant: plain synchronous LPA
+    2-cycles on bipartite subgraphs (a star's hub and leaves swap labels
+    forever), which the self-anchored vote damps to a fixed point.
+
+    Deterministic: counts are integers and the (count DESC, is-current,
+    label ASC) argmax is a total order, so the unrolled DuckDB twin
+    matches exactly.
+
+    Scale shape: reuses the memoized verified-pair edge list (shared
+    with CC/PageRank/k-core). Each round is one join of the edge list
+    against the node-label table plus one (node, label) hash aggregation
+    and a per-node argmax — the same shuffle budget as one PageRank
+    iteration, with the label table orders of magnitude smaller than the
+    corpus. Fixed round count = bounded passes; convergence detection at
+    scale would reuse the CC loop's observe-metric early-exit idiom.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_memo(spark, sf_dir)
+    und = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    und2 = und.unionAll(
+        und.select("u").distinct().select("u", F.col("u").alias("v"))
+    )
+    l0 = (
+        und.select("u").distinct()
+        .join(d.select(F.col("doc_id").alias("u"), "lang"), "u")
+        .select(F.col("u").alias("id"), F.col("lang").alias("lbl"))
+    )
+    labels = l0
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            und2.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cur = labels.select("id", F.col("lbl").alias("cur_lbl"))
+        w = Window.partitionBy("id").orderBy(
+            F.col("c").desc(),
+            F.when(F.col("lbl") == F.col("cur_lbl"), 0).otherwise(1),
+            F.col("lbl"),
+        )
+        labels = (
+            cnt.join(cur, "id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lbl")
+        )
+    return (
+        l0.select("id", F.col("lbl").alias("lang0"))
+        .join(labels.select("id", F.col("lbl").alias("lang_final")), "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "lang0",
+            "lang_final",
+            (F.col("lang0") != F.col("lang_final")).alias("changed"),
+        )
+    )

@@ -430,3 +430,102 @@ def stream_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFra
             F.expr("max(lag_us) DIV 1000000").cast("bigint").alias("max_lag_s"),
         )
     )
+
+
+# --- r8e: small-file compaction planner -------------------------------------
+
+COMPACT_TARGET = 262_144  # target bytes per compacted file (256 KiB at
+# fixture scale; production uses 128 MiB — the knob scales, the plan
+# arithmetic does not change)
+FILE_BUCKETS = 32  # simulated small-file inventory: md5 bucket of doc_id
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT source,
+         CAST(CONCAT('0x', substr(md5('file:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {FILE_BUCKETS}
+           AS file_id,
+         SUM(n_chars) AS bytes
+  FROM documents
+  GROUP BY 1, 2
+),
+planned AS (
+  SELECT source, file_id, bytes,
+         COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+           // {COMPACT_TARGET} AS bin
+  FROM files
+)
+SELECT source, CAST(bin AS BIGINT) AS bin,
+       COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(file_id) AS BIGINT) AS first_file,
+       CAST(MAX(file_id) AS BIGINT) AS last_file,
+       CAST(SUM(bytes) AS DOUBLE) / {COMPACT_TARGET} AS fill_ratio
+FROM planned
+GROUP BY source, bin
+""",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: the maintenance pass every table
+    format (Delta OPTIMIZE / Iceberg rewrite_data_files) schedules.
+    The simulated inventory — md5-bucketed per-source byte totals, a
+    many-small-files layout — is packed into merge groups by streaming
+    concatenation: files sort by id within source, and a file joins bin
+    ``exclusive_prefix_bytes // target``. Every bin except a source's
+    last lands in [target, target + max_file), so each merge group is
+    one well-sized output file; the report prices the plan (files per
+    bin, bytes, fill ratio) before any data moves.
+
+    Deterministic: byte counts are integer sums; bin assignment is one
+    integer floor-division of an exact running sum.
+
+    Scale shape: planning touches file-level METADATA only (one row per
+    file — at 100 TB with 128 MiB targets that is ~1M rows), so the
+    whole planner is a per-source window over a metadata table: no data
+    I/O until the plan executes. The prefix-sum window parallelizes per
+    source; executing a bin is then a partition-local concat-rewrite
+    keyed by (source, bin) — embarrassingly parallel, no shuffle of file
+    contents between bins.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    file_id = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("file:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % FILE_BUCKETS
+    )
+    files = d.groupBy("source", file_id.alias("file_id")).agg(
+        F.sum("n_chars").alias("bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / F.lit(COMPACT_TARGET)
+        ),
+    )
+    return planned.groupBy("source", F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_id").cast("bigint").alias("first_file"),
+        F.max("file_id").cast("bigint").alias("last_file"),
+        (F.sum("bytes").cast("double") / F.lit(COMPACT_TARGET)).alias(
+            "fill_ratio"
+        ),
+    )

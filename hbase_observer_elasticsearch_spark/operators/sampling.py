@@ -494,3 +494,71 @@ def sample_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_len_diff"
         ),
     )
+
+
+_RES_K = 4  # winners per source
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((CAST(CONCAT('0x', substr(md5('res:' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0) / n_chars AS k
+  FROM documents
+)
+SELECT source, rk, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY k DESC, doc_id) AS rk
+  FROM keyed
+) t
+WHERE rk <= {_RES_K}
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per source — the
+    Efraimidis–Spirakis A-ES reservoir: every document draws the key
+    ``ln(u) / w`` (u = md5-derived uniform in (0,1), w = n_chars) and the
+    k largest keys per source win. Unlike the weighted Bernoulli (each
+    doc an independent coin, output size random), A-ES yields EXACTLY k
+    rows per stratum with inclusion probability proportional to weight —
+    the draw a token-budgeted eval-set builder wants.
+
+    Determinism: the uniform is integer md5 arithmetic; ln() is the one
+    transcendental, but only the RANKING consumes it and the output
+    carries ids/integers only, so a last-ulp libm divergence between
+    engines would need two keys within one ulp to flip a row — ruled out
+    on 52-bit-spread uniforms.
+
+    Scale shape: map-side key computation + one k-per-group top-k window
+    (rank-pruned by AQE's partial top-k); no global sort, no driver
+    state. This IS the distributed reservoir: merging two partitions'
+    reservoirs = taking the k largest keys of their union, which the
+    shuffle-side window performs associatively at any fan-in.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id", "source", "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _RES_K)
+        .select("source", "rk", "doc_id", "n_chars")
+    )

@@ -2804,3 +2804,141 @@ def quality_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("noise_rate"),
         )
     )
+
+
+# --- r8e: MIPS -> L2 augmentation transform audit ---------------------------
+
+def _sql_sq_norm(a: str) -> str:
+    return (
+        f"list_reduce(list_transform({a}, "
+        f"e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "similarity_mips_augment",
+    oracle=f"""
+WITH {_SQL_E_Q},
+n2 AS (SELECT vec_id, {_sql_sq_norm('embedding')} AS n2 FROM e),
+mx AS (SELECT MAX(n2) AS m2 FROM n2),
+cand AS (
+  SELECT e.vec_id,
+         e.embedding,
+         list_concat(list_transform(e.embedding, v -> CAST(v AS DOUBLE)),
+                     [sqrt(mx.m2 - n2.n2)]) AS aemb
+  FROM e JOIN n2 ON e.vec_id = n2.vec_id CROSS JOIN mx
+),
+qa AS (
+  SELECT query_id, qv,
+         list_concat(list_transform(qv, v -> CAST(v AS DOUBLE)),
+                     [CAST(0.0 AS DOUBLE)]) AS qaug
+  FROM q
+),
+scored AS (
+  SELECT qa.query_id, c.vec_id AS neighbor_id,
+         {sql_dot('qa.qv', 'c.embedding')} AS ip,
+         {sql_sq_dist('qa.qaug', 'c.aemb')} AS d2aug
+  FROM qa JOIN cand c ON c.vec_id <> qa.query_id
+),
+rd AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, neighbor_id) AS rk
+  FROM scored
+),
+ra AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2aug ASC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT rd.query_id, rd.rk,
+       rd.neighbor_id AS nb_dot, ra.neighbor_id AS nb_aug,
+       rd.neighbor_id = ra.neighbor_id AS agree
+FROM rd JOIN ra ON rd.query_id = ra.query_id AND rd.rk = ra.rk
+WHERE rd.rk <= {TOPK}
+""",
+)
+def similarity_mips_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS→L2 reduction audit (Bachrach et al. / the XBOX transform):
+    append one dimension sqrt(M² − ‖x‖²) to every candidate (M = max
+    candidate norm) and a 0 to every query, and maximum-inner-product
+    search becomes nearest-neighbor-by-L2 — the transform that lets a
+    plain L2 index (IVF/PQ/k-d) serve dot-product retrieval. This query
+    runs BOTH rankings — direct inner product and augmented L2 — and
+    reports per-(query, rank) agreement. In exact arithmetic agreement
+    is total (d² = ‖q‖² + M² − 2⟨q,x⟩ is a monotone map); in floats the
+    fold rounds differently along the two paths, so the agreement table
+    IS the measured rank-perturbation of the reduction — the audit a
+    vector store wants before swapping scoring functions under an index.
+
+    Scale shape: the norm pass and the single-row global MAX are one
+    scan + a broadcast scalar; augmented vectors never materialize to
+    storage (one map-side concat); both rankings share one scored
+    intermediate, so the audit costs the same one candidate sweep as the
+    brute-force baseline plus two tiny per-query top-k windows.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    n2c = F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+    withn = spread(e).select("vec_id", "embedding", n2c.alias("n2"))
+    mx = withn.agg(F.max("n2").alias("m2"))
+    cand = withn.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        "embedding",
+        F.concat(
+            F.transform("embedding", lambda v: v.cast("double")),
+            F.array(F.sqrt(F.col("m2") - F.col("n2"))),
+        ).alias("aemb"),
+    )
+    qa = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.concat(
+                F.transform("embedding", lambda v: v.cast("double")),
+                F.array(F.lit(0.0)),
+            ).alias("qaug"),
+        )
+    )
+    d2aug = F.aggregate(
+        F.zip_with(
+            F.col("qaug"),
+            F.col("aemb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(qa)
+        .crossJoin(cand)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qv"), F.col("embedding")).alias("ip"),
+            d2aug.alias("d2aug"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), "neighbor_id")
+    wa = Window.partitionBy("query_id").orderBy(F.col("d2aug").asc(), "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wd).cast("bigint").alias("rk_dot"),
+        F.row_number().over(wa).cast("bigint").alias("rk_aug"),
+    )
+    rd = ranked.filter(F.col("rk_dot") <= TOPK).select(
+        "query_id", F.col("rk_dot").alias("rk"), F.col("neighbor_id").alias("nb_dot")
+    )
+    ra = ranked.filter(F.col("rk_aug") <= TOPK).select(
+        "query_id", F.col("rk_aug").alias("rk"), F.col("neighbor_id").alias("nb_aug")
+    )
+    return rd.join(ra, ["query_id", "rk"]).select(
+        "query_id", "rk", "nb_dot", "nb_aug",
+        (F.col("nb_dot") == F.col("nb_aug")).alias("agree"),
+    )

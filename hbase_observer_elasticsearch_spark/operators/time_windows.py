@@ -1731,3 +1731,81 @@ def events_cep_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_funnel_purchases"))
     )
+
+
+# --- r8e: 3-step sequential pattern mining ----------------------------------
+
+SEQ3_MIN_SUP = 25  # minimum occurrence support to report a pattern
+
+
+@register(
+    "events_seq3_patterns",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3,
+         ts AS ts1,
+         LEAD(ts) OVER w AS ts2,
+         LEAD(ts, 2) OVER w AS ts3,
+         user_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ok AS (
+  SELECT t1, t2, t3, user_id FROM seq
+  WHERE t3 IS NOT NULL
+    AND ts2 <= ts1 + INTERVAL 24 HOURS
+    AND ts3 <= ts2 + INTERVAL 24 HOURS
+)
+SELECT t1, t2, t3,
+       COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ok
+GROUP BY t1, t2, t3
+HAVING COUNT(*) >= {SEQ3_MIN_SUP}
+""",
+)
+def events_seq3_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, PrefixSpan's length-3 contiguous core:
+    frequent 3-step event-type sequences where each hop happens within
+    24 hours of the previous — the patterns (browse→search→purchase)
+    a journey-analysis or next-action model mines from clickstreams.
+    Support is reported both as raw occurrences and as distinct users,
+    and only patterns clearing the occurrence floor survive (the
+    a-priori support threshold). events_top_paths is the length-2
+    unconstrained transition matrix; this adds sequence depth AND the
+    time-gap constraint that separates intent chains from coincidence.
+
+    Scale shape: one per-user window sort emits every candidate window
+    position map-side (two LEADs — no self-joins, no explosion beyond
+    row count); the support rollup is a hash aggregation on the tiny
+    |types|³ key space, and distinct-user support rides the same
+    shuffle. At 100 TB this is exactly one keyed sort + one aggregation
+    regardless of pattern count.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+        F.col("ts").alias("ts1"),
+        F.lead("ts").over(w).alias("ts2"),
+        F.lead("ts", 2).over(w).alias("ts3"),
+    )
+    ok = seq.filter(
+        F.col("t3").isNotNull()
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 24 HOURS"))
+        & (F.col("ts3") <= F.col("ts2") + F.expr("INTERVAL 24 HOURS"))
+    )
+    return (
+        ok.groupBy("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .filter(F.col("n_occurrences") >= SEQ3_MIN_SUP)
+    )

@@ -25,6 +25,7 @@ extension point at all; this surface is pure [NORTH-STAR] engine scope.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -367,3 +368,85 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = load_table(spark, sf_dir, "nation")
     return n.select("n_nationkey", "n_name", tag("n_name").alias("tagged"))
+
+
+# --------------------------------------------------------------------------
+# 7. Cogrouped map (df.groupby().cogroup().applyInPandas) — r8e
+# --------------------------------------------------------------------------
+
+def _spend_vs_balance(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Pair one customer's rows with that customer's orders and reconcile
+    spend against account balance in pandas.
+
+    Integer-cents arithmetic only (`floor(x*100)` → int64) so the DuckDB
+    oracle reproduces every value exactly: double*100 and floor are both
+    single IEEE ops, and the cent sums are order-independent BIGINTs.
+    """
+    if left.empty:  # orders whose customer is absent from the dim: drop
+        return pd.DataFrame(
+            columns=[
+                "c_custkey", "c_mktsegment", "n_orders",
+                "spend_cents", "bal_cents", "spend_gt_bal",
+            ]
+        )
+    cust = left.iloc[0]
+    spend = int(np.floor(right["o_totalprice"].to_numpy() * 100).sum()) if len(right) else 0
+    bal = int(np.floor(cust["c_acctbal"] * 100))
+    return pd.DataFrame(
+        {
+            "c_custkey": [int(cust["c_custkey"])],
+            "c_mktsegment": [cust["c_mktsegment"]],
+            "n_orders": [len(right)],
+            "spend_cents": [spend],
+            "bal_cents": [bal],
+            "spend_gt_bal": [spend > bal],
+        }
+    )
+
+
+@register(
+    "udf_cogroup_pandas",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       COUNT(o.o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                     AS BIGINT), 0) AS spend_cents,
+       CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+       COALESCE(CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                     AS BIGINT), 0)
+         > CAST(floor(c.c_acctbal * 100) AS BIGINT) AS spend_gt_bal
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+""",
+)
+def udf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped map — the last Pandas-UDF execution mode in the matrix:
+    ``customer.groupby(key).cogroup(orders.groupby(key)).applyInPandas``
+    hands each custkey's customer row AND its order rows to one Python
+    function as two aligned pandas frames. This is the escape hatch for
+    per-key logic that needs BOTH sides whole (sessionized enrichment,
+    per-entity reconciliation, trajectory merge) where a join would
+    explode rows and a separate groupBy would lose pairing.
+
+    Scale shape: one shuffle per side on the cogroup key (identical to a
+    shuffle join), then purely partition-local pairing; each key's pair
+    of groups must fit in executor memory — bounded groups only, same
+    rule as applyInPandas. For THIS reconciliation a plain
+    join+aggregate is the faster plan (the oracle is exactly that plan);
+    the query exists to pin the cogroup surface with an oracle twin.
+    """
+    ensure_session_conf(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.groupby("c_custkey")
+        .cogroup(o.groupby("o_custkey"))
+        .applyInPandas(
+            _spend_vs_balance,
+            schema=(
+                "c_custkey bigint, c_mktsegment string, n_orders bigint, "
+                "spend_cents bigint, bal_cents bigint, spend_gt_bal boolean"
+            ),
+        )
+    )

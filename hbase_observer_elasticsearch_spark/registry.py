@@ -131,6 +131,13 @@ _PRIORITY = (
     "quality_knn_label_noise",
     "quality_hash_classifier",
     "quality_classifier_calibration",
+    # --- new in r8e ---
+    "udf_cogroup_pandas",
+    "sample_weighted_reservoir",
+    "graph_label_propagation",
+    "similarity_mips_augment",
+    "layout_compaction_plan",
+    "events_seq3_patterns",
 )
 
 
