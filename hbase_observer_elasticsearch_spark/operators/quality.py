@@ -1249,3 +1249,166 @@ def quality_classifier_calibration(
         obs_rate.alias("obs_rate"),
         F.abs(mean_pred - obs_rate).alias("abs_gap"),
     )
+
+
+# --- r8e: chance-corrected labeler agreement + curriculum ordering ----------
+
+DIV_THRESHOLD = 500  # lexical-diversity labeler: uniq_tokens*1000//tokens >= 500
+
+
+@register(
+    "quality_labeler_kappa",
+    oracle=f"""
+WITH {_SQL_CLF_SCORED},
+lex AS (
+  SELECT doc_id,
+         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
+           // CAST(length(string_split(text, ' ')) AS BIGINT) AS div1000
+  FROM documents
+),
+lab AS (
+  SELECT s.doc_id,
+         CASE WHEN s.score > 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN l.div1000 >= {DIV_THRESHOLD} THEN 1 ELSE 0 END AS b
+  FROM clf_scored s JOIN lex l ON l.doc_id = s.doc_id
+),
+c AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE a = 1 AND b = 1) AS n11,
+         COUNT(*) FILTER (WHERE a = 0 AND b = 0) AS n00,
+         COUNT(*) FILTER (WHERE a = 1 AND b = 0) AS n10,
+         COUNT(*) FILTER (WHERE a = 0 AND b = 1) AS n01,
+         COUNT(*) FILTER (WHERE a = 1) AS ra1,
+         COUNT(*) FILTER (WHERE b = 1) AS cb1
+  FROM lab
+)
+SELECT n AS n_docs, n11, n00, n10, n01,
+       CAST(n11 + n00 AS DOUBLE) / n AS po,
+       CAST(ra1 * cb1 + (n - ra1) * (n - cb1) AS DOUBLE) / (n * n) AS pe,
+       CAST(n * (n11 + n00) - (ra1 * cb1 + (n - ra1) * (n - cb1)) AS DOUBLE)
+         / (n * n - (ra1 * cb1 + (n - ra1) * (n - cb1))) AS kappa
+FROM c
+""",
+)
+def quality_labeler_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two weak quality labelers — the hashed
+    linear classifier (score > 0) and a lexical-diversity heuristic
+    (unique-token ratio ≥ 0.5) — the chance-corrected agreement statistic
+    that tells a weak-supervision pipeline whether its labelers carry
+    INDEPENDENT signal (kappa ≪ 1 with decent accuracy = good ensemble
+    members) or are redundant rephrasings (kappa ≈ 1). Raw agreement
+    (po), chance agreement (pe) and the 2×2 confusion mass ship
+    alongside kappa so the report is auditable.
+
+    Deterministic: both labelers are integer arithmetic; kappa is
+    computed from exact BIGINT cell counts with a single final division
+    (N·(n11+n00) − Σrc over N² − Σrc), so no intermediate float ever
+    feeds another operation.
+
+    Scale shape: two map-side token-grain aggregations (one per
+    labeler), one doc-grain join, then a single 2×2 rollup — the whole
+    statistic is one corpus pass; at 100 TB the per-labeler passes fuse
+    into the same scan when both read ``text``.
+    """
+    ensure_session_conf(spark)
+    s = _hash_doc_scores(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    # exact integer division (DIV): a double `/` + cast could round across
+    # an integer boundary and disagree with the oracle's `//`
+    lex = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000"
+            " DIV CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("div1000"),
+    )
+    lab = s.select(
+        "doc_id", F.when(F.col("score") > 0, 1).otherwise(0).alias("a")
+    ).join(
+        lex.select(
+            "doc_id",
+            F.when(F.col("div1000") >= DIV_THRESHOLD, 1).otherwise(0).alias("b"),
+        ),
+        "doc_id",
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("long")).alias("n11"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("long")).alias("n00"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("long")).alias("n10"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("long")).alias("n01"),
+        F.sum("a").alias("ra1"),
+        F.sum("b").alias("cb1"),
+    )
+    n, ra1, cb1 = F.col("n"), F.col("ra1"), F.col("cb1")
+    chance = ra1 * cb1 + (n - ra1) * (n - cb1)
+    return c.select(
+        n.alias("n_docs"), "n11", "n00", "n10", "n01",
+        ((F.col("n11") + F.col("n00")).cast("double") / n).alias("po"),
+        (chance.cast("double") / (n * n)).alias("pe"),
+        (
+            (n * (F.col("n11") + F.col("n00")) - chance).cast("double")
+            / (n * n - chance)
+        ).alias("kappa"),
+    )
+
+
+CURRICULUM_PHASES = 3  # easy -> medium -> hard
+
+
+@register(
+    "corpus_curriculum_order",
+    oracle=f"""
+WITH {_SQL_CLF_SCORED},
+phased AS (
+  SELECT doc_id, source,
+         NTILE({CURRICULUM_PHASES}) OVER (ORDER BY score DESC, doc_id)
+           AS phase,
+         md5('cur:' || CAST(doc_id AS VARCHAR)) AS shuf
+  FROM clf_scored
+)
+SELECT doc_id, source, CAST(phase AS BIGINT) AS phase,
+       CAST(ROW_NUMBER() OVER (ORDER BY phase, shuf, doc_id) AS BIGINT)
+         AS order_idx
+FROM phased
+""",
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: the corpus sorted into the sequence a
+    curriculum-trained model would consume it in. Documents split into
+    quality phases (NTILE over the classifier score, best first —
+    "clean data early"), and WITHIN each phase the order is a
+    deterministic md5 shuffle (curriculum orders phases, not documents;
+    unshuffled within-phase order would correlate adjacent batches).
+    ``order_idx`` is the global training position — the materialized
+    column a dataloader range-reads by.
+
+    Scale shape: one score pass + one global rank. The NTILE/row_number
+    over a total order is the single global stage; at 100 TB both
+    decompose into rangepartition + per-partition offset (distributed
+    rank), and the output is written sorted by order_idx so training
+    reads are sequential scans. No joins, no data movement beyond the
+    one range exchange.
+    """
+    ensure_session_conf(spark)
+    s = _hash_doc_scores(spark, sf_dir)
+    phased = s.select(
+        "doc_id",
+        "source",
+        F.ntile(CURRICULUM_PHASES)
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("phase"),
+        F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))).alias(
+            "shuf"
+        ),
+    )
+    return phased.select(
+        "doc_id",
+        "source",
+        "phase",
+        F.row_number()
+        .over(Window.orderBy("phase", "shuf", "doc_id"))
+        .cast("bigint")
+        .alias("order_idx"),
+    )

@@ -2942,3 +2942,122 @@ def similarity_mips_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rk", "nb_dot", "nb_aug",
         (F.col("nb_dot") == F.col("nb_aug")).alias("agree"),
     )
+
+
+# --- r8e: simplified silhouette over the trained k-means codebook -----------
+
+_SQL_CENTS_ONLY = (
+    f"""e AS (SELECT vec_id, label, embedding FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+       FROM e WHERE vec_id < {KMEANS_K}),"""
+    + ",".join(
+        _sql_lloyd_iter(f"c{i - 1}", i) for i in range(1, KMEANS_ITERS + 1)
+    )
+)
+
+
+@register(
+    "similarity_kmeans_silhouette",
+    oracle=f"""
+WITH {_SQL_CENTS_ONLY},
+dists AS (
+  SELECT e.vec_id, c.cid,
+         sqrt({sql_sq_dist('e.embedding', 'c.cv')}) AS d
+  FROM e CROSS JOIN c{KMEANS_ITERS} c
+),
+ranked AS (
+  SELECT vec_id, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn,
+         MIN(d) OVER (PARTITION BY vec_id ORDER BY d, cid
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS b
+  FROM dists
+),
+sil AS (
+  SELECT cid AS cluster_id, d AS a, b,
+         CASE WHEN GREATEST(b, d) = 0 THEN 0.0
+              ELSE (b - d) / GREATEST(b, d) END AS s
+  FROM ranked WHERE rn = 1
+)
+SELECT cluster_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         AS mean_silhouette,
+       CAST(SUM(CAST(a AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         AS mean_own_dist
+FROM sil GROUP BY cluster_id
+""",
+)
+def similarity_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette for the trained k-means
+    codebook: per vector, a = distance to its own centroid, b = distance
+    to the nearest OTHER centroid, s = (b − a)/max(a, b); reported as
+    per-cluster means with membership counts. The standard clustering
+    quality score — s near 1 = tight well-separated cells (good IVF
+    codebook), s near 0 = boundary-heavy cells (probe count must rise to
+    hold recall). Complements similarity_ivf_kmeans (sizes + cohesion)
+    with the SEPARATION term, and dedup_cluster_embedding_quality
+    (text-cluster tightness) with a codebook-side view.
+
+    The full silhouette needs all pairwise distances (O(n²) — the reason
+    the simplified form exists); the centroid form is the one that runs
+    at corpus scale, and is the textbook recommendation for k selection
+    at scale.
+
+    Deterministic: the codebook is the shared exact-decimal-mean Lloyd
+    training (memoized, bit-identical to the unrolled oracle); sqrt is
+    IEEE-exact; per-vector a/b come from a total (d, cid) order; means
+    are decimal sums.
+
+    Scale shape: one broadcast of k centroids × one corpus scan; the
+    per-vector (d, cid) window runs inside the vec_id partition (k rows
+    each); output is k rows. Same probe-side cost as a single IVF
+    assignment pass — no pair enumeration anywhere.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = spark.createDataFrame(
+        _coarse_cents(spark, sf_dir), "cluster_id int, cv array<float>"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dists = (
+        spread(e)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", F.col("cluster_id").alias("cid"), F.sqrt(d2).alias("d"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    wb = w.rowsBetween(1, Window.unboundedFollowing)
+    ranked = dists.select(
+        "vec_id",
+        "cid",
+        "d",
+        F.row_number().over(w).alias("rn"),
+        F.min("d").over(wb).alias("b"),
+    )
+    sil = ranked.filter(F.col("rn") == 1).select(
+        F.col("cid").alias("cluster_id"),
+        F.col("d").alias("a"),
+        "b",
+        F.when(F.greatest("b", "d") == 0, F.lit(0.0))
+        .otherwise((F.col("b") - F.col("d")) / F.greatest("b", "d"))
+        .alias("s"),
+    )
+    return sil.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum(F.col("s").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_silhouette"),
+        (
+            F.sum(F.col("a").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_own_dist"),
+    )

@@ -138,6 +138,9 @@ _PRIORITY = (
     "similarity_mips_augment",
     "layout_compaction_plan",
     "events_seq3_patterns",
+    "quality_labeler_kappa",
+    "corpus_curriculum_order",
+    "similarity_kmeans_silhouette",
 )
 
 

@@ -158,3 +158,71 @@ def test_seq3_gap_and_support_gates(spark, monkeypatch):
     r = out[0]
     assert (r.t1, r.t2, r.t3) == ("a", "b", "c")
     assert r.n_occurrences == 1 and r.n_users == 1
+
+
+def test_labeler_kappa_exact_arithmetic(spark, monkeypatch):
+    import hbase_observer_elasticsearch_spark.operators.quality as ql
+    from hbase_observer_elasticsearch_spark.operators.quality import (
+        quality_labeler_kappa,
+    )
+    # craft docs where labeler B (diversity >= 0.5) is fully determined:
+    # "a a a a" -> 250, "a b c d" -> 1000. Labeler A depends on hash
+    # weights; read the confusion cells back and check kappa's closed form.
+    docs = spark.createDataFrame(
+        [(i, "a a a a" if i % 2 else "a b c d", "en", "s", 7) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(ql, "load_table", lambda s, sf, n: docs)
+    r = quality_labeler_kappa(spark, "r8e-kap").collect()[0]
+    n, n11, n00 = r.n_docs, r.n11, r.n00
+    ra1, cb1 = r.n11 + r.n10, r.n11 + r.n01
+    chance = ra1 * cb1 + (n - ra1) * (n - cb1)
+    assert n == 8 and n11 + n00 + r.n10 + r.n01 == n
+    assert r.po == (n11 + n00) / n
+    assert r.pe == chance / (n * n)
+    assert r.kappa == (n * (n11 + n00) - chance) / (n * n - chance)
+
+
+def test_curriculum_phases_order(spark, monkeypatch):
+    import hbase_observer_elasticsearch_spark.operators.quality as ql
+    from hbase_observer_elasticsearch_spark.operators.quality import (
+        corpus_curriculum_order,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2}", "en", "s", 9) for i in range(9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(ql, "load_table", lambda s, sf, n: docs)
+    out = sorted(corpus_curriculum_order(spark, "r8e-cur").collect(),
+                 key=lambda r: r.order_idx)
+    assert [r.order_idx for r in out] == list(range(1, 10))
+    # phases are contiguous blocks of the training order, monotone 1..3
+    phases = [r.phase for r in out]
+    assert phases == sorted(phases) and set(phases) == {1, 2, 3}
+    # within a phase the order is the md5 shuffle, not doc_id order
+    import hashlib
+    for p in (1, 2, 3):
+        block = [r for r in out if r.phase == p]
+        keys = [hashlib.md5(f"cur:{r.doc_id}".encode()).hexdigest() for r in block]
+        assert keys == sorted(keys)
+
+
+def test_silhouette_planted_clusters(spark, monkeypatch):
+    import hbase_observer_elasticsearch_spark.operators.similarity as sim2
+    from hbase_observer_elasticsearch_spark.operators.similarity import (
+        similarity_kmeans_silhouette,
+    )
+    # two tight planted blobs far apart; seed vectors (vec_id < k) cover
+    # both blobs so Lloyd converges onto them
+    rows = []
+    for i in range(8):
+        base = 0.0 if i % 2 == 0 else 100.0
+        rows.append((i, 0, [base + 0.25 * (i // 2), base]))
+    emb = spark.createDataFrame(rows, EMB_SCHEMA)
+    monkeypatch.setattr(sim2, "load_table", lambda s, sf, n: emb)
+    out = similarity_kmeans_silhouette(spark, "r8e-sil").collect()
+    assert sum(r.n_members for r in out) == 8
+    # every populated cluster is far tighter than the inter-blob gap
+    for r in out:
+        if r.n_members > 1:
+            assert r.mean_silhouette > 0.9
