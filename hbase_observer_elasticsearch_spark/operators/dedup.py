@@ -2608,3 +2608,183 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang0") != F.col("lang_final")).alias("changed"),
         )
     )
+
+
+# --- r8f: decontamination apply + link prediction ---------------------------
+
+# Train-side decontamination: drop a TRAIN doc when >= NUM/DEN of its
+# distinct shingles appear in the eval split (integer cross-multiplied,
+# same discipline as CONTAM_NUM/DEN).
+DECON_NUM = 1
+DECON_DEN = 4
+
+
+@register(
+    "corpus_decontam_apply",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+eval_sh AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_SPLIT_MOD} = 0
+),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_SPLIT_MOD} <> 0),
+per AS (
+  SELECT t.doc_id, COUNT(*) AS n_sh, COUNT(e.s) AS n_hit
+  FROM tr t LEFT JOIN eval_sh e ON t.s = e.s
+  GROUP BY t.doc_id
+),
+flag AS (
+  SELECT doc_id, n_hit * {DECON_DEN} >= n_sh * {DECON_NUM} AS dropped
+  FROM per
+)
+SELECT d.source,
+       COUNT(*) AS n_train_docs,
+       COUNT(*) FILTER (WHERE COALESCE(f.dropped, FALSE)) AS n_dropped,
+       COUNT(*) FILTER (WHERE NOT COALESCE(f.dropped, FALSE)) AS n_kept,
+       CAST(SUM(d.n_chars) FILTER (WHERE COALESCE(f.dropped, FALSE))
+            AS BIGINT) AS chars_dropped,
+       CAST(SUM(d.n_chars) FILTER (WHERE NOT COALESCE(f.dropped, FALSE))
+            AS BIGINT) AS chars_kept,
+       CAST(COUNT(*) FILTER (WHERE COALESCE(f.dropped, FALSE)) AS DOUBLE)
+         / COUNT(*) AS drop_rate
+FROM documents d LEFT JOIN flag f ON f.doc_id = d.doc_id
+WHERE d.doc_id % {EVAL_SPLIT_MOD} <> 0
+GROUP BY d.source
+""",
+)
+def corpus_decontam_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLY — the consuming twin of
+    corpus_eval_ngram_overlap, run in the direction production actually
+    runs it: remove from the TRAIN split every document whose distinct
+    3-shingles overlap the held-out eval split by ≥ 25% (integer
+    cross-multiplied threshold), and account for what the purge costs
+    per source (docs and chars dropped vs kept). This is the standard
+    pre-training step (GPT-3 appendix C / Gopher-style n-gram
+    decontamination): the overlap AUDIT says how bad it is; this query
+    emits the keep-list accounting a pipeline signs off before writing
+    the cleaned corpus. Short docs with no shingles (< 3 tokens) cannot
+    be contaminated and are kept.
+
+    Scale shape: shares the shingle subtree; the eval shingle set is a
+    distinct-project of the (tiny) eval slice; the containment check is
+    one inverted-index equi-join + per-doc rollup; the apply itself is a
+    broadcast-able doc_id flag joined back to the corpus spine — no doc
+    × doc pairing anywhere. At 100 TB the eval shingle set ships as a
+    bloom filter and the flag join becomes a map-side membership test.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(d)
+    is_eval = (F.col("doc_id") % EVAL_SPLIT_MOD) == 0
+    eval_sh = sh.filter(is_eval).select("s").distinct()
+    tr = sh.filter(~is_eval)
+    per = (
+        tr.join(eval_sh.withColumn("__hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("__hit").alias("n_hit"),
+        )
+    )
+    flag = per.select(
+        "doc_id",
+        (F.col("n_hit") * DECON_DEN >= F.col("n_sh") * DECON_NUM).alias(
+            "dropped"
+        ),
+    )
+    train = d.filter((F.col("doc_id") % EVAL_SPLIT_MOD) != 0)
+    j = train.join(flag, "doc_id", "left").withColumn(
+        "dropd", F.coalesce(F.col("dropped"), F.lit(False))
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum(F.col("dropd").cast("long")).alias("n_dropped"),
+        F.sum((~F.col("dropd")).cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("dropd"), F.col("n_chars")))
+        .cast("bigint")
+        .alias("chars_dropped"),
+        F.sum(F.when(~F.col("dropd"), F.col("n_chars")))
+        .cast("bigint")
+        .alias("chars_kept"),
+        (
+            F.sum(F.col("dropd").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("drop_rate"),
+    )
+
+
+RA_SCALE = 1_000_000  # resource-allocation index as exact micro-units
+LINKPRED_MIN_SHARED = 3  # weak-tie edge: >= 3 shared shingles
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+ed AS (
+  SELECT doc_a, doc_b FROM inter WHERE n_shared >= {LINKPRED_MIN_SHARED}
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM ed
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM ed
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),
+cand AS (
+  SELECT e1.u AS doc_a, e2.v AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM({RA_SCALE} // dg.deg) AS BIGINT) AS ra_micro
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u AND e1.u < e2.v
+  JOIN deg dg ON dg.u = e1.v
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_common, c.ra_micro
+FROM cand c
+LEFT JOIN ed ON ed.doc_a = c.doc_a AND ed.doc_b = c.doc_b
+WHERE ed.doc_a IS NULL
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the WEAK-TIE shingle-sharing graph: edges are
+    document pairs sharing ≥ 3 shingles (below the near-dup Jaccard bar
+    — the verified-dup graph is a union of cliques, so every wedge there
+    closes and prediction is vacuous); for every non-adjacent pair with
+    a common neighbor, emit the common-neighbors count and the
+    resource-allocation index (Σ 1/deg(z) over shared neighbors z — RA,
+    the consistently strongest classic local predictor) in exact
+    micro-units (10⁶ // deg summed as BIGINTs — no float accumulation).
+    These are the transitive sharing relations thresholding cut: a
+    triage list for lowering the dedup threshold, seeding review, or
+    densifying clusters before connected components.
+
+    Scale shape: the edge list is a reused projection of the memoized
+    candidate-pair table (no new shingle pass); the wedge enumeration is
+    one length-2 path self-join whose mass is Σ deg² — the same quantity
+    the pair-mass audit prices for LSH buckets, with the hot-node cap
+    doctrine (PAIR_BUCKET_CAP) applying unchanged if a hub appears —
+    plus a degree join and an anti-join against existing edges.
+    """
+    ensure_session_conf(spark)
+    ed = (
+        _verified_pairs_memo(spark, sf_dir)
+        .filter(F.col("n_shared") >= LINKPRED_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    und = ed.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(ed.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("z"))
+    e2 = und.select(F.col("u").alias("z"), F.col("v").alias("b"))
+    cand = (
+        e1.join(e2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("u").alias("z"), "deg"), "z")
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.expr(f"{RA_SCALE} DIV deg")).cast("bigint").alias("ra_micro"),
+        )
+    )
+    return cand.join(ed, ["doc_a", "doc_b"], "left_anti")

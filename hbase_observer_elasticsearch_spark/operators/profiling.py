@@ -779,3 +779,120 @@ def profile_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("plain")
         .alias("recommended"),
     )
+
+
+# --- r8f: exact Kolmogorov-Smirnov two-sample drift per source --------------
+
+@register(
+    "profile_ks_drift",
+    oracle="""
+WITH srcs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+cnt AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+),
+gcum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS gc
+  FROM (SELECT v, SUM(c) AS c FROM cnt GROUP BY v) t
+),
+grid AS (
+  SELECT s.source, s.n_s, va.v, COALESCE(c.c, 0) AS c
+  FROM srcs s CROSS JOIN vals va
+  LEFT JOIN cnt c ON c.source = s.source AND c.v = va.v
+),
+cum AS (
+  SELECT g.source, g.n_s, g.v,
+         SUM(g.c) OVER (PARTITION BY g.source ORDER BY g.v) AS cs,
+         gc.gc
+  FROM grid g JOIN gcum gc ON gc.v = g.v
+),
+diff AS (
+  SELECT source, n_s, v,
+         ABS(CAST(cs AS DOUBLE) / n_s
+             - CAST(gc - cs AS DOUBLE) / ((SELECT n FROM tot) - n_s))
+           AS dks
+  FROM cum
+)
+SELECT source, n_s,
+       dks AS ks_stat,
+       CAST(v AS BIGINT) AS ks_at_value
+FROM (
+  SELECT source, n_s, v, dks,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY dks DESC, v) AS rn
+  FROM diff
+) t WHERE rn = 1
+""",
+)
+def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per source: for
+    every source, the sup-norm distance between ITS document-length ECDF
+    and the ECDF of the REST of the corpus, plus the length at which the
+    gap peaks. The distribution-drift detector that complements
+    snapshot_distribution_drift's PSI (binned, needs bin choices) with
+    the binning-free exact statistic — a large KS on one source is the
+    "this crawl batch looks different" alarm, and ks_at_value says WHERE
+    the distributions diverge.
+
+    Deterministic: ECDFs are exact integer cumulative counts over the
+    shared distinct-value grid; the two divisions and the |a−b| are
+    single IEEE ops in identical order; the argmax is total-ordered by
+    (gap DESC, value).
+
+    Scale shape: one (source, value) aggregation, a value-grid cross
+    join (|sources| × |distinct values| rows — metadata-scale, NOT row
+    scale), and per-source running sums. At 100 TB with unbounded value
+    domains the grid is first quantized to, e.g., 10k distinct quantile
+    buckets (KS over a quantization is a lower bound with error ≤ bucket
+    mass) — the same sketch-before-exact doctrine as the HLL/KLL
+    batteries.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    srcs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    total = d.count()
+    vals = d.select(F.col("n_chars").alias("v")).distinct()
+    cnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gcum = (
+        cnt.groupBy("v")
+        .agg(F.sum("c").alias("c"))
+        .select("v", F.sum("c").over(Window.orderBy("v")).alias("gc"))
+    )
+    grid = (
+        srcs.crossJoin(vals)
+        .join(cnt, ["source", "v"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    cum = grid.select(
+        "source",
+        "n_s",
+        "v",
+        F.sum("c").over(Window.partitionBy("source").orderBy("v")).alias("cs"),
+    ).join(gcum, "v")
+    diff = cum.select(
+        "source",
+        "n_s",
+        "v",
+        F.abs(
+            F.col("cs").cast("double") / F.col("n_s").cast("double")
+            - (F.col("gc") - F.col("cs")).cast("double")
+            / (F.lit(total) - F.col("n_s")).cast("double")
+        ).alias("dks"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("dks").desc(), "v")
+    return (
+        diff.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            "n_s",
+            F.col("dks").alias("ks_stat"),
+            F.col("v").cast("bigint").alias("ks_at_value"),
+        )
+    )

@@ -2999,3 +2999,136 @@ def corpus_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "is_capped",
     )
+
+
+# --- r8f: champion-list static index pruning --------------------------------
+
+CHAMPION_M = 20  # postings kept per term in the champion list
+
+
+@register(
+    "search_champion_lists",
+    oracle=f"""
+WITH {_SQL_BM25_CTE},
+champ AS (
+  SELECT doc_id, w, tf FROM (
+    SELECT doc_id, w, tf,
+           ROW_NUMBER() OVER (PARTITION BY w
+                              ORDER BY tf DESC, doc_id) AS rn
+    FROM tf
+  ) t WHERE rn <= {CHAMPION_M}
+),
+ts_c AS (
+  SELECT t.doc_id,
+         ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+            / (CAST(f.df AS DOUBLE) + 0.5))
+         * ((CAST(t.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+            / (CAST(t.tf AS DOUBLE)
+               + CAST({BM25_K1!r} AS DOUBLE)
+                 * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                    + CAST({BM25_B!r} AS DOUBLE)
+                      * (CAST(l.dl AS DOUBLE)
+                         / (CAST(s.sum_dl AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))))) AS ts
+  FROM champ t JOIN dfq f USING (w) JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg_c AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ts AS DECIMAL(28,6))) AS DOUBLE) AS bm25_c
+  FROM ts_c GROUP BY doc_id
+),
+top_f AS (
+  SELECT doc_id, bm25,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+  FROM agg QUALIFY rk <= {BM25_TOPK}
+),
+top_c AS (
+  SELECT doc_id, bm25_c,
+         ROW_NUMBER() OVER (ORDER BY bm25_c DESC, doc_id) AS rk
+  FROM agg_c QUALIFY rk <= {BM25_TOPK}
+)
+SELECT f.rk,
+       f.doc_id AS doc_full, f.bm25 AS score_full,
+       c.doc_id AS doc_champ, c.bm25_c AS score_champ,
+       f.doc_id = c.doc_id AS same_doc
+FROM top_f f JOIN top_c c ON f.rk = c.rk
+""",
+)
+def search_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list (top-m postings) static index pruning — the classic
+    IR scale lever (Manning IR §7.1.3): each query term keeps only its
+    m highest-tf postings; query evaluation scores ONLY documents
+    surviving in some champion list, with unchanged idf. The query
+    compares the pruned top-k against the exact BM25 top-k rank by rank
+    (same_doc per position) — the retrieval-quality-vs-cost audit run
+    before enabling pruning in a serving index.
+
+    Deterministic: champion selection is an integer (tf DESC, doc_id)
+    rank; the scoring formula and DECIMAL(28,6) sum are shared verbatim
+    with the exact-BM25 CTE.
+
+    Scale shape: this is THE postings-bound trick for 100 TB text — the
+    scored candidate set drops from Σ df(t) to Σ min(df(t), m) = O(|q|·m)
+    regardless of corpus size, turning hot-term queries from
+    posting-scan-bound into constant work. The champion lists themselves
+    are a top-m-per-term window over the tf table, built once at index
+    time; idf/dl stay full-corpus statistics (tiny broadcast).
+    """
+    ensure_session_conf(spark)
+    agg = _bm25_agg(spark, sf_dir, BM25_TERMS)
+    # rebuild the component relations champion pruning needs (tf/dfq/dl/
+    # stats are index-time tables; at scale they are persisted, not
+    # recomputed — the recompute here mirrors the oracle's CTE chain)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    wch = Window.partitionBy("w").orderBy(F.col("tf").desc(), "doc_id")
+    champ = (
+        tf.withColumn("rn", F.row_number().over(wch))
+        .filter(F.col("rn") <= CHAMPION_M)
+        .drop("rn")
+    )
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tfn = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+    )
+    ts_c = (
+        champ.join(dfq, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tfn).alias("ts"))
+    )
+    agg_c = ts_c.groupBy("doc_id").agg(
+        F.sum(F.col("ts").cast("decimal(28,6)")).cast("double").alias("bm25_c")
+    )
+    wf = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    wc = Window.orderBy(F.col("bm25_c").desc(), "doc_id")
+    top_f = (
+        agg.withColumn("rk", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select("rk", F.col("doc_id").alias("doc_full"), F.col("bm25").alias("score_full"))
+    )
+    top_c = (
+        agg_c.withColumn("rk", F.row_number().over(wc).cast("bigint"))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select("rk", F.col("doc_id").alias("doc_champ"), F.col("bm25_c").alias("score_champ"))
+    )
+    return top_f.join(top_c, "rk").select(
+        "rk", "doc_full", "score_full", "doc_champ", "score_champ",
+        (F.col("doc_full") == F.col("doc_champ")).alias("same_doc"),
+    )

@@ -141,6 +141,10 @@ _PRIORITY = (
     "quality_labeler_kappa",
     "corpus_curriculum_order",
     "similarity_kmeans_silhouette",
+    "corpus_decontam_apply",
+    "graph_link_prediction",
+    "search_champion_lists",
+    "profile_ks_drift",
 )
 
 
