@@ -49,6 +49,12 @@ DOC_QUERIES = [
     # r8: iterative peel on the same pair memo — wall should track edge
     # count (~= verified pairs), and rounds are bounded by peel depth
     "dedup_graph_kcore",
+    # r8e/f: LPA rounds and wedge enumeration both ride the pair memo —
+    # LPA wall tracks edge count x rounds; link-prediction wall tracks
+    # the wedge mass (sum deg^2) recorded in structure below
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "corpus_decontam_apply",
 ]
 TEXT_QUERIES = [
     "corpus_top_bigrams",
@@ -135,11 +141,26 @@ def run_scale(spark, ui, app_id, sf_dir, qs) -> dict:
         }
         for r in qs["dedup_pair_mass_audit"](spark, sf_dir).collect()
     }
+    # wedge mass of the weak-tie graph (sum over nodes of deg*(deg-1)/2):
+    # the exact work bound of graph_link_prediction's path self-join
+    from pyspark.sql import functions as F
+
+    weak = dd._verified_pairs_memo(spark, sf_dir).filter(
+        F.col("n_shared") >= dd.LINKPRED_MIN_SHARED
+    )
+    und = weak.selectExpr("doc_a AS u").unionAll(weak.selectExpr("doc_b AS u"))
+    wedge_mass = (
+        und.groupBy("u")
+        .count()
+        .selectExpr("CAST(sum(count * (count - 1) / 2) AS BIGINT) AS wm")
+        .collect()[0]["wm"]
+    ) or 0
     out["structure"] = {
         "n_docs": n_docs,
         "lsh_candidate_pairs": cand,
         "verified_pairs": verified,
         "cc_clusters": n_clusters,
+        "linkpred_wedge_mass": int(wedge_mass),
         "all_pairs_would_be": n_docs * (n_docs - 1) // 2,
         "pair_mass_bands": bands,
         "capped_pair_mass_total": sum(
