@@ -1357,3 +1357,171 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_click_value",
         )
     )
+
+
+@register(
+    "join_fuzzy_levenshtein_blocked",
+    oracle="""
+SELECT a.p_brand AS brand,
+       a.p_partkey AS part_a,
+       b.p_partkey AS part_b,
+       a.p_name AS name_a,
+       b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def join_fuzzy_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: part-name pairs within edit
+    distance <= 2, blocked on brand — the classic record-linkage shape
+    (blocking key -> candidate pairs -> admissible cheap filter ->
+    exact expensive verify), the string-similarity sibling of the
+    shingle/MinHash document path in dedup.py.
+
+    Three-layer cost control, each earning its keep at 100 TB:
+
+    1. **Blocking** (`p_brand` equi-key): the self-join shuffles on the
+       block key only, so candidate mass is sum_b |block_b|^2, never
+       n^2. At scale you block on a higher-cardinality compound
+       (brand x name-prefix bigram, or a phonetic key) to keep the
+       largest block bounded — same doctrine as the LSH band cap
+       (`dedup_pair_mass_audit`).
+    2. **Length-band prefilter** (|len(a)-len(b)| <= 2): admissible for
+       edit distance <= 2 (each edit changes length by at most 1), cut
+       as a cheap join residual before any DP runs.
+    3. **Threshold-bounded Levenshtein**: `F.levenshtein(a, b, 2)`
+       (Spark 3.5+) runs the banded O(k*n) DP and bails at -1 when the
+       distance exceeds the bound, instead of the full O(n*m) matrix —
+       the verify step costs k*len per survivor, not len^2.
+
+    The oracle recomputes distances with DuckDB's independent
+    levenshtein implementation — integer-exact, no float drift.
+    """
+    ensure_session_conf(spark)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name", F.length("p_name").alias("p_len")
+    )
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_len").alias("len_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_len").alias("len_b"),
+    )
+    return (
+        a.join(
+            b,
+            [
+                a.brand == b.brand,
+                F.col("part_a") < F.col("part_b"),
+                F.abs(F.col("len_a") - F.col("len_b")) <= 2,
+            ],
+        )
+        .select(
+            a.brand.alias("brand"),
+            "part_a",
+            "part_b",
+            "name_a",
+            "name_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b"), 2).alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
+@register(
+    "sort_skyline_pareto",
+    oracle="""
+SELECT p.p_brand AS brand,
+       p.p_partkey AS partkey,
+       p.p_size AS size,
+       p.p_retailprice AS retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+""",
+)
+def sort_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto skyline: parts not dominated on (cheaper price,
+    larger size) — the classic SKYLINE operator (Borzsony et al., ICDE
+    2001) that no SQL engine ships natively.
+
+    The naive formulation is the oracle's NOT-EXISTS self-join —
+    O(n^2) per block and hopeless at scale. The Spark plan is the
+    sort-based linear scan expressed in two window passes over ONE
+    partitioning (brand), so it costs a single shuffle + sort:
+
+    1. collapse ties: per (brand, price) keep max(size) — a row is on
+       the skyline only if it carries its price group's max size;
+    2. running strict-cheaper max: max(size) over price-ascending rows
+       1-PRECEDING (valid as a ROWS frame because step 1 left one row
+       per price) — a row is dominated iff some strictly cheaper row
+       already reached its size.
+
+    Dominance needs `price <` OR (`price =` AND `size >`), which is
+    exactly (size == group max) AND (size > strict-cheaper cummax);
+    equal (price, size) twins are mutually non-dominating and both
+    kept, matching the oracle. All comparisons are raw parquet values
+    (int size, double price) — no arithmetic, no float drift.
+
+    At 100 TB: the shuffle is on the block key; within a partition the
+    scan is linear after sort. For a global (unblocked) skyline you
+    pre-filter with a coarse grid (each cell keeps its local skyline,
+    union is a superset) before this exact pass — same
+    prune-then-verify doctrine as the dedup family.
+    """
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    grp = p.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("gmax")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        grp.withColumn("cheaper_max", F.max("gmax").over(w))
+        .filter(
+            F.col("cheaper_max").isNull()
+            | (F.col("gmax") > F.col("cheaper_max"))
+        )
+        .select(
+            F.col("p_brand").alias("f_brand"),
+            F.col("p_retailprice").alias("f_price"),
+            "gmax",
+        )
+    )
+    return (
+        p.join(
+            frontier,
+            (F.col("p_brand") == F.col("f_brand"))
+            & (F.col("p_retailprice") == F.col("f_price"))
+            & (F.col("p_size") == F.col("gmax")),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_size").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+    )

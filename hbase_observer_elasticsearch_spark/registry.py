@@ -145,6 +145,9 @@ _PRIORITY = (
     "graph_link_prediction",
     "search_champion_lists",
     "profile_ks_drift",
+    # --- new in r8g (final session; fills the window to exactly 50) ---
+    "join_fuzzy_levenshtein_blocked",
+    "sort_skyline_pareto",
 )
 
 
