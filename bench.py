@@ -139,6 +139,25 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Host-throughput probe (r8): a FIXED pure-JVM job (sum over 2e8 ids,
+    # 32 partitions — no IO, no Python) timed best-of-3 and recorded as
+    # host_probe_s. Cross-boot absolute walls on this box drift by 1.3-2.6x
+    # (r8 final session measured code-unchanged pure-JVM queries at 2.6x
+    # their early-r8 walls on an idle machine, zero steal, nominal MHz —
+    # host-level throughput shift invisible to the guest). Dividing any
+    # cross-round wall ratio by the host_probe_s ratio separates code
+    # regressions from host drift.
+    import pyspark.sql.functions as _F
+
+    probe = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).select(
+            _F.sum(_F.col("id") * 2)
+        ).collect()
+        probe = min(probe, time.perf_counter() - t0)
+    host_probe_s = round(probe, 3)
+
     # best-of-2 per query, escalating to best-of-3 when the two samples
     # disagree by >30% — r3→r4 diagnosis of the flagged "regressions"
     # (dedup_simhash, q21_waiting_supplier, join_asof — all code-unchanged
@@ -245,6 +264,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf),
+        "host_probe_s": host_probe_s,
         "delta": delta,
         "noisy_reruns": noisy,
     }
