@@ -437,8 +437,27 @@ def udf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query exists to pin the cogroup surface with an oracle twin.
     """
     ensure_session_conf(spark)
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    # Project to the UDF's working set BEFORE the cogroup: Catalyst cannot
+    # prune columns through FlatMapCoGroupsInPandas (the UDF body is
+    # opaque), so without this every customer/orders column rides the
+    # shuffle AND the Arrow transfer into Python.
+    # Pin the cogroup's parallelism with an explicit numbered repartition
+    # on the key: the stage's cost is per-key Python function calls, not
+    # bytes, so AQE's byte-based coalescing (which shrank the projected
+    # shuffle to 2 partitions and serialized ~15k calls onto 2 cores) is
+    # exactly wrong here. REPARTITION_BY_NUM is exempt from AQE coalesce,
+    # and the cogroup reuses the partitioning (no second shuffle).
+    n_part = spark.sparkContext.defaultParallelism
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .repartition(n_part, "c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .repartition(n_part, "o_custkey")
+    )
     return (
         c.groupby("c_custkey")
         .cogroup(o.groupby("o_custkey"))
