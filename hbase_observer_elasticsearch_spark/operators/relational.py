@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, register_views
+from ..catalog import load_table, register_views, spread
 from ..functions.deterministic import davg, dec, dsum, sql_davg, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
@@ -1406,7 +1406,11 @@ def join_fuzzy_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name", F.length("p_name").alias("p_len")
     )
-    a = p.select(
+    # The verify compute (banded DP per surviving pair) dwarfs the scan:
+    # spread() the probe side so the one-file fixture (and any skewed
+    # split at scale) doesn't serialize millions of DP evals on one core.
+    # The build side stays tiny and broadcasts.
+    a = spread(p).select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("part_a"),
         F.col("p_name").alias("name_a"),
