@@ -2428,9 +2428,11 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "search_quality_scorecard",
-    oracle=f"""
+# Shared oracle CTE chain for the cross-family retrieval audits
+# (search_quality_scorecard, search_quality_ndcg): the four per-system
+# ranked lists plus the brute-force relevance truth. Factored so the two
+# metric queries cannot drift apart on list construction.
+_SQL_SYSTEMS = f"""
 {_SQL_IVFPQ},
 {_SQL_RHP.strip()},
 qq AS (SELECT vec_id AS query_id, embedding AS qv FROM e
@@ -2508,7 +2510,13 @@ systems AS (
   SELECT 'ivfpq' AS system, query_id, neighbor_id, rk FROM ivfpq_top
   UNION ALL
   SELECT 'rrf' AS system, query_id, neighbor_id, rk FROM rrf_top
-),
+)"""
+
+
+@register(
+    "search_quality_scorecard",
+    oracle=f"""
+{_SQL_SYSTEMS},
 shits AS (
   SELECT s.system, s.query_id, s.rk
   FROM systems s
@@ -2603,6 +2611,99 @@ def search_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "system", "n_returned", "n_hits", "recall_at_k", "mrr"
         )
+    )
+
+
+# Ideal DCG@k for binary gains with exactly TOPK relevant per query: a
+# Python-computed constant inlined VERBATIM into both dialects (math.log2
+# on small ints is one correctly-rounded double each — no cross-engine
+# transcendental in the constant's derivation path).
+import math as _math  # noqa: E402
+
+IDCG_AT_K = sum(1.0 / _math.log2(i + 1) for i in range(1, TOPK + 1))
+
+
+@register(
+    "search_quality_ndcg",
+    oracle=f"""
+{_SQL_SYSTEMS},
+dterms AS (
+  SELECT s.system, s.query_id,
+         CAST(CAST(1.0 AS DOUBLE)
+              / log2(CAST(s.rk + 1 AS DOUBLE)) AS DECIMAL(28,6)) AS dt
+  FROM systems s
+  JOIN bft b ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+),
+sysret AS (
+  SELECT system, CAST(COUNT(*) AS BIGINT) AS n_returned
+  FROM systems GROUP BY 1
+)
+SELECT r.system, r.n_returned,
+       CAST(COUNT(d.dt) AS BIGINT) AS n_hits,
+       CAST(COALESCE(SUM(d.dt), 0) AS DOUBLE) AS dcg_total,
+       CAST(COALESCE(SUM(d.dt), 0) AS DOUBLE)
+         / ({IDCG_AT_K!r} * CAST({N_QUERIES} AS DOUBLE)) AS mean_ndcg
+FROM sysret r LEFT JOIN dterms d ON d.system = r.system
+GROUP BY r.system, r.n_returned
+""",
+)
+def search_quality_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{TOPK} per retrieval family — the third standard IR metric
+    next to the scorecard's recall@k and MRR, and the one that grades the
+    WHOLE ranking, not just hit mass (recall) or the first hit (MRR): a
+    system that returns all the right neighbors in the wrong order loses
+    nDCG and nothing else.
+
+    Binary gains against the declared relevance oracle (exact cosine
+    top-{TOPK}), so per-query ideal DCG is the constant
+    sum_i 1/log2(i+1) — computed once in Python and inlined verbatim in
+    both dialects. Each discount term 1/log2(rk+1) is two correctly-
+    rounded IEEE ops on identical inputs, quantized to DECIMAL(28,6)
+    before the order-free sum (the MRR/BM25 discipline); zero-hit
+    queries contribute 0 via the constant {N_QUERIES}-query denominator.
+
+    Scale shape: identical to the scorecard — list-merge joins over the
+    four memoized top-k tables plus the brute-force truth; no index work
+    of its own.
+    """
+    ensure_session_conf(spark)
+    bf = _bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    fams = {
+        "rhp": similarity_topk_rhp(spark, sf_dir),
+        "pq": similarity_topk_pq(spark, sf_dir),
+        "ivfpq": similarity_topk_ivfpq(spark, sf_dir),
+        "rrf": similarity_rank_fusion_rrf(spark, sf_dir),
+    }
+    systems = None
+    for name, df in fams.items():
+        part = df.select(
+            F.lit(name).alias("system"), "query_id", "neighbor_id",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        systems = part if systems is None else systems.unionByName(part)
+    dterm = (
+        F.lit(1.0) / F.log2(F.col("rk").cast("double") + F.lit(1.0))
+    ).cast("decimal(28,6)")
+    dterms = systems.join(bf, ["query_id", "neighbor_id"]).select(
+        "system", dterm.alias("dt")
+    )
+    sysret = systems.groupBy("system").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returned")
+    )
+    return (
+        sysret.join(dterms, "system", "left")
+        .groupBy("system", "n_returned")
+        .agg(
+            F.count("dt").cast("bigint").alias("n_hits"),
+            F.coalesce(F.sum("dt"), F.lit(0))
+            .cast("double")
+            .alias("dcg_total"),
+            (
+                F.coalesce(F.sum("dt"), F.lit(0)).cast("double")
+                / F.lit(IDCG_AT_K * float(N_QUERIES))
+            ).alias("mean_ndcg"),
+        )
+        .select("system", "n_returned", "n_hits", "dcg_total", "mean_ndcg")
     )
 
 

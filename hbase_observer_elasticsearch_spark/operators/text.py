@@ -3132,3 +3132,196 @@ def search_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk", "doc_full", "score_full", "doc_champ", "score_champ",
         (F.col("doc_full") == F.col("doc_champ")).alias("same_doc"),
     )
+
+
+# --- r8h: collocation mining + readability heuristic -------------------------
+
+PMI_MIN_SUPPORT = 5  # bigram must occur this often to get a stable PMI
+PMI_TOP = 30  # emitted rows, ranked by support with lexical tiebreak
+
+
+@register(
+    "corpus_bigram_pmi",
+    oracle=f"""
+WITH wp AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM wp GROUP BY w),
+n1 AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tokens FROM uni),
+big AS (
+  SELECT w AS w1, LEAD(w) OVER win AS w2
+  FROM wp
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w) OVER win IS NOT NULL
+),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM big GROUP BY w1, w2
+),
+n2 AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bigrams FROM bc),
+scored AS (
+  SELECT bc.w1, bc.w2, bc.c_ab, ua.c_w AS c_w1, ub.c_w AS c_w2,
+         CAST(CAST(ln(
+           (CAST(bc.c_ab AS DOUBLE) / CAST(n2.n_bigrams AS DOUBLE))
+           / ((CAST(ua.c_w AS DOUBLE) / CAST(n1.n_tokens AS DOUBLE))
+              * (CAST(ub.c_w AS DOUBLE) / CAST(n1.n_tokens AS DOUBLE)))
+         ) AS DECIMAL(28,6)) AS DOUBLE) AS pmi
+  FROM bc
+  JOIN uni ua ON ua.w = bc.w1
+  JOIN uni ub ON ub.w = bc.w2
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE bc.c_ab >= {PMI_MIN_SUPPORT}
+)
+SELECT w1, w2, c_ab, c_w1, c_w2, pmi
+FROM scored
+ORDER BY c_ab DESC, w1, w2
+LIMIT {PMI_TOP}
+""",
+)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over word bigrams — collocation
+    strength, the association metric behind phrase-table extraction and
+    tokenizer-merge curation that raw counts (corpus_top_bigrams) miss:
+    'of the' is frequent but expected, a strong collocation is frequent
+    AND surprising given its parts.
+
+    PMI = ln( p(ab) / (p(a)·p(b)) ) with a FIXED parenthesization of
+    IEEE-exact divisions/multiply on BIGINT-derived doubles in both
+    dialects, one ln per surviving bigram quantized to DECIMAL(28,6)
+    (the bigram-LM discipline). Support floor {PMI_MIN_SUPPORT} kills
+    the low-count PMI pathology (hapax pairs score highest); output is
+    ranked by INTEGER support with lexical tiebreak — no float ordering
+    crosses the engine boundary.
+
+    Scale shape: one token explode feeds both the unigram and bigram hash
+    aggs (map-side partials); the scoring joins key on words, where the
+    Zipf head is exactly the high-support survivors — both join sides are
+    post-aggregation count tables, orders of magnitude under token grain.
+    The two 1-row totals broadcast.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - 1)
+    mk = lambda i: F.struct(  # noqa: E731
+        F.element_at(words, i).alias("w1"),
+        F.element_at(words, i + 1).alias("w2"),
+    )
+    arr = F.when(n >= 2, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    toks = d.select("doc_id", F.explode(words).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    n1 = uni.agg(F.sum("c_w").cast("bigint").alias("n_tokens"))
+    bg = d.select(F.explode(arr).alias("b")).select("b.w1", "b.w2")
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_SUPPORT)
+    )
+    # n_bigrams is the UNFILTERED total (p(ab) is over all bigram slots),
+    # so count bg before the support filter.
+    n2 = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    pmi = (
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n_bigrams").cast("double"))
+            / (
+                (F.col("c_w1").cast("double") / F.col("n_tokens").cast("double"))
+                * (F.col("c_w2").cast("double") / F.col("n_tokens").cast("double"))
+            )
+        )
+        .cast("decimal(28,6)")
+        .cast("double")
+    )
+    return (
+        bc.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("w1", "w2", "c_ab", "c_w1", "c_w2", pmi.alias("pmi"))
+        .orderBy(F.col("c_ab").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+@register(
+    "text_readability_score",
+    oracle="""
+WITH m AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                  1) AS n_sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+           AS n_syll
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CAST(FLOOR(
+           (206.835
+            - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+            - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)))
+           / 10) AS BIGINT) AS band
+  FROM m WHERE n_words > 0
+)
+SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY source, band
+""",
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease-shaped readability banding per source — the
+    classic quality-scoring heuristic (sentence length x syllable
+    density) next to the Gopher gates: sources whose mass sits in
+    negative or >100 bands are boilerplate/garbage candidates, not
+    prose.
+
+    Syllables are approximated as vowel GROUPS (one regexp pass), the
+    standard cheap proxy; sentences as terminal-punctuation runs with a
+    floor of 1. The score itself is a fixed parenthesization of IEEE
+    ops on integer-derived doubles — identical bit-for-bit across
+    engines — and only the INTEGER decade band crosses the output
+    boundary, so the hash compare carries no float at all.
+
+    Scale shape: three regexp/split passes per document (token grain,
+    fully partition-local after spread) into a (source, band) hash agg
+    whose key space is tiny. No joins, no window, one shuffle.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    n_words = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    n_sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    n_syll = F.regexp_count(
+        F.lower(F.col("text")), F.lit("[aeiou]+")
+    ).cast("bigint")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syll").cast("double") / F.col("n_words").cast("double"))
+    )
+    return (
+        d.select("source", n_words.alias("n_words"),
+                 n_sents.alias("n_sents"), n_syll.alias("n_syll"))
+        .filter(F.col("n_words") > 0)
+        .select(
+            "source",
+            F.floor(score / F.lit(10.0)).cast("bigint").alias("band"),
+        )
+        .groupBy("source", "band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

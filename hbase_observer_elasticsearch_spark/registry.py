@@ -148,6 +148,13 @@ _PRIORITY = (
     # --- new in r8g (final session; fills the window to exactly 50) ---
     "join_fuzzy_levenshtein_blocked",
     "sort_skyline_pareto",
+    # --- new in r8h (positions 51+; past this round's ~50-row window by
+    # construction — these MUST lead the r9 window, together with a
+    # post-refactor re-attestation of search_quality_scorecard, whose
+    # oracle now shares the factored _SQL_SYSTEMS CTE chain) ---
+    "search_quality_ndcg",
+    "corpus_bigram_pmi",
+    "text_readability_score",
 )
 
 
