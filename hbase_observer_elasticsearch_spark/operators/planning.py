@@ -529,3 +529,147 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+# --- r8h: sort-key advisor (equi-depth zone maps, skip-fraction workload) ----
+
+N_ZONES = 32  # equi-depth zones per candidate layout
+_ZONE_PROBS = [i / N_ZONES for i in range(1, N_ZONES)]  # i/2^5: exact doubles
+_SORT_KEYS = ("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+# fixed reference workload: (name, column, lo, hi) — finite sentinels for
+# one-sided ranges keep every compare a plain double <=/>=
+_WORKLOAD = (
+    ("okey_band", "l_orderkey", 1000.0, 2000.0),
+    ("partkey_lt", "l_partkey", -1.0e18, 500.0),
+    ("qty_ge", "l_quantity", 45.0, 1.0e18),
+    ("price_band", "l_extendedprice", 20000.0, 30000.0),
+)
+
+
+def _advisor_sql_fragment(key: str) -> str:
+    probs = ", ".join(repr(p) for p in _ZONE_PROBS)
+    preds = []
+    for name, col, lo, hi in _WORKLOAD:
+        preds.append(
+            f"SELECT '{key}' AS sort_key, '{name}' AS predicate,\n"
+            f"       CAST(COUNT(*) AS BIGINT) AS n_zones,\n"
+            f"       CAST(SUM(CASE WHEN mx_{col} < {lo!r}\n"
+            f"                       OR mn_{col} > {hi!r}\n"
+            f"                then 1 else 0 end) AS BIGINT) AS n_skipped\n"
+            f"FROM z_{key}"
+        )
+    return (
+        f"b_{key} AS (SELECT quantile_cont(CAST({key} AS DOUBLE),\n"
+        f"            [{probs}]) AS bounds FROM lineitem),\n"
+        f"z_{key} AS (\n"
+        f"  SELECT len(list_filter(b.bounds,\n"
+        f"             x -> x <= CAST(l.{key} AS DOUBLE))) AS zone,\n"
+        + ",\n".join(
+            f"         MIN(CAST(l.{c} AS DOUBLE)) AS mn_{c},\n"
+            f"         MAX(CAST(l.{c} AS DOUBLE)) AS mx_{c}"
+            for c in sorted({w[1] for w in _WORKLOAD})
+        )
+        + f"\n  FROM lineitem l CROSS JOIN b_{key} b\n"
+        f"  GROUP BY zone\n"
+        f")",
+        "\nUNION ALL\n".join(preds),
+    )
+
+
+_ADV_CTES, _ADV_SELECTS = zip(
+    *(_advisor_sql_fragment(k) for k in _SORT_KEYS)
+)
+
+
+@register(
+    "layout_sort_key_advisor",
+    oracle=(
+        "WITH "
+        + ",\n".join(_ADV_CTES)
+        + "\nSELECT sort_key, predicate, n_zones, n_skipped,\n"
+        "       CAST(n_skipped AS DOUBLE) / CAST(n_zones AS DOUBLE)\n"
+        "         AS skip_frac\n"
+        "FROM (\n"
+        + "\nUNION ALL\n".join(_ADV_SELECTS)
+        + "\n) t"
+    ),
+)
+def layout_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key advisor: for each candidate sort column, rewrite the
+    table (hypothetically) into equi-depth zones and measure how many
+    zones each reference predicate could SKIP from zone min/max alone —
+    the number a Delta/Iceberg OPTIMIZE-BY decision actually needs.
+    `layout_zone_map_skipping` audits the layout you HAVE; this ranks
+    the layouts you COULD have, over a declared workload.
+
+    Zones are equi-depth by EXACT percentile boundaries (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, the reshape.py discipline):
+    zone(x) = |{boundaries <= x}| via one higher-order filter on the
+    broadcast 31-element bounds array — no global row_number, no
+    single-partition window, so the pass is one aggregate + one
+    broadcast + one (zone) hash agg per candidate, fully parallel at
+    any scale. A skipped zone is mx < lo OR mn > hi — min/max compares
+    on IEEE doubles, identical in both engines; the only emitted float
+    is one integer-ratio division.
+
+    At 100 TB the advisor runs on the file-footer statistics table
+    instead of raw rows (same shape: zone = file), and candidate keys
+    come from predicate-frequency telemetry.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pred_cols = sorted({w[1] for w in _WORKLOAD})
+    out = None
+    for key in _SORT_KEYS:
+        probs = ", ".join(repr(p) for p in _ZONE_PROBS)
+        bounds = li.agg(
+            F.expr(
+                f"percentile(CAST({key} AS DOUBLE), array({probs}))"
+            ).alias("bounds")
+        )
+        kd = F.col(key).cast("double")
+        zoned = (
+            li.crossJoin(F.broadcast(bounds))
+            .select(
+                F.size(
+                    F.filter("bounds", lambda x: x <= kd)
+                ).alias("zone"),
+                *[F.col(c).cast("double").alias(c) for c in pred_cols],
+            )
+            .groupBy("zone")
+            .agg(
+                *[
+                    f
+                    for c in pred_cols
+                    for f in (
+                        F.min(c).alias(f"mn_{c}"),
+                        F.max(c).alias(f"mx_{c}"),
+                    )
+                ]
+            )
+        )
+        for name, col, lo, hi in _WORKLOAD:
+            skipped = F.when(
+                (F.col(f"mx_{col}") < F.lit(lo))
+                | (F.col(f"mn_{col}") > F.lit(hi)),
+                1,
+            ).otherwise(0)
+            row = zoned.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_zones"),
+                F.sum(skipped).cast("bigint").alias("n_skipped"),
+            ).select(
+                F.lit(key).alias("sort_key"),
+                F.lit(name).alias("predicate"),
+                "n_zones",
+                "n_skipped",
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.select(
+        "sort_key",
+        "predicate",
+        "n_zones",
+        "n_skipped",
+        (
+            F.col("n_skipped").cast("double") / F.col("n_zones").cast("double")
+        ).alias("skip_frac"),
+    )

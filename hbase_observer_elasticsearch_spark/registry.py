@@ -155,6 +155,7 @@ _PRIORITY = (
     "search_quality_ndcg",
     "corpus_bigram_pmi",
     "text_readability_score",
+    "layout_sort_key_advisor",
 )
 
 

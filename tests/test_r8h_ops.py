@@ -84,3 +84,39 @@ def test_ndcg_discount_math(spark, monkeypatch):
     for sysname in ("pq", "ivfpq", "rrf"):
         assert rows[sysname].n_hits == 0
         assert rows[sysname].mean_ndcg == 0.0
+
+
+def test_sort_key_advisor_self_sort_wins(spark, monkeypatch):
+    import hbase_observer_elasticsearch_spark.operators.planning as pl
+    from hbase_observer_elasticsearch_spark.operators.planning import (
+        layout_sort_key_advisor,
+    )
+
+    # 500 rows, values 1..500: okey_band [1000, 2000] lies entirely
+    # above the data, so EVERY zone is skippable under EVERY layout.
+    # quantity is a scrambled 1..50; sorting by quantity itself packs
+    # it into tight zones (most skip mx < 45), any other sort scatters it.
+    rows = [
+        (k, (k * 571) % 500 + 1, float((k * 271) % 50 + 1), float(k * 37 % 50000))
+        for k in range(1, 501)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double",
+    )
+    monkeypatch.setattr(pl, "load_table", lambda s, sf, n: li)
+    out = {
+        (r.sort_key, r.predicate): r
+        for r in layout_sort_key_advisor(spark, "r8h").collect()
+    }
+    assert len(out) == 16
+    for r in out.values():
+        assert 1 <= r.n_zones <= 32 and 0 <= r.n_skipped <= r.n_zones
+    for key in ("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"):
+        r = out[(key, "okey_band")]
+        assert r.n_skipped == r.n_zones and r.skip_frac == 1.0
+    self_q = out[("l_quantity", "qty_ge")].skip_frac
+    assert self_q > 0.5
+    for other in ("l_orderkey", "l_partkey", "l_extendedprice"):
+        assert self_q >= out[(other, "qty_ge")].skip_frac
