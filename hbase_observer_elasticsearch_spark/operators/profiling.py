@@ -896,3 +896,91 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("bigint").alias("ks_at_value"),
         )
     )
+
+
+# --- r8h: full pairwise Pearson matrix over the lineitem measures ------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = tuple(
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+)
+
+
+def _corr_moment_sql() -> str:
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(28,6))) AS DOUBLE) AS ss_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"CAST(SUM(CAST({a} * {b} AS DECIMAL(28,6))) AS DOUBLE)"
+            f" AS sp_{a}_{b}"
+        )
+    return "m AS (SELECT " + ", ".join(sums) + " FROM lineitem)"
+
+
+def _corr_row_sql(a: str, b: str) -> str:
+    return (
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n_rows,"
+        f" (n * sp_{a}_{b} - s_{a} * s_{b})"
+        f" / (sqrt(n * ss_{a} - s_{a} * s_{a})"
+        f" * sqrt(n * ss_{b} - s_{b} * s_{b})) AS pearson_r"
+        f" FROM m"
+    )
+
+
+@register(
+    "profile_correlation_matrix",
+    oracle="WITH "
+    + _corr_moment_sql()
+    + "\n"
+    + "\nUNION ALL\n".join(_corr_row_sql(a, b) for a, b in _CORR_PAIRS),
+)
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the four lineitem measures in
+    ONE scan — the profiling matrix a feature-engineering pass reads
+    before dropping redundant columns, generalizing the single-pair
+    `corr_text_embedding` to the full measure set.
+
+    All 14 moment sums (4 Σx, 4 Σx², 6 Σxy) accumulate in a single
+    multi-aggregate through DECIMAL(28,6) (order-free; scale 6 because
+    price-squared terms at sf0.1 would overflow scale 12 — the verify
+    skill's documented large-magnitude rule), then the 6 r values are a
+    pure projection of the one moment row — stack()ed into rows without
+    re-aggregating. One scan, one 1-row shuffle, regardless of how many
+    pairs the matrix has.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    d6 = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        col = F.col(c)
+        aggs.append(d6(col).alias(f"s_{c}"))
+        aggs.append(d6(col * col).alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(d6(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = li.agg(*aggs)
+    n = F.col("n")
+    rows = []
+    for a, b in _CORR_PAIRS:
+        r = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")) / (
+            F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                n.cast("bigint").alias("n_rows"),
+                r.alias("pearson_r"),
+            )
+        )
+    return (
+        m.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.n_rows", "p.pearson_r")
+    )

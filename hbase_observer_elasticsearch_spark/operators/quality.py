@@ -1412,3 +1412,87 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("order_idx"),
     )
+
+
+# --- r8h: winsorization impact audit -----------------------------------------
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@register(
+    "quality_winsorize_impact",
+    oracle=f"""
+WITH b AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, {WINSOR_LO!r}) AS p_lo,
+         quantile_cont(o_totalprice, {WINSOR_HI!r}) AS p_hi
+  FROM orders GROUP BY o_orderpriority
+),
+c AS (
+  SELECT o.o_orderpriority, o.o_totalprice, b.p_lo, b.p_hi,
+         LEAST(GREATEST(o.o_totalprice, b.p_lo), b.p_hi) AS clipped
+  FROM orders o JOIN b ON b.o_orderpriority = o.o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_totalprice < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN o_totalprice > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(MIN(p_lo) AS DOUBLE) AS p_lo,
+       CAST(MIN(p_hi) AS DOUBLE) AS p_hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS mean_raw,
+       CAST(SUM(CAST(clipped AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS mean_winsorized
+FROM c
+GROUP BY o_orderpriority
+""",
+)
+def quality_winsorize_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization impact audit: clip each priority class's order
+    totals at its own exact p01/p99 and report how many rows each tail
+    clips and how far the class mean moves — the before/after evidence a
+    cleaning pipeline records when deciding whether tail-clipping a
+    metric is cosmetic or distribution-changing (the robust-stats
+    counterpart of `events_anomaly_mad`'s outlier flagging).
+
+    Exact per-group percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, reshape.py discipline), one join back on the group
+    key (both sides already partitioned by it — the groupBy and the
+    re-aggregate reuse one partitioning), clipping is two IEEE
+    comparisons, and both means run the DECIMAL(28,6) order-free sum.
+
+    At 100 TB the percentile pass runs on the KLL sketch instead
+    (sketches.py) and the clip bounds ship as a broadcast dimension; the
+    audit shape is unchanged.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderpriority").agg(
+        F.expr(f"percentile(o_totalprice, {WINSOR_LO!r})").alias("p_lo"),
+        F.expr(f"percentile(o_totalprice, {WINSOR_HI!r})").alias("p_hi"),
+    )
+    c = o.join(b, "o_orderpriority").withColumn(
+        "clipped",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("p_lo")), F.col("p_hi")),
+    )
+    d6 = lambda c_: F.sum(c_.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    return c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_totalprice") < F.col("p_lo"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(
+            F.when(F.col("o_totalprice") > F.col("p_hi"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.min("p_lo").cast("double").alias("p_lo"),
+        F.min("p_hi").cast("double").alias("p_hi"),
+        (d6(F.col("o_totalprice")) / F.count(F.lit(1))).alias("mean_raw"),
+        (d6(F.col("clipped")) / F.count(F.lit(1))).alias("mean_winsorized"),
+    )

@@ -156,6 +156,8 @@ _PRIORITY = (
     "corpus_bigram_pmi",
     "text_readability_score",
     "layout_sort_key_advisor",
+    "profile_correlation_matrix",
+    "quality_winsorize_impact",
 )
 
 

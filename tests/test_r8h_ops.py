@@ -120,3 +120,50 @@ def test_sort_key_advisor_self_sort_wins(spark, monkeypatch):
     assert self_q > 0.5
     for other in ("l_orderkey", "l_partkey", "l_extendedprice"):
         assert self_q >= out[(other, "qty_ge")].skip_frac
+
+
+def test_correlation_matrix_planted_extremes(spark, monkeypatch):
+    import hbase_observer_elasticsearch_spark.operators.profiling as pf
+    from hbase_observer_elasticsearch_spark.operators.profiling import (
+        profile_correlation_matrix,
+    )
+
+    # price = 2*qty (r = +1), discount = 101 - qty (r = -1)
+    rows = [
+        (float(k), float(2 * k), float(101 - k), float((k * 7) % 13))
+        for k in range(1, 101)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double",
+    )
+    monkeypatch.setattr(pf, "load_table", lambda s, sf, n: li)
+    out = {
+        (r.col_x, r.col_y): r
+        for r in profile_correlation_matrix(spark, "r8h").collect()
+    }
+    assert len(out) == 6 and all(r.n_rows == 100 for r in out.values())
+    assert abs(out[("l_quantity", "l_extendedprice")].pearson_r - 1.0) < 1e-12
+    assert abs(out[("l_quantity", "l_discount")].pearson_r + 1.0) < 1e-12
+    assert abs(out[("l_extendedprice", "l_discount")].pearson_r + 1.0) < 1e-12
+
+
+def test_winsorize_clips_planted_outlier(spark, monkeypatch):
+    import hbase_observer_elasticsearch_spark.operators.quality as ql
+    from hbase_observer_elasticsearch_spark.operators.quality import (
+        quality_winsorize_impact,
+    )
+
+    rows = [("P1", float(v)) for v in range(1, 100)] + [("P1", 10000.0)]
+    o = spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double"
+    )
+    monkeypatch.setattr(ql, "load_table", lambda s, sf, n: o)
+    out = quality_winsorize_impact(spark, "r8h").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_rows == 100
+    assert r.n_clipped_high >= 1 and r.n_clipped_low >= 1
+    assert r.mean_winsorized < r.mean_raw  # the outlier pulled the raw mean up
+    assert r.p_lo < r.p_hi < 10000.0
