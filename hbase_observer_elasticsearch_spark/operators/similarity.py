@@ -3162,3 +3162,191 @@ def similarity_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_own_dist"),
     )
+
+
+# --- r8h: top-PC variance share (embedding collapse audit) --------------------
+
+PCA_ITERS = 3  # unrolled power-iteration steps (deterministic fixed plan)
+EMB_DIM = 64
+
+
+def _pca_oracle() -> str:
+    iters = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        iters.append(
+            f"w{t} AS (SELECT c.i,\n"
+            f"  CAST(SUM(CAST(c.c * {prev}.v AS DECIMAL(28,12))) AS DOUBLE)"
+            f" AS w\n"
+            f"  FROM c JOIN {prev} ON {prev}.j = c.j GROUP BY c.i),\n"
+            f"n{t} AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))"
+            f" AS DOUBLE)) AS nm FROM w{t}),\n"
+            f"v{t} AS (SELECT i AS j, w / n{t}.nm AS v"
+            f" FROM w{t} CROSS JOIN n{t})"
+        )
+        prev = f"v{t}"
+    return (
+        f"""
+WITH x AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xi,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM x),
+mu AS (
+  SELECT i, CAST(SUM(CAST(xi AS DECIMAL(28,12))) AS DOUBLE) / nn.n AS mu
+  FROM x CROSS JOIN nn GROUP BY i, nn.n
+),
+p AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+),
+c AS (
+  SELECT p.i, p.j, (p.sxy / nn.n) - (ma.mu * mb.mu) AS c
+  FROM p CROSS JOIN nn
+  JOIN mu ma ON ma.i = p.i
+  JOIN mu mb ON mb.i = p.j
+),
+v0 AS (SELECT DISTINCT i AS j, CAST(0.125 AS DOUBLE) AS v FROM x),
+"""
+        + ",\n".join(iters)
+        + f""",
+lam AS (
+  SELECT CAST(SUM(CAST(c.c * va.v * vb.v AS DECIMAL(28,12))) AS DOUBLE)
+    AS lam
+  FROM c JOIN {prev} va ON va.j = c.i JOIN {prev} vb ON vb.j = c.j
+),
+tr AS (SELECT CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS tr
+       FROM c WHERE i = j),
+tc AS (SELECT CAST(j AS BIGINT) AS top_coord FROM {prev}
+       ORDER BY abs(v) DESC, j LIMIT 1)
+SELECT CAST({EMB_DIM} AS BIGINT) AS dim,
+       CAST(nn.n AS BIGINT) AS n_vectors,
+       lam.lam AS top_eig,
+       tr.tr AS trace_total,
+       lam.lam / tr.tr AS var_share,
+       tc.top_coord
+FROM nn CROSS JOIN lam CROSS JOIN tr CROSS JOIN tc
+"""
+    )
+
+
+@register("similarity_pca_collapse_audit", oracle=_pca_oracle())
+def similarity_pca_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-collapse audit: the share of total variance captured by
+    the TOP principal component of the (centered) embedding covariance,
+    estimated by {PCA_ITERS} unrolled power-iteration steps. A healthy
+    embedder spreads variance across dimensions (share ~ 1/dim); a
+    collapsing one concentrates it (share -> 1) — the standard
+    representation-quality canary next to the k-means silhouette.
+
+    Everything runs in ROW form (no matrix collect): covariance is one
+    token-grain explode + a per-vector self-join aggregated to dim² rows
+    through DECIMAL(28,12); each power step is one join + one keyed
+    decimal aggregate on the dim-row vector; the Rayleigh quotient and
+    trace are two more tiny decimal sums. The unrolled-iteration oracle
+    follows the Lloyd-kmeans precedent (same fixed v0 = uniform unit
+    vector, same left-assoc product order in both dialects), so every
+    emitted double is bit-identical across engines.
+
+    At 100 TB: the explode+self-join is the textbook distributed Gram
+    matrix (dim² accumulators, map-side partials); power steps touch
+    only dim-sized state. dim, not n, bounds everything downstream of
+    the one Gram pass.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    d12 = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    flat = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "xi"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "xi")
+    nn = flat.agg(
+        F.countDistinct("vec_id").cast("double").alias("n")
+    )
+    mu = (
+        flat.groupBy("i")
+        .agg(d12(F.col("xi")).alias("sx"))
+        .crossJoin(F.broadcast(nn))
+        .select("i", (F.col("sx") / F.col("n")).alias("mu"))
+    )
+    a = flat.select("vec_id", F.col("i").alias("ai"), F.col("xi").alias("ax"))
+    b = flat.select("vec_id", F.col("i").alias("bj"), F.col("xi").alias("bx"))
+    # the Gram matrix is symmetric: accumulate the upper triangle only
+    # (halves the product fan-out), then mirror — the mirrored entry is
+    # the SAME order-free decimal sum, so values stay bit-identical to
+    # the oracle's full-matrix aggregation.
+    p_tri = (
+        a.join(b, "vec_id")
+        .filter(F.col("ai") <= F.col("bj"))
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(d12(F.col("ax") * F.col("bx")).alias("sxy"))
+    )
+    p = p_tri.unionByName(
+        p_tri.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "sxy"
+        )
+    )
+    cov = (
+        p.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(mu.select(F.col("i"), F.col("mu").alias("mu_i"))), "i")
+        .join(
+            F.broadcast(
+                mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            ((F.col("sxy") / F.col("n")) - (F.col("mu_i") * F.col("mu_j"))).alias(
+                "c"
+            ),
+        )
+        .localCheckpoint()  # dim² rows; reused by 3 power steps + λ + trace
+    )
+    v = mu.select("i", F.lit(0.125).alias("v")).select(
+        F.col("i").alias("j"), "v"
+    )
+    for _ in range(PCA_ITERS):
+        w = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(d12(F.col("c") * F.col("v")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(d12(F.col("w") * F.col("w"))).alias("nm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(F.col("i").alias("j"), (F.col("w") / F.col("nm")).alias("v"))
+        )
+    va = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vb = v.select("j", F.col("v").alias("vj"))
+    lam = (
+        cov.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .agg(d12(F.col("c") * F.col("vi") * F.col("vj")).alias("lam"))
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(d12(F.col("c")).alias("tr"))
+    tc = (
+        v.orderBy(F.abs(F.col("v")).desc(), "j")
+        .limit(1)
+        .select(F.col("j").cast("bigint").alias("top_coord"))
+    )
+    return (
+        nn.crossJoin(lam)
+        .crossJoin(tr)
+        .crossJoin(tc)
+        .select(
+            F.lit(EMB_DIM).cast("bigint").alias("dim"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.col("lam").alias("top_eig"),
+            F.col("tr").alias("trace_total"),
+            (F.col("lam") / F.col("tr")).alias("var_share"),
+            "top_coord",
+        )
+    )

@@ -158,6 +158,7 @@ _PRIORITY = (
     "layout_sort_key_advisor",
     "profile_correlation_matrix",
     "quality_winsorize_impact",
+    "similarity_pca_collapse_audit",
 )
 
 

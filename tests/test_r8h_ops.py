@@ -167,3 +167,26 @@ def test_winsorize_clips_planted_outlier(spark, monkeypatch):
     assert r.n_clipped_high >= 1 and r.n_clipped_low >= 1
     assert r.mean_winsorized < r.mean_raw  # the outlier pulled the raw mean up
     assert r.p_lo < r.p_hi < 10000.0
+
+
+def test_pca_collapse_rank1_planted(spark, monkeypatch):
+    import hbase_observer_elasticsearch_spark.operators.similarity as sm2
+    from hbase_observer_elasticsearch_spark.operators.similarity import (
+        similarity_pca_collapse_audit,
+    )
+
+    # all variance on axis 1 -> rank-1 covariance: var_share -> 1.0,
+    # top coordinate is dimension 1
+    rows = [
+        (k, [float(k)] + [0.0] * 63, 0) for k in range(1, 9)
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(sm2, "load_table", lambda s, sf, n: e)
+    r = similarity_pca_collapse_audit(spark, "r8h-pca").collect()[0]
+    assert r.n_vectors == 8 and r.dim == 64
+    assert r.top_coord == 1
+    assert abs(r.var_share - 1.0) < 1e-9
+    # population variance of 1..8 = 5.25
+    assert abs(r.top_eig - 5.25) < 1e-9
