@@ -3325,3 +3325,142 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "band")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# --- r8h: RAKE keyphrase extraction -------------------------------------------
+
+RAKE_MIN_OCC = 3  # a phrase must recur to be a keyphrase, not a typo
+RAKE_TOP = 25
+
+_SQL_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle=f"""
+WITH wp AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, i, lower(w) AS w,
+         CASE WHEN lower(w) IN ({_SQL_STOP_LIST}) OR w = ''
+              THEN 1 ELSE 0 END AS is_stop
+  FROM wp
+),
+grp AS (
+  SELECT doc_id, i, w, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS g
+  FROM flagged
+),
+member AS (
+  SELECT doc_id, g, i, w,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id, g) AS BIGINT) AS plen
+  FROM grp WHERE is_stop = 0
+),
+wstat AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS degree
+  FROM member GROUP BY w
+),
+pscore AS (
+  SELECT m.doc_id, m.g,
+         string_agg(m.w, ' ' ORDER BY m.i) AS phrase,
+         CAST(MIN(m.plen) AS BIGINT) AS n_words,
+         CAST(SUM(CAST(CAST(s.degree AS DOUBLE) / CAST(s.freq AS DOUBLE)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS rake_score
+  FROM member m JOIN wstat s ON s.w = m.w
+  GROUP BY m.doc_id, m.g
+)
+SELECT phrase, CAST(MIN(n_words) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(rake_score) AS rake_score
+FROM pscore
+GROUP BY phrase
+HAVING COUNT(*) >= {RAKE_MIN_OCC}
+ORDER BY n_occurrences DESC, phrase
+LIMIT {RAKE_TOP}
+""",
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands on the
+    stopword flag); each word scores degree/frequency (degree = summed
+    length of phrases containing it — co-occurrence reach); a phrase
+    scores the sum of its words. The unsupervised keyword extractor a
+    corpus-curation pass runs to label domains and spot boilerplate
+    phrases that n-gram counts rank too low.
+
+    Determinism: degree and frequency are exact BIGINTs; each word's
+    degree/freq is ONE IEEE division quantized to DECIMAL(28,6) before
+    the order-free phrase sum (identical occurrences of a phrase sum
+    identical word scores — MIN picks that shared value); ranking and
+    the LIMIT cut use integer occurrence counts with a lexical
+    tiebreak, never floats.
+
+    Scale shape: two window passes over token grain sharing the
+    (doc_id) partitioning, one word-stat hash agg whose key space is
+    the vocabulary, and a vocabulary-keyed join back — the same
+    postings economics as BM25; nothing is pairwise.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    wp = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w0"),
+    ).select("doc_id", (F.col("pos") + 1).alias("i"), F.lower("w0").alias("w"))
+    is_stop = (
+        F.col("w").isin(*STOPWORDS) | (F.col("w") == "")
+    ).cast("int")
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = wp.select(
+        "doc_id", "i", "w", is_stop.alias("is_stop")
+    ).withColumn("g", F.sum("is_stop").over(wrun))
+    wplen = Window.partitionBy("doc_id", "g")
+    member = (
+        grp.filter(F.col("is_stop") == 0)
+        .withColumn("plen", F.count(F.lit(1)).over(wplen).cast("bigint"))
+    )
+    wstat = member.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    wscore = (
+        F.col("degree").cast("double") / F.col("freq").cast("double")
+    ).cast("decimal(28,6)")
+    pscore = (
+        member.join(wstat, "w")
+        .groupBy("doc_id", "g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.min("plen").cast("bigint").alias("n_words"),
+            F.sum(wscore).cast("double").alias("rake_score"),
+        )
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.min("n_words").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("rake_score").alias("rake_score"),
+        )
+        .filter(F.col("n_occurrences") >= RAKE_MIN_OCC)
+        .orderBy(F.col("n_occurrences").desc(), "phrase")
+        .limit(RAKE_TOP)
+    )

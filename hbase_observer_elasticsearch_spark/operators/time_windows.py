@@ -1809,3 +1809,130 @@ def events_seq3_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= SEQ3_MIN_SUP)
     )
+
+
+# --- r8h: stationary distribution of the event-type Markov chain -------------
+
+MARKOV_PI_ITERS = 3
+
+
+def _stationary_oracle() -> str:
+    iters = []
+    prev = "pi0"
+    for t in range(1, MARKOV_PI_ITERS + 1):
+        iters.append(
+            f"pi{t} AS (\n"
+            f"  SELECT t.step_b AS state,\n"
+            f"         CAST(SUM(CAST(p.pi * t.p AS DECIMAL(28,12)))"
+            f" AS DOUBLE) AS pi\n"
+            f"  FROM trans t JOIN {prev} p ON p.state = t.step_a\n"
+            f"  GROUP BY t.step_b\n"
+            f")"
+        )
+        prev = f"pi{t}"
+    return (
+        """
+WITH trans AS (
+  SELECT event_type AS step_a, next_type AS step_b,
+         CAST(COUNT(*) AS DOUBLE)
+           / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+  FROM (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+  ) s
+  WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+states AS (SELECT DISTINCT step_a AS state FROM trans),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states),
+pi0 AS (SELECT state, CAST(1.0 AS DOUBLE) / ns.n AS pi
+        FROM states CROSS JOIN ns),
+"""
+        + ",\n".join(iters)
+        + f""",
+emp AS (
+  SELECT event_type AS state,
+         CAST(COUNT(*) AS DOUBLE)
+           / SUM(COUNT(*)) OVER () AS empirical_share
+  FROM events GROUP BY event_type
+)
+SELECT e.state, p.pi AS stationary_pi, e.empirical_share,
+       p.pi - e.empirical_share AS gap
+FROM emp e JOIN {prev} p ON p.state = e.state
+"""
+    )
+
+
+@register("events_markov_stationary", oracle=_stationary_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain,
+    estimated by {MARKOV_PI_ITERS} unrolled power steps π' = πP from the
+    uniform start — where the journey settles if behavior is stationary,
+    set against each state's raw empirical share. A large gap flags a
+    non-mixing funnel stage (users pool there structurally, not because
+    traffic lands there) — the chain-level complement of
+    `recursive_markov_paths`' path enumeration over the SAME transition
+    matrix (same LEAD-per-user convention, same count/row-total
+    probabilities).
+
+    Determinism: transition probabilities are single divisions of exact
+    BIGINT counts; each power step sums π·p through DECIMAL(28,12)
+    (order-free); the state space is the event-type vocabulary so every
+    iteration is a |states|²-row join — driver-free, and at 100 TB the
+    only data-sized pass is the one LEAD window building the matrix.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("step_a"),
+            F.col("next_type").alias("step_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wtot = Window.partitionBy("step_a")
+    trans = pairs.select(
+        "step_a",
+        "step_b",
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(wtot).cast("double")
+        ).alias("p"),
+    )
+    states = trans.select(F.col("step_a").alias("state")).distinct()
+    ns = states.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        "state", (F.lit(1.0) / F.col("n")).alias("pi")
+    )
+    d12 = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    for _ in range(MARKOV_PI_ITERS):
+        pi = (
+            trans.join(
+                F.broadcast(pi.withColumnRenamed("state", "step_a")), "step_a"
+            )
+            .groupBy(F.col("step_b").alias("state"))
+            .agg(d12(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    wall = Window.partitionBy()
+    emp = (
+        ev.groupBy(F.col("event_type").alias("state"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "state",
+            (
+                F.col("c").cast("double")
+                / F.sum("c").over(wall).cast("double")
+            ).alias("empirical_share"),
+        )
+    )
+    return emp.join(pi, "state").select(
+        "state",
+        F.col("pi").alias("stationary_pi"),
+        "empirical_share",
+        (F.col("pi") - F.col("empirical_share")).alias("gap"),
+    )

@@ -159,6 +159,8 @@ _PRIORITY = (
     "profile_correlation_matrix",
     "quality_winsorize_impact",
     "similarity_pca_collapse_audit",
+    "events_markov_stationary",
+    "text_keyphrase_rake",
 )
 
 

@@ -190,3 +190,53 @@ def test_pca_collapse_rank1_planted(spark, monkeypatch):
     assert abs(r.var_share - 1.0) < 1e-9
     # population variance of 1..8 = 5.25
     assert abs(r.top_eig - 5.25) < 1e-9
+
+
+def test_markov_stationary_two_state_exact(spark, monkeypatch):
+    import datetime as dt
+
+    import hbase_observer_elasticsearch_spark.operators.time_windows as tw
+    from hbase_observer_elasticsearch_spark.operators.time_windows import (
+        events_markov_stationary,
+    )
+
+    # A->B->A->B: P(A->B) = P(B->A) = 1; uniform start is already
+    # stationary, so pi stays exactly (0.5, 0.5) and gap is 0.
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (k, "A" if k % 2 == 0 else "B", 1, 0.0, t0 + dt.timedelta(minutes=k))
+        for k in range(4)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, user_id long, value double, "
+        "ts timestamp",
+    )
+    monkeypatch.setattr(tw, "load_table", lambda s, sf, n: ev)
+    out = {r.state: r for r in events_markov_stationary(spark, "r8h").collect()}
+    assert set(out) == {"A", "B"}
+    for st in ("A", "B"):
+        assert out[st].stationary_pi == 0.5
+        assert out[st].empirical_share == 0.5
+        assert out[st].gap == 0.0
+
+
+def test_rake_degree_freq_arithmetic(spark, monkeypatch):
+    import hbase_observer_elasticsearch_spark.operators.text as tx2
+    from hbase_observer_elasticsearch_spark.operators.text import (
+        text_keyphrase_rake,
+    )
+
+    # 3 docs x "big data of big data": 'of' splits two 2-word phrases per
+    # doc. freq(big) = freq(data) = 6, degree = 12 -> word score 2.0 each,
+    # phrase score 4.0, 6 occurrences.
+    docs = spark.createDataFrame(
+        [(k, "big data of big data", "en", "s1", 20) for k in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(tx2, "load_table", lambda s, sf, n: docs)
+    rows = text_keyphrase_rake(spark, "r8h").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.phrase, r.n_words, r.n_occurrences) == ("big data", 2, 6)
+    assert r.rake_score == 4.0
