@@ -984,3 +984,91 @@ def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(F.explode(F.array(*rows)).alias("p"))
         .select("p.col_x", "p.col_y", "p.n_rows", "p.pearson_r")
     )
+
+
+# --- r8h: categorical entropy profile ----------------------------------------
+
+_ENTROPY_COLS = (
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("events", "event_type"),
+)
+
+
+def _entropy_sql(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(SUM(h) AS DOUBLE) AS entropy_nats,
+       CASE WHEN COUNT(*) <= 1 THEN NULL
+            ELSE CAST(CAST(CAST(SUM(h) AS DOUBLE)
+                 / ln(CAST(COUNT(*) AS DOUBLE))
+                 AS DECIMAL(28,12)) AS DOUBLE) END AS entropy_norm
+FROM (
+  SELECT c, CAST(-p * ln(p) AS DECIMAL(28,12)) AS h
+  FROM (
+    SELECT c, CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE) AS p
+    FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {table} GROUP BY {col}) t0
+  ) t1
+) t2
+"""
+
+
+@register(
+    "profile_entropy_by_column",
+    oracle="\nUNION ALL\n".join(
+        _entropy_sql(t, c) for t, c in _ENTROPY_COLS
+    ),
+)
+def profile_entropy_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and its log-cardinality-normalized form) for the
+    categorical columns a profiler watches — the one-number skew summary
+    behind partition-key and dictionary-encoding choices
+    (`profile_encoding_advisor` decides HOW to store; this says WHICH
+    columns still carry distributional information vs collapsed to a
+    near-constant).
+
+    Each -p·ln p term is computed at VALUE grain (one exact BIGINT count
+    per distinct value, one division, one ln), quantized to
+    DECIMAL(28,12), and summed order-free — the value grain is the
+    column's dictionary, orders of magnitude under row grain, so the
+    whole audit after the per-column count agg is dictionary-sized.
+    """
+    ensure_session_conf(spark)
+    out = None
+    for table, col in _ENTROPY_COLS:
+        t = load_table(spark, sf_dir, table)
+        counts = t.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        wall = Window.partitionBy()
+        p = F.col("c").cast("double") / F.sum("c").over(wall).cast("double")
+        term = (-p * F.log(p)).cast("decimal(28,12)")
+        row = (
+            counts.select(F.col("c"), term.alias("h"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_values"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.sum("h").cast("double").alias("entropy_nats"),
+            )
+            .select(
+                F.lit(f"{table}.{col}").alias("column_name"),
+                "n_values",
+                "n_rows",
+                "entropy_nats",
+                F.when(
+                    F.col("n_values") > 1,
+                    (
+                        F.col("entropy_nats")
+                        / F.log(F.col("n_values").cast("double"))
+                    )
+                    .cast("decimal(28,12)")
+                    .cast("double"),
+                ).alias("entropy_norm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1496,3 +1496,153 @@ def quality_winsorize_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d6(F.col("o_totalprice")) / F.count(F.lit(1))).alias("mean_raw"),
         (d6(F.col("clipped")) / F.count(F.lit(1))).alias("mean_winsorized"),
     )
+
+
+# --- r8h: decision-stump Gini gain per metadata feature -----------------------
+
+GINI_DECILES = [i / 10 for i in range(1, 10)]  # i/10: not exact binary, but
+# rendered with repr() into BOTH dialects so the interpolation inputs match
+_GINI_FEATURES = (
+    ("n_chars", "CAST(n_chars AS DOUBLE)"),
+    ("n_words", "CAST(len(string_split(text, ' ')) AS DOUBLE)"),
+    (
+        "n_distinct_words",
+        "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)",
+    ),
+)
+
+
+def _gini_sql(feat: str, expr: str) -> str:
+    probs = ", ".join(repr(p) for p in GINI_DECILES)
+    return f"""
+SELECT '{feat}' AS feature, best_thr, gain, n_left, n_right FROM (
+  SELECT thr AS best_thr,
+         CAST(CAST(
+           (1.0 - CAST(psq AS DOUBLE) / (CAST(np AS DOUBLE) * CAST(np AS DOUBLE)))
+           - ((CAST(nl AS DOUBLE) / CAST(np AS DOUBLE))
+              * (1.0 - CAST(sql_ AS DOUBLE) / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)))
+              + (CAST(nr AS DOUBLE) / CAST(np AS DOUBLE))
+              * (1.0 - CAST(sqr_ AS DOUBLE) / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE))))
+           AS DECIMAL(28,12)) AS DOUBLE) AS gain,
+         nl AS n_left, nr AS n_right,
+         ROW_NUMBER() OVER (ORDER BY CAST(
+           (1.0 - CAST(psq AS DOUBLE) / (CAST(np AS DOUBLE) * CAST(np AS DOUBLE)))
+           - ((CAST(nl AS DOUBLE) / CAST(np AS DOUBLE))
+              * (1.0 - CAST(sql_ AS DOUBLE) / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)))
+              + (CAST(nr AS DOUBLE) / CAST(np AS DOUBLE))
+              * (1.0 - CAST(sqr_ AS DOUBLE) / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE))))
+           AS DECIMAL(28,12)) DESC, thr) AS rk
+  FROM (
+    SELECT c.thr,
+           CAST(SUM(c.cl) AS BIGINT) AS nl,
+           CAST(SUM(c.cr) AS BIGINT) AS nr,
+           CAST(SUM(c.cl) + SUM(c.cr) AS BIGINT) AS np,
+           CAST(SUM(c.cl * c.cl) AS BIGINT) AS sql_,
+           CAST(SUM(c.cr * c.cr) AS BIGINT) AS sqr_,
+           CAST(SUM((c.cl + c.cr) * (c.cl + c.cr)) AS BIGINT) AS psq
+    FROM (
+      SELECT t.thr, v.source,
+             CAST(SUM(CASE WHEN v.f <= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS cl,
+             CAST(SUM(CASE WHEN v.f <= t.thr THEN 0 ELSE 1 END) AS BIGINT)
+               AS cr
+      FROM (SELECT source, {expr} AS f FROM documents) v
+      CROSS JOIN (
+        SELECT unnest(quantile_cont(f, [{probs}])) AS thr
+        FROM (SELECT {expr} AS f FROM documents) q
+      ) t
+      GROUP BY t.thr, v.source
+    ) c
+    GROUP BY c.thr
+  ) s(thr, nl, nr, np, sql_, sqr_, psq)
+  WHERE nl > 0 AND nr > 0
+) r WHERE rk = 1
+"""
+
+
+@register(
+    "quality_gini_split_gain",
+    oracle="\nUNION ALL\n".join(_gini_sql(f, e) for f, e in _GINI_FEATURES),
+)
+def quality_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature importance: for each metadata feature, the
+    best decile-threshold binary split's Gini impurity reduction against
+    the document's source label — "which cheap feature most separates
+    sources", the screening a quality-classifier build runs before
+    committing to features (the tree-based sibling of
+    `quality_hash_classifier`'s linear scorer).
+
+    All impurities are ratios of exact BIGINT class-count sums (Σc² over
+    the label dictionary, never row grain) in ONE fixed parenthesization;
+    the best threshold is chosen by ORDER BY the DECIMAL(28,12)-quantized
+    gain (decimal compare is exact, so both engines pick the same row)
+    with the threshold value as tiebreak. Candidate thresholds are exact
+    deciles (quantile_cont ≡ percentile parity).
+
+    Scale shape: one scan computes the feature; the 9-threshold cross
+    join happens at (threshold × label) grain — dictionary-sized — after
+    a single groupBy; nothing pairwise, nothing row-grain past the first
+    aggregate.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    feats = {
+        "n_chars": F.col("n_chars").cast("double"),
+        "n_words": F.size(words).cast("double"),
+        "n_distinct_words": F.size(F.array_distinct(words)).cast("double"),
+    }
+    probs = ", ".join(repr(p) for p in GINI_DECILES)
+    out = None
+    for feat, col in feats.items():
+        v = d.select("source", col.alias("f"))
+        thr = (
+            v.agg(F.expr(f"percentile(f, array({probs}))").alias("ts"))
+            .select(F.explode("ts").alias("thr"))
+        )
+        cl = F.sum(F.when(F.col("f") <= F.col("thr"), 1).otherwise(0)).cast(
+            "bigint"
+        )
+        cr = F.sum(F.when(F.col("f") <= F.col("thr"), 0).otherwise(1)).cast(
+            "bigint"
+        )
+        c = (
+            v.crossJoin(F.broadcast(thr))
+            .groupBy("thr", "source")
+            .agg(cl.alias("cl"), cr.alias("cr"))
+        )
+        s = c.groupBy("thr").agg(
+            F.sum("cl").cast("bigint").alias("nl"),
+            F.sum("cr").cast("bigint").alias("nr"),
+            (F.sum("cl") + F.sum("cr")).cast("bigint").alias("np"),
+            F.sum(F.col("cl") * F.col("cl")).cast("bigint").alias("sql_"),
+            F.sum(F.col("cr") * F.col("cr")).cast("bigint").alias("sqr_"),
+            F.sum(
+                (F.col("cl") + F.col("cr")) * (F.col("cl") + F.col("cr"))
+            )
+            .cast("bigint")
+            .alias("psq"),
+        ).filter((F.col("nl") > 0) & (F.col("nr") > 0))
+        dd = lambda c_: F.col(c_).cast("double")  # noqa: E731
+        gini_p = F.lit(1.0) - dd("psq") / (dd("np") * dd("np"))
+        weighted = (dd("nl") / dd("np")) * (
+            F.lit(1.0) - dd("sql_") / (dd("nl") * dd("nl"))
+        ) + (dd("nr") / dd("np")) * (
+            F.lit(1.0) - dd("sqr_") / (dd("nr") * dd("nr"))
+        )
+        qgain = (gini_p - weighted).cast("decimal(28,12)")
+        w = Window.orderBy(F.col("qgain").desc(), "thr")
+        row = (
+            s.select("thr", "nl", "nr", qgain.alias("qgain"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                F.lit(feat).alias("feature"),
+                F.col("thr").alias("best_thr"),
+                F.col("qgain").cast("double").alias("gain"),
+                F.col("nl").alias("n_left"),
+                F.col("nr").alias("n_right"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -161,6 +161,8 @@ _PRIORITY = (
     "similarity_pca_collapse_audit",
     "events_markov_stationary",
     "text_keyphrase_rake",
+    "profile_entropy_by_column",
+    "quality_gini_split_gain",
 )
 
 

@@ -240,3 +240,64 @@ def test_rake_degree_freq_arithmetic(spark, monkeypatch):
     r = rows[0]
     assert (r.phrase, r.n_words, r.n_occurrences) == ("big data", 2, 6)
     assert r.rake_score == 4.0
+
+
+def test_entropy_uniform_two_values(spark, monkeypatch):
+    import math
+
+    import hbase_observer_elasticsearch_spark.operators.profiling as pf2
+    from hbase_observer_elasticsearch_spark.operators.profiling import (
+        profile_entropy_by_column,
+    )
+
+    tables = {
+        "orders": spark.createDataFrame(
+            [("A",), ("B",), ("A",), ("B",)], "o_orderpriority string"
+        ),
+        "lineitem": spark.createDataFrame(
+            [("R", "O")], "l_returnflag string, l_linestatus string"
+        ),
+        "events": spark.createDataFrame(
+            [("click",), ("view",), ("click",), ("view",)],
+            "event_type string",
+        ),
+    }
+    monkeypatch.setattr(pf2, "load_table", lambda s, sf, n: tables[n])
+    out = {
+        r.column_name: r
+        for r in profile_entropy_by_column(spark, "r8h").collect()
+    }
+    r = out["orders.o_orderpriority"]
+    assert r.n_values == 2 and r.n_rows == 4
+    assert abs(r.entropy_nats - math.log(2)) < 1e-9
+    assert abs(r.entropy_norm - 1.0) < 1e-9
+    # a constant column carries zero entropy and an undefined norm
+    assert out["lineitem.l_returnflag"].entropy_nats == 0.0
+    assert out["lineitem.l_returnflag"].entropy_norm is None
+
+
+def test_gini_gain_perfect_split(spark, monkeypatch):
+    import hbase_observer_elasticsearch_spark.operators.quality as ql2
+    from hbase_observer_elasticsearch_spark.operators.quality import (
+        quality_gini_split_gain,
+    )
+
+    # source X: tiny docs; source Y: huge docs -> some decile threshold
+    # separates them perfectly: gain = parent gini 0.5 - 0 = 0.5 exactly.
+    # word counts separate identically; distinct-word count is constant
+    # (every doc repeats one token), so that feature has no valid split
+    # and must be absent, not wrong.
+    rows = [(k, "w " * k + "w", "en", "X", k) for k in range(1, 6)] + [
+        (100 + k, "w " * (100 + k) + "w", "en", "Y", 100 + k)
+        for k in range(1, 6)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(ql2, "load_table", lambda s, sf, n: docs)
+    out = {r.feature: r for r in quality_gini_split_gain(spark, "r8h").collect()}
+    assert set(out) == {"n_chars", "n_words"}
+    for feat in ("n_chars", "n_words"):
+        r = out[feat]
+        assert r.gain == 0.5
+        assert r.n_left == 5 and r.n_right == 5
