@@ -1936,3 +1936,138 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "empirical_share",
         (F.col("pi") - F.col("empirical_share")).alias("gap"),
     )
+
+
+# --- r8h: CUSUM changepoint on the daily event-count series -------------------
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_daily
+  FROM daily
+),
+dev AS (
+  SELECT d.day, d.cnt,
+         CAST(CAST(d.cnt AS DOUBLE) - m.mean_daily AS DECIMAL(28,6)) AS dv
+  FROM daily d CROSS JOIN m
+),
+cs AS (
+  SELECT day, cnt,
+         SUM(dv) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cusum
+  FROM dev
+),
+cp AS (
+  SELECT day AS cp_day, CAST(cusum AS DOUBLE) AS cusum_at
+  FROM cs ORDER BY abs(cusum) DESC, day LIMIT 1
+)
+SELECT cp.cp_day AS changepoint_day,
+       cp.cusum_at,
+       m.n_days,
+       m.mean_daily,
+       CAST(SUM(CASE WHEN c.day <= cp.cp_day THEN c.cnt ELSE 0 END)
+            AS DOUBLE)
+         / SUM(CASE WHEN c.day <= cp.cp_day THEN 1 ELSE 0 END)
+         AS mean_before,
+       CAST(SUM(CASE WHEN c.day > cp.cp_day THEN c.cnt ELSE 0 END)
+            AS DOUBLE)
+         / SUM(CASE WHEN c.day > cp.cp_day THEN 1 ELSE 0 END)
+         AS mean_after
+FROM cs c CROSS JOIN cp CROSS JOIN m
+GROUP BY cp.cp_day, cp.cusum_at, m.n_days, m.mean_daily
+""",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event volume: the day
+    where the cumulative sum of deviations from the global mean peaks in
+    magnitude is the single most likely level-shift point (Page 1954) —
+    with the before/after means quantifying the shift. Complements the
+    MAD outlier flags (single bad days) and the seasonality profile
+    (periodic structure) with the one thing neither sees: a persistent
+    regime change.
+
+    Determinism: daily counts are exact; each deviation is quantized to
+    DECIMAL(28,6) BEFORE the running sum, so the prefix sums are exact
+    decimal arithmetic — immune to the engines' differing window-sum
+    association orders (DuckDB's segment tree vs Spark's streaming
+    accumulation); the argmax compares decimals (exact) with the day as
+    tiebreak. Before/after means are integer-sum divisions.
+
+    Scale shape: the only data-sized pass is the day-grain groupBy; the
+    series itself is O(days), so the global-ordered window is
+    calendar-sized, not data-sized — same doctrine as the seasonality
+    and drift audits.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    m = daily.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_daily"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "cnt",
+        "n_days",
+        "mean_daily",
+        (F.col("cnt").cast("double") - F.col("mean_daily"))
+        .cast("decimal(28,6)")
+        .alias("dv"),
+    )
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cs = dev.withColumn("cusum", F.sum("dv").over(wrun))
+    wbest = Window.orderBy(F.abs(F.col("cusum")).desc(), "day")
+    cp = (
+        cs.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("day").alias("cp_day"),
+            F.col("cusum").cast("double").alias("cusum_at"),
+        )
+    )
+    return (
+        cs.crossJoin(F.broadcast(cp))
+        .groupBy("cp_day", "cusum_at", "n_days", "mean_daily")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("day") <= F.col("cp_day"), F.col("cnt"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum(
+                    F.when(F.col("day") <= F.col("cp_day"), 1).otherwise(0)
+                )
+            ).alias("mean_before"),
+            (
+                F.sum(
+                    F.when(F.col("day") > F.col("cp_day"), F.col("cnt"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum(
+                    F.when(F.col("day") > F.col("cp_day"), 1).otherwise(0)
+                )
+            ).alias("mean_after"),
+        )
+        .select(
+            F.col("cp_day").alias("changepoint_day"),
+            "cusum_at",
+            "n_days",
+            "mean_daily",
+            "mean_before",
+            "mean_after",
+        )
+    )

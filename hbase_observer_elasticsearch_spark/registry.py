@@ -163,6 +163,7 @@ _PRIORITY = (
     "text_keyphrase_rake",
     "profile_entropy_by_column",
     "quality_gini_split_gain",
+    "events_changepoint_cusum",
 )
 
 

@@ -301,3 +301,35 @@ def test_gini_gain_perfect_split(spark, monkeypatch):
         r = out[feat]
         assert r.gain == 0.5
         assert r.n_left == 5 and r.n_right == 5
+
+
+def test_cusum_finds_planted_level_shift(spark, monkeypatch):
+    import datetime as dt
+
+    import hbase_observer_elasticsearch_spark.operators.time_windows as tw2
+    from hbase_observer_elasticsearch_spark.operators.time_windows import (
+        events_changepoint_cusum,
+    )
+
+    # 4 days at 10 events, then 4 days at 50: mean 30, cusum bottoms at
+    # day 4 (-80), before-mean 10, after-mean 50.
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2026, 3, 1)
+    for d in range(8):
+        for _ in range(10 if d < 4 else 50):
+            rows.append(
+                (eid, "view", 1, 0.0, t0 + dt.timedelta(days=d, minutes=eid % 60))
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, user_id long, value double, "
+        "ts timestamp",
+    )
+    monkeypatch.setattr(tw2, "load_table", lambda s, sf, n: ev)
+    r = events_changepoint_cusum(spark, "r8h").collect()[0]
+    assert r.changepoint_day == t0 + dt.timedelta(days=3)
+    assert r.cusum_at == -80.0
+    assert r.n_days == 8 and r.mean_daily == 30.0
+    assert r.mean_before == 10.0 and r.mean_after == 50.0
