@@ -1529,3 +1529,70 @@ def sort_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").alias("retailprice"),
         )
     )
+
+
+@register(
+    "agg_mode_median",
+    oracle="""
+WITH freq AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+md AS (
+  SELECT o_orderpriority, o_orderstatus AS mode_status, c AS mode_count
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY c DESC, o_orderstatus) AS rk
+    FROM freq
+  ) t WHERE rk = 1
+),
+med AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS median_price,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT m.o_orderpriority, m.mode_status, m.mode_count,
+       med.median_price, med.n_orders
+FROM md m JOIN med ON med.o_orderpriority = m.o_orderpriority
+""",
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE and exact MEDIAN per group — the two order statistics the
+    aggregate battery had not yet registered. Mode is written as the
+    deterministic argmax over the (group, value) frequency table
+    (count DESC, value ASC tiebreak) rather than the engines' native
+    mode() functions, whose tie-breaking is implementation-defined —
+    the same discipline as every other argmax in the repo; median is
+    the exact interpolated percentile (Spark `percentile` ≡ DuckDB
+    `quantile_cont`).
+
+    Scale shape: mode's frequency table is (groups x value dictionary)
+    — tiny — and the median's sort is per-group; both aggregates reuse
+    the one partitioning on the group key.
+    """
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    freq = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("c").desc(), "o_orderstatus"
+    )
+    md = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return md.join(med, "o_orderpriority")

@@ -562,3 +562,97 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RES_K)
         .select("source", "rk", "doc_id", "n_chars")
     )
+
+
+# --- r8h: Neyman-optimal stratified sample allocation --------------------------
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM documents GROUP BY source
+),
+v AS (
+  SELECT source, n_h,
+         sqrt((sxx - sx * sx / CAST(n_h AS DOUBLE))
+              / CAST(n_h AS DOUBLE)) AS s_h
+  FROM s WHERE n_h > 1
+),
+t AS (
+  SELECT CAST(SUM(CAST(CAST(n_h AS DOUBLE) * s_h AS DECIMAL(28,6)))
+              AS DOUBLE) AS denom
+  FROM v
+)
+SELECT v.source, v.n_h, v.s_h,
+       CAST(v.n_h AS DOUBLE) * v.s_h / t.denom AS weight,
+       CAST(FLOOR({NEYMAN_BUDGET} * (CAST(v.n_h AS DOUBLE) * v.s_h)
+                  / t.denom) AS BIGINT) AS alloc
+FROM v CROSS JOIN t
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: budget {NEYMAN_BUDGET}
+    rows split across sources proportionally to N_h·S_h (stratum size x
+    stratum standard deviation) — the design that minimizes the variance
+    of the estimated corpus mean for a fixed budget (Neyman 1934), and
+    the principled upgrade over the equal-k draw of
+    `sample_stratified_per_lang` when strata differ in spread.
+
+    Determinism: per-stratum moments through DECIMAL(28,6) (scale 6, not
+    12 — the squared-n_chars magnitude rule); S_h is one sqrt of a fixed
+    expression of those exact sums; the weight denominator is itself a
+    decimal sum of quantized N_h·S_h terms; allocations use FLOOR (both
+    engines truncate identically on identical doubles). Single-row
+    strata are excluded (S_h undefined), not zero-allocated silently.
+
+    Scale shape: one groupBy over the stratum key, one broadcast 1-row
+    denominator — the allocation table is stratum-sized; the actual
+    draw then reuses the md5-gate machinery.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    d6 = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        d6(F.col("n_chars")).alias("sx"),
+        d6(F.col("n_chars").cast("double") * F.col("n_chars").cast("double"))
+        .alias("sxx"),
+    )
+    v = s.filter(F.col("n_h") > 1).select(
+        "source",
+        "n_h",
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_h").cast("double"))
+            / F.col("n_h").cast("double")
+        ).alias("s_h"),
+    )
+    t = v.agg(
+        F.sum(
+            (F.col("n_h").cast("double") * F.col("s_h")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("denom")
+    )
+    return v.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_h",
+        "s_h",
+        (F.col("n_h").cast("double") * F.col("s_h") / F.col("denom")).alias(
+            "weight"
+        ),
+        F.floor(
+            F.lit(float(NEYMAN_BUDGET))
+            * (F.col("n_h").cast("double") * F.col("s_h"))
+            / F.col("denom")
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

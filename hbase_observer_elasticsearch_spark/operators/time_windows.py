@@ -2071,3 +2071,114 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after",
         )
     )
+
+
+# --- r8h: Wilson confidence interval on daily conversion ----------------------
+
+WILSON_Z = 1.959963984540054  # 97.5th normal quantile, inlined verbatim
+
+
+@register(
+    "events_conversion_wilson",
+    oracle=f"""
+WITH du AS (
+  SELECT date_trunc('day', ts) AS day, user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT day,
+         CAST(SUM(saw) AS BIGINT) AS viewers,
+         CAST(SUM(saw * bought) AS BIGINT) AS buyers
+  FROM du GROUP BY day
+)
+SELECT day, viewers, buyers,
+       CAST(buyers AS DOUBLE) / CAST(viewers AS DOUBLE) AS p_hat,
+       CAST(CAST(((CAST(buyers AS DOUBLE) / CAST(viewers AS DOUBLE))
+        + {WILSON_Z!r} * {WILSON_Z!r} / (2.0 * CAST(viewers AS DOUBLE))
+        - {WILSON_Z!r} * sqrt(
+            ((CAST(buyers AS DOUBLE) / CAST(viewers AS DOUBLE))
+             * (1.0 - CAST(buyers AS DOUBLE) / CAST(viewers AS DOUBLE)))
+            / CAST(viewers AS DOUBLE)
+            + {WILSON_Z!r} * {WILSON_Z!r}
+              / (4.0 * (CAST(viewers AS DOUBLE) * CAST(viewers AS DOUBLE)))))
+       / (1.0 + {WILSON_Z!r} * {WILSON_Z!r} / CAST(viewers AS DOUBLE))
+       AS DECIMAL(28,12)) AS DOUBLE) AS wilson_lo,
+       CAST(CAST(((CAST(buyers AS DOUBLE) / CAST(viewers AS DOUBLE))
+        + {WILSON_Z!r} * {WILSON_Z!r} / (2.0 * CAST(viewers AS DOUBLE))
+        + {WILSON_Z!r} * sqrt(
+            ((CAST(buyers AS DOUBLE) / CAST(viewers AS DOUBLE))
+             * (1.0 - CAST(buyers AS DOUBLE) / CAST(viewers AS DOUBLE)))
+            / CAST(viewers AS DOUBLE)
+            + {WILSON_Z!r} * {WILSON_Z!r}
+              / (4.0 * (CAST(viewers AS DOUBLE) * CAST(viewers AS DOUBLE)))))
+       / (1.0 + {WILSON_Z!r} * {WILSON_Z!r} / CAST(viewers AS DOUBLE))
+       AS DECIMAL(28,12)) AS DOUBLE) AS wilson_hi
+FROM daily
+WHERE viewers > 0
+""",
+)
+def events_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily view->purchase user conversion rate with its 95% Wilson
+    score interval (converters = users with BOTH a view and a purchase
+    that day, so p_hat <= 1 by construction) — the interval that
+    behaves at small n and extreme p where the naive interval fails,
+    and the number a
+    product dashboard should show instead of a bare daily rate (a
+    10%-conversion day on 20 viewers is NOT evidence of a drop).
+
+    The z constant is inlined verbatim in both dialects; the whole
+    interval is ONE fixed parenthesization of correctly-rounded IEEE
+    ops (divisions, one sqrt) on exact distinct-user counts; the two
+    bounds are quantized to DECIMAL(28,12) at the output boundary (the
+    long op chain accumulates 1-2 ulps of cross-engine drift).
+
+    Scale shape: one day-grain aggregate with two conditional distinct
+    counts (at 100 TB: approx_count_distinct or a pre-deduped daily
+    user-activity table); everything after is per-row arithmetic.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("saw"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("bought"),
+    )
+    daily = (
+        du.groupBy("day")
+        .agg(
+            F.sum("saw").cast("bigint").alias("viewers"),
+            F.sum(F.col("saw") * F.col("bought"))
+            .cast("bigint")
+            .alias("buyers"),
+        )
+        .filter(F.col("viewers") > 0)
+    )
+    nv = F.col("viewers").cast("double")
+    p = F.col("buyers").cast("double") / nv
+    z = F.lit(WILSON_Z)
+    center = p + z * z / (F.lit(2.0) * nv)
+    margin = z * F.sqrt(
+        (p * (F.lit(1.0) - p)) / nv + z * z / (F.lit(4.0) * (nv * nv))
+    )
+    denom = F.lit(1.0) + z * z / nv
+    return daily.select(
+        "day",
+        "viewers",
+        "buyers",
+        p.alias("p_hat"),
+        ((center - margin) / denom)
+        .cast("decimal(28,12)")
+        .cast("double")
+        .alias("wilson_lo"),
+        ((center + margin) / denom)
+        .cast("decimal(28,12)")
+        .cast("double")
+        .alias("wilson_hi"),
+    )

@@ -164,6 +164,9 @@ _PRIORITY = (
     "profile_entropy_by_column",
     "quality_gini_split_gain",
     "events_changepoint_cusum",
+    "sample_neyman_allocation",
+    "events_conversion_wilson",
+    "agg_mode_median",
 )
 
 

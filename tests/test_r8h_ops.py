@@ -333,3 +333,78 @@ def test_cusum_finds_planted_level_shift(spark, monkeypatch):
     assert r.cusum_at == -80.0
     assert r.n_days == 8 and r.mean_daily == 30.0
     assert r.mean_before == 10.0 and r.mean_after == 50.0
+
+
+def test_neyman_allocation_arithmetic(spark, monkeypatch):
+    import math
+
+    import hbase_observer_elasticsearch_spark.operators.sampling as sp
+    from hbase_observer_elasticsearch_spark.operators.sampling import (
+        NEYMAN_BUDGET,
+        sample_neyman_allocation,
+    )
+
+    # X: 4 docs, n_chars {0, 0, 10, 10} -> S = 5; Y: 2 docs {7, 7} -> S = 0
+    # (zero-variance stratum gets weight 0); Z singleton -> excluded.
+    rows = (
+        [(k, "t", "en", "X", v) for k, v in enumerate([0, 0, 10, 10])]
+        + [(10, "t", "en", "Y", 7), (11, "t", "en", "Y", 7)]
+        + [(20, "t", "en", "Z", 99)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(sp, "load_table", lambda s, sf, n: docs)
+    out = {r.source: r for r in sample_neyman_allocation(spark, "r8h").collect()}
+    assert set(out) == {"X", "Y"}  # singleton Z excluded
+    assert out["X"].s_h == 5.0 and out["Y"].s_h == 0.0
+    assert out["X"].weight == 1.0 and out["Y"].weight == 0.0
+    assert out["X"].alloc == NEYMAN_BUDGET and out["Y"].alloc == 0
+    assert math.isfinite(out["X"].weight)
+
+
+def test_wilson_interval_contains_p_hat(spark, monkeypatch):
+    import datetime as dt
+
+    import hbase_observer_elasticsearch_spark.operators.time_windows as tw3
+    from hbase_observer_elasticsearch_spark.operators.time_windows import (
+        events_conversion_wilson,
+    )
+
+    # one day: users 1..4 view, users 1..2 also purchase -> p = 0.5
+    t0 = dt.datetime(2026, 4, 1)
+    rows = [(k, "view", k, 0.0, t0) for k in range(1, 5)] + [
+        (10 + k, "purchase", k, 0.0, t0) for k in range(1, 3)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, user_id long, value double, "
+        "ts timestamp",
+    )
+    monkeypatch.setattr(tw3, "load_table", lambda s, sf, n: ev)
+    r = events_conversion_wilson(spark, "r8h").collect()[0]
+    assert (r.viewers, r.buyers, r.p_hat) == (4, 2, 0.5)
+    assert 0.0 < r.wilson_lo < 0.5 < r.wilson_hi < 1.0
+
+
+def test_mode_median_tiebreak(spark, monkeypatch):
+    import hbase_observer_elasticsearch_spark.operators.relational as rel2
+    from hbase_observer_elasticsearch_spark.operators.relational import (
+        agg_mode_median,
+    )
+
+    # P1: statuses A x2, B x2 (tie -> smallest value A wins); prices
+    # 1,2,3,4 -> median 2.5
+    rows = [
+        ("P1", "B", 1.0),
+        ("P1", "B", 2.0),
+        ("P1", "A", 3.0),
+        ("P1", "A", 4.0),
+    ]
+    o = spark.createDataFrame(
+        rows, "o_orderpriority string, o_orderstatus string, o_totalprice double"
+    )
+    monkeypatch.setattr(rel2, "load_table", lambda s, sf, n: o)
+    r = agg_mode_median(spark, "r8h").collect()[0]
+    assert (r.mode_status, r.mode_count) == ("A", 2)
+    assert r.median_price == 2.5 and r.n_orders == 4
