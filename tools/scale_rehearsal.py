@@ -73,6 +73,10 @@ TEXT_QUERIES = [
     # perplexity bucketing re-runs the bigram-LM joins at doc grain
     "search_postings_delta_stats",
     "corpus_perplexity_buckets",
+    # r8h: PMI and RAKE are token-grain (explode + vocabulary-keyed
+    # joins/windows) — wall should track token count, never pairs
+    "corpus_bigram_pmi",
+    "text_keyphrase_rake",
 ]
 EVENT_QUERIES = [
     # r8: the blocked prefix-scan — wall must grow ~linearly with event
@@ -90,6 +94,9 @@ VEC_QUERIES = [
     "similarity_topk_ivfpq",
     "similarity_recall_ivfpq",
     "dedup_semantic_kmeans",
+    # r8h: the Gram pass is n x dim^2 product rows — wall should grow
+    # ~linearly with n (dim fixed), power steps are dim-sized
+    "similarity_pca_collapse_audit",
 ]
 
 
