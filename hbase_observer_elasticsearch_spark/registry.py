@@ -85,73 +85,19 @@ def _load() -> None:
 # CDC set. The long-stable TPC-H/relational tail follows (green in
 # CORRECTNESS_r01.json). Names not yet registered are skipped; registered
 # names not listed append in module-import order.
+#
+# ATTESTATION HYGIENE RULE (r8 verdict directive #7): any commit that
+# touches an already-attested query's executed code path — including
+# shared-helper extractions, oracle-SQL refactors, and constant changes —
+# MUST add the affected query names to the head of the NEXT round's window
+# in the SAME commit. A query's newest official row must always postdate
+# the code it attests.
 _PRIORITY = (
-    # --- r8 window (the driver checks a ~50-entry prefix) ---
-    # Leads: the 3 late-r7 text queries (no official row yet) and the
-    # post-refactor re-attestations (ivfpq pool widening, shared-helper
-    # extractions). Then every query NEW in r8 — both sessions — plus
-    # corpus_mix_waterfill, refactored onto the shared
-    # _waterfill_capacities core late in r8. Union(r1-r8 windows) must
-    # cover the registry with every row postdating its code.
-    "corpus_bigram_familiarity",
-    "search_prf_expansion",
-    "text_dup_span_merge",
-    "similarity_topk_ivfpq",
-    "similarity_recall_ivfpq",
-    # --- refactored in r8 (shared-helper extraction; re-attest) ---
-    "search_bm25_topk",
-    "dedup_semantic_kmeans",
-    # --- new in r8 ---
-    "search_bm25_expanded",
-    "text_dedup_apply_spans",
-    "dedup_semantic_incremental",
-    "search_quality_scorecard",
-    "corpus_dsir_importance",
-    "corpus_bpe_merges",
-    "corpus_bpe_apply",
-    "stream_semantic_admission",
-    "corpus_pipeline_funnel",
-    "profile_join_cardinality_est",
-    "layout_range_partition_balance",
-    "stream_watermark_lateness_audit",
-    "corpus_perplexity_buckets",
-    "search_postings_delta_stats",
-    "sample_matched_pairs",
-    "mv_join_delta_maintenance",
-    "quality_bucket_checksum_diff",
-    "layout_zone_map_skipping",
-    "dedup_graph_kcore",
-    "profile_encoding_advisor",
-    "quality_k_anonymity",
-    "corpus_mix_unimax",
-    # refactored in r8b (shared _waterfill_capacities core; re-attest)
-    "corpus_mix_waterfill",
-    # --- new in r8d (post-snapshot continuation) ---
-    "similarity_hard_negatives",
-    "quality_knn_label_noise",
-    "quality_hash_classifier",
-    "quality_classifier_calibration",
-    # --- new in r8e ---
-    "udf_cogroup_pandas",
-    "sample_weighted_reservoir",
-    "graph_label_propagation",
-    "similarity_mips_augment",
-    "layout_compaction_plan",
-    "events_seq3_patterns",
-    "quality_labeler_kappa",
-    "corpus_curriculum_order",
-    "similarity_kmeans_silhouette",
-    "corpus_decontam_apply",
-    "graph_link_prediction",
-    "search_champion_lists",
-    "profile_ks_drift",
-    # --- new in r8g (final session; fills the window to exactly 50) ---
-    "join_fuzzy_levenshtein_blocked",
-    "sort_skyline_pareto",
-    # --- new in r8h (positions 51+; past this round's ~50-row window by
-    # construction — these MUST lead the r9 window, together with a
-    # post-refactor re-attestation of search_quality_scorecard, whose
-    # oracle now shares the factored _SQL_SYSTEMS CTE chain) ---
+    # --- r9 window (the driver checks a ~50-entry prefix) ---
+    # Leads: the 15 r8h queries that sat at positions 51+ of the r8 window
+    # (never officially attested), then search_quality_scorecard, whose
+    # oracle was refactored onto the shared _SQL_SYSTEMS CTE chain after
+    # its r8 row was recorded.
     "search_quality_ndcg",
     "corpus_bigram_pmi",
     "text_readability_score",
@@ -167,6 +113,63 @@ _PRIORITY = (
     "sample_neyman_allocation",
     "events_conversion_wilson",
     "agg_mode_median",
+    "search_quality_scorecard",
+    # --- changed in r9 (corpus-derived codebook k: every query whose
+    # oracle or code path consumes the shared coarse codebook; re-attest) ---
+    "dedup_semantic_kmeans",
+    "dedup_semantic_incremental",
+    "stream_semantic_admission",
+    "similarity_ivf_kmeans",
+    "similarity_topk_ivfpq",
+    "similarity_recall_ivfpq",
+    "similarity_rerank_recall_ivfpq",
+    "quality_knn_label_noise",
+    "similarity_kmeans_silhouette",
+    "similarity_mips_augment",
+    "similarity_hard_negatives",
+    # --- changed in r9 (advisor-fix + plan-fix re-attestations) ---
+    "layout_compaction_plan",
+    "sample_matched_pairs",
+    "quality_bucket_checksum_diff",
+    "udf_cogroup_pandas",
+    "layout_range_partition_balance",
+    # --- new in r9 ---
+    # (names prepended here as they land, per the hygiene rule above)
+    # --- r8 window tail (official r8 rows; kept for stable ordering) ---
+    "corpus_bigram_familiarity",
+    "search_prf_expansion",
+    "text_dup_span_merge",
+    "search_bm25_topk",
+    "search_bm25_expanded",
+    "text_dedup_apply_spans",
+    "corpus_dsir_importance",
+    "corpus_bpe_merges",
+    "corpus_bpe_apply",
+    "corpus_pipeline_funnel",
+    "profile_join_cardinality_est",
+    "stream_watermark_lateness_audit",
+    "corpus_perplexity_buckets",
+    "search_postings_delta_stats",
+    "mv_join_delta_maintenance",
+    "layout_zone_map_skipping",
+    "dedup_graph_kcore",
+    "profile_encoding_advisor",
+    "quality_k_anonymity",
+    "corpus_mix_unimax",
+    "corpus_mix_waterfill",
+    "quality_hash_classifier",
+    "quality_classifier_calibration",
+    "sample_weighted_reservoir",
+    "graph_label_propagation",
+    "events_seq3_patterns",
+    "quality_labeler_kappa",
+    "corpus_curriculum_order",
+    "corpus_decontam_apply",
+    "graph_link_prediction",
+    "search_champion_lists",
+    "profile_ks_drift",
+    "join_fuzzy_levenshtein_blocked",
+    "sort_skyline_pareto",
 )
 
 
