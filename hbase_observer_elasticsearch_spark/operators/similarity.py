@@ -325,26 +325,57 @@ def kmeans_fit(e: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
+# Codebook granularity scales with corpus size (r8 verdict directive #1):
+# k = max(KMEANS_K, ceil(n / SEMDEDUP_CELL)), i.e. a target of ~SEMDEDUP_CELL
+# vectors per cell. A fixed k makes SemDeDup's within-cell pair stage
+# quadratic in n (SCALE_r8 measured 108.8x pair mass / 16.3x wall at 10x
+# data); k ∝ n holds expected cell size — and therefore per-cell pair
+# mass and IVF probe cost — constant as the corpus grows (the rehearsal's
+# k∝n arm: 6.5 s vs 70.4 s at 10x). At every fixture SF (n ≤ 2000) the
+# derived k equals KMEANS_K, so all existing oracle hashes are unchanged;
+# the 10x rehearsal corpus (n = 20000 → k = 80) exercises the scaling.
+SEMDEDUP_CELL = 250
+
+
+def _derived_k(n: int) -> int:
+    """Corpus-derived codebook size: ceil(n / SEMDEDUP_CELL), floored at
+    KMEANS_K. Integer arithmetic only, so both engines agree exactly."""
+    return max(KMEANS_K, -(-n // SEMDEDUP_CELL))
+
+
+# Shared oracle CTE pair: derived k (exact integer ceil-division on the
+# corpus count — GREATEST/// mirror _derived_k) + the seeded init
+# centroids. Every codebook-consuming oracle starts its Lloyd chain here.
+_SQL_C0 = (
+    f"kk AS (SELECT GREATEST({KMEANS_K}, (COUNT(*) + {SEMDEDUP_CELL - 1})"
+    f" // {SEMDEDUP_CELL}) AS k FROM e),\n"
+    "c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv\n"
+    "       FROM e, kk WHERE e.vec_id < kk.k)"
+)
+
 
 def _coarse_cents(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, list[float]]]:
-    """Coarse-quantizer centroids (k=KMEANS_K, KMEANS_ITERS Lloyd
-    iterations), trained once per (app, sf_dir) and shared by
-    similarity_ivf_kmeans and the IVF-PQ composite — at 100 TB the
-    coarse codebook is a persisted model artifact read by every search,
-    not retrained per query. kmeans_fit itself stays distributed (its
+    """Coarse-quantizer centroids (k = _derived_k(n) ∝ corpus size,
+    KMEANS_ITERS Lloyd iterations), trained once per (app, sf_dir) and
+    shared by similarity_ivf_kmeans, the IVF-PQ composite, and the
+    SemDeDup family — at 100 TB the coarse codebook is a persisted model
+    artifact read by every search (trained on an md5-gated sample), not
+    retrained per query. kmeans_fit itself stays distributed (its
     Lloyd iterations localCheckpoint k-row DataFrames, no driver
     round-trip); this memo is the one place the trained k-row codebook
-    is collected — once per (app, sf_dir) — so IVF and IVF-PQ can share
-    it as a broadcast-sized literal."""
+    is collected — once per (app, sf_dir) — so all consumers can share
+    it as a broadcast-sized literal. The one driver action added by the
+    k derivation is a COUNT(*) per memo build, amortized identically."""
     key = (spark.sparkContext.applicationId, sf_dir, "coarse_cents")
     got = _TOPK_CACHE.get(key)
     if got is None:
         e = load_table(spark, sf_dir, "embeddings")
+        k = _derived_k(e.count())
         got = sorted(
             (int(r["cluster_id"]), list(r["cv"]))
-            for r in kmeans_fit(e, k=KMEANS_K, iters=KMEANS_ITERS).collect()
+            for r in kmeans_fit(e, k=k, iters=KMEANS_ITERS).collect()
         )
         _TOPK_CACHE[key] = got
     return got
@@ -384,8 +415,7 @@ c{idx} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{idx} GROUP BY cid)
 _SQL_KMEANS = (
     f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
-c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-       FROM e WHERE vec_id < {KMEANS_K}),
+{_SQL_C0},
 """
     + ",".join(
         _sql_lloyd_iter(f"c{i - 1}", i) for i in range(1, KMEANS_ITERS + 1)
@@ -1633,8 +1663,7 @@ IVFPQ_POOL = 30  # ADC candidate pool width for the exact re-rank stage
 
 _SQL_IVFPQ = (
     "WITH e AS (SELECT vec_id, embedding FROM embeddings),\n"
-    f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv\n"
-    f"       FROM e WHERE vec_id < {KMEANS_K}),"
+    f"{_SQL_C0},"
     + ",".join(
         _sql_lloyd_iter(f"c{i - 1}", i) for i in range(1, KMEANS_ITERS + 1)
     )
@@ -2221,8 +2250,7 @@ SEMDEDUP_T = 0.35  # same fixture-calibrated bar as dedup.COSINE_T
 _SQL_SEMDEDUP_ASGN = (
     f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
-c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-       FROM e WHERE vec_id < {KMEANS_K}),
+{_SQL_C0},
 """
     + ",".join(
         _sql_lloyd_iter(f"c{i - 1}", i) for i in range(1, KMEANS_ITERS + 1)
@@ -2245,21 +2273,44 @@ def _semdedup_asgn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-cosine cluster assignment against the shared learned coarse
     codebook: ``(vec_id, embedding, cluster_id, nrm)`` — the blocking
     structure common to SemDeDup full-corpus dedup and the incremental
-    admission query (DataFrame twin of `_SQL_SEMDEDUP_ASGN`'s asgn)."""
+    admission query (DataFrame twin of `_SQL_SEMDEDUP_ASGN`'s asgn).
+
+    The argmax runs as array_min over (−cosine, cid) structs against the
+    ONE-ROW nested broadcast of the codebook — a map-side O(n) pass that
+    never materializes the n×k cross product or shuffles it through a
+    per-vector window (k ∝ corpus size now, so the n×k row_number shape
+    would re-introduce the quadratic the derived k removes). IEEE
+    negation is exact and struct comparison is lexicographic, so the
+    (−cos, cid) min is bit-identical to the oracle's ROW_NUMBER() ORDER
+    BY cosine DESC, cid."""
     cent = spark.createDataFrame(
         _coarse_cents(spark, sf_dir), "cluster_id int, cv array<float>"
     )
-    sim = cosine(F.col("embedding"), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("cluster_id")
+    nested = cent.groupBy().agg(
+        F.collect_list(
+            F.struct(F.col("cluster_id").alias("cid"), "cv")
+        ).alias("cents")
     )
     return (
         spread(load_table(spark, sf_dir, "embeddings"))
-        .crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cluster_id", sim.alias("c_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster_id")
+        .crossJoin(F.broadcast(nested))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_min(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        (-cosine(F.col("embedding"), c["cv"])).alias(
+                            "negcs"
+                        ),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )
+            .getField("cid")
+            .alias("cluster_id"),
+        )
         .withColumn("nrm", norm(F.col("embedding")))
     )
 
@@ -2293,8 +2344,12 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB trained on a sample, assignment is one broadcast-codebook
     map pass), and the pairwise stage is Σ cell² instead of n² — with
     the cluster id as a partition column the self-join is co-partitioned,
-    no wide shuffle. Cluster granularity (k) bounds the per-cell pair
-    mass exactly like the LSH band cap bounds bucket fan-out.
+    no wide shuffle. Cluster granularity scales with the corpus
+    (k = max(KMEANS_K, ceil(n / SEMDEDUP_CELL)), both engines derive it
+    from COUNT(*)), holding expected cell size — and therefore per-cell
+    pair mass — constant as n grows, exactly like the LSH band cap
+    bounds bucket fan-out. SCALE_r8 measured the fixed-k alternative at
+    108.8x pair mass / 16.3x wall for 10x data; k ∝ n is the fix.
     """
     ensure_session_conf(spark)
     asgn = _semdedup_asgn(spark, sf_dir)
@@ -3049,8 +3104,7 @@ def similarity_mips_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CENTS_ONLY = (
     f"""e AS (SELECT vec_id, label, embedding FROM embeddings),
-c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
-       FROM e WHERE vec_id < {KMEANS_K}),"""
+{_SQL_C0},"""
     + ",".join(
         _sql_lloyd_iter(f"c{i - 1}", i) for i in range(1, KMEANS_ITERS + 1)
     )

@@ -858,9 +858,11 @@ def stream_semantic_admission(
     """Incremental SemDeDup admission ON INGEST — the streaming twin of
     dedup_semantic_incremental: the new-batch embeddings (top quarter of
     the id space) replayed as a 2-file stream, each micro-batch assigned
-    to the standing coarse codebook MAP-SIDE (array-argmin over the k
-    literal centroids — no window, stream-safe, same best-cosine/cid
-    tiebreak as the batch `_semdedup_asgn`), left-outer stream-static
+    to the standing coarse codebook MAP-SIDE (array-argmin against the
+    broadcast one-row nested codebook — no window, stream-safe, same
+    best-cosine/cid tiebreak as the batch `_semdedup_asgn`; k is
+    corpus-derived now, so no literal expression trees), left-outer
+    stream-static
     joined against the standing corpus on (same cluster AND cosine >=
     threshold), and aggregated per new vector in update mode. Emits the
     identical admission table the batch query computes — proven by
@@ -908,15 +910,27 @@ def stream_semantic_admission(
         .localCheckpoint(eager=True)
     )
 
-    def cos_to(cv: list[float]) -> F.Column:
-        lit_cv = F.array(*[F.lit(float(x)) for x in cv])
-        return cosine(F.col("embedding"), lit_cv)
-
-    scored = F.array(
-        *[
-            F.struct((-cos_to(cv)).alias("negcs"), F.lit(cid).alias("cid"))
-            for cid, cv in _coarse_cents(spark, sf_dir)
-        ]
+    # Codebook as a one-row nested static table joined on a constant key —
+    # a broadcast stream-static equi-join, NOT a k×dim literal expression
+    # tree (k scales with the corpus now; thousands of literal centroids
+    # would blow codegen, while the nested-array argmin stays O(n) and
+    # map-side).
+    cents_static = (
+        spark.createDataFrame(
+            _coarse_cents(spark, sf_dir), "cid int, cv array<float>"
+        )
+        .groupBy()
+        .agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+        .withColumn("jk", F.lit(1))
+    )
+    scored = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                (-cosine(F.col("embedding"), c["cv"])).alias("negcs"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
     base = _scratch("stream_sem_admission_")
     try:
@@ -940,10 +954,12 @@ def stream_semantic_admission(
             spark.readStream.schema(feed_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(feed_dir)
+            .withColumn("jk", F.lit(1))
+            .join(F.broadcast(cents_static), "jk")
             .select(
                 F.col("seq").alias("vec_id"),
                 "embedding",
-                F.array_min(scored).getField("cid").alias("cluster_id"),
+                scored.getField("cid").alias("cluster_id"),
                 norm(F.col("embedding")).alias("nnrm"),
             )
         )

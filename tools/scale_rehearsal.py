@@ -289,6 +289,21 @@ def run_semdedup_scale(spark, sf_dir: str, base_n: int) -> dict:
             f"wall={pairs_wall:.2f}s",
             flush=True,
         )
+    # r9: the REGISTERED query end-to-end (derives k = _derived_k(n)
+    # itself since the r8-verdict fix) — cold codebook train + assignment
+    # + pair emit, the number the verdict's done-criterion asks for.
+    t2 = time.perf_counter()
+    n_reg = sm.dedup_semantic_kmeans(spark, sf_dir).count()
+    out["registered_query"] = {
+        "k_derived": sm._derived_k(n),
+        "pairs_emitted": int(n_reg),
+        "wall_s": round(time.perf_counter() - t2, 3),
+    }
+    print(
+        f"  semdedup registered k={sm._derived_k(n)}: pairs={n_reg} "
+        f"wall={out['registered_query']['wall_s']:.2f}s",
+        flush=True,
+    )
     return out
 
 
