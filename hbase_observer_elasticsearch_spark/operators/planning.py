@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -546,54 +546,81 @@ _WORKLOAD = (
 )
 
 
-def _advisor_sql_fragment(key: str) -> str:
-    probs = ", ".join(repr(p) for p in _ZONE_PROBS)
-    preds = []
-    for name, col, lo, hi in _WORKLOAD:
-        preds.append(
-            f"SELECT '{key}' AS sort_key, '{name}' AS predicate,\n"
-            f"       CAST(COUNT(*) AS BIGINT) AS n_zones,\n"
-            f"       CAST(SUM(CASE WHEN mx_{col} < {lo!r}\n"
-            f"                       OR mn_{col} > {hi!r}\n"
-            f"                then 1 else 0 end) AS BIGINT) AS n_skipped\n"
-            f"FROM z_{key}"
-        )
-    return (
-        f"b_{key} AS (SELECT quantile_cont(CAST({key} AS DOUBLE),\n"
-        f"            [{probs}]) AS bounds FROM lineitem),\n"
-        f"z_{key} AS (\n"
-        f"  SELECT len(list_filter(b.bounds,\n"
-        f"             x -> x <= CAST(l.{key} AS DOUBLE))) AS zone,\n"
-        + ",\n".join(
-            f"         MIN(CAST(l.{c} AS DOUBLE)) AS mn_{c},\n"
-            f"         MAX(CAST(l.{c} AS DOUBLE)) AS mx_{c}"
-            for c in sorted({w[1] for w in _WORKLOAD})
-        )
-        + f"\n  FROM lineitem l CROSS JOIN b_{key} b\n"
-        f"  GROUP BY zone\n"
-        f")",
-        "\nUNION ALL\n".join(preds),
+def _advisor_sql() -> str:
+    """Advisor oracle: discrete equi-depth boundaries by INTEGER rank
+    (order statistic at rank ceil(i*n/N_ZONES), located on the per-key
+    cumulative counts of DISTINCT values), then the same exploded
+    (key, zone) min/max grid as the Spark plan. All rank arithmetic is
+    exact integers — no quantile interpolation floats to keep in parity."""
+    pred_cols = sorted({w[1] for w in _WORKLOAD})
+    kv = "\nUNION ALL ".join(
+        f"SELECT '{k}' AS k, CAST({k} AS DOUBLE) AS v FROM lineitem"
+        for k in _SORT_KEYS
     )
-
-
-_ADV_CTES, _ADV_SELECTS = zip(
-    *(_advisor_sql_fragment(k) for k in _SORT_KEYS)
+    case_v = (
+        "CASE b.k "
+        + " ".join(
+            f"WHEN '{k}' THEN CAST(l.{k} AS DOUBLE)"
+            for k in _SORT_KEYS[:-1]
+        )
+        + f" ELSE CAST(l.{_SORT_KEYS[-1]} AS DOUBLE) END"
+    )
+    mnmx = ",\n".join(
+        f"         MIN(c_{c}) AS mn_{c}, MAX(c_{c}) AS mx_{c}"
+        for c in pred_cols
+    )
+    preds = "\nUNION ALL\n".join(
+        f"SELECT sort_key, '{name}' AS predicate, n_zones,\n"
+        f"       sk_{name} AS n_skipped FROM agg"
+        for name, *_ in _WORKLOAD
+    )
+    sks = ",\n".join(
+        f"         CAST(SUM(CASE WHEN mx_{col} < {lo!r} OR mn_{col} > {hi!r}\n"
+        f"                  THEN 1 ELSE 0 END) AS BIGINT) AS sk_{name}"
+        for name, col, lo, hi in _WORKLOAD
+    )
+    return f"""
+WITH kv AS (
+  {kv}
+),
+vc AS (SELECT k, v, COUNT(*) AS c FROM kv GROUP BY k, v),
+cum AS (SELECT k, v, c, SUM(c) OVER (PARTITION BY k ORDER BY v) AS cum
+        FROM vc),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+ranks AS (SELECT kk.k, g.i, (g.i * nn.n + {N_ZONES - 1}) // {N_ZONES} AS r
+          FROM (SELECT unnest([{", ".join(f"'{k}'" for k in _SORT_KEYS)}])
+                  AS k) kk
+          CROSS JOIN nn
+          CROSS JOIN (SELECT unnest(range(1, {N_ZONES})) AS i) g),
+bnd AS (SELECT r.k, r.i, c2.v AS b
+        FROM ranks r JOIN cum c2
+          ON c2.k = r.k AND c2.cum - c2.c < r.r AND r.r <= c2.cum),
+barr AS (SELECT k, list(b ORDER BY i) AS bounds FROM bnd GROUP BY k),
+zrows AS (
+  SELECT b.k AS sort_key,
+         len(list_filter(b.bounds, x -> x <= {case_v})) AS zone,
+{",".join(f"         CAST(l.{c} AS DOUBLE) AS c_{c}" for c in pred_cols)}
+  FROM lineitem l CROSS JOIN barr b
+),
+zoned AS (
+  SELECT sort_key, zone,
+{mnmx}
+  FROM zrows GROUP BY sort_key, zone
+),
+agg AS (
+  SELECT sort_key, CAST(COUNT(*) AS BIGINT) AS n_zones,
+{sks}
+  FROM zoned GROUP BY sort_key
 )
+SELECT sort_key, predicate, n_zones, n_skipped,
+       CAST(n_skipped AS DOUBLE) / CAST(n_zones AS DOUBLE) AS skip_frac
+FROM (
+{preds}
+) t
+"""
 
 
-@register(
-    "layout_sort_key_advisor",
-    oracle=(
-        "WITH "
-        + ",\n".join(_ADV_CTES)
-        + "\nSELECT sort_key, predicate, n_zones, n_skipped,\n"
-        "       CAST(n_skipped AS DOUBLE) / CAST(n_zones AS DOUBLE)\n"
-        "         AS skip_frac\n"
-        "FROM (\n"
-        + "\nUNION ALL\n".join(_ADV_SELECTS)
-        + "\n) t"
-    ),
-)
+@register("layout_sort_key_advisor", oracle=_advisor_sql())
 def layout_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-key advisor: for each candidate sort column, rewrite the
     table (hypothetically) into equi-depth zones and measure how many
@@ -602,12 +629,20 @@ def layout_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     `layout_zone_map_skipping` audits the layout you HAVE; this ranks
     the layouts you COULD have, over a declared workload.
 
-    Zones are equi-depth by EXACT percentile boundaries (Spark
-    `percentile` ≡ DuckDB `quantile_cont`, the reshape.py discipline):
+    Zones are equi-depth by DISCRETE boundaries at integer rank
+    ceil(i*n/N_ZONES) — order statistics located on the per-key
+    cumulative counts of DISTINCT values, all-integer rank math in both
+    engines (no quantile-interpolation floats to keep in parity, and no
+    holistic percentile aggregate: exact percentile buffers the whole
+    value multiset through one reducer, the piece that cannot run at
+    100 TB and was ~70% of this query's wall at sf0.1).
     zone(x) = |{boundaries <= x}| via one higher-order filter on the
-    broadcast 31-element bounds array — no global row_number, no
-    single-partition window, so the pass is one aggregate + one
-    broadcast + one (zone) hash agg per candidate, fully parallel at
+    broadcast bounds arrays — no global row_number, no single-partition
+    window over data-grain rows (the per-key cumulative window runs over
+    distinct VALUES only). The WHOLE advisor is two table passes: the
+    exploded (key, value) boundary build, then one exploded (key, zone)
+    pass whose partial min/max agg collapses map-side (the shuffle is
+    the |keys|x|zones| grid, not |keys|x the table), fully parallel at
     any scale. A skipped zone is mx < lo OR mn > hi — min/max compares
     on IEEE doubles, identical in both engines; the only emitted float
     is one integer-ratio division.
@@ -619,51 +654,132 @@ def layout_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
     pred_cols = sorted({w[1] for w in _WORKLOAD})
-    out = None
-    for key in _SORT_KEYS:
-        probs = ", ".join(repr(p) for p in _ZONE_PROBS)
-        bounds = li.agg(
-            F.expr(
-                f"percentile(CAST({key} AS DOUBLE), array({probs}))"
-            ).alias("bounds")
-        )
-        kd = F.col(key).cast("double")
-        zoned = (
-            li.crossJoin(F.broadcast(bounds))
-            .select(
-                F.size(
-                    F.filter("bounds", lambda x: x <= kd)
-                ).alias("zone"),
-                *[F.col(c).cast("double").alias(c) for c in pred_cols],
-            )
-            .groupBy("zone")
-            .agg(
+    # TWO table passes total (r8 verdict directive #3 — the old shape
+    # re-scanned per (key, predicate): 32 scans / 48 exchanges):
+    #  pass 1: explode to (key, value), groupBy-count the distinct
+    #          values (distributed), per-key cumulative window over the
+    #          DISTINCT values only, broadcast rank-interval join at
+    #          integer rank ceil(i*n/N_ZONES);
+    #  pass 2: each row explodes to |keys| (key, zone) structs against
+    #          the broadcast boundary map, and one (key, zone) hash agg
+    #          takes the min/max of every predicate column — partial
+    #          agg collapses the explode map-side, so the shuffle is
+    #          the 4x32-row zone grid, not 4x the table.
+    kv = spread(li).select(
+        F.explode(
+            F.array(
                 *[
-                    f
-                    for c in pred_cols
-                    for f in (
-                        F.min(c).alias(f"mn_{c}"),
-                        F.max(c).alias(f"mx_{c}"),
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.col(k).cast("double").alias("v"),
                     )
+                    for k in _SORT_KEYS
                 ]
             )
+        ).alias("kv")
+    ).select("kv.k", "kv.v")
+    vc = kv.groupBy("k", "v").agg(F.count(F.lit(1)).alias("c"))
+    cum = vc.select(
+        "k",
+        "v",
+        "c",
+        F.sum("c").over(Window.partitionBy("k").orderBy("v")).alias("cum"),
+    )
+    # per-key total = |lineitem| for every key (one value per row per
+    # key): a parquet count-star, NOT an agg over vc — deriving n from
+    # vc would put vc on two plan branches and rescan/regroup the whole
+    # exploded table a second time (diamond-DAG recompute).
+    ncnt = li.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        ncnt.select(
+            F.explode(
+                F.array(*[F.lit(k) for k in _SORT_KEYS])
+            ).alias("k"),
+            "n",
         )
-        for name, col, lo, hi in _WORKLOAD:
-            skipped = F.when(
-                (F.col(f"mx_{col}") < F.lit(lo))
-                | (F.col(f"mn_{col}") > F.lit(hi)),
-                1,
-            ).otherwise(0)
-            row = zoned.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_zones"),
-                F.sum(skipped).cast("bigint").alias("n_skipped"),
-            ).select(
-                F.lit(key).alias("sort_key"),
-                F.lit(name).alias("predicate"),
-                "n_zones",
-                "n_skipped",
-            )
-            out = row if out is None else out.unionByName(row)
+        .select(
+            "k",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, N_ZONES)])
+            ).alias("i"),
+            "n",
+        )
+        .select(
+            "k", "i",
+            F.expr(f"(i * n + {N_ZONES - 1}) DIV {N_ZONES}").alias("r"),
+        )
+    )
+    bnd = cum.alias("c2").join(
+        F.broadcast(ranks.alias("r")),
+        (F.col("c2.k") == F.col("r.k"))
+        & (F.col("c2.cum") - F.col("c2.c") < F.col("r.r"))
+        & (F.col("r.r") <= F.col("c2.cum")),
+    ).select(F.col("c2.k").alias("k"), F.col("c2.v").alias("b"))
+    # boundaries are nondecreasing in rank, so sort-by-value == order-by-i
+    bm = (
+        bnd.groupBy("k")
+        .agg(F.sort_array(F.collect_list("b")).alias("bounds"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("k", "bounds"))
+            ).alias("bm")
+        )
+    )
+
+    def _key_zone(key: str) -> F.Column:
+        kd = F.col(key).cast("double")
+        return F.struct(
+            F.lit(key).alias("sort_key"),
+            F.size(
+                F.filter(F.col("bm").getItem(key), lambda x: x <= kd)
+            ).alias("zone"),
+        )
+
+    kz = F.explode(F.array(*[_key_zone(k) for k in _SORT_KEYS]))
+    zoned = (
+        spread(li).crossJoin(F.broadcast(bm))
+        .select(
+            kz.alias("kz"),
+            *[F.col(c).cast("double").alias(c) for c in pred_cols],
+        )
+        .select(
+            F.col("kz.sort_key").alias("sort_key"),
+            F.col("kz.zone").alias("zone"),
+            *pred_cols,
+        )
+        .groupBy("sort_key", "zone")
+        .agg(
+            *[
+                f
+                for c in pred_cols
+                for f in (
+                    F.min(c).alias(f"mn_{c}"),
+                    F.max(c).alias(f"mx_{c}"),
+                )
+            ]
+        )
+    )
+    # One aggregate per key computes every workload predicate's skip
+    # count; stack() pivots the wide row to long form.
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_zones")]
+    for name, col, lo, hi in _WORKLOAD:
+        skipped = F.when(
+            (F.col(f"mx_{col}") < F.lit(lo))
+            | (F.col(f"mn_{col}") > F.lit(hi)),
+            1,
+        ).otherwise(0)
+        aggs.append(F.sum(skipped).cast("bigint").alias(f"sk_{name}"))
+    pairs = ", ".join(f"'{name}', sk_{name}" for name, *_ in _WORKLOAD)
+    out = (
+        zoned.groupBy("sort_key")
+        .agg(*aggs)
+        .selectExpr(
+            "sort_key",
+            f"stack({len(_WORKLOAD)}, {pairs}) AS (predicate, n_skipped)",
+            "n_zones",
+        )
+    )
     return out.select(
         "sort_key",
         "predicate",
