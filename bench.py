@@ -68,10 +68,25 @@ def load_prior(
             ):
                 continue
             if prev_q:
-                return fname, prev_q
+                return fname, prev_q, parsed
         except Exception:  # noqa: BLE001 — malformed artifact never kills bench
             continue
     return None
+
+
+def run_probe(spark) -> float:
+    """Fixed pure-JVM host-throughput probe (sum over 2e8 ids, 32
+    partitions — no IO, no Python), best-of-3."""
+    import pyspark.sql.functions as _F
+
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).select(
+            _F.sum(_F.col("id") * 2)
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def memo_build_rows(spark, sf_dir: str, per_query: dict) -> None:
@@ -139,24 +154,16 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Host-throughput probe (r8): a FIXED pure-JVM job (sum over 2e8 ids,
-    # 32 partitions — no IO, no Python) timed best-of-3 and recorded as
-    # host_probe_s. Cross-boot absolute walls on this box drift by 1.3-2.6x
-    # (r8 final session measured code-unchanged pure-JVM queries at 2.6x
-    # their early-r8 walls on an idle machine, zero steal, nominal MHz —
-    # host-level throughput shift invisible to the guest). Dividing any
-    # cross-round wall ratio by the host_probe_s ratio separates code
-    # regressions from host drift.
-    import pyspark.sql.functions as _F
-
-    probe = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(0, 200_000_000, 1, 32).select(
-            _F.sum(_F.col("id") * 2)
-        ).collect()
-        probe = min(probe, time.perf_counter() - t0)
-    host_probe_s = round(probe, 3)
+    # Host-throughput probe (r8; hardened r9 per verdict #5): the fixed
+    # pure-JVM job timed best-of-3 at bench START, MIDPOINT, and END —
+    # the probe itself swings >2x within one boot (r8 builder runs:
+    # 0.251/0.288/0.443; judge same boot: 0.709), so a single sample is
+    # too noisy to normalize with. Cross-boot absolute walls drift
+    # 1.3-2.6x (code-unchanged pure-JVM queries measured at 2.6x across
+    # boots on an idle machine, zero steal, nominal MHz). The delta block
+    # reports BOTH the raw cross-round ratio and the net-of-probe ratio;
+    # neither is quoted without the other.
+    probe_start = run_probe(spark)
 
     # best-of-2 per query, escalating to best-of-3 when the two samples
     # disagree by >30% — r3→r4 diagnosis of the flagged "regressions"
@@ -191,7 +198,11 @@ def main() -> None:
     noisy: list[str] = []
     jvm_system = spark._jvm.System  # noqa: SLF001 — JVM GC hook
     memo_build_rows(spark, sf_dir, per_query)
-    for name in sorted(qs):
+    probe_mid = None
+    names_sorted = sorted(qs)
+    for qi, name in enumerate(names_sorted):
+        if qi == len(names_sorted) // 2:
+            probe_mid = run_probe(spark)
         jvm_system.gc()
         times = []
         for _ in range(2):
@@ -219,6 +230,15 @@ def main() -> None:
         per_query[name] = round(min(times), 3)
 
     total = round(sum(per_query.values()), 3)
+    probe_end = run_probe(spark)
+    probes = [p for p in (probe_start, probe_mid, probe_end) if p is not None]
+    host_probe_s = {
+        "start": probe_start,
+        "mid": probe_mid,
+        "end": probe_end,
+        "min": round(min(probes), 3),
+        "median": round(sorted(probes)[len(probes) // 2], 3),
+    }
 
     # Bound memo lifetime (r4 verdict directive #7): the per-(app, sf_dir)
     # localCheckpoint memos and /dev/shm changefeed dirs served their
@@ -233,7 +253,7 @@ def main() -> None:
     # artifact itself (r2 verdict #8).
     delta = None
     if prior is not None:
-        fname, prev_q = prior
+        fname, prev_q, prev_parsed = prior
         common = [k for k in prev_q if k in per_query]
         if common:
             # When the prior snapshot predates the memo_build_* rows, its
@@ -257,6 +277,26 @@ def main() -> None:
             }
             if warm_vs_cold_prior:
                 delta["warm_vs_cold_prior"] = True
+            # Raw AND net-of-probe cross-round ratios, always together
+            # (r8 verdict #5: one-sided probe normalization misled both
+            # directions; net means nothing without raw beside it).
+            prev_total = sum(prev_q[k] for k in common)
+            if prev_total > 0:
+                delta["raw_ratio"] = round(
+                    sum(per_query[k] for k in common) / prev_total, 3
+                )
+                pp = prev_parsed.get("host_probe_s")
+                prev_probe = (
+                    pp.get("median") if isinstance(pp, dict) else pp
+                )
+                if prev_probe:
+                    delta["probe_prev"] = prev_probe
+                    delta["probe_now_median"] = host_probe_s["median"]
+                    delta["net_of_probe_ratio"] = round(
+                        delta["raw_ratio"]
+                        / (host_probe_s["median"] / prev_probe),
+                        3,
+                    )
 
     full = {
         "metric": "total_query_wall_seconds",

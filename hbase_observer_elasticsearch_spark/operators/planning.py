@@ -27,7 +27,11 @@ from ..session import ensure_session_conf
 
 # layout_range_partition_balance
 RANGE_PARTS = 32  # target partition count (mirrors spark.sql.shuffle.partitions)
-SAMPLE_HEX = "10"  # md5-gate: first 2 hex chars < '10' => 16/256 = 1/16 sample
+# COUNT-bounded boundary sample: the RANGE_PARTS*128 rows with the
+# smallest md5 — real RangePartitioner bounds the sample COUNT
+# (sampleSizePerPartition), not a fraction, so the boundary sort stays
+# O(parts x per-part sample) however large the table is (r8 verdict #6).
+SAMPLE_CAP = RANGE_PARTS * 128
 
 # stream_watermark_lateness_audit
 JITTER_MOD_US = 600_000_000  # deterministic "network delay": 0..10 min
@@ -198,8 +202,10 @@ def profile_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH samp AS (
   SELECT l_orderkey, l_linenumber FROM lineitem
-  WHERE substr(md5('rps:' || CAST(l_orderkey AS VARCHAR) || ':'
-               || CAST(l_linenumber AS VARCHAR)), 1, 2) < '{SAMPLE_HEX}'
+  ORDER BY md5('rps:' || CAST(l_orderkey AS VARCHAR) || ':'
+               || CAST(l_linenumber AS VARCHAR)),
+           l_orderkey, l_linenumber
+  LIMIT {SAMPLE_CAP}
 ),
 tiles AS (
   SELECT l_orderkey,
@@ -234,7 +240,12 @@ def layout_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFram
     Spark's ``repartitionByRange`` / ``RangePartitioner`` does with its
     reservoir sample, but with a deterministic md5-gate sample so the
     boundary choice (and its imbalance cost) can be *measured* instead
-    of trusted: draw a 1/16 sample of lineitem, cut it into
+    of trusted: take the SAMPLE_CAP rows of lineitem with the smallest
+    row-md5 (a count-bounded deterministic sample — the ntile sort input
+    is O(parts x per-part sample) regardless of table size, matching
+    RangePartitioner's sampleSizePerPartition semantics; a fixed
+    FRACTION would grow the single-partition sort linearly with the
+    table), cut it into
     {RANGE_PARTS} ntiles on (l_orderkey, l_linenumber), take each
     tile's max key as a boundary, then assign the FULL table by binary-
     search semantics (partition = #boundaries < key, here expressed as
@@ -253,19 +264,23 @@ def layout_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFram
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber"
     )
-    gate = F.substring(
-        F.md5(
-            F.concat(
-                F.lit("rps:"),
-                F.col("l_orderkey").cast("string"),
-                F.lit(":"),
-                F.col("l_linenumber").cast("string"),
-            )
-        ),
-        1,
-        2,
+    h = F.md5(
+        F.concat(
+            F.lit("rps:"),
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        )
     )
-    samp = li.filter(gate < SAMPLE_HEX)
+    # hash-ordered top-N: Spark executes sort+limit as TakeOrdered
+    # (per-partition partial top-N, then a bounded merge) — never a
+    # global sort of the gated fraction
+    samp = (
+        li.select("l_orderkey", "l_linenumber", h.alias("h"))
+        .orderBy("h", "l_orderkey", "l_linenumber")
+        .limit(SAMPLE_CAP)
+        .drop("h")
+    )
     tiles = samp.select(
         "l_orderkey",
         F.ntile(RANGE_PARTS)
@@ -514,12 +529,13 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("file_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # exact integer division on the BIGINT prefix sum (DIV, not
+    # floor(double /): the double route diverges from the oracle's `//`
+    # once cumulative bytes exceed 2^53 — r8 advice)
     planned = files.withColumn(
-        "bin",
-        F.floor(
-            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / F.lit(COMPACT_TARGET)
-        ),
-    )
+        "prefix",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("bigint"),
+    ).withColumn("bin", F.expr(f"prefix DIV {COMPACT_TARGET}"))
     return planned.groupBy("source", F.col("bin").cast("bigint").alias("bin")).agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("bytes").cast("bigint").alias("total_bytes"),

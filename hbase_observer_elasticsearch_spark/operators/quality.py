@@ -964,15 +964,21 @@ def quality_bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def side(df: DataFrame, ca: str, sa: str) -> DataFrame:
+        # F.concat (null-propagating) mirrors the oracle's `||`: a NULL
+        # field nulls the whole payload, md5(NULL) -> NULL, dropped from
+        # SUM on both engines. concat_ws would silently SKIP the null
+        # field on the Spark side only (r8 advice).
         h = F.conv(
             F.substring(
                 F.md5(
-                    F.concat_ws(
-                        ":",
+                    F.concat(
                         F.col("doc_id").cast("string"),
-                        "text",
-                        "lang",
-                        "source",
+                        F.lit(":"),
+                        F.col("text"),
+                        F.lit(":"),
+                        F.col("lang"),
+                        F.lit(":"),
+                        F.col("source"),
                     )
                 ),
                 1,

@@ -445,8 +445,11 @@ def sample_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
+        # substring with NO length cap, mirroring the oracle's
+        # substr(source, 4): a numeric suffix longer than a fixed cap
+        # would otherwise truncate only on the Spark side (r8 advice).
         F.when(
-            F.substring("source", 4, 10).cast("bigint") % 2 == 0, "A"
+            F.expr("substring(source, 4)").cast("bigint") % 2 == 0, "A"
         )
         .otherwise("B")
         .alias("g"),

@@ -390,7 +390,17 @@ def _spend_vs_balance(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             ]
         )
     cust = left.iloc[0]
-    spend = int(np.floor(right["o_totalprice"].to_numpy() * 100).sum()) if len(right) else 0
+    # int64 BEFORE summing: a float64 sum is exact only under 2^53 cents,
+    # while the oracle sums BIGINTs exactly (r8 advice)
+    spend = (
+        int(
+            np.floor(right["o_totalprice"].to_numpy() * 100)
+            .astype("int64")
+            .sum()
+        )
+        if len(right)
+        else 0
+    )
     bal = int(np.floor(cust["c_acctbal"] * 100))
     return pd.DataFrame(
         {
