@@ -15,7 +15,7 @@ plan):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -502,5 +502,270 @@ def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("full_cnt") == F.col("inc_cnt"))
             & (F.col("full_rev") == F.col("inc_rev"))
+        ).alias("maintained_ok"),
+    )
+
+
+# --- r9: end-to-end CDC -> live-updated aggregate (the IVM story) -----------
+
+IVM_KEYS = 512  # rowkey space of the synthesized change stream
+IVM_GROUPS = 8  # rollup groups (stable per key: grp = rowkey % 8)
+IVM_EPOCHS = 4  # change-stream epochs (micro-batch boundaries in the twin)
+IVM_DEL_MOD = 11  # seq % 11 == 0 => tombstone
+
+
+_SQL_LIVE_ROLLUP = f"""
+WITH mx AS (SELECT MAX(event_id) + 1 AS n FROM events),
+ch AS (
+  SELECT event_id % {IVM_KEYS} AS rowkey,
+         event_id AS seq,
+         (event_id % {IVM_DEL_MOD} = 0) AS is_del,
+         value,
+         (event_id * {IVM_EPOCHS}) // mx.n AS epoch,
+         (event_id % {IVM_KEYS}) % {IVM_GROUPS} AS grp
+  FROM events, mx
+),
+lagged AS (
+  SELECT *, LAG(seq) OVER w AS lag_seq, LAG(is_del) OVER w AS lag_del,
+         LAG(value) OVER w AS lag_value
+  FROM ch WINDOW w AS (PARTITION BY rowkey ORDER BY seq)
+),
+d AS (
+  SELECT grp, epoch,
+         (CASE WHEN NOT is_del THEN 1 ELSE 0 END)
+         - (CASE WHEN lag_seq IS NOT NULL AND NOT lag_del THEN 1 ELSE 0 END)
+           AS cnt_delta,
+         (CASE WHEN NOT is_del THEN CAST(value AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END)
+         - (CASE WHEN lag_seq IS NOT NULL AND NOT lag_del
+                 THEN CAST(lag_value AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS val_delta
+  FROM lagged
+),
+ed AS (SELECT grp, epoch, SUM(cnt_delta) AS cd, SUM(val_delta) AS vd
+       FROM d GROUP BY grp, epoch),
+grid AS (
+  SELECT g.grp, e.epoch
+  FROM (SELECT unnest(range(0, {IVM_GROUPS})) AS grp) g
+  CROSS JOIN (SELECT unnest(range(0, {IVM_EPOCHS})) AS epoch) e
+),
+live AS (
+  SELECT g.grp, g.epoch,
+         CAST(COALESCE(SUM(ed.cd), 0) AS BIGINT) AS live_keys,
+         CAST(COALESCE(SUM(ed.vd), 0) AS DOUBLE) AS live_sum
+  FROM grid g LEFT JOIN ed ON ed.grp = g.grp AND ed.epoch <= g.epoch
+  GROUP BY g.grp, g.epoch
+),
+lastup AS (
+  SELECT rowkey, grp, epoch, is_del, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY rowkey, epoch
+                                 ORDER BY seq DESC) AS rn
+    FROM ch
+  ) t WHERE rn = 1
+),
+st AS (
+  SELECT rowkey, epoch, grp, is_del, value FROM (
+    SELECT l.rowkey, l.grp, g.epoch, l.is_del, l.value,
+           ROW_NUMBER() OVER (PARTITION BY l.rowkey, g.epoch
+                              ORDER BY l.epoch DESC) AS rn
+    FROM lastup l
+    JOIN (SELECT unnest(range(0, {IVM_EPOCHS})) AS epoch) g
+      ON l.epoch <= g.epoch
+  ) t WHERE rn = 1
+),
+rec AS (
+  SELECT grp, epoch,
+         CAST(COALESCE(COUNT(*) FILTER (WHERE NOT is_del), 0) AS BIGINT)
+           AS rec_keys,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6)))
+                       FILTER (WHERE NOT is_del), 0) AS DOUBLE) AS rec_sum
+  FROM st GROUP BY grp, epoch
+)
+SELECT l.grp, l.epoch, l.live_keys, l.live_sum,
+       COALESCE(r.rec_keys, 0) AS rec_keys,
+       COALESCE(r.rec_sum, 0.0) AS rec_sum,
+       (l.live_keys = COALESCE(r.rec_keys, 0)
+        AND l.live_sum = COALESCE(r.rec_sum, 0.0)) AS maintained_ok
+FROM live l LEFT JOIN rec r ON r.grp = l.grp AND r.epoch = l.epoch
+"""
+
+
+def _ivm_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized change stream behind the live-rollup IVM pair:
+    events replayed as keyed upserts/tombstones with a total per-key
+    order (rowkey = event_id % IVM_KEYS, seq = event_id, tombstone at
+    seq % IVM_DEL_MOD = 0), epoch = seq quartile (the twin's micro-batch
+    boundary), grp = stable rollup group per key. Group-changing updates
+    are out of scope by construction (grp is a function of rowkey) —
+    the standard IVM decomposition treats them as delete+insert."""
+    from ..catalog import spread
+
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg((F.max("event_id") + 1).alias("n"))
+    return (
+        spread(e)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("event_id") % IVM_KEYS).alias("rowkey"),
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % IVM_DEL_MOD == 0).alias("is_del"),
+            "value",
+            F.expr(f"(event_id * {IVM_EPOCHS}) DIV n").alias("epoch"),
+            ((F.col("event_id") % IVM_KEYS) % IVM_GROUPS).alias("grp"),
+        )
+    )
+
+
+def _ivm_trajectory_from_deltas(deltas: DataFrame) -> DataFrame:
+    """(grp, epoch, cnt_delta, val_delta) rows -> the cumulative live
+    trajectory over the full grp x epoch grid. Shared by the batch query
+    and the streaming twin (whose drained state-store deltas feed the
+    same fold)."""
+    ed = deltas.groupBy("grp", "epoch").agg(
+        F.sum("cnt_delta").alias("cd"), F.sum("val_delta").alias("vd")
+    )
+    spark = deltas.sparkSession
+    grid = spark.range(IVM_GROUPS).select(
+        F.col("id").alias("g_grp")
+    ).crossJoin(
+        spark.range(IVM_EPOCHS).select(F.col("id").alias("g_epoch"))
+    )
+    return (
+        grid.join(
+            ed,
+            (ed["grp"] == grid["g_grp"]) & (ed["epoch"] <= grid["g_epoch"]),
+            "left",
+        )
+        .groupBy("g_grp", "g_epoch")
+        .agg(
+            F.coalesce(F.sum("cd"), F.lit(0)).cast("bigint").alias(
+                "live_keys"
+            ),
+            F.coalesce(F.sum("vd"), F.lit(0)).cast("double").alias(
+                "live_sum"
+            ),
+        )
+        .select(
+            F.col("g_grp").alias("grp"),
+            F.col("g_epoch").alias("epoch"),
+            "live_keys",
+            "live_sum",
+        )
+    )
+
+
+def _ivm_recompute(ch: DataFrame) -> DataFrame:
+    """Ground truth: per (grp, epoch), re-aggregate the LWW state as of
+    each epoch's end (last update per key per epoch, forward-filled over
+    the epoch grid by a bounded argmax join)."""
+    spark = ch.sparkSession
+    w_last = Window.partitionBy("rowkey", "epoch").orderBy(F.col("seq").desc())
+    lastup = (
+        ch.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("rowkey", "grp", "epoch", "is_del", "value")
+    )
+    grid_e = spark.range(IVM_EPOCHS).select(F.col("id").alias("g_epoch"))
+    w_ff = Window.partitionBy("rowkey", "g_epoch").orderBy(
+        F.col("epoch").desc()
+    )
+    st = (
+        lastup.join(
+            F.broadcast(grid_e), F.col("epoch") <= F.col("g_epoch")
+        )
+        .withColumn("rn", F.row_number().over(w_ff))
+        .filter(F.col("rn") == 1)
+    )
+    live_val = F.when(
+        ~F.col("is_del"), F.col("value").cast("decimal(18,6)")
+    )
+    return st.groupBy("grp", "g_epoch").agg(
+        F.coalesce(
+            F.sum(F.when(~F.col("is_del"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rec_keys"),
+        F.coalesce(F.sum(live_val), F.lit(0)).cast("double").alias("rec_sum"),
+    ).select("grp", F.col("g_epoch").alias("epoch"), "rec_keys", "rec_sum")
+
+
+@register("cdc_live_rollup_ivm", oracle=_SQL_LIVE_ROLLUP)
+def cdc_live_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC -> live-updated aggregate: the reference's
+    raison d'etre (a near-real-time mirror of a mutating table,
+    README_zh.md:413, observer6/HbaseDataSyncEsObserver.java:36-43)
+    expressed as the engine's own incremental-view-maintenance story.
+
+    A keyed change stream (upserts + tombstones, total per-key order)
+    maintains a per-group rollup (live key count + decimal-exact value
+    sum) purely from per-update DELTAS: each update contributes
+    (new - previous) for its key via one lag window, deltas aggregate
+    per (group, epoch), and the cumulative fold over epochs is the live
+    aggregate trajectory. The query then proves, per (group, epoch),
+    that the delta-maintained aggregate equals a full LWW-state
+    recompute as of that epoch — `maintained_ok` must be true on every
+    row, counts AND decimal-exact sums.
+
+    This composes the two IVM algebras already proven separately
+    (agg_incremental_rollup: algebraic merge; mv_join_delta_maintenance:
+    join deltas) into the operational shape the reference implements
+    imperatively with its 10k/30s bulk buffer: at 100 TB the standing
+    rollup is O(groups) state, each epoch shuffles only its OWN updates
+    (one lag window per key partition), and history is never
+    re-aggregated. stream_live_rollup_ivm is the ingest-time twin: the
+    same deltas emitted from applyInPandasWithState keyed state, drained
+    micro-batch by micro-batch, share this oracle.
+
+    Determinism: the per-key lag chain telescopes exactly in
+    DECIMAL(18,6) (value casts are identical on both sides of every
+    delta), so live == recompute is byte-exact in both engines.
+    """
+    ensure_session_conf(spark)
+    ch = _ivm_change_stream(spark, sf_dir)
+    w = Window.partitionBy("rowkey").orderBy("seq")
+    lagged = ch.select(
+        "grp",
+        "epoch",
+        "is_del",
+        "value",
+        F.lag("seq").over(w).alias("lag_seq"),
+        F.lag("is_del").over(w).alias("lag_del"),
+        F.lag("value").over(w).alias("lag_value"),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    prev_live = F.col("lag_seq").isNotNull() & ~F.col("lag_del")
+    deltas = lagged.select(
+        "grp",
+        "epoch",
+        (
+            F.when(~F.col("is_del"), 1).otherwise(0)
+            - F.when(prev_live, 1).otherwise(0)
+        ).alias("cnt_delta"),
+        (
+            F.when(
+                ~F.col("is_del"), F.col("value").cast("decimal(18,6)")
+            ).otherwise(zero)
+            - F.when(
+                prev_live, F.col("lag_value").cast("decimal(18,6)")
+            ).otherwise(zero)
+        ).alias("val_delta"),
+    )
+    live = _ivm_trajectory_from_deltas(deltas)
+    rec = _ivm_recompute(ch)
+    return live.join(rec, ["grp", "epoch"], "left").select(
+        "grp",
+        "epoch",
+        "live_keys",
+        "live_sum",
+        F.coalesce(F.col("rec_keys"), F.lit(0)).cast("bigint").alias(
+            "rec_keys"
+        ),
+        F.coalesce(F.col("rec_sum"), F.lit(0.0)).alias("rec_sum"),
+        (
+            (F.col("live_keys") == F.coalesce(F.col("rec_keys"), F.lit(0)))
+            & (
+                F.col("live_sum")
+                == F.coalesce(F.col("rec_sum"), F.lit(0.0))
+            )
         ).alias("maintained_ok"),
     )

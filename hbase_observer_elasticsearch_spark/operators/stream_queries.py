@@ -989,3 +989,94 @@ def stream_semantic_admission(
     return emitted.select(
         "vec_id", "cluster_id", "n_near_dups", "best_cos", "admit"
     )
+
+
+from .skew_agg import _SQL_LIVE_ROLLUP as _SQL_LIVE_ROLLUP_IVM  # noqa: E402
+
+
+@register(
+    "stream_live_rollup_ivm",
+    # same oracle as the batch query: the drained state-store deltas,
+    # folded, must reproduce the identical maintained trajectory
+    oracle=_SQL_LIVE_ROLLUP_IVM,
+)
+def stream_live_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's raison d'etre END TO END: a keyed change stream
+    drained through applyInPandasWithState (one (live, value) pair of
+    state per rowkey), each mutation emitting its (now, prev) pair; the
+    drained deltas fold — with the same exact-decimal arithmetic as the
+    batch query — into the live per-group rollup trajectory, and the
+    output proves per (group, epoch) that the stream-maintained
+    aggregate equals the full LWW-state recompute. Identical rows to
+    cdc_live_rollup_ivm (shared oracle): the near-real-time mirror
+    (README_zh.md:413) as a *checked* streaming pipeline, not a
+    fire-and-forget bulk buffer
+    (observer6/ElasticSearchBulkOperator.java:84-96).
+
+    The feed is written as IVM_EPOCHS seq-contiguous files and drained
+    one file per micro-batch, so epoch boundaries ARE micro-batch
+    boundaries — every delta crosses the state store, none is an
+    intra-batch shortcut. Scale shape: state is O(active keys), each
+    micro-batch shuffles only its own mutations by rowkey, and the
+    standing rollup is O(groups) — ingest cost never touches history.
+    """
+    ensure_session_conf(spark)
+    from ..operators.skew_agg import (
+        _ivm_change_stream,
+        _ivm_recompute,
+        _ivm_trajectory_from_deltas,
+        IVM_EPOCHS,
+    )
+    from ..sources.changefeed import write_changefeed_stream_dir
+    from ..streaming.stateful import stateful_ivm_deltas
+
+    base = _scratch("stream_live_rollup_")
+    try:
+        feed_dir = os.path.join(base, "feed")
+        write_changefeed_stream_dir(
+            _ivm_change_stream(spark, sf_dir), feed_dir, n_files=IVM_EPOCHS
+        )
+        emitted = _drain_to_local(
+            spark,
+            stateful_ivm_deltas(spark, feed_dir, max_files_per_trigger=1),
+            base,
+            output_mode="update",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    zero = F.lit(0).cast("decimal(18,6)")
+    deltas = emitted.select(
+        "grp",
+        "epoch",
+        (
+            F.when(F.col("live_now"), 1).otherwise(0)
+            - F.when(F.col("prev_live"), 1).otherwise(0)
+        ).alias("cnt_delta"),
+        (
+            F.when(
+                F.col("live_now"), F.col("val_now").cast("decimal(18,6)")
+            ).otherwise(zero)
+            - F.when(
+                F.col("prev_live"), F.col("prev_value").cast("decimal(18,6)")
+            ).otherwise(zero)
+        ).alias("val_delta"),
+    )
+    live = _ivm_trajectory_from_deltas(deltas)
+    rec = _ivm_recompute(_ivm_change_stream(spark, sf_dir))
+    return live.join(rec, ["grp", "epoch"], "left").select(
+        "grp",
+        "epoch",
+        "live_keys",
+        "live_sum",
+        F.coalesce(F.col("rec_keys"), F.lit(0)).cast("bigint").alias(
+            "rec_keys"
+        ),
+        F.coalesce(F.col("rec_sum"), F.lit(0.0)).alias("rec_sum"),
+        (
+            (F.col("live_keys") == F.coalesce(F.col("rec_keys"), F.lit(0)))
+            & (
+                F.col("live_sum")
+                == F.coalesce(F.col("rec_sum"), F.lit(0.0))
+            )
+        ).alias("maintained_ok"),
+    )

@@ -135,6 +135,8 @@ _PRIORITY = (
     "layout_range_partition_balance",
     # --- new in r9 ---
     # (names prepended here as they land, per the hygiene rule above)
+    "cdc_live_rollup_ivm",
+    "stream_live_rollup_ivm",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",

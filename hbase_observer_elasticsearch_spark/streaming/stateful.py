@@ -349,3 +349,87 @@ def stateful_debounce(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming IVM deltas (live-rollup maintenance at ingest) ---------------
+
+_IVM_FEED_SCHEMA = (
+    "rowkey long, seq long, is_del boolean, value double, "
+    "epoch long, grp long"
+)
+_IVM_STATE = "live boolean, value double"
+_IVM_OUTPUT = (
+    "grp long, epoch long, live_now boolean, val_now double, "
+    "prev_live boolean, prev_value double"
+)
+
+
+def _ivm_delta_handler(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-rowkey LWW delta emitter: keyed state is (live, last raw
+    value); each update emits the (now, prev) pair the downstream
+    decimal fold turns into exact (cnt, value) deltas — the streaming
+    half of operators/skew_agg.cdc_live_rollup_ivm. State stores the
+    previous row's RAW value even for tombstones (prev_live masks it),
+    bit-matching the batch LAG chain."""
+    if state.exists:
+        live, val = bool(state.get[0]), float(state.get[1])
+    else:
+        live, val = False, 0.0
+    out = []
+    for pdf in pdfs:
+        # cross-batch order is seq order (contiguous feed files); within
+        # a batch restore it explicitly
+        pdf = pdf.sort_values("seq")
+        for row in pdf.itertuples(index=False):
+            now_live = not bool(row.is_del)
+            out.append(
+                (
+                    int(row.grp),
+                    int(row.epoch),
+                    now_live,
+                    float(row.value),
+                    bool(live),
+                    float(val),
+                )
+            )
+            live, val = now_live, float(row.value)
+    state.update((bool(live), float(val)))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "grp",
+                "epoch",
+                "live_now",
+                "val_now",
+                "prev_live",
+                "prev_value",
+            ],
+        )
+
+
+def stateful_ivm_deltas(
+    spark: SparkSession,
+    feed_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming per-update delta stream for live-rollup IVM: one
+    (live, value) pair of keyed state per rowkey, emission = one row per
+    mutation carrying (now, prev) — O(active keys) state however long
+    the feed runs, the same bound as the LWW doc state above."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    cf = (
+        spark.readStream.schema(_parse_datatype_string(_IVM_FEED_SCHEMA))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+    )
+    return cf.groupBy("rowkey").applyInPandasWithState(
+        _ivm_delta_handler,
+        outputStructType=_IVM_OUTPUT,
+        stateStructType=_IVM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
