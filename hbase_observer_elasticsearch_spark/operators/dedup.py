@@ -2788,3 +2788,332 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cand.join(ed, ["doc_a", "doc_b"], "left_anti")
+
+
+# --- r9: b-bit MinHash (storage-compressed signatures, accuracy-audited) ----
+
+
+@register(
+    "dedup_minhash_bbit",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cool AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {PAIR_BUCKET_CAP}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM cool)
+  GROUP BY 1, 2
+),
+pj AS (
+  SELECT doc_a, doc_b,
+         n_shared * 1.0 / (sa.n + sb.n - n_shared) AS j
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+),
+coded AS (
+  SELECT doc_id, {H.sql_token_code('s')} AS code FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN({H.sql_affine('code', k)}) % 2 AS b{k}" for k in range(H.MINHASH_K))}
+  FROM coded GROUP BY doc_id
+),
+agree AS (
+  SELECT p.j,
+         ({" + ".join(
+             f"(CASE WHEN a.b{k} = b.b{k} THEN 1 ELSE 0 END)"
+             for k in range(H.MINHASH_K)
+         )}) AS n_agree
+  FROM pj p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+),
+f AS (
+  SELECT LEAST(9, CAST(FLOOR(j * 10) AS BIGINT)) AS j_decile, j,
+         (2 * n_agree - {H.MINHASH_K}) / {float(H.MINHASH_K)} AS est
+  FROM agree
+)
+SELECT j_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(j AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+         AS mean_jaccard,
+       CAST(SUM(CAST(est AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+         AS mean_est_1bit,
+       CAST(SUM(CAST(ABS(est - j) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+         AS mean_abs_err
+FROM f GROUP BY j_decile
+""",
+)
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (b = 1, Li & Koenig 2010): keep only the LOWEST BIT
+    of each of the 16 minhash values — a 64x signature compression at
+    billion-doc scale (16 bits vs 16 x 64-bit words per doc) — and audit
+    the estimator against exact Jaccard over EVERY co-occurring pair
+    (the verified-pairs memo, hot buckets capped), so the error table
+    spans the full similarity range, not just the near-dup band. For
+    b = 1, E[bit-agreement] = (1 + J) / 2, so J_hat = 2*A - 1 with
+    A = agreeing bits / 16. Reported per exact-Jaccard decile: pair
+    count, mean exact J, mean 1-bit estimate, mean |error| — the table
+    that tells a 100 TB dedup whether compressed signatures can replace
+    full ones for its similarity band (high-J bands: yes; low/mid-J
+    bands: the ~1/sqrt(k) noise floor shows up exactly as theory says).
+
+    Scale shape: 1-bit signatures are one 16-column aggregate over the
+    coded shingle table, semi-joined down to pair docs first (the audit
+    never hashes the corpus); the pair universe is the shared
+    verified-pairs memo — no new pair enumeration. All hash/agreement
+    arithmetic is exact BIGINT; the only doubles are the two
+    division-born ratios and their decimal-summed decile means.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    vp = _verified_pairs_memo(spark, sf_dir)
+    pj = vp.select("doc_a", "doc_b", F.col("jaccard").alias("j"))
+    pair_docs = (
+        pj.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pj.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    coded = _coded_shingles(d).join(F.broadcast(pair_docs), "doc_id", "semi")
+    sig = coded.groupBy("doc_id").agg(
+        *[
+            (F.min(H.affine(F.col("code"), k)) % 2).alias(f"b{k}")
+            for k in range(H.MINHASH_K)
+        ]
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(H.MINHASH_K)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(H.MINHASH_K)],
+    )
+    n_agree = None
+    for k in range(H.MINHASH_K):
+        term = F.when(F.col(f"a{k}") == F.col(f"bb{k}"), 1).otherwise(0)
+        n_agree = term if n_agree is None else n_agree + term
+    est = (2 * n_agree - H.MINHASH_K).cast("double") / F.lit(
+        float(H.MINHASH_K)
+    )
+    f = (
+        pj.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            F.least(
+                F.lit(9).cast("bigint"), F.floor(F.col("j") * 10)
+            ).alias("j_decile"),
+            "j",
+            est.alias("est"),
+        )
+    )
+    dec = lambda c: F.sum(c.cast("decimal(18,12)")).cast("double")  # noqa: E731
+    return f.groupBy("j_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (dec(F.col("j")) / F.count(F.lit(1))).alias("mean_jaccard"),
+        (dec(F.col("est")) / F.count(F.lit(1))).alias("mean_est_1bit"),
+        (dec(F.abs(F.col("est") - F.col("j"))) / F.count(F.lit(1))).alias(
+            "mean_abs_err"
+        ),
+    )
+
+
+# --- r9: corpus novelty curve (diminishing returns of adding data) ----------
+
+NOVELTY_BUCKETS = 10
+
+
+@register(
+    "text_ngram_novelty_curve",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+bs AS (
+  SELECT DISTINCT (doc_id * {NOVELTY_BUCKETS}) // mx.n AS bucket, s
+  FROM sh, mx
+),
+firsts AS (SELECT s, MIN(bucket) AS fb FROM bs GROUP BY s),
+stats AS (
+  SELECT b.bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(CASE WHEN f.fb = b.bucket THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM bs b JOIN firsts f USING (s)
+  GROUP BY b.bucket
+),
+nd AS (
+  SELECT (doc_id * {NOVELTY_BUCKETS}) // mx.n AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents, mx GROUP BY 1
+)
+SELECT s.bucket, nd.n_docs, s.n_distinct, s.n_novel,
+       s.n_novel * 1.0 / s.n_distinct AS novelty_rate,
+       CAST(SUM(s.n_novel) OVER (ORDER BY s.bucket) AS BIGINT)
+         AS cum_distinct
+FROM stats s JOIN nd ON nd.bucket = s.bucket
+""",
+)
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve — the diminishing-returns audit a training-
+    data buyer runs before ingesting the next crawl slice: split the
+    corpus into {NOVELTY_BUCKETS} doc-id deciles (= acquisition order)
+    and measure, per slice, how many of its distinct 3-word shingles are
+    NOVEL (first seen in that slice) vs already covered by earlier
+    slices. `novelty_rate` falling toward 0 means new data is re-buying
+    the same n-grams; `cum_distinct` is the corpus's distinct-shingle
+    growth curve (the empirical Heaps-law trace).
+
+    One shingle pass: per-shingle first-bucket and bucket membership
+    come from a single (bucket, shingle)-distinct aggregate — per-slice
+    stats are one join of its two projections; no self-joins, no pair
+    enumeration. The final cumulative window runs over
+    {NOVELTY_BUCKETS} aggregated rows. At 100 TB the shingle table is
+    the same one the dedup family already materializes; the curve is a
+    byproduct, not a new scan.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("n"))
+    bucket = F.expr(f"(doc_id * {NOVELTY_BUCKETS}) DIV n")
+    bs = (
+        shingle_docs(d)
+        .crossJoin(F.broadcast(mx))
+        .select(bucket.alias("bucket"), "s")
+        .distinct()
+        .localCheckpoint()  # two consumers below: compute the shingle scan once
+    )
+    firsts = bs.groupBy("s").agg(F.min("bucket").alias("fb"))
+    stats = (
+        bs.join(firsts, "s")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("fb") == F.col("bucket"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    nd = (
+        d.crossJoin(F.broadcast(mx))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = Window.orderBy("bucket")  # {NOVELTY_BUCKETS} rows: safe global window
+    return (
+        stats.join(nd, "bucket")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_distinct",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_distinct")).alias("novelty_rate"),
+            F.sum("n_novel").over(w).cast("bigint").alias("cum_distinct"),
+        )
+    )
+
+
+# --- r9: dedup cascade funnel (exact -> near-dup, per source) ---------------
+
+
+@register(
+    "corpus_dedup_cascade_report",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS doc_id, rc.r
+  FROM edges e JOIN reach rc ON rc.doc_id = e.dst
+),
+cc AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+ex AS (
+  SELECT doc_id, source,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_exact
+  FROM documents
+),
+surv AS (
+  SELECT e.doc_id, e.source, c.cluster_id
+  FROM ex e JOIN cc c ON c.doc_id = e.doc_id
+  WHERE e.keep_exact
+),
+nd AS (
+  SELECT doc_id, source,
+         doc_id = MIN(doc_id) OVER (PARTITION BY cluster_id) AS keep_nd
+  FROM surv
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(*) FILTER (WHERE e.keep_exact) AS BIGINT) AS n_after_exact,
+       CAST(COUNT(*) FILTER (WHERE n.keep_nd) AS BIGINT) AS n_after_neardup,
+       COUNT(*) FILTER (WHERE n.keep_nd) * 1.0 / COUNT(*) AS retention
+FROM documents d
+JOIN ex e ON e.doc_id = d.doc_id
+LEFT JOIN nd n ON n.doc_id = d.doc_id
+GROUP BY d.source
+""",
+)
+def corpus_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CASCADE as one per-source funnel report: raw corpus ->
+    exact dedup (keep the lowest doc_id per md5(text), the CCNet/
+    RefinedWeb first stage) -> near-dup dedup (among exact survivors,
+    keep the lowest doc_id of each Jaccard connected component). This is
+    the acceptance report a curation run publishes — which sources are
+    boilerplate factories, what each stage actually removed, final
+    retention — stitching dedup_exact + the CC keep-list into the
+    operational decision instead of leaving them as separate audits.
+
+    Stage composition is the subtle part done right: near-dup keep is
+    evaluated AMONG exact survivors (a cluster whose minimum was itself
+    an exact duplicate must still keep exactly one member), and both
+    stages are global while the report grain is per source — a doc can
+    be killed by a duplicate in another source (cross-source contagion
+    is most of what exact dedup finds in real crawls).
+
+    Scale shape: exact stage is one hash window (equivalently a
+    groupBy on the 128-bit digest); the CC labels are the memoized
+    large/small-star output the graph family already shares; the funnel
+    itself is two joins + one aggregate at doc grain, no pair work.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    keep_exact = (
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    ex = spread(d).select(
+        "doc_id", "source", keep_exact.alias("keep_exact")
+    )
+    cc = _jaccard_cc_labels(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    surv = ex.filter("keep_exact").join(cc, "doc_id")
+    keep_nd = (
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy("cluster_id"))
+    )
+    nd = surv.select("doc_id", keep_nd.alias("keep_nd"))
+    return (
+        ex.join(nd, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.sum(F.when(F.col("keep_exact"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_after_exact"),
+            F.sum(F.when(F.col("keep_nd"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_after_neardup"),
+            (
+                F.sum(F.when(F.col("keep_nd"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("retention"),
+        )
+    )

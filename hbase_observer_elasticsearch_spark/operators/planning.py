@@ -805,3 +805,146 @@ def layout_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_skipped").cast("double") / F.col("n_zones").cast("double")
         ).alias("skip_frac"),
     )
+
+
+# --- r9: partition-grain pruning simulator (complements zone maps) ----------
+
+_PART_GRAINS = ("month", "quarter", "year")
+# workload: half-open o_orderdate ranges [lo, hi)
+_PRUNE_WORKLOAD = (
+    ("one_month", "1996-03-01 00:00:00", "1996-04-01 00:00:00"),
+    ("one_quarter", "1997-07-01 00:00:00", "1997-10-01 00:00:00"),
+    ("one_year", "1998-01-01 00:00:00", "1999-01-01 00:00:00"),
+    ("recent_tail", "2001-01-01 00:00:00", "2101-01-01 00:00:00"),
+)
+
+
+def _prune_sql() -> str:
+    grains = ", ".join(f"'{g}'" for g in _PART_GRAINS)
+    case = (
+        "CASE g.grain "
+        + " ".join(
+            f"WHEN '{g}' THEN date_trunc('{g}', o_orderdate)"
+            for g in _PART_GRAINS[:-1]
+        )
+        + f" ELSE date_trunc('{_PART_GRAINS[-1]}', o_orderdate) END"
+    )
+    touched = ",\n".join(
+        f"         CAST(SUM(CASE WHEN mx >= TIMESTAMP '{lo}'"
+        f" AND mn < TIMESTAMP '{hi}'\n"
+        f"                  THEN 1 ELSE 0 END) AS BIGINT) AS t_{name}"
+        for name, lo, hi in _PRUNE_WORKLOAD
+    )
+    preds = "\nUNION ALL\n".join(
+        f"SELECT grain, '{name}' AS predicate, n_parts,"
+        f" t_{name} AS n_touched, skew_max_over_avg FROM agg"
+        for name, *_ in _PRUNE_WORKLOAD
+    )
+    return f"""
+WITH pr AS (
+  SELECT g.grain, {case} AS part, o_orderdate
+  FROM orders CROSS JOIN (SELECT unnest([{grains}]) AS grain) g
+),
+parts AS (
+  SELECT grain, part, COUNT(*) AS n_rows,
+         MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx
+  FROM pr GROUP BY grain, part
+),
+agg AS (
+  SELECT grain,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+{touched},
+         MAX(n_rows) * COUNT(*) * 1.0 / SUM(n_rows) AS skew_max_over_avg
+  FROM parts GROUP BY grain
+)
+SELECT grain, predicate, n_parts, n_touched,
+       (n_parts - n_touched) * 1.0 / n_parts AS prune_frac,
+       skew_max_over_avg
+FROM (
+{preds}
+) t
+"""
+
+
+@register("layout_partition_pruning_sim", oracle=_prune_sql())
+def layout_partition_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-grain pruning simulator: for each candidate partition
+    grain of orders (month / quarter / year of o_orderdate), measure
+    against a declared range workload (a) how many partitions each query
+    would touch using real per-partition min/max stats — the
+    partition-pruning twin of layout_zone_map_skipping's zone grain —
+    and (b) the partition-size skew (max/avg rows) that grain induces.
+    Finer grains prune more but multiply file/partition count and
+    planning cost; this emits the exact table that trade-off is decided
+    from (the Delta/Iceberg `PARTITIONED BY` decision, and the Spark
+    `spark.sql.sources.partitionOverwriteMode` sizing input).
+
+    Plan shape: ONE scan — each row explodes to |grains| (grain, part)
+    pairs, one hash agg to partition grain (~120 rows at any SF: the
+    grid is bounded by the date span, not the table), then the workload
+    compares run on the tiny grain table. Touch rule for [lo, hi):
+    mx >= lo AND mn < hi — real stats, so an empty month prunes itself.
+
+    Determinism: counts are BIGINT; the two emitted ratios are single
+    integer-ratio divisions; timestamp compares are exact instants
+    (session tz pinned UTC).
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate")
+    kz = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(g).alias("grain"),
+                    F.date_trunc(g, "o_orderdate").alias("part"),
+                )
+                for g in _PART_GRAINS
+            ]
+        )
+    )
+    parts = (
+        spread(o)
+        .select(kz.alias("kz"), "o_orderdate")
+        .select("kz.grain", "kz.part", "o_orderdate")
+        .groupBy("grain", "part")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderdate").alias("mn"),
+            F.max("o_orderdate").alias("mx"),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (
+            F.max("n_rows") * F.count(F.lit(1)) / F.sum("n_rows")
+        ).alias("skew_max_over_avg"),
+    ]
+    for name, lo, hi in _PRUNE_WORKLOAD:
+        t = F.when(
+            (F.col("mx") >= F.lit(lo).cast("timestamp"))
+            & (F.col("mn") < F.lit(hi).cast("timestamp")),
+            1,
+        ).otherwise(0)
+        aggs.append(F.sum(t).cast("bigint").alias(f"t_{name}"))
+    pairs = ", ".join(f"'{n}', t_{n}" for n, *_ in _PRUNE_WORKLOAD)
+    return (
+        parts.groupBy("grain")
+        .agg(*aggs)
+        .selectExpr(
+            "grain",
+            f"stack({len(_PRUNE_WORKLOAD)}, {pairs}) AS (predicate, n_touched)",
+            "n_parts",
+            "skew_max_over_avg",
+        )
+        .select(
+            "grain",
+            "predicate",
+            "n_parts",
+            "n_touched",
+            (
+                (F.col("n_parts") - F.col("n_touched"))
+                / F.col("n_parts")
+            ).alias("prune_frac"),
+            "skew_max_over_avg",
+        )
+    )

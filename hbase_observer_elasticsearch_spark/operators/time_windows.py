@@ -2182,3 +2182,119 @@ def events_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("wilson_hi"),
     )
+
+
+# --- r9: SPRT sequential conversion monitor ---------------------------------
+
+SPRT_P0 = 0.80  # H0 conversion rate (value >= SPRT_SUCCESS_T)
+SPRT_P1 = 0.84  # H1 conversion rate
+SPRT_SUCCESS_T = 10.0
+SPRT_EPOCHS = 10
+# ln constants frozen as exact INTEGER micro-units (1e-12 grain): the
+# float form s*C1 + f*C2 differed by 1 ulp across engines (FMA
+# contraction); in micro-units the whole accumulation is exact BIGINT
+# and the only float is one final division.
+SPRT_CS_U = 48790164169  # round(ln(p1/p0) * 1e12)
+SPRT_CF_U = -223143551314  # round(ln((1-p1)/(1-p0)) * 1e12)
+SPRT_BOUND_U = 2944438979166  # round(ln(19) * 1e12); alpha = beta = .05
+
+
+@register(
+    "events_sprt_monitor",
+    oracle=f"""
+WITH mx AS (SELECT MAX(event_id) + 1 AS n FROM events),
+e AS (
+  SELECT event_type,
+         (event_id * {SPRT_EPOCHS}) // mx.n AS epoch,
+         CASE WHEN value >= {SPRT_SUCCESS_T} THEN 1 ELSE 0 END AS s
+  FROM events, mx
+),
+ep AS (
+  SELECT event_type, epoch,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS sc
+  FROM e GROUP BY event_type, epoch
+),
+cum AS (
+  SELECT event_type, epoch,
+         CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+         CAST(SUM(sc) OVER w AS BIGINT) AS s_cum
+  FROM ep WINDOW w AS (PARTITION BY event_type ORDER BY epoch)
+),
+l AS (
+  SELECT event_type, epoch, n_cum, s_cum,
+         s_cum * {SPRT_CS_U} + (n_cum - s_cum) * {SPRT_CF_U} AS llr_u
+  FROM cum
+)
+SELECT event_type, epoch, n_cum, s_cum,
+       llr_u / 1000000000000.0 AS llr,
+       CASE WHEN llr_u >= {SPRT_BOUND_U} THEN 'accept_h1'
+            WHEN llr_u <= -{SPRT_BOUND_U} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM l
+""",
+)
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT conversion monitor — the SEQUENTIAL complement of
+    events_conversion_wilson's fixed-horizon interval: per event type,
+    the cumulative log-likelihood ratio of H1 (p = {SPRT_P1}) against
+    H0 (p = {SPRT_P0}) after each ingest epoch, with Wald boundaries
+    ln(19) / -ln(19) (alpha = beta = 0.05). This is the always-valid
+    decision rule an experimentation platform evaluates at every batch:
+    stop the moment the boundary is crossed, spending a bounded expected
+    sample size instead of a fixed horizon (peeking at a Wilson interval
+    inflates false positives; peeking at an SPRT is its design).
+
+    llr = s*ln(p1/p0) + f*ln(q1/q0) on CUMULATIVE counts, so each epoch
+    row is the exact state the monitor would hold after that epoch.
+    Determinism: counts are exact BIGINTs through one per-type window
+    over {SPRT_EPOCHS} pre-aggregated rows; the ln constants are frozen
+    integer micro-units (1e-12 grain), so llr accumulation AND both
+    boundary compares are exact BIGINT arithmetic — the float form
+    s*C1 + f*C2 differed by 1 ulp across engines (FMA contraction);
+    the only emitted float is one final division by 1e12.
+
+    Scale shape: one scan -> (type, epoch) hash agg (map-side combine to
+    |types| x {SPRT_EPOCHS} rows); the window and decision run on that
+    grid. At 100 TB this is the per-micro-batch metrics rollup a
+    streaming deployment maintains incrementally (the same algebraic
+    (n, s) state as agg_incremental_rollup).
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg((F.max("event_id") + 1).alias("n"))
+    ep = (
+        e.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.expr(f"(event_id * {SPRT_EPOCHS}) DIV n").alias("epoch"),
+            F.when(F.col("value") >= SPRT_SUCCESS_T, 1)
+            .otherwise(0)
+            .alias("s"),
+        )
+        .groupBy("event_type", "epoch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("s").cast("bigint").alias("sc"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("epoch")
+    cum = ep.select(
+        "event_type",
+        "epoch",
+        F.sum("n").over(w).cast("bigint").alias("n_cum"),
+        F.sum("sc").over(w).cast("bigint").alias("s_cum"),
+    )
+    llr_u = F.col("s_cum") * F.lit(SPRT_CS_U) + (
+        F.col("n_cum") - F.col("s_cum")
+    ) * F.lit(SPRT_CF_U)
+    return cum.select(
+        "event_type",
+        "epoch",
+        "n_cum",
+        "s_cum",
+        (llr_u.cast("double") / F.lit(1e12)).alias("llr"),
+        F.when(llr_u >= SPRT_BOUND_U, "accept_h1")
+        .when(llr_u <= -SPRT_BOUND_U, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

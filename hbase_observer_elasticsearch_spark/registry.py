@@ -137,6 +137,11 @@ _PRIORITY = (
     # (names prepended here as they land, per the hygiene rule above)
     "cdc_live_rollup_ivm",
     "stream_live_rollup_ivm",
+    "dedup_minhash_bbit",
+    "text_ngram_novelty_curve",
+    "corpus_dedup_cascade_report",
+    "layout_partition_pruning_sim",
+    "events_sprt_monitor",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",
