@@ -2920,100 +2920,6 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r9: corpus novelty curve (diminishing returns of adding data) ----------
-
-NOVELTY_BUCKETS = 10
-
-
-@register(
-    "text_ngram_novelty_curve",
-    oracle=f"""
-WITH {_SQL_SHINGLES},
-mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
-bs AS (
-  SELECT DISTINCT (doc_id * {NOVELTY_BUCKETS}) // mx.n AS bucket, s
-  FROM sh, mx
-),
-firsts AS (SELECT s, MIN(bucket) AS fb FROM bs GROUP BY s),
-stats AS (
-  SELECT b.bucket,
-         CAST(COUNT(*) AS BIGINT) AS n_distinct,
-         CAST(SUM(CASE WHEN f.fb = b.bucket THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_novel
-  FROM bs b JOIN firsts f USING (s)
-  GROUP BY b.bucket
-),
-nd AS (
-  SELECT (doc_id * {NOVELTY_BUCKETS}) // mx.n AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS n_docs
-  FROM documents, mx GROUP BY 1
-)
-SELECT s.bucket, nd.n_docs, s.n_distinct, s.n_novel,
-       s.n_novel * 1.0 / s.n_distinct AS novelty_rate,
-       CAST(SUM(s.n_novel) OVER (ORDER BY s.bucket) AS BIGINT)
-         AS cum_distinct
-FROM stats s JOIN nd ON nd.bucket = s.bucket
-""",
-)
-def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus novelty curve — the diminishing-returns audit a training-
-    data buyer runs before ingesting the next crawl slice: split the
-    corpus into {NOVELTY_BUCKETS} doc-id deciles (= acquisition order)
-    and measure, per slice, how many of its distinct 3-word shingles are
-    NOVEL (first seen in that slice) vs already covered by earlier
-    slices. `novelty_rate` falling toward 0 means new data is re-buying
-    the same n-grams; `cum_distinct` is the corpus's distinct-shingle
-    growth curve (the empirical Heaps-law trace).
-
-    One shingle pass: per-shingle first-bucket and bucket membership
-    come from a single (bucket, shingle)-distinct aggregate — per-slice
-    stats are one join of its two projections; no self-joins, no pair
-    enumeration. The final cumulative window runs over
-    {NOVELTY_BUCKETS} aggregated rows. At 100 TB the shingle table is
-    the same one the dedup family already materializes; the curve is a
-    byproduct, not a new scan.
-    """
-    ensure_session_conf(spark)
-    d = load_table(spark, sf_dir, "documents")
-    mx = d.agg((F.max("doc_id") + 1).alias("n"))
-    bucket = F.expr(f"(doc_id * {NOVELTY_BUCKETS}) DIV n")
-    bs = (
-        shingle_docs(d)
-        .crossJoin(F.broadcast(mx))
-        .select(bucket.alias("bucket"), "s")
-        .distinct()
-        .localCheckpoint()  # two consumers below: compute the shingle scan once
-    )
-    firsts = bs.groupBy("s").agg(F.min("bucket").alias("fb"))
-    stats = (
-        bs.join(firsts, "s")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-            F.sum(F.when(F.col("fb") == F.col("bucket"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_novel"),
-        )
-    )
-    nd = (
-        d.crossJoin(F.broadcast(mx))
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    )
-    w = Window.orderBy("bucket")  # {NOVELTY_BUCKETS} rows: safe global window
-    return (
-        stats.join(nd, "bucket")
-        .select(
-            "bucket",
-            "n_docs",
-            "n_distinct",
-            "n_novel",
-            (F.col("n_novel") / F.col("n_distinct")).alias("novelty_rate"),
-            F.sum("n_novel").over(w).cast("bigint").alias("cum_distinct"),
-        )
-    )
-
-
 # --- r9: dedup cascade funnel (exact -> near-dup, per source) ---------------
 
 

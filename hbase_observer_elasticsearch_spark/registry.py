@@ -138,7 +138,6 @@ _PRIORITY = (
     "cdc_live_rollup_ivm",
     "stream_live_rollup_ivm",
     "dedup_minhash_bbit",
-    "text_ngram_novelty_curve",
     "corpus_dedup_cascade_report",
     "layout_partition_pruning_sim",
     "events_sprt_monitor",

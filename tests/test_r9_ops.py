@@ -1,6 +1,5 @@
 """Round-9 operator invariants: IVM delta maintenance on a planted
-change stream, the 1-bit MinHash estimator identity, novelty-curve
-accounting, partition-pruning touch rules, and SPRT micro-unit math."""
+change stream, the 1-bit MinHash estimator identity, partition-pruning touch rules, and SPRT micro-unit math."""
 
 from __future__ import annotations
 
@@ -12,7 +11,6 @@ import hbase_observer_elasticsearch_spark.operators.skew_agg as sk
 import hbase_observer_elasticsearch_spark.operators.time_windows as tw
 from hbase_observer_elasticsearch_spark.operators.dedup import (
     dedup_minhash_bbit,
-    text_ngram_novelty_curve,
 )
 from hbase_observer_elasticsearch_spark.operators.planning import (
     layout_partition_pruning_sim,
@@ -82,27 +80,6 @@ def test_bbit_estimator_identity_on_exact_dupes(spark, monkeypatch):
     assert r.mean_jaccard == 1.0
     assert r.mean_est_1bit == 1.0
     assert r.mean_abs_err == 0.0
-
-
-def test_novelty_curve_accounting(spark, monkeypatch):
-    # doc 0 and 1 share their only shingle; doc 2 brings a new one.
-    # doc_ids 0,1,2 with max+1=3 -> buckets 0,3,6 of 10.
-    docs = spark.createDataFrame(
-        [
-            (0, "a b c", "en", "s", 5),
-            (1, "a b c", "en", "s", 5),
-            (2, "x y z", "en", "s", 5),
-        ],
-        DOC_SCHEMA,
-    )
-    monkeypatch.setattr(dd, "load_table", lambda s, sf, n: docs)
-    rows = {r.bucket: r for r in text_ngram_novelty_curve(spark, "r9").collect()}
-    assert set(rows) == {0, 3, 6}
-    assert (rows[0].n_novel, rows[0].n_distinct) == (1, 1)
-    assert (rows[3].n_novel, rows[3].n_distinct) == (0, 1)  # re-bought shingle
-    assert (rows[6].n_novel, rows[6].n_distinct) == (1, 1)
-    assert rows[6].cum_distinct == 2
-    assert rows[3].novelty_rate == 0.0
 
 
 def test_partition_pruning_touch_rule(spark, monkeypatch):

@@ -18,7 +18,7 @@ streaming family drains the three put-delete interval joins over 1x vs
 10x HISTORY (same rate) recording max state-store rows — the empirical
 check of the O(rate x (horizon + within)) state bound.
 
-Writes SCALE_r8.json at the repo root (r8: + semdedup k-scaling section). Usage:
+Writes SCALE_r9.json at the repo root (r8: + semdedup k-scaling section). Usage:
     python tools/gen_scale10.py   # once
     python tools/scale_rehearsal.py
 """
@@ -566,7 +566,7 @@ def main() -> None:
             "pair mass ~9x and wall ~10x at 10x data)."
         ),
     }
-    with open(os.path.join(REPO, "SCALE_r8.json"), "w") as f:
+    with open(os.path.join(REPO, "SCALE_r9.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k not in ("one_x", "ten_x")}, indent=1))
 
