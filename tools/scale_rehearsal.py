@@ -540,7 +540,7 @@ def main() -> None:
         for name in ten["queries"]
     }
     result = {
-        "round": 8,
+        "round": 9,
         "families": ["dedup+cc", "text", "ann", "streaming", "semdedup-k"],
         "scale_factor_ratio": 10,
         "one_x": one,
@@ -559,11 +559,13 @@ def main() -> None:
             "orders of magnitude under all-pairs, CC rounds are O(log "
             "d), and family wall/shuffle grow sub-linearly in corpus "
             "size on fixed resources, and max streaming state rows stay "
-            "flat under 10x history. The one super-linear wall ratio is "
-            "dedup_semantic_kmeans at its registered FIXED k=8 — the "
-            "documented quadratic-per-cell watch item; the semdedup_k_scaling "
-            "section measures it and its mitigation (k scaled with n cuts "
-            "pair mass ~9x and wall ~10x at 10x data)."
+            "flat under 10x history. r9: the REGISTERED "
+            "dedup_semantic_kmeans derives k from the corpus count "
+            "(k=8 at 1x, k=80 at 10x) — semdedup_k_scaling's "
+            "registered_query rows measure the shipped operator "
+            "end-to-end (r8 verdict directive #1 done criterion); the "
+            "fixed_k variant is retained as the counterfactual "
+            "(~109x pair mass / ~8x pair wall at 10x)."
         ),
     }
     with open(os.path.join(REPO, "SCALE_r9.json"), "w") as f:
