@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, register_views
+from ..catalog import load_table, register_views, spread
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -955,7 +955,10 @@ def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs the matrix has.
     """
     ensure_session_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: 14 decimal sums per row are compute-bound and the fixture
+    # parquet is one partition — partial aggregation wants the cores
+    # (measured 5.6 s -> 2.2 s at sf0.1); the merge stays a 1-row shuffle
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     d6 = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in _CORR_COLS:
