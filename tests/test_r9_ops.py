@@ -130,3 +130,85 @@ def test_sprt_micro_unit_math(spark, monkeypatch):
     # constants really are the frozen micro-unit logs
     assert SPRT_CS_U == round(math.log(0.84 / 0.80) * 10**12)
     assert SPRT_CF_U == round(math.log(0.16 / 0.20) * 10**12)
+
+
+def test_ivm_stream_restart_exactly_once(spark, tmp_path, monkeypatch):
+    """Keyed IVM state survives a checkpointed restart: drain half the
+    feed, stop, reveal the rest, drain again from the SAME checkpoint —
+    the union of the two runs' emitted deltas must be every mutation's
+    delta exactly once, with the second run's prev values continuing the
+    first run's state (not reset to empty)."""
+    import glob
+    import os
+    import shutil
+
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        write_changefeed_stream_dir,
+    )
+    from hbase_observer_elasticsearch_spark.streaming.stateful import (
+        stateful_ivm_deltas,
+    )
+
+    # rowkey 0 gets updates in files 1 and 2 (restart boundary between):
+    # ids 0 (tombstone), 512 (v=5) land in the first half; 1024 (v=7),
+    # 1536 (v=3) in the second.
+    events = spark.createDataFrame(
+        [
+            _ev(0, value=9.0),
+            _ev(512, value=5.0),
+            _ev(1024, value=7.0),
+            _ev(1536, value=3.0),
+        ],
+        EVENTS_SCHEMA,
+    )
+    monkeypatch.setattr(sk, "load_table", lambda s, sf, n: events)
+    feed = str(tmp_path / "feed")
+    write_changefeed_stream_dir(
+        sk._ivm_change_stream(spark, "r9"), feed, n_files=4
+    )
+    files = sorted(glob.glob(os.path.join(feed, "*.parquet")))
+    assert len(files) == 4
+    hidden = str(tmp_path / "hidden")
+    os.makedirs(hidden)
+    for f in files[2:]:
+        shutil.move(f, hidden)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(name):
+        # foreachBatch sink: the memory sink refuses checkpoint recovery,
+        # and recovery is exactly what this test exercises
+        rows = []
+
+        def sink(df, _epoch):
+            rows.extend(df.collect())
+
+        q = (
+            stateful_ivm_deltas(spark, feed, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return rows
+
+    first = drain("ivm_restart_a")
+    for f in sorted(glob.glob(os.path.join(hidden, "*.parquet"))):
+        shutil.move(f, feed)
+    second = drain("ivm_restart_b")
+
+    # memory sink is fresh per run, so first ∪ second = all 4 deltas
+    got = sorted(
+        (r.epoch, r.live_now, r.val_now, r.prev_live, r.prev_value)
+        for r in first + second
+    )
+    assert len(first) == 2 and len(second) == 2
+    # epochs: max+1 = 1537, so id*4 DIV 1537 -> 0, 1, 2, 3
+    assert got == [
+        (0, False, 9.0, False, 0.0),   # tombstone, no prior state
+        (1, True, 5.0, False, 9.0),    # upsert after tombstone
+        (2, True, 7.0, True, 5.0),     # SECOND RUN: prev = 5.0 from ckpt
+        (3, True, 3.0, True, 7.0),     # chained within the same key
+    ]
