@@ -141,6 +141,7 @@ _PRIORITY = (
     "corpus_dedup_cascade_report",
     "layout_partition_pruning_sim",
     "events_sprt_monitor",
+    "sketch_hll_audience_overlap",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",
