@@ -212,3 +212,32 @@ def test_ivm_stream_restart_exactly_once(spark, tmp_path, monkeypatch):
         (2, True, 7.0, True, 5.0),     # SECOND RUN: prev = 5.0 from ckpt
         (3, True, 3.0, True, 7.0),     # chained within the same key
     ]
+
+
+def test_hll_overlap_inclusion_exclusion_small_sets(spark, monkeypatch):
+    """On small planted sets HLL is exact, so the audit bit must be true
+    and the exact algebra must match hand counts: A={1,2,3}, B={2,3,4}
+    -> overlap 2, union 4, jaccard 0.5."""
+    import hbase_observer_elasticsearch_spark.operators.sketches as sk9
+    from hbase_observer_elasticsearch_spark.operators.sketches import (
+        sketch_hll_audience_overlap,
+    )
+
+    import datetime
+
+    def ev(eid, etype, uid):
+        return (eid, datetime.datetime(2024, 1, 1), uid, etype, 1.0, "{}")
+
+    events = spark.createDataFrame(
+        [ev(0, "a", 1), ev(1, "a", 2), ev(2, "a", 3),
+         ev(3, "b", 2), ev(4, "b", 3), ev(5, "b", 4)],
+        EVENTS_SCHEMA,
+    )
+    monkeypatch.setattr(sk9, "load_table", lambda s, sf, n: events)
+    out = sketch_hll_audience_overlap(spark, "r9").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert (r.exact_overlap, r.exact_union) == (2, 4)
+    assert r.jaccard == 0.5
+    assert r.hll_within_10pct
