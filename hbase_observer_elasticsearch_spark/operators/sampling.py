@@ -659,3 +659,164 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+# Poisson(1) bootstrap: per-(row, replica) weights drawn by inverting the
+# Poisson CDF against a 52-bit hash.  Thresholds are floor(CDF(k) * 2^52)
+# frozen as exact BIGINTs, so the draw is pure integer compares in both
+# engines; the tail (k >= 4, p ~ 1.9%) is clamped to 4.
+PB_REPLICAS = 32
+PB_T0 = 1656781714176974  # floor(e^-1 * 2^52)
+PB_T1 = 3313563428353948  # floor(2e^-1 * 2^52)
+PB_T2 = 4141954285442435  # floor(2.5e^-1 * 2^52)
+PB_T3 = 4418084571138597  # floor((2.5 + 1/6)e^-1 * 2^52)
+PB_LO_RANK = 2  # 2nd of 32 ordered replica means ~ 5th pct
+PB_HI_RANK = 31  # 31st of 32 ~ 95th pct
+
+
+@register(
+    "sample_poisson_bootstrap_ci",
+    oracle=f"""
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+w AS (
+  SELECT c.o_orderpriority, c.cents, t.b,
+         CASE
+           WHEN u < {PB_T0} THEN 0
+           WHEN u < {PB_T1} THEN 1
+           WHEN u < {PB_T2} THEN 2
+           WHEN u < {PB_T3} THEN 3
+           ELSE 4
+         END AS wt
+  FROM c
+  CROSS JOIN range({PB_REPLICAS}) t(b)
+  CROSS JOIN LATERAL (
+    SELECT CAST(CONCAT('0x', substr(md5(
+             'pb:' || CAST(c.o_orderkey AS VARCHAR) || ':'
+                   || CAST(t.b AS VARCHAR)), 1, 13)) AS BIGINT) AS u
+  ) h
+),
+rep AS (
+  SELECT o_orderpriority, b,
+         CAST(SUM(wt * cents) AS DOUBLE)
+           / CAST(SUM(wt) AS DOUBLE) / 100.0 AS rep_mean
+  FROM w GROUP BY o_orderpriority, b
+),
+rk AS (
+  SELECT o_orderpriority, rep_mean,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY rep_mean, b) AS r
+  FROM rep
+),
+pt AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean_price
+  FROM c GROUP BY o_orderpriority
+)
+SELECT pt.o_orderpriority, pt.n_orders, pt.mean_price,
+       MAX(CASE WHEN rk.r = {PB_LO_RANK} THEN rk.rep_mean END) AS ci_lo,
+       MAX(CASE WHEN rk.r = {PB_HI_RANK} THEN rk.rep_mean END) AS ci_hi
+FROM pt JOIN rk USING (o_orderpriority)
+GROUP BY pt.o_orderpriority, pt.n_orders, pt.mean_price
+""",
+)
+def sample_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order price per
+    priority — THE bootstrap that scales: instead of resampling n rows
+    with replacement (which needs global coordination), each row draws an
+    independent Poisson(1) multiplicity per replica, and a replica's
+    statistic is the weight-weighted mean. For large n the Poisson
+    bootstrap converges to the classical bootstrap, and the whole thing
+    is one scan x B map-side weights + a grouped agg.
+
+    Determinism: weights come from inverting the frozen-integer Poisson
+    CDF (floor(CDF(k)*2^52)) against a 52-bit md5 hash — pure BIGINT
+    compares; replica means are exact-integer sums with one final double
+    division; the CI picks order statistics {PB_LO_RANK}/{PB_HI_RANK} of
+    the {PB_REPLICAS} replica means by (value, replica-id) rank — both
+    engines order identical doubles identically.
+
+    Scale shape: the B-fold expansion happens AFTER column pruning (3
+    columns), weights never materialize row copies beyond the replica
+    loop, and the shuffle carries |priorities| x B partial sums thanks to
+    map-side combine. At 100 TB with B=32 this is one pass; compare
+    a classical bootstrap's B full shuffles. Rank step runs on
+    |priorities| x 32 rows.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("pb:"),
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wt = (
+        F.when(u < PB_T0, 0)
+        .when(u < PB_T1, 1)
+        .when(u < PB_T2, 2)
+        .when(u < PB_T3, 3)
+        .otherwise(4)
+    )
+    w = c.select(
+        "o_orderpriority",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(PB_REPLICAS - 1))).alias("b"),
+        "o_orderkey",
+    ).select("o_orderpriority", "cents", "b", wt.alias("wt"))
+    rep = w.groupBy("o_orderpriority", "b").agg(
+        (
+            F.sum(F.col("wt") * F.col("cents")).cast("double")
+            / F.sum("wt").cast("double")
+            / F.lit(100.0)
+        ).alias("rep_mean")
+    )
+    rk = rep.select(
+        "o_orderpriority",
+        "rep_mean",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_orderpriority").orderBy("rep_mean", "b")
+        )
+        .alias("r"),
+    )
+    pt = c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (
+            F.sum("cents").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0)
+        ).alias("mean_price"),
+    )
+    return (
+        pt.join(rk, "o_orderpriority")
+        .groupBy("o_orderpriority", "n_orders", "mean_price")
+        .agg(
+            F.max(
+                F.when(F.col("r") == PB_LO_RANK, F.col("rep_mean"))
+            ).alias("ci_lo"),
+            F.max(
+                F.when(F.col("r") == PB_HI_RANK, F.col("rep_mean"))
+            ).alias("ci_hi"),
+        )
+    )

@@ -2298,3 +2298,336 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT event_type, user_id, date_trunc('day', ts) AS day
+  FROM events
+),
+fst AS (
+  SELECT event_type, user_id, MIN(day) AS first_day
+  FROM ud GROUP BY event_type, user_id
+),
+act AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS actives
+  FROM ud GROUP BY event_type, day
+),
+nu AS (
+  SELECT event_type, first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM fst GROUP BY event_type, first_day
+)
+SELECT a.event_type, a.day, a.actives,
+       COALESCE(n.new_users, 0) AS new_users,
+       a.actives - COALESCE(n.new_users, 0) AS returning_users,
+       CAST(SUM(COALESCE(n.new_users, 0))
+              OVER (PARTITION BY a.event_type ORDER BY a.day)
+            AS BIGINT) AS cum_distinct_users
+FROM act a
+LEFT JOIN nu n ON n.event_type = a.event_type AND n.day = a.day
+""",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily actives + running distinct-user cardinality
+    per event type — the acquisition/retention split every growth
+    dashboard leads with, and the exact running COUNT(DISTINCT) that
+    window functions can't express directly: a user's FIRST day is the
+    only day they increment the cumulative cardinality, so
+    cum_distinct = running SUM of first-day counts (the first-occurrence-
+    flag trick), all in exact integers.
+
+    Scale shape: one (type, user, day) distinct (map-side partial), a
+    per-(type,user) MIN (same key prefix, reuses the partitioning), two
+    tiny per-day hash aggs, and one window over |types| x |days| rows.
+    No day x user explode, no distinct-over-frame rescan — at 100 TB the
+    window input is thousands of rows regardless of event volume.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "event_type", "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    fst = ud.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    act = ud.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("actives")
+    )
+    nu = fst.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    new_u = F.coalesce(F.col("new_users"), F.lit(0))
+    return (
+        act.join(nu, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            "actives",
+            new_u.alias("new_users"),
+            (F.col("actives") - new_u).alias("returning_users"),
+            F.sum(new_u).over(w).cast("bigint").alias("cum_distinct_users"),
+        )
+    )
+
+
+# OLS trend: value grain is cents (exact BIGINT encode); x is the day
+# index from the per-type minimum day, so intercepts are anchored at each
+# series' own start.
+OLS_SCALE = 100
+
+
+@register(
+    "events_ols_trend_daily",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * {OLS_SCALE}) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+),
+x AS (
+  SELECT event_type, y,
+         CAST(datediff('day', MIN(day) OVER (PARTITION BY event_type), day)
+              AS BIGINT) AS x
+  FROM d
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM x GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) / {OLS_SCALE} AS slope,
+       (CAST(sy AS DOUBLE) / {OLS_SCALE}
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / {OLS_SCALE})
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS r2
+FROM m
+""",
+)
+def events_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closed-form OLS per event type: slope / intercept / R² of
+    the daily value total against the day index — 'is this metric
+    trending, and how much of its variance is the trend' as one
+    aggregation, no ML library.
+
+    Determinism: y is cents (exact BIGINT), x the integer day index from
+    each series' own MIN(day); all five moments (Σx, Σy, Σx², Σxy, Σy²)
+    are exact integer sums (Σy² promoted to HUGEINT/DECIMAL(38,0) — y²
+    alone can pass 2^63), and slope/intercept/R² come out of the moment
+    identities as a FIXED parenthesization of IEEE ops on those exact
+    integers — both engines perform the identical float ops, so results
+    are bit-equal. No per-row float accumulates.
+
+    Scale shape: daily pre-agg (map-side combine) shrinks events to
+    |types| x |days| rows; the MIN-day window and moment agg run on that
+    grid. At 100 TB the regression costs one scan + two tiny shuffles.
+    At larger day ranges the cents grain keeps Σxy under 2^63 far past
+    millennia of data; Σy² carries the one wide accumulator.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * OLS_SCALE).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wmin = Window.partitionBy("event_type")
+    x = d.select(
+        "event_type",
+        "y",
+        F.datediff(F.col("day"), F.min("day").over(wmin))
+        .cast("long")
+        .alias("x"),
+    )
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (
+        F.col("n") * F.col("syy")
+        - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double")
+    slope = num / den_x / F.lit(float(OLS_SCALE))
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        (
+            (
+                F.col("sy").cast("double") / F.lit(float(OLS_SCALE))
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        (num * num / (den_x * den_y)).alias("r2"),
+    )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('day', ts) AS day, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+  FROM events
+),
+subj AS (
+  SELECT user_id, day,
+         MIN(sec) AS sec_first,
+         MAX(sec) AS sec_last,
+         MIN(CASE WHEN event_type = 'purchase' THEN sec END) AS sec_conv
+  FROM e GROUP BY user_id, day
+),
+du AS (
+  SELECT CASE WHEN sec_conv IS NOT NULL
+              THEN (sec_conv - sec_first) // 3600
+              ELSE (sec_last - sec_first) // 3600 END AS t,
+         CASE WHEN sec_conv IS NOT NULL THEN 1 ELSE 0 END AS converted
+  FROM subj
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subj FROM du),
+g AS (
+  SELECT t, CAST(SUM(converted) AS BIGINT) AS d,
+         CAST(COUNT(*) - SUM(converted) AS BIGINT) AS c
+  FROM du GROUP BY t
+),
+r AS (
+  SELECT t, d, c,
+         tot.n_subj - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM g, tot
+),
+f AS (
+  SELECT t, d, c, n_risk,
+         CAST(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+              AS DECIMAL(28,6)) AS lf
+  FROM r WHERE d > 0 AND n_risk > d
+)
+SELECT t AS t_hours, n_risk, d AS d_converted, c AS c_censored,
+       CAST(SUM(lf) OVER (ORDER BY t) AS DOUBLE) AS log_surv,
+       CAST(CAST(exp(CAST(SUM(lf) OVER (ORDER BY t) AS DOUBLE))
+                 AS DECIMAL(18,9)) AS DOUBLE) AS km_surv
+FROM f
+""",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-conversion curve with right-censoring: the
+    subject is a (user, day) pair, the event is their first 'purchase'
+    that day (hours from their first event of the day), and a user-day
+    with activity but NO purchase is CENSORED at their last observed
+    event — they leave the risk set without counting as a conversion.
+    Naive 'conversion latency' over converters-only (or treating
+    non-converters as never-converting) biases the curve; KM is the
+    estimator that uses the censored mass correctly, and ~60% of
+    user-days here are censored, so the correction is load-bearing.
+
+    S(t) = prod over event-times t' <= t of (1 - d/n). Determinism:
+    durations are exact integer hours (full-second epoch diffs, integer
+    DIV 3600); d, c, n_risk are exact integers (risk set = total minus
+    exact running exits before t); each factor's ln((n-d)/n) is one IEEE
+    division + one ln quantized to DECIMAL(28,6) (the bigram-LM
+    discipline); the cumulative log-survival is an EXACT decimal sum —
+    no float accumulation — and km_surv re-exponentiates once, quantized
+    to DECIMAL(18,9). Rows with n_risk == d (curve would hit 0) are
+    ln(0) and excluded.
+
+    Scale shape: one scan collapses events to one row per (user, day)
+    via MIN/MAX/conditional-MIN (map-side partials); the KM grid is
+    |distinct hours| <= 24 rows, so the unpartitioned windows are
+    driver-scale no matter the event volume. At 100 TB: one scan + one
+    user-day-grain shuffle.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP'1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    subj = e.groupBy("user_id", "day").agg(
+        F.min("sec").alias("sec_first"),
+        F.max("sec").alias("sec_last"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("sec_conv"),
+    )
+    du = subj.select(
+        F.when(
+            F.col("sec_conv").isNotNull(),
+            F.expr("(sec_conv - sec_first) DIV 3600"),
+        )
+        .otherwise(F.expr("(sec_last - sec_first) DIV 3600"))
+        .alias("t"),
+        F.when(F.col("sec_conv").isNotNull(), 1).otherwise(0).alias(
+            "converted"
+        ),
+    )
+    tot = du.agg(F.count(F.lit(1)).cast("bigint").alias("n_subj"))
+    g = du.groupBy("t").agg(
+        F.sum("converted").cast("bigint").alias("d"),
+        (F.count(F.lit(1)) - F.sum("converted"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_subj")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            ).cast("bigint")
+        ).alias("n_risk"),
+    )
+    f = r.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d"))).select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        .cast("decimal(28,6)")
+        .alias("lf"),
+    )
+    w_cum = Window.orderBy("t")
+    log_surv = F.sum("lf").over(w_cum).cast("double")
+    return f.select(
+        F.col("t").alias("t_hours"),
+        "n_risk",
+        F.col("d").alias("d_converted"),
+        F.col("c").alias("c_censored"),
+        log_surv.alias("log_surv"),
+        F.exp(log_surv).cast("decimal(18,9)").cast("double").alias("km_surv"),
+    )

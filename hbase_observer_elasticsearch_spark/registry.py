@@ -135,6 +135,11 @@ _PRIORITY = (
     "layout_range_partition_balance",
     # --- new in r9 ---
     # (names prepended here as they land, per the hygiene rule above)
+    "agg_grouping_sets_cube",
+    "events_new_vs_returning",
+    "events_ols_trend_daily",
+    "sample_poisson_bootstrap_ci",
+    "events_survival_km",
     "cdc_live_rollup_ivm",
     "stream_live_rollup_ivm",
     "dedup_minhash_bbit",
