@@ -3464,3 +3464,332 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "phrase")
         .limit(RAKE_TOP)
     )
+
+
+# Bigram LM: add-one smoothing, 50/50 md5 train/heldout split, ln
+# quantized to micro-units so per-doc accumulation is exact BIGINT.
+LM_SPLIT_EXPR = (
+    "CAST(CONCAT('0x', substr(md5('lmsplit:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 1)) AS INTEGER) < 8"
+)
+
+
+@register(
+    "corpus_bigram_lm_perplexity",
+    oracle=f"""
+WITH tr AS (SELECT doc_id, text FROM documents WHERE {LM_SPLIT_EXPR}),
+he AS (SELECT doc_id, source, text FROM documents
+       WHERE NOT ({LM_SPLIT_EXPR})),
+twp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM tr
+),
+tb AS (
+  SELECT w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM twp QUALIFY w2 IS NOT NULL
+),
+c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tb GROUP BY w1, w2
+),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT w) + 1 AS BIGINT) AS v FROM twp),
+hwp AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM he
+),
+hb AS (
+  SELECT doc_id, source, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM hwp QUALIFY LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+),
+sc AS (
+  SELECT hb.doc_id, hb.source,
+         CAST(CAST(ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                      / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))
+                   AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS lp_u
+  FROM hb
+  LEFT JOIN c12 ON c12.w1 = hb.w1 AND c12.w2 = hb.w2
+  LEFT JOIN c1 ON c1.w1 = hb.w1
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(lp_u) AS BIGINT) AS slp
+  FROM sc GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_bigrams,
+       CAST(-slp AS DOUBLE) / n_bigrams / 1000000.0 AS avg_nll,
+       CAST(CAST(exp(CAST(-slp AS DOUBLE) / n_bigrams / 1000000.0)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS ppl,
+       CAST(NTILE(4) OVER (
+         ORDER BY CAST(-slp AS DOUBLE) / n_bigrams, doc_id) AS BIGINT)
+         AS ppl_quartile
+FROM agg
+""",
+)
+def corpus_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity as a data-quality score — the
+    CCNet/KenLM recipe in pure SQL algebra: train an add-one-smoothed
+    bigram LM on an md5-gated half of the corpus, score the held-out
+    half per document, and bucket into perplexity quartiles (the usual
+    head/middle/tail quality split used to gate or re-weight pretraining
+    data). p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V); OOV words fall out of the
+    LEFT JOINs as c=0, which IS the <unk> treatment under add-one.
+
+    Determinism: each bigram's ln is quantized to DECIMAL(28,6) and
+    lifted to exact micro-unit BIGINTs, so the PER-DOC SUM — the one
+    place float error would accumulate — is exact integer addition;
+    avg_nll and ppl are single fixed-order IEEE ops on those integers
+    (ppl re-quantized). The quartile NTILE orders by (avg_nll, doc_id) —
+    identical doubles, unique tiebreak.
+
+    Scale shape: the LM is two hash aggs over the train half's bigram
+    explode (map-side partials, Zipf-concentrated keys); scoring joins
+    the held-out bigrams against the count tables on word keys — at
+    100 TB both sides of each join are post-aggregation tables orders of
+    magnitude under token grain, and the per-doc reduce reuses the doc
+    partitioning of the explode. The V and split gates are one broadcast
+    row + a hash compare.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    is_train = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("lmsplit:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 8
+    )
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    mk = lambda i: F.struct(  # noqa: E731
+        F.element_at(words, i).alias("w1"),
+        F.element_at(words, i + 1).alias("w2"),
+    )
+    bigrams = F.when(
+        n >= 2, F.transform(F.sequence(F.lit(1), n - 1), mk)
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    tr = d.filter(is_train)
+    he = d.filter(~is_train)
+    tb = tr.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    c12 = tb.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    v = tr.select(F.explode(words).alias("w")).agg(
+        (F.countDistinct("w") + 1).cast("bigint").alias("v")
+    )
+    hb = he.select("doc_id", "source", F.explode(bigrams).alias("b")).select(
+        "doc_id", "source", "b.w1", "b.w2"
+    )
+    lp_u = (
+        F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast(
+                "double"
+            )
+        )
+        .cast("decimal(28,6)")
+        * 1000000
+    ).cast("bigint")
+    sc = (
+        hb.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "source", lp_u.alias("lp_u"))
+    )
+    agg = sc.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("lp_u").cast("bigint").alias("slp"),
+    )
+    avg_nll = (
+        (-F.col("slp")).cast("double") / F.col("n_bigrams") / F.lit(1e6)
+    )
+    return agg.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        F.exp(avg_nll).cast("decimal(18,6)").cast("double").alias("ppl"),
+        F.ntile(4)
+        .over(Window.orderBy(avg_nll, "doc_id"))
+        .cast("bigint")
+        .alias("ppl_quartile"),
+    )
+
+
+# Winnowing (MOSS): k-gram rolling fingerprints, one selected minimum
+# per sliding window of WIN_W grams. Position is packed into the low
+# bits of the hash (inverted) so MIN() picks (min hash, rightmost pos)
+# — the classic tie rule — in one exact BIGINT aggregate.
+WIN_K = 8  # chars per gram
+WIN_W = 4  # grams per window
+WIN_POS_BASE = 2097152  # 2^21: supports docs up to 2M chars
+WIN_MIN_SHARED = 3
+WIN_TOP = 100
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(text) - {WIN_K - 1})) AS p
+  FROM documents
+),
+hv AS (
+  SELECT pos.doc_id, pos.p,
+         CAST(CONCAT('0x', substr(md5(substr(d.text, pos.p, {WIN_K})),
+                                  1, 8)) AS BIGINT)
+           * {WIN_POS_BASE} + ({WIN_POS_BASE - 1} - pos.p) AS v
+  FROM pos JOIN documents d ON d.doc_id = pos.doc_id
+),
+sel AS (
+  SELECT doc_id,
+         MIN(v) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW)
+           AS mv,
+         p
+  FROM hv
+),
+fpd AS (
+  SELECT DISTINCT doc_id, mv // {WIN_POS_BASE} AS fph
+  FROM sel WHERE p >= {WIN_W}
+),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fpd GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         CAST(COUNT(*) AS BIGINT) AS shared_fp
+  FROM fpd a JOIN fpd b ON a.fph = b.fph AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc1, p.doc2, p.shared_fp,
+       pa.n_fp AS n_fp1, pb.n_fp AS n_fp2,
+       CAST(p.shared_fp AS DOUBLE)
+         / CAST(LEAST(pa.n_fp, pb.n_fp) AS DOUBLE) AS containment
+FROM pairs p
+JOIN perdoc pa ON pa.doc_id = p.doc1
+JOIN perdoc pb ON pb.doc_id = p.doc2
+WHERE p.shared_fp >= {WIN_MIN_SHARED}
+ORDER BY p.shared_fp DESC, p.doc1, p.doc2
+LIMIT {WIN_TOP}
+""",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer et
+    al. SIGMOD'03) + the cross-doc overlap report: hash every {WIN_K}-char
+    gram, slide a {WIN_W}-gram window, keep each window's minimum hash
+    (ties to the RIGHTMOST position), and report document pairs sharing
+    >= {WIN_MIN_SHARED} selected fingerprints with a containment ratio.
+    Winnowing guarantees any shared substring of length
+    k + w - 1 = {WIN_K + WIN_W - 1} chars produces at least one shared
+    fingerprint — position-robust plagiarism/clone detection that whole-
+    doc hashing (text_fingerprint) and shingle-set MinHash both miss at
+    the substring grain.
+
+    Determinism: the (min-hash, rightmost-pos) window rule collapses to
+    ONE exact BIGINT MIN by packing the inverted position into the low
+    21 bits: v = h·2^21 + (2^21−1−p); integer div/mod unpack. Counts and
+    the final containment division are exact.
+
+    Scale shape: gram hashing is map-side (position explode after column
+    pruning); the per-doc window is linear in doc length and partition-
+    local after spread(); the pair join keys on SELECTED fingerprints —
+    winnowing's ~2/(w+1) selection density bounds the join input to a
+    fraction of gram grain, and only hash-colliding docs meet. At 100 TB
+    the report joins fingerprint tables, never documents; a hot-hash cap
+    (as in MinHash-LSH's bucket cap) is the one addition a full-corpus
+    run would add.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    nchars = F.length("text")
+    hv = (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.when(
+                    nchars >= WIN_K,
+                    F.sequence(F.lit(1), nchars - (WIN_K - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("text").substr(F.col("p"), F.lit(WIN_K))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                * WIN_POS_BASE
+                + (F.lit(WIN_POS_BASE - 1) - F.col("p"))
+            ).alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(WIN_W - 1), 0)
+    )
+    sel = hv.select(
+        "doc_id", "p", F.min("v").over(w).alias("mv")
+    ).filter(F.col("p") >= WIN_W)
+    fpd = sel.select(
+        "doc_id", F.expr(f"mv DIV {WIN_POS_BASE}").alias("fph")
+    ).distinct()
+    perdoc = fpd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp")
+    )
+    a = fpd.select(F.col("doc_id").alias("doc1"), "fph")
+    b = fpd.select(F.col("doc_id").alias("doc2"), "fph")
+    pairs = (
+        a.join(b, "fph")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= WIN_MIN_SHARED)
+    )
+    pa = perdoc.select(F.col("doc_id").alias("doc1"), F.col("n_fp").alias("n_fp1"))
+    pb = perdoc.select(F.col("doc_id").alias("doc2"), F.col("n_fp").alias("n_fp2"))
+    return (
+        pairs.join(pa, "doc1")
+        .join(pb, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "shared_fp",
+            "n_fp1",
+            "n_fp2",
+            (
+                F.col("shared_fp").cast("double")
+                / F.least("n_fp1", "n_fp2").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy(F.col("shared_fp").desc(), "doc1", "doc2")
+        .limit(WIN_TOP)
+    )

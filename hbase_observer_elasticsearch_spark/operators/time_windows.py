@@ -2631,3 +2631,151 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         log_surv.alias("log_surv"),
         F.exp(log_surv).cast("decimal(18,9)").cast("double").alias("km_surv"),
     )
+
+
+@register(
+    "events_stl_decompose",
+    oracle="""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(datediff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS di,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y_u
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+t AS (
+  SELECT event_type, day, di, y_u,
+         CAST(SUM(y_u) OVER w AS BIGINT) AS ts_u,
+         COUNT(*) OVER w AS cnt
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY di
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+k AS (
+  SELECT event_type, day, di, y_u, ts_u,
+         7 * y_u - ts_u AS detr7_u, di % 7 AS dow
+  FROM t WHERE cnt = 7
+),
+s AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(detr7_u) AS BIGINT) AS ss7_u
+  FROM k GROUP BY event_type, dow
+),
+j AS (
+  SELECT k.event_type, k.day, k.y_u, k.ts_u, k.detr7_u,
+         CAST(k.detr7_u AS DOUBLE) / 700.0
+           - CAST(s.ss7_u AS DOUBLE) / CAST(700 * s.m AS DOUBLE) AS resid,
+         CAST(s.ss7_u AS DOUBLE) / CAST(700 * s.m AS DOUBLE) AS seasonal
+  FROM k JOIN s ON s.event_type = k.event_type AND s.dow = k.dow
+),
+q AS (
+  SELECT event_type, day, y_u, ts_u, seasonal, resid,
+         CAST(resid AS DECIMAL(28,6)) AS r_q
+  FROM j
+),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n2,
+         SUM(ABS(r_q)) AS sab
+  FROM q GROUP BY event_type
+)
+SELECT q.event_type, q.day,
+       CAST(q.y_u AS DOUBLE) / 100.0 AS y,
+       CAST(q.ts_u AS DOUBLE) / 700.0 AS trend,
+       q.seasonal, q.resid,
+       (ABS(q.r_q) * a.n2) > (3 * a.sab) AS is_anomaly
+FROM q JOIN a ON a.event_type = q.event_type
+""",
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition of each event type's daily total into
+    trend + weekly seasonal + residual, with a residual anomaly flag —
+    'is today unusual AFTER accounting for trend and day-of-week' is
+    the question raw z-scores (events_zscore_outliers) answer wrongly
+    on any series with weekly rhythm.
+
+    trend = centered 7-day moving average (interior days only: frame
+    count == 7); seasonal = per-(type, day-of-week) mean of the
+    detrended series; resid = detrended − seasonal; anomaly when
+    |resid| > 3 × mean |resid| for the type.
+
+    Determinism: y is cents (exact BIGINT); the detrended value is kept
+    as the EXACT integer 7·y − Σ₇y (no division inside the window), so
+    the seasonal mean is an exact-integer sum with one fixed-order
+    double division; resid is one subtraction of two such doubles; the
+    anomaly compare runs on DECIMAL(28,6)-quantized residuals times
+    exact counts — no float accumulates anywhere. Day-of-week is
+    di % 7 on the integer epoch-day (portable across engines' dow
+    conventions).
+
+    Scale shape: events collapse to |types| × |days| rows in one
+    map-side-combined agg; everything downstream (window, dow agg,
+    anomaly agg) runs on that grid — thousands of rows at any data
+    scale. The decomposition is the batch twin of what a streaming
+    deployment would maintain incrementally per day.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    d = ev.groupBy("event_type", day.alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y_u"),
+    )
+    d = d.withColumn(
+        "di",
+        F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(-3, 3)
+    )
+    t = d.select(
+        "event_type",
+        "day",
+        "di",
+        "y_u",
+        F.sum("y_u").over(w).cast("bigint").alias("ts_u"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    k = t.filter(F.col("cnt") == 7).select(
+        "event_type",
+        "day",
+        "y_u",
+        "ts_u",
+        (F.lit(7) * F.col("y_u") - F.col("ts_u")).alias("detr7_u"),
+        (F.col("di") % 7).alias("dow"),
+    )
+    s = k.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("detr7_u").cast("bigint").alias("ss7_u"),
+    )
+    seasonal = F.col("ss7_u").cast("double") / (
+        F.lit(700) * F.col("m")
+    ).cast("double")
+    j = k.join(s, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "y_u",
+        "ts_u",
+        seasonal.alias("seasonal"),
+        (F.col("detr7_u").cast("double") / F.lit(700.0) - seasonal).alias(
+            "resid"
+        ),
+    )
+    q = j.withColumn("r_q", F.col("resid").cast("decimal(28,6)"))
+    a = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+        F.sum(F.abs(F.col("r_q"))).alias("sab"),
+    )
+    return q.join(a, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("y_u").cast("double") / F.lit(100.0)).alias("y"),
+        (F.col("ts_u").cast("double") / F.lit(700.0)).alias("trend"),
+        "seasonal",
+        "resid",
+        (
+            (F.abs(F.col("r_q")) * F.col("n2"))
+            > (F.lit(3) * F.col("sab"))
+        ).alias("is_anomaly"),
+    )

@@ -135,6 +135,9 @@ _PRIORITY = (
     "layout_range_partition_balance",
     # --- new in r9 ---
     # (names prepended here as they land, per the hygiene rule above)
+    "corpus_bigram_lm_perplexity",
+    "text_winnowing_fingerprints",
+    "events_stl_decompose",
     "agg_grouping_sets_cube",
     "events_new_vs_returning",
     "events_ols_trend_daily",
