@@ -3404,3 +3404,186 @@ def similarity_pca_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             "top_coord",
         )
     )
+
+
+# MMR diversified re-ranking: greedy, unrolled to MMR_K exact steps in
+# both dialects (the greedy recurrence is inherently sequential; k is
+# small and fixed, so unrolling IS the distributed form — each step is
+# one tiny join over <= |queries| x TOPK rows).
+MMR_K = 5
+MMR_LAMBDA_SQL = "CAST(0.7 AS DOUBLE)"
+MMR_ONE_MINUS_SQL = "CAST(0.3 AS DOUBLE)"
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        f"WITH {_SQL_E_Q}, {_SQL_BF},",
+        "cands AS (SELECT query_id, neighbor_id AS cand_id, cos_sim AS rel"
+        " FROM bf),",
+        "psim AS (\n"
+        "  SELECT a.query_id, a.cand_id AS c1, b.cand_id AS c2,\n"
+        f"         {sql_cosine('ea.embedding', 'eb.embedding')} AS sim\n"
+        "  FROM cands a\n"
+        "  JOIN cands b ON b.query_id = a.query_id"
+        " AND b.cand_id <> a.cand_id\n"
+        "  JOIN e ea ON ea.vec_id = a.cand_id\n"
+        "  JOIN e eb ON eb.vec_id = b.cand_id\n"
+        "),",
+        "sel1 AS (\n"
+        "  SELECT query_id, cand_id, rel,\n"
+        f"         {MMR_LAMBDA_SQL} * rel AS mmr_score,\n"
+        "         CAST(1 AS BIGINT) AS rnk\n"
+        "  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id\n"
+        "          ORDER BY rel DESC, cand_id) AS rn FROM cands) t\n"
+        "  WHERE rn = 1\n"
+        "),",
+        "selected1 AS (SELECT query_id, cand_id FROM sel1),",
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f"scored{i} AS (\n"
+            "  SELECT c.query_id, c.cand_id, c.rel,\n"
+            f"         {MMR_LAMBDA_SQL} * c.rel"
+            f" - {MMR_ONE_MINUS_SQL} * MAX(p.sim) AS mmr_score\n"
+            "  FROM cands c\n"
+            f"  JOIN selected{i - 1} s ON s.query_id = c.query_id\n"
+            "  JOIN psim p ON p.query_id = c.query_id"
+            " AND p.c1 = c.cand_id AND p.c2 = s.cand_id\n"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM selected{i - 1} s2\n"
+            "    WHERE s2.query_id = c.query_id"
+            " AND s2.cand_id = c.cand_id)\n"
+            "  GROUP BY c.query_id, c.cand_id, c.rel\n"
+            "),"
+        )
+        parts.append(
+            f"sel{i} AS (\n"
+            "  SELECT query_id, cand_id, rel, mmr_score,"
+            f" CAST({i} AS BIGINT) AS rnk\n"
+            "  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id\n"
+            "          ORDER BY mmr_score DESC, cand_id) AS rn"
+            f" FROM scored{i}) t\n"
+            "  WHERE rn = 1\n"
+            "),"
+        )
+        parts.append(
+            f"selected{i} AS (SELECT query_id, cand_id FROM selected{i - 1}"
+            f" UNION ALL SELECT query_id, cand_id FROM sel{i}),"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, rnk, cand_id, rel, mmr_score FROM sel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    # drop trailing comma of the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + union
+
+
+@register("similarity_mmr_diversify", oracle=_mmr_oracle())
+def similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    re-rank each query's brute-force top-{TOPK} into a DIVERSIFIED
+    top-{MMR_K} — at each step pick argmax of
+    λ·rel(c) − (1−λ)·max_{{s∈selected}} sim(c, s), λ = 0.7. Plain top-k
+    returns near-duplicate neighbors (this corpus's clustered
+    embeddings guarantee it); MMR is the standard fix in RAG context
+    selection and search-result diversification.
+
+    The greedy recurrence is sequential in k, so both engines unroll it
+    to {MMR_K} exact algebraic steps (chained CTEs / chained joins) —
+    no driver loop over data, no collect; each step is one join over
+    ≤ |queries| × {TOPK} rows. Determinism: rel and pairwise sims are
+    the shared sequential-fold cosine; each step's score is a fixed
+    two-multiply/one-subtract double expression; ties break on cand_id.
+
+    Scale shape: candidates come from the memoized brute-force top-k
+    (the expensive part, already charged); MMR itself touches
+    |queries| × {TOPK} rows × {MMR_K} steps with a broadcast-size
+    selected set — O(q·k²) total work regardless of corpus size. The
+    pairwise sim table is q·k² rows, built once and reused by every
+    step.
+    """
+    ensure_session_conf(spark)
+    bf = similarity_topk_bruteforce(spark, sf_dir)
+    cands = bf.select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("cos_sim").alias("rel"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    ea = e.select(F.col("vec_id").alias("c1"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("c2"), F.col("embedding").alias("vb"))
+    psim = (
+        cands.select("query_id", F.col("cand_id").alias("c1"))
+        .join(
+            cands.select("query_id", F.col("cand_id").alias("c2")),
+            "query_id",
+        )
+        .filter(F.col("c1") != F.col("c2"))
+        .join(ea, "c1")
+        .join(eb, "c2")
+        .select(
+            "query_id",
+            "c1",
+            "c2",
+            cosine(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .localCheckpoint()  # q*k^2 rows; every greedy step reuses it
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
+    sel = (
+        cands.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            "rel",
+            (F.lit(0.7) * F.col("rel")).alias("mmr_score"),
+            F.lit(1).cast("bigint").alias("rnk"),
+        )
+    )
+    outs = [sel]
+    selected = sel.select("query_id", "cand_id")
+    for i in range(2, MMR_K + 1):
+        maxsim = (
+            psim.join(
+                selected.withColumnRenamed("cand_id", "c2"),
+                ["query_id", "c2"],
+            )
+            .groupBy("query_id", F.col("c1").alias("cand_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        wi = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), "cand_id"
+        )
+        sel_i = (
+            cands.join(selected, ["query_id", "cand_id"], "left_anti")
+            .join(maxsim, ["query_id", "cand_id"])
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                (
+                    F.lit(0.7) * F.col("rel")
+                    - F.lit(0.3) * F.col("maxsim")
+                ).alias("mmr_score"),
+            )
+            .withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                "mmr_score",
+                F.lit(i).cast("bigint").alias("rnk"),
+            )
+        )
+        outs.append(sel_i)
+        selected = selected.unionByName(
+            sel_i.select("query_id", "cand_id")
+        )
+    out = outs[0].select("query_id", "rnk", "cand_id", "rel", "mmr_score")
+    for o in outs[1:]:
+        out = out.unionByName(
+            o.select("query_id", "rnk", "cand_id", "rel", "mmr_score")
+        )
+    return out

@@ -3793,3 +3793,216 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_fp").desc(), "doc1", "doc2")
         .limit(WIN_TOP)
     )
+
+
+# ES bool-query emulation: must/should/must_not clauses over the term
+# postings, minimum_should_match, and an idf-weighted should score.
+BOOL_MUST = ("join",)
+BOOL_SHOULD = ("stream", "window", "vector")
+BOOL_MUST_NOT = ("slow",)
+BOOL_MIN_SHOULD = 1
+BOOL_TOPK = 20
+_BOOL_QT_SQL = ", ".join(
+    [f"('{t}', 'must')" for t in BOOL_MUST]
+    + [f"('{t}', 'should')" for t in BOOL_SHOULD]
+    + [f"('{t}', 'must_not')" for t in BOOL_MUST_NOT]
+)
+
+
+@register(
+    "search_bool_query",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+qt AS (SELECT * FROM (VALUES {_BOOL_QT_SQL}) AS t(w, clause)),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+post AS (SELECT t.doc_id, t.w, q.clause FROM toks t JOIN qt q ON q.w = t.w),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY w),
+sc AS (
+  SELECT p.doc_id,
+         CAST(SUM(CASE WHEN p.clause = 'must' THEN 1 ELSE 0 END) AS BIGINT)
+           AS must_cnt,
+         CAST(SUM(CASE WHEN p.clause = 'should' THEN 1 ELSE 0 END) AS BIGINT)
+           AS should_cnt,
+         CAST(SUM(CASE WHEN p.clause = 'must_not' THEN 1 ELSE 0 END)
+              AS BIGINT) AS not_cnt,
+         CAST(SUM(CASE WHEN p.clause IN ('must', 'should') THEN
+             CAST((CAST(n.n_docs - d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5) AS DECIMAL(28,6))
+             ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS score
+  FROM post p JOIN df d ON d.w = p.w CROSS JOIN n
+  GROUP BY p.doc_id
+)
+SELECT doc_id, should_cnt, score, rk FROM (
+  SELECT doc_id, should_cnt, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM sc
+  WHERE must_cnt = {len(BOOL_MUST)} AND not_cnt = 0
+        AND should_cnt >= {BOOL_MIN_SHOULD}
+) t WHERE rk <= {BOOL_TOPK}
+""",
+)
+def search_bool_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch bool-query semantics — the query shape the
+    reference's sink exists to serve (its CDC rows land in ES indexes
+    that are queried with bool must/should/must_not;
+    observer6/ElasticSearchBulkOperator.java builds those indexes):
+    must terms are mandatory (AND), must_not excludes, should terms
+    contribute an idf-weighted score with minimum_should_match =
+    {BOOL_MIN_SHOULD}. Scoring sums the raw-odds idf
+    (N−df+0.5)/(df+0.5) over matched must+should terms — the same
+    transcendental-free idf as search_bm25_topk, quantized per term to
+    DECIMAL(28,6) so the per-doc sum is order-free.
+
+    Scale shape: inverted-index discipline — the qt join prunes the
+    token explode to the query's own postings before any aggregation;
+    df is a |query terms|-row table; the clause counts and score reduce
+    in ONE hash agg per doc (no per-clause subqueries, no EXCEPT); the
+    top-k is a rank window over the qualifying docs only. At 100 TB a
+    query touches its terms' postings, never the corpus.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    qt = spark.createDataFrame(
+        [(t, "must") for t in BOOL_MUST]
+        + [(t, "should") for t in BOOL_SHOULD]
+        + [(t, "must_not") for t in BOOL_MUST_NOT],
+        "w string, clause string",
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    post = toks.join(F.broadcast(qt), "w")
+    df = post.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    zero_dec = F.lit(0).cast("decimal(28,6)")
+    sc = (
+        post.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("clause") == "must", 1).otherwise(0))
+            .cast("bigint")
+            .alias("must_cnt"),
+            F.sum(F.when(F.col("clause") == "should", 1).otherwise(0))
+            .cast("bigint")
+            .alias("should_cnt"),
+            F.sum(F.when(F.col("clause") == "must_not", 1).otherwise(0))
+            .cast("bigint")
+            .alias("not_cnt"),
+            F.sum(
+                F.when(
+                    F.col("clause").isin("must", "should"),
+                    idf.cast("decimal(28,6)"),
+                ).otherwise(zero_dec)
+            )
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    hits = sc.filter(
+        (F.col("must_cnt") == len(BOOL_MUST))
+        & (F.col("not_cnt") == 0)
+        & (F.col("should_cnt") >= BOOL_MIN_SHOULD)
+    )
+    top = hits.orderBy(F.col("score").desc(), "doc_id").limit(BOOL_TOPK)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "should_cnt",
+        "score",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+
+
+# Prefix / wildcard queries: expand the pattern against the term
+# DICTIONARY first (Lucene's model), then equi-join the expansion set to
+# the postings — the pattern never scans doc-grain data.
+WILD_PATTERNS = (("prefix:s", "s%"), ("wildcard:_a__e", "_a__e"))
+WILD_TOPK = 20
+_WILD_SQL = ", ".join(f"('{c}', '{p}')" for c, p in WILD_PATTERNS)
+
+
+@register(
+    "search_prefix_wildcard",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+vocab AS (SELECT DISTINCT w FROM toks),
+pats AS (SELECT * FROM (VALUES {_WILD_SQL}) AS t(clause, pat)),
+expand AS (
+  SELECT p.clause, v.w FROM vocab v JOIN pats p ON v.w LIKE p.pat
+),
+nx AS (
+  SELECT clause, CAST(COUNT(*) AS BIGINT) AS n_expansions
+  FROM expand GROUP BY clause
+),
+hits AS (
+  SELECT e.clause, t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+  FROM expand e JOIN toks t ON t.w = e.w
+  GROUP BY e.clause, t.doc_id
+)
+SELECT clause, doc_id, n_matched_terms, n_expansions, rk FROM (
+  SELECT h.clause, h.doc_id, h.n_matched_terms, nx.n_expansions,
+         ROW_NUMBER() OVER (PARTITION BY h.clause
+             ORDER BY h.n_matched_terms DESC, h.doc_id) AS rk
+  FROM hits h JOIN nx ON nx.clause = h.clause
+) t WHERE rk <= {WILD_TOPK}
+""",
+)
+def search_prefix_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix and wildcard term queries, Lucene-style: the pattern is
+    expanded against the term DICTIONARY (distinct vocab — Zipf-bounded,
+    orders of magnitude under token grain), and the expansion set then
+    equi-joins the postings like any multi-term OR query. This is how
+    ES executes `prefix` and `wildcard` queries, and why they're safe
+    at scale there and here — the LIKE scan touches the dictionary,
+    never a fact table. Output: per clause, the top docs by number of
+    matched expansion terms, with the expansion width alongside.
+
+    Determinism: pure integer counts and lexical ranks. Scale shape:
+    the pattern×vocab match is a broadcast nested-loop over the tiny
+    pattern table (flagged-safe: broadcast side is 2 rows); everything
+    downstream is equi-joins + hash aggs; top-k per clause is a rank
+    window over qualifying docs.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    vocab = toks.select("w").distinct()
+    pats = spark.createDataFrame(
+        list(WILD_PATTERNS), "clause string, pat string"
+    )
+    expand = vocab.crossJoin(F.broadcast(pats)).filter(
+        F.expr("w LIKE pat")
+    )
+    nx = expand.groupBy("clause").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_expansions")
+    )
+    hits = (
+        expand.join(toks, "w")
+        .groupBy("clause", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"))
+    )
+    w = Window.partitionBy("clause").orderBy(
+        F.col("n_matched_terms").desc(), "doc_id"
+    )
+    return (
+        hits.join(F.broadcast(nx), "clause")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= WILD_TOPK)
+        .select("clause", "doc_id", "n_matched_terms", "n_expansions", "rk")
+    )

@@ -135,6 +135,9 @@ _PRIORITY = (
     "layout_range_partition_balance",
     # --- new in r9 ---
     # (names prepended here as they land, per the hygiene rule above)
+    "similarity_mmr_diversify",
+    "search_bool_query",
+    "search_prefix_wildcard",
     "corpus_bigram_lm_perplexity",
     "text_winnowing_fingerprints",
     "events_stl_decompose",
