@@ -3530,6 +3530,10 @@ def similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # q*k^2 rows; every greedy step reuses it
     )
     w1 = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
+    # each step's pick is one row per query — localCheckpoint it so step
+    # i+1's plan starts from a materialized 5-row table instead of
+    # re-deriving the whole greedy prefix (an un-checkpointed unroll
+    # compounds to O(k!) plan nodes: 321 exchanges at k=5).
     sel = (
         cands.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") == 1)
@@ -3540,13 +3544,14 @@ def similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.7) * F.col("rel")).alias("mmr_score"),
             F.lit(1).cast("bigint").alias("rnk"),
         )
+        .localCheckpoint()
     )
     outs = [sel]
     selected = sel.select("query_id", "cand_id")
     for i in range(2, MMR_K + 1):
         maxsim = (
             psim.join(
-                selected.withColumnRenamed("cand_id", "c2"),
+                F.broadcast(selected.withColumnRenamed("cand_id", "c2")),
                 ["query_id", "c2"],
             )
             .groupBy("query_id", F.col("c1").alias("cand_id"))
@@ -3556,8 +3561,10 @@ def similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mmr_score").desc(), "cand_id"
         )
         sel_i = (
-            cands.join(selected, ["query_id", "cand_id"], "left_anti")
-            .join(maxsim, ["query_id", "cand_id"])
+            cands.join(
+                F.broadcast(selected), ["query_id", "cand_id"], "left_anti"
+            )
+            .join(F.broadcast(maxsim), ["query_id", "cand_id"])
             .select(
                 "query_id",
                 "cand_id",
@@ -3576,6 +3583,7 @@ def similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mmr_score",
                 F.lit(i).cast("bigint").alias("rnk"),
             )
+            .localCheckpoint()
         )
         outs.append(sel_i)
         selected = selected.unionByName(
