@@ -895,3 +895,123 @@ def sink_merge_idempotent_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# HBase cell-retention policy: VERSIONS=3, TTL=10d — the compaction rule
+# the reference's source table lives under (HBase column families carry
+# VERSIONS and TTL; major compaction applies exactly this filter).
+GC_MAX_VERSIONS = 3
+GC_TTL_DAYS = 10
+
+
+@register(
+    "cdc_version_gc_policy",
+    oracle=f"""
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+c AS (
+  SELECT user_id, event_type, ts, event_id,
+         (ts < mx.max_ts - INTERVAL {GC_TTL_DAYS} DAY) AS expired
+  FROM events, mx
+),
+r AS (
+  SELECT user_id, event_type, ts, expired,
+         COUNT(*) FILTER (WHERE NOT expired) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts DESC, event_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn_live
+  FROM c
+),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN expired THEN 'ttl'
+              WHEN rn_live <= {GC_MAX_VERSIONS} THEN 'kept'
+              ELSE 'version' END AS status
+  FROM r
+)
+SELECT user_id AS rowkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN status = 'ttl' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged_ttl,
+       CAST(SUM(CASE WHEN status = 'version' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged_version,
+       MIN(CASE WHEN status = 'kept' THEN epoch_ms(ts) END)
+         AS kept_min_ms,
+       MAX(CASE WHEN status = 'kept' THEN epoch_ms(ts) END)
+         AS kept_max_ms
+FROM s GROUP BY user_id
+""",
+)
+def cdc_version_gc_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase cell-retention compaction plan: the source table behind the
+    reference's observer keeps at most VERSIONS={GC_MAX_VERSIONS} cells
+    per (rowkey, qualifier) and drops cells older than
+    TTL={GC_TTL_DAYS}d — major compaction applies TTL FIRST, then the
+    version cap over the surviving cells (a cell beyond both is a TTL
+    purge). This query materializes that policy over the changefeed —
+    per rowkey: how many cells survive, how many each rule reclaims,
+    and the surviving version horizon — the capacity-planning face of
+    cdc_retention_purge (which models time-travel retention, not cell
+    versioning).
+
+    The live-rank is a CONDITIONAL running count (count of non-expired
+    cells from newest to current), so one window pass classifies every
+    cell; no self-join, no second scan. Counts are exact integers;
+    version timestamps are unix millis (cross-engine proven).
+
+    Scale shape: one shuffle on (rowkey, qualifier) — the same
+    partitioning every CDC operator here uses, so in a pipeline it
+    reuses the exchange — then map-side classification and a rowkey
+    roll-up. At 100 TB this is exactly the region-server compaction
+    scan, expressed as a query. Cites: SURVEY §2.1 source-table
+    semantics; observer6/HbaseDataSyncEsObserver.java (the observer
+    sees exactly the cells this policy retains).
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    c = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.col("ts")
+            < F.col("max_ts") - F.expr(f"INTERVAL {GC_TTL_DAYS} DAYS")
+        ).alias("expired"),
+    )
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = c.select(
+        "user_id",
+        "ts",
+        "expired",
+        F.count(F.when(~F.col("expired"), F.lit(1))).over(w).alias("rn_live"),
+    )
+    status = (
+        F.when(F.col("expired"), "ttl")
+        .when(F.col("rn_live") <= GC_MAX_VERSIONS, "kept")
+        .otherwise("version")
+    )
+    s = r.select("user_id", "ts", status.alias("status"))
+    kept_ms = F.when(
+        F.col("status") == "kept", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    return s.groupBy(F.col("user_id").alias("rowkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("status") == "ttl", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purged_ttl"),
+        F.sum(F.when(F.col("status") == "version", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purged_version"),
+        F.min(kept_ms).alias("kept_min_ms"),
+        F.max(kept_ms).alias("kept_max_ms"),
+    )

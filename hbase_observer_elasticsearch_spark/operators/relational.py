@@ -18,7 +18,7 @@ Scale discipline:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views, spread
@@ -1670,5 +1670,202 @@ def agg_grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "sum_qty",
             "sum_base_price",
+        )
+    )
+
+
+# Apriori thresholds as FRACTIONS of the basket count (scale-invariant):
+# items/pairs must appear in >= 1% of baskets, triples in >= 0.4%.
+AP_ITEM_DEN = 100
+AP_TRIPLE_DEN = 250
+AP_TOP = 50
+
+
+@register(
+    "basket_apriori_triples",
+    oracle=f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM ob),
+items AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM ob GROUP BY brand
+),
+freq_items AS (
+  SELECT i.brand, i.nb FROM items i, n_orders
+  WHERE i.nb * {AP_ITEM_DEN} >= n_orders.n
+),
+fb AS (SELECT ob.okey, ob.brand FROM ob JOIN freq_items USING (brand)),
+grouped AS (
+  SELECT okey, list_sort(list(brand)) AS brands FROM fb GROUP BY okey
+),
+pairs AS (
+  SELECT u1.b AS a, u2.b AS b
+  FROM grouped, unnest(brands) t1(b), unnest(brands) t2(b),
+       LATERAL (SELECT t1.b) u1(b), LATERAL (SELECT t2.b) u2(b)
+  WHERE u1.b < u2.b
+),
+freq_pairs AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+  FROM pairs, n_orders GROUP BY a, b, n_orders.n
+  HAVING COUNT(*) * {AP_ITEM_DEN} >= n_orders.n
+),
+tri AS (
+  SELECT u1.b AS a, u2.b AS b, u3.b AS c
+  FROM grouped,
+       unnest(brands) t1(b), unnest(brands) t2(b), unnest(brands) t3(b),
+       LATERAL (SELECT t1.b) u1(b), LATERAL (SELECT t2.b) u2(b),
+       LATERAL (SELECT t3.b) u3(b)
+  WHERE u1.b < u2.b AND u2.b < u3.b
+),
+tc AS (
+  SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS nabc
+  FROM tri GROUP BY a, b, c
+),
+cand AS (
+  SELECT tc.a, tc.b, tc.c, tc.nabc
+  FROM tc
+  JOIN freq_pairs p1 ON p1.a = tc.a AND p1.b = tc.b
+  JOIN freq_pairs p2 ON p2.a = tc.a AND p2.b = tc.c
+  JOIN freq_pairs p3 ON p3.a = tc.b AND p3.b = tc.c
+  CROSS JOIN n_orders
+  WHERE tc.nabc * {AP_TRIPLE_DEN} >= n_orders.n
+)
+SELECT a, b, c, nabc,
+       (CAST(cand.nabc AS DOUBLE) * n.n * n.n)
+         / (CAST(ia.nb AS DOUBLE) * ib.nb * ic.nb) AS lift,
+       rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY nabc DESC, a, b, c) AS rk
+  FROM cand
+) cand
+JOIN freq_items ia ON ia.brand = cand.a
+JOIN freq_items ib ON ib.brand = cand.b
+JOIN freq_items ic ON ic.brand = cand.c
+CROSS JOIN n_orders n
+WHERE rk <= {AP_TOP}
+""",
+)
+def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets by the Apriori level-wise algorithm — the
+    step beyond basket_brand_lift's pairs: candidate triples survive
+    ONLY if all three member pairs are frequent (the Apriori
+    anti-monotonicity prune), then the survivors' exact supports and
+    independence lifts are reported. Thresholds are FRACTIONS of the
+    basket count (items/pairs 1/{AP_ITEM_DEN}, triples
+    1/{AP_TRIPLE_DEN}), so the operator is scale-invariant; compares are
+    exact integer cross-multiplications, never float supports.
+
+    Scale shape: baskets are pruned to frequent items BEFORE any
+    combination explode (the Apriori point: the k=3 explode runs over
+    baskets restricted to the frequent-item lattice); per-basket triple
+    generation is C(|basket∩frequent|, 3) map-side rows; candidate
+    pruning is three broadcast joins against the frequent-pair table
+    (Zipf-bounded). Lift's divisions are single IEEE ops on exact
+    counts. At 100 TB this is one scan + hash aggs keyed on bounded
+    itemset keys — the pattern FP-growth implementations reduce to on
+    shuffle-based engines.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.agg(F.countDistinct("okey").cast("bigint").alias("n"))
+    items = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    freq_items = (
+        items.crossJoin(F.broadcast(n_orders))
+        .filter(F.col("nb") * AP_ITEM_DEN >= F.col("n"))
+        .select("brand", "nb")
+    )
+    fb = ob.join(F.broadcast(freq_items.select("brand")), "brand").select(
+        "okey", "brand"
+    )
+    grouped = fb.groupBy("okey").agg(
+        F.array_sort(F.collect_list("brand")).alias("brands")
+    )
+    k = F.size("brands")
+    idx2 = F.expr(
+        "flatten(transform(sequence(1, size(brands) - 1), i -> "
+        "transform(sequence(i + 1, size(brands)), j -> struct(i, j))))"
+    )
+    pairs = (
+        grouped.filter(k >= 2)
+        .select(F.col("brands"), F.explode(idx2).alias("ij"))
+        .select(
+            F.element_at("brands", F.col("ij.i")).alias("a"),
+            F.element_at("brands", F.col("ij.j")).alias("b"),
+        )
+    )
+    freq_pairs = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("nab") * AP_ITEM_DEN >= F.col("n"))
+        .select("a", "b")
+    )
+    idx3 = F.expr(
+        "flatten(flatten(transform(sequence(1, size(brands) - 2), i -> "
+        "transform(sequence(i + 1, size(brands) - 1), j -> "
+        "transform(sequence(j + 1, size(brands)), l -> struct(i, j, l))))))"
+    )
+    tri = (
+        grouped.filter(k >= 3)
+        .select(F.col("brands"), F.explode(idx3).alias("x"))
+        .select(
+            F.element_at("brands", F.col("x.i")).alias("a"),
+            F.element_at("brands", F.col("x.j")).alias("b"),
+            F.element_at("brands", F.col("x.l")).alias("c"),
+        )
+    )
+    tc = tri.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nabc")
+    )
+    p1 = freq_pairs
+    p2 = freq_pairs.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    p3 = freq_pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    cand = (
+        tc.join(F.broadcast(p1), ["a", "b"])
+        .join(F.broadcast(p2), ["a", "c"])
+        .join(F.broadcast(p3), ["b", "c"])
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("nabc") * AP_TRIPLE_DEN >= F.col("n"))
+        .select("a", "b", "c", "nabc")
+    )
+    ranked = cand.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("nabc").desc(), "a", "b", "c"))
+        .cast("bigint"),
+    ).filter(F.col("rk") <= AP_TOP)
+    ia = freq_items.select(F.col("brand").alias("a"), F.col("nb").alias("na_"))
+    ib = freq_items.select(F.col("brand").alias("b"), F.col("nb").alias("nb_"))
+    ic = freq_items.select(F.col("brand").alias("c"), F.col("nb").alias("nc_"))
+    return (
+        ranked.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .join(F.broadcast(ic), "c")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "c",
+            "nabc",
+            (
+                F.col("nabc").cast("double") * F.col("n") * F.col("n")
+                / (
+                    F.col("na_").cast("double")
+                    * F.col("nb_")
+                    * F.col("nc_")
+                )
+            ).alias("lift"),
+            "rk",
         )
     )

@@ -820,3 +820,174 @@ def sample_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi"),
         )
     )
+
+
+# Approximate-randomization permutation test: B hash-seeded relabelings;
+# the 52-bit hash threshold 2^51 splits labels 50/50 per replica.
+PERM_B = 64
+PERM_HALF = 2251799813685248  # 2^51
+PERM_GROUP_A = "click"
+PERM_GROUP_B = "view"
+
+
+@register(
+    "sample_permutation_test",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('{PERM_GROUP_A}', '{PERM_GROUP_B}')
+),
+obs AS (
+  SELECT
+    CAST(COUNT(CASE WHEN event_type = '{PERM_GROUP_A}' THEN 1 END)
+         AS BIGINT) AS n_a,
+    CAST(COUNT(CASE WHEN event_type = '{PERM_GROUP_B}' THEN 1 END)
+         AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN event_type = '{PERM_GROUP_A}' THEN cents
+             ELSE 0 END) AS DOUBLE)
+      / COUNT(CASE WHEN event_type = '{PERM_GROUP_A}' THEN 1 END)
+      / 100.0 AS mean_a,
+    CAST(SUM(CASE WHEN event_type = '{PERM_GROUP_B}' THEN cents
+             ELSE 0 END) AS DOUBLE)
+      / COUNT(CASE WHEN event_type = '{PERM_GROUP_B}' THEN 1 END)
+      / 100.0 AS mean_b
+  FROM base
+),
+perm AS (
+  SELECT t.b,
+         CASE WHEN CAST(CONCAT('0x', substr(md5(
+                'perm:' || CAST(base.event_id AS VARCHAR) || ':'
+                        || CAST(t.b AS VARCHAR)), 1, 13)) AS BIGINT)
+              < {PERM_HALF}
+              THEN 'a' ELSE 'b' END AS g,
+         base.cents
+  FROM base CROSS JOIN range({PERM_B}) t(b)
+),
+rep AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN g = 'a' THEN cents ELSE 0 END) AS DOUBLE)
+           / COUNT(CASE WHEN g = 'a' THEN 1 END) / 100.0
+         - CAST(SUM(CASE WHEN g = 'b' THEN cents ELSE 0 END) AS DOUBLE)
+           / COUNT(CASE WHEN g = 'b' THEN 1 END) / 100.0 AS t_b
+  FROM perm GROUP BY b
+)
+SELECT obs.n_a, obs.n_b, obs.mean_a, obs.mean_b,
+       obs.mean_a - obs.mean_b AS t_obs,
+       CAST(SUM(CASE WHEN ABS(rep.t_b) >= ABS(obs.mean_a - obs.mean_b)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST(1 + SUM(CASE WHEN ABS(rep.t_b) >= ABS(obs.mean_a - obs.mean_b)
+                    THEN 1 ELSE 0 END) AS DOUBLE) / {PERM_B + 1}.0
+         AS p_value
+FROM rep CROSS JOIN obs
+GROUP BY obs.n_a, obs.n_b, obs.mean_a, obs.mean_b
+""",
+)
+def sample_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test (approximate randomization): is the
+    mean value of '{PERM_GROUP_A}' events different from
+    '{PERM_GROUP_B}' events, with the null distribution built by
+    {PERM_B} hash-seeded relabelings of the pooled sample? This is the
+    testing complement of sample_poisson_bootstrap_ci (estimation): no
+    normality assumption, no variance formula — the null is SIMULATED,
+    and p = (1 + #extreme)/(B+1) with the add-one correction.
+
+    Each replica relabels every row independently (md5 bit, threshold
+    2^51 of a 52-bit hash) — the random-relabel variant whose group
+    sizes are Binomial(n, 1/2) rather than exactly n_a/n_b; for the
+    difference-of-means statistic the two are asymptotically identical
+    and the relabel form needs NO global shuffle of labels (each row
+    decides its replica labels locally — the property that makes the
+    test one-pass at 100 TB).
+
+    Determinism: cents sums are exact; each replica mean is one
+    fixed-order IEEE division; the extreme-count compares |T_b| to
+    |T_obs| on bit-identical doubles; p is one final division.
+
+    Scale shape: one scan × B map-side labels → (replica, group)
+    partial sums via map-side combine — the shuffle carries 2·B rows.
+    Statistic and p-value compute on a {PERM_B}-row table.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("event_type").isin(PERM_GROUP_A, PERM_GROUP_B)
+    ).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    is_a = F.col("event_type") == PERM_GROUP_A
+    obs = base.agg(
+        F.count(F.when(is_a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~is_a, 1)).cast("bigint").alias("n_b"),
+        (
+            F.sum(F.when(is_a, F.col("cents")).otherwise(0)).cast("double")
+            / F.count(F.when(is_a, 1))
+            / F.lit(100.0)
+        ).alias("mean_a"),
+        (
+            F.sum(F.when(~is_a, F.col("cents")).otherwise(0)).cast("double")
+            / F.count(F.when(~is_a, 1))
+            / F.lit(100.0)
+        ).alias("mean_b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("perm:"),
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    perm = base.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_B - 1))).alias("b"),
+    ).select(
+        "b",
+        F.when(u < PERM_HALF, "a").otherwise("b").alias("g"),
+        "cents",
+    )
+    ga = F.col("g") == "a"
+    rep = perm.groupBy("b").agg(
+        (
+            F.sum(F.when(ga, F.col("cents")).otherwise(0)).cast("double")
+            / F.count(F.when(ga, 1))
+            / F.lit(100.0)
+            - F.sum(F.when(~ga, F.col("cents")).otherwise(0)).cast("double")
+            / F.count(F.when(~ga, 1))
+            / F.lit(100.0)
+        ).alias("t_b")
+    )
+    t_obs = F.col("mean_a") - F.col("mean_b")
+    extreme = F.when(F.abs(F.col("t_b")) >= F.abs(t_obs), 1).otherwise(0)
+    return (
+        rep.crossJoin(F.broadcast(obs))
+        .groupBy("n_a", "n_b", "mean_a", "mean_b")
+        .agg(
+            F.sum(extreme).cast("bigint").alias("n_extreme"),
+            (
+                (F.lit(1) + F.sum(extreme)).cast("double")
+                / F.lit(float(PERM_B + 1))
+            ).alias("p_value"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "mean_a",
+            "mean_b",
+            t_obs.alias("t_obs"),
+            "n_extreme",
+            "p_value",
+        )
+    )

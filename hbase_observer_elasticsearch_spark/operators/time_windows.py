@@ -2779,3 +2779,267 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             > (F.lit(3) * F.col("sab"))
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_funnel_time_stats",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('day', ts) AS day, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (SELECT user_id, day, MIN(sec) AS v_sec FROM e
+      WHERE event_type = 'view' GROUP BY user_id, day),
+c AS (SELECT e.user_id, e.day, MIN(e.sec) AS c_sec
+      FROM e JOIN v ON v.user_id = e.user_id AND v.day = e.day
+      WHERE e.event_type = 'click' AND e.sec >= v.v_sec
+      GROUP BY e.user_id, e.day),
+p AS (SELECT e.user_id, e.day, MIN(e.sec) AS p_sec
+      FROM e JOIN c ON c.user_id = e.user_id AND c.day = e.day
+      WHERE e.event_type = 'purchase' AND e.sec >= c.c_sec
+      GROUP BY e.user_id, e.day),
+lat AS (
+  SELECT 'view->click' AS step_pair,
+         (c.c_sec - v.v_sec) // 60 AS lat_min
+  FROM v JOIN c ON c.user_id = v.user_id AND c.day = v.day
+  UNION ALL
+  SELECT 'click->purchase', (p.p_sec - c.c_sec) // 60
+  FROM c JOIN p ON p.user_id = c.user_id AND p.day = c.day
+),
+g AS (SELECT step_pair, lat_min, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lat GROUP BY step_pair, lat_min),
+cum AS (
+  SELECT step_pair, lat_min, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY step_pair ORDER BY lat_min)
+              AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY step_pair) AS BIGINT) AS n,
+         CAST(SUM(lat_min * cnt) OVER (PARTITION BY step_pair)
+              AS BIGINT) AS s
+  FROM g
+)
+SELECT step_pair,
+       MAX(n) AS n_pairs,
+       MIN(CASE WHEN 2 * cum >= n THEN lat_min END) AS p50_min,
+       MIN(CASE WHEN 10 * cum >= 9 * n THEN lat_min END) AS p90_min,
+       CAST(MAX(s) AS DOUBLE) / MAX(n) AS avg_min
+FROM cum GROUP BY step_pair
+""",
+)
+def events_funnel_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-to-step funnel latency distribution: per user-day, minutes
+    from first view to the first click at-or-after it, and from that
+    click to the first purchase at-or-after it — with EXACT integer-rank
+    p50/p90 per step pair. events_cep_funnel_3step counts who converts;
+    this measures how long each step takes (the metric that localizes a
+    funnel regression to a step), and events_survival_km draws the full
+    curve for one pair — this is its two-number summary over both pairs.
+
+    Percentiles use the repo's integer-rank discrete-boundary
+    discipline: latencies are exact integer minutes, counted per value,
+    with one cumulative window per step pair and exact cross-multiplied
+    rank compares (2·cum ≥ n, 10·cum ≥ 9n) — no holistic percentile
+    buffer, no float ordering. avg is an exact integer sum with one
+    final division.
+
+    Scale shape: three MIN aggs on the same (user, day) key — the
+    exchange is computed once and reused (same-key chained aggs);
+    the percentile machinery runs on |distinct latency values| rows per
+    pair. At 100 TB: one scan, one user-day shuffle, grid-scale math.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP'1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "day")
+        .agg(F.min("sec").alias("v_sec"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, ["user_id", "day"])
+        .filter(F.col("sec") >= F.col("v_sec"))
+        .groupBy("user_id", "day")
+        .agg(F.min("sec").alias("c_sec"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, ["user_id", "day"])
+        .filter(F.col("sec") >= F.col("c_sec"))
+        .groupBy("user_id", "day")
+        .agg(F.min("sec").alias("p_sec"))
+    )
+    lat = (
+        v.join(c, ["user_id", "day"])
+        .select(
+            F.lit("view->click").alias("step_pair"),
+            F.expr("(c_sec - v_sec) DIV 60").alias("lat_min"),
+        )
+        .unionByName(
+            c.join(p, ["user_id", "day"]).select(
+                F.lit("click->purchase").alias("step_pair"),
+                F.expr("(p_sec - c_sec) DIV 60").alias("lat_min"),
+            )
+        )
+    )
+    g = lat.groupBy("step_pair", "lat_min").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = Window.partitionBy("step_pair").orderBy("lat_min")
+    w_all = Window.partitionBy("step_pair")
+    cum = g.select(
+        "step_pair",
+        "lat_min",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n"),
+        F.sum(F.col("lat_min") * F.col("cnt"))
+        .over(w_all)
+        .cast("bigint")
+        .alias("s"),
+    )
+    return cum.groupBy("step_pair").agg(
+        F.max("n").alias("n_pairs"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("lat_min"))
+        ).alias("p50_min"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("lat_min"))
+        ).alias("p90_min"),
+        (F.max("s").cast("double") / F.max("n")).alias("avg_min"),
+    )
+
+
+# Difference-in-differences: 'click' treated vs 'view' control, launch
+# at relative day 15; placebo re-runs the estimator inside the
+# pre-period with a fake cutoff at day 8 (a non-zero placebo flags a
+# broken parallel-trends assumption).
+DID_CUT = 15
+DID_PLACEBO_CUT = 8
+_DID_BLOCK = """
+  SELECT '{label}' AS analysis,
+         CAST(SUM(CASE WHEN treated AND post THEN cents END) AS DOUBLE)
+           / COUNT(CASE WHEN treated AND post THEN 1 END) / 100.0
+           AS t_post,
+         CAST(SUM(CASE WHEN treated AND NOT post THEN cents END) AS DOUBLE)
+           / COUNT(CASE WHEN treated AND NOT post THEN 1 END) / 100.0
+           AS t_pre,
+         CAST(SUM(CASE WHEN NOT treated AND post THEN cents END) AS DOUBLE)
+           / COUNT(CASE WHEN NOT treated AND post THEN 1 END) / 100.0
+           AS c_post,
+         CAST(SUM(CASE WHEN NOT treated AND NOT post THEN cents END)
+              AS DOUBLE)
+           / COUNT(CASE WHEN NOT treated AND NOT post THEN 1 END) / 100.0
+           AS c_pre,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM (
+    SELECT (event_type = 'click') AS treated, (di >= {cut}) AS post, cents
+    FROM d WHERE di < {hi}
+  ) t
+"""
+
+
+@register(
+    "events_uplift_did",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         datediff('day',
+                  MIN(date_trunc('day', ts)) OVER (),
+                  date_trunc('day', ts)) AS di
+  FROM events WHERE event_type IN ('click', 'view')
+),
+cells AS (
+  {_DID_BLOCK.format(label="actual", cut=DID_CUT, hi=10_000)}
+  UNION ALL
+  {_DID_BLOCK.format(label="placebo", cut=DID_PLACEBO_CUT, hi=DID_CUT)}
+)
+SELECT analysis, t_pre, t_post, c_pre, c_post, n_events,
+       (t_post - t_pre) - (c_post - c_pre) AS did
+FROM cells
+""",
+)
+def events_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift: treated ('click') vs control
+    ('view') mean value, before vs after a launch at relative day
+    {DID_CUT} — DiD = (T_post − T_pre) − (C_post − C_pre) nets out both
+    the group level difference and the shared time trend, which a naive
+    post-vs-pre or treated-vs-control comparison each confound. The
+    'placebo' row re-runs the estimator ENTIRELY inside the pre-period
+    with a fake cutoff at day {DID_PLACEBO_CUT}: a placebo DiD far from
+    zero means the parallel-trends assumption is broken and the actual
+    estimate shouldn't be trusted — the standard falsification check.
+
+    Determinism: cents sums are exact; each cell mean is one fixed-order
+    IEEE division; DiD is three subtractions of those doubles; day
+    indexes are exact integers off the global MIN day.
+
+    Scale shape: one scan, one conditional agg per analysis over
+    (treated × post) cells — map-side combine reduces each analysis to
+    4 partial sums per mapper; the MIN-day anchor is one broadcast
+    window over the pre-aggregated day domain. At 100 TB: two passes of
+    pure hash-agg work (or one, fusing the analyses on a wider CASE).
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    mn = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("min_day")
+    )
+    d = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            (F.col("event_type") == "click").alias("treated"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.datediff(F.date_trunc("day", "ts"), F.col("min_day")).alias(
+                "di"
+            ),
+        )
+    )
+
+    def block(label: str, cut: int, hi: int) -> DataFrame:
+        t = d.filter(F.col("di") < hi).withColumn(
+            "post", F.col("di") >= cut
+        )
+
+        def cell(tr: bool, po: bool) -> F.Column:
+            m = (F.col("treated") == tr) & (F.col("post") == po)
+            return (
+                F.sum(F.when(m, F.col("cents"))).cast("double")
+                / F.count(F.when(m, 1))
+                / F.lit(100.0)
+            )
+
+        return t.agg(
+            cell(True, True).alias("t_post"),
+            cell(True, False).alias("t_pre"),
+            cell(False, True).alias("c_post"),
+            cell(False, False).alias("c_pre"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        ).select(F.lit(label).alias("analysis"), "*")
+
+    cells = block("actual", DID_CUT, 10_000).unionByName(
+        block("placebo", DID_PLACEBO_CUT, DID_CUT)
+    )
+    return cells.select(
+        "analysis",
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        "n_events",
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did"),
+    )

@@ -153,6 +153,14 @@ _PRIORITY = (
     "layout_partition_pruning_sim",
     "events_sprt_monitor",
     "sketch_hll_audience_overlap",
+    # --- new late in r9, positions 51+ (the r9 window above is exactly
+    # 50): these five MUST LEAD THE r10 WINDOW for official attestation;
+    # until then their checks live in CORRECTNESS_FULL_r09.json ---
+    "cdc_version_gc_policy",
+    "basket_apriori_triples",
+    "sample_permutation_test",
+    "events_funnel_time_stats",
+    "events_uplift_did",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",

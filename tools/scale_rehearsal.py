@@ -77,11 +77,22 @@ TEXT_QUERIES = [
     # joins/windows) — wall should track token count, never pairs
     "corpus_bigram_pmi",
     "text_keyphrase_rake",
+    # r9 (this session): the bigram LM is token-grain (two count tables
+    # + word-keyed joins); winnowing is gram-grain with ~2/(w+1)
+    # selection density — wall should track chars, the pair join should
+    # track SELECTED fingerprints, never grams^2
+    "corpus_bigram_lm_perplexity",
+    "text_winnowing_fingerprints",
 ]
 EVENT_QUERIES = [
     # r8: the blocked prefix-scan — wall must grow ~linearly with event
     # count (blocks are fixed-width arrival hours; rows/block grow 10x)
     "stream_watermark_lateness_audit",
+    # r9 (this session): both collapse events to (user, day) / day-grid
+    # grain in one map-side-combined agg — wall tracks the scan, the
+    # windows run on the tiny grid at any scale
+    "events_survival_km",
+    "events_new_vs_returning",
 ]
 VEC_QUERIES = [
     "similarity_topk_bruteforce",
@@ -97,6 +108,10 @@ VEC_QUERIES = [
     # r8h: the Gram pass is n x dim^2 product rows — wall should grow
     # ~linearly with n (dim fixed), power steps are dim-sized
     "similarity_pca_collapse_audit",
+    # r9 (this session): MMR re-ranks the memoized brute-force top-k —
+    # its own cost is O(q·k²) regardless of corpus size; the wall delta
+    # vs bruteforce is the flat greedy overhead
+    "similarity_mmr_diversify",
 ]
 
 
