@@ -1652,3 +1652,94 @@ def quality_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "quality_classifier_auc",
+    oracle=f"""
+WITH {_SQL_CLF_SCORED},
+lab AS (
+  SELECT score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM clf_scored
+),
+g AS (
+  SELECT score,
+         CAST(SUM(y) AS BIGINT) AS np,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+  FROM lab GROUP BY score
+),
+cum AS (
+  SELECT np, nn,
+         CAST(COALESCE(SUM(np + nn) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM g
+),
+tot AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nn) AS BIGINT) AS n_neg,
+         CAST(SUM(np * (2 * cum_before + np + nn + 1)) AS BIGINT) AS r2
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc,
+       CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * n_neg AS DOUBLE) * 2.0 - 1.0 AS gini
+FROM tot
+""",
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the hashed quality classifier against the
+    lang='en' label — via the Mann-Whitney rank identity, not a
+    threshold sweep: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) where R⁺ is the
+    positive scores' rank sum with MIDRANKS for ties. Ties are the
+    whole story on a discrete scorer (many docs share a score); the
+    midrank form is what sklearn computes, and it reduces to pure
+    integer arithmetic: group scores, one cumulative window, and
+    2R⁺ = Σ n⁺_g·(2·cum_before + t_g + 1) — exact BIGINTs end to end,
+    one final division (doubled throughout so no halves appear).
+    Complements quality_classifier_calibration (is the score
+    PROBABILITY-faithful) with ranking power (does it ORDER docs).
+
+    Scale shape: the scorer is the shared one-pass token hash agg; the
+    rank identity needs ONE sort of |distinct scores| grouped rows —
+    not a sort of all docs, and no O(thresholds × data) sweep. At
+    100 TB: one scan + a grid-sized window.
+    """
+    ensure_session_conf(spark)
+    s = _hash_doc_scores(spark, sf_dir)
+    lab = s.select(
+        "score", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    g = lab.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum(F.col("np") + F.col("nn")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    tot = cum.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("np")
+            * (2 * F.col("cum_before") + F.col("np") + F.col("nn") + 1)
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    auc = (
+        F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).cast("double") / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        (auc * F.lit(2.0) - F.lit(1.0)).alias("gini"),
+    )

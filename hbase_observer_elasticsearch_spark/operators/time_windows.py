@@ -3043,3 +3043,116 @@ def events_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("c_post") - F.col("c_pre"))
         ).alias("did"),
     )
+
+
+@register(
+    "events_attribution_position",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('day', ts) AS day, event_type, event_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+  FROM events
+),
+conv AS (
+  SELECT user_id, day, MIN(sec) AS conv_sec
+  FROM e WHERE event_type = 'purchase' GROUP BY user_id, day
+),
+touch AS (
+  SELECT e.user_id, e.day, e.event_type, e.sec, e.event_id
+  FROM e JOIN conv ON conv.user_id = e.user_id AND conv.day = e.day
+  WHERE e.event_type IN ('view', 'click') AND e.sec < conv.conv_sec
+),
+seq AS (
+  SELECT user_id, day, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, day) AS k
+  FROM touch
+  WINDOW w AS (PARTITION BY user_id, day ORDER BY sec, event_id)
+),
+credit AS (
+  SELECT event_type,
+         CASE WHEN k = 1 THEN 'only'
+              WHEN rn = 1 THEN 'first'
+              WHEN rn = k THEN 'last'
+              ELSE 'middle' END AS position,
+         CAST(CASE WHEN k = 1 THEN 10000.0
+              WHEN k = 2 THEN 5000.0
+              WHEN rn = 1 OR rn = k THEN 4000.0
+              ELSE 2000.0 / (k - 2) END AS DECIMAL(28,6)) AS bp
+  FROM seq
+)
+SELECT event_type, position,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(bp) AS DOUBLE) / 10000.0 AS credit
+FROM credit GROUP BY event_type, position
+""",
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each user-day
+    conversion (first purchase) splits its credit over the preceding
+    view/click touch sequence — 40% to the first touch, 40% to the
+    last, 20% spread across the middles (100% to a single touch, 50/50
+    for two). The multi-touch counterpart of
+    events_attribution_last_touch, which hands the whole conversion to
+    one event and systematically over-credits bottom-of-funnel types.
+
+    Determinism: per-touch credit is at most one IEEE division
+    (2000/(k−2)) quantized to DECIMAL(28,6) basis points, so the
+    roll-up SUM is exact decimal addition — across millions of
+    conversions nothing accumulates in float. Sequence positions use
+    exact integer seconds with event_id tiebreaks.
+
+    Scale shape: conversions are a per-(user, day) MIN; touches join on
+    the same key (exchange reuse) and the position window sorts each
+    user-day's own touches — partition-local, bounded by a day's
+    activity. The final rollup is |types| × 4 rows. One scan, one
+    user-day shuffle at any data size.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP'1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.min("sec").alias("conv_sec"))
+    )
+    touch = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .join(conv, ["user_id", "day"])
+        .filter(F.col("sec") < F.col("conv_sec"))
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("sec", "event_id")
+    wk = Window.partitionBy("user_id", "day")
+    seq = touch.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    position = (
+        F.when(F.col("k") == 1, "only")
+        .when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("k"), "last")
+        .otherwise("middle")
+    )
+    bp = (
+        F.when(F.col("k") == 1, F.lit(10000.0))
+        .when(F.col("k") == 2, F.lit(5000.0))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(4000.0))
+        .otherwise(F.lit(2000.0) / (F.col("k") - 2))
+    ).cast("decimal(28,6)")
+    return (
+        seq.select("event_type", position.alias("position"), bp.alias("bp"))
+        .groupBy("event_type", "position")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            (F.sum("bp").cast("double") / F.lit(10000.0)).alias("credit"),
+        )
+    )

@@ -161,6 +161,8 @@ _PRIORITY = (
     "sample_permutation_test",
     "events_funnel_time_stats",
     "events_uplift_did",
+    "quality_classifier_auc",
+    "events_attribution_position",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",
