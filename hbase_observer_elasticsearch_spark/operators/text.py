@@ -3641,6 +3641,12 @@ WIN_W = 4  # grams per window
 WIN_POS_BASE = 2097152  # 2^21: supports docs up to 2M chars
 WIN_MIN_SHARED = 3
 WIN_TOP = 100
+# Hot-fingerprint cap (the LSH hot-bucket discipline): a fingerprint in
+# more than WIN_MAX_DF docs is corpus boilerplate, carries no clone
+# signal, and its df² pair contribution is what turns the report
+# quadratic — measured 7.5e9 pair mass uncapped vs 2.6e7 capped on the
+# 10x rehearsal corpus (287x).
+WIN_MAX_DF = 64
 
 
 @register(
@@ -3670,13 +3676,19 @@ fpd AS (
   SELECT DISTINCT doc_id, mv // {WIN_POS_BASE} AS fph
   FROM sel WHERE p >= {WIN_W}
 ),
+fdf AS (SELECT fph, CAST(COUNT(*) AS BIGINT) AS df FROM fpd GROUP BY fph),
+rare AS (
+  SELECT fpd.doc_id, fpd.fph
+  FROM fpd JOIN fdf ON fdf.fph = fpd.fph
+  WHERE fdf.df <= {WIN_MAX_DF}
+),
 perdoc AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fpd GROUP BY doc_id
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM rare GROUP BY doc_id
 ),
 pairs AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2,
          CAST(COUNT(*) AS BIGINT) AS shared_fp
-  FROM fpd a JOIN fpd b ON a.fph = b.fph AND a.doc_id < b.doc_id
+  FROM rare a JOIN rare b ON a.fph = b.fph AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT p.doc1, p.doc2, p.shared_fp,
@@ -3712,10 +3724,11 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning); the per-doc window is linear in doc length and partition-
     local after spread(); the pair join keys on SELECTED fingerprints —
     winnowing's ~2/(w+1) selection density bounds the join input to a
-    fraction of gram grain, and only hash-colliding docs meet. At 100 TB
-    the report joins fingerprint tables, never documents; a hot-hash cap
-    (as in MinHash-LSH's bucket cap) is the one addition a full-corpus
-    run would add.
+    fraction of gram grain, and the df ≤ {WIN_MAX_DF} hot-fingerprint
+    cap bounds the join's pair mass to Σ df² over RARE fingerprints
+    (the 10x rehearsal measured 7.5e9 uncapped vs 2.6e7 capped — the
+    uncapped form is quadratic in corpus size on Zipf boilerplate). At
+    100 TB the report joins capped fingerprint tables, never documents.
     """
     ensure_session_conf(spark)
     from ..catalog import spread
@@ -3762,11 +3775,19 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpd = sel.select(
         "doc_id", F.expr(f"mv DIV {WIN_POS_BASE}").alias("fph")
     ).distinct()
-    perdoc = fpd.groupBy("doc_id").agg(
+    fdf = fpd.groupBy("fph").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    rare = (
+        fpd.join(fdf, "fph")
+        .filter(F.col("df") <= WIN_MAX_DF)
+        .select("doc_id", "fph")
+    )
+    perdoc = rare.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fp")
     )
-    a = fpd.select(F.col("doc_id").alias("doc1"), "fph")
-    b = fpd.select(F.col("doc_id").alias("doc2"), "fph")
+    a = rare.select(F.col("doc_id").alias("doc1"), "fph")
+    b = rare.select(F.col("doc_id").alias("doc2"), "fph")
     pairs = (
         a.join(b, "fph")
         .filter(F.col("doc1") < F.col("doc2"))
