@@ -262,3 +262,95 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "layout_dynamic_partition_pruning",
+    oracle=f"""
+WITH fact AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+         CAST(round(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+),
+dim AS (
+  SELECT DISTINCT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+           AS ship_month,
+         CONCAT(CAST(year(o_orderdate) AS VARCHAR), 'Q',
+                CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter
+  FROM orders
+)
+SELECT f.ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(f.q) AS DOUBLE) AS sum_qty
+FROM fact f JOIN dim d ON d.ship_month = f.ship_month
+WHERE d.quarter = '1996Q1'
+GROUP BY f.ship_month
+""",
+)
+def layout_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP), demonstrated for real: lineitem
+    is written Hive-partitioned by ship month, then joined to a derived
+    calendar dim on the PARTITION column with the filter on a
+    dim-ONLY attribute (quarter = '1996Q1') — the star-schema shape
+    where static pruning is impossible (the fact table never sees
+    'quarter') and Spark instead builds the dim's month set at runtime
+    and prunes fact DIRECTORIES before file IO. tests/test_r9g_ops.py
+    asserts the `dynamicpruning` subquery reaches the fact scan; the
+    green oracle row certifies the pruned plan still computes the exact
+    join-aggregate.
+
+    Scale shape: at 100 TB a month-partitioned fact with a quarter
+    filter reads 3 of N directories instead of all — DPP is THE
+    mechanism that makes dim-attribute slicing affordable on
+    time-partitioned lakehouse tables, and it composes with the static
+    PartitionFilters path certified by sink_partitioned_prune. The
+    write shuffles once on the partition key (anti-small-files);
+    the dim side broadcasts.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="io_dpp_")
+    try:
+        path = f"{base}/lineitem_by_month"
+        (
+            li.select(
+                F.date_format(
+                    F.date_trunc("month", "l_shipdate"), "yyyy-MM"
+                ).alias("ship_month"),
+                F.round(F.col("l_quantity")).cast("long").alias("q"),
+            )
+            .repartition("ship_month")
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(path)
+        )
+        dim = (
+            o.select(
+                F.date_format(
+                    F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+                ).alias("ship_month"),
+                F.concat(
+                    F.year("o_orderdate").cast("string"),
+                    F.lit("Q"),
+                    F.quarter("o_orderdate").cast("string"),
+                ).alias("quarter"),
+            )
+            .distinct()
+        )
+        fact = spark.read.parquet(path)
+        out = (
+            fact.join(
+                F.broadcast(dim.filter(F.col("quarter") == "1996Q1")),
+                "ship_month",
+            )
+            .groupBy("ship_month")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum("q").cast("double").alias("sum_qty"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -163,6 +163,7 @@ _PRIORITY = (
     "events_uplift_did",
     "quality_classifier_auc",
     "events_attribution_position",
+    "layout_dynamic_partition_pruning",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",
