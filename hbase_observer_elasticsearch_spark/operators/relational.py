@@ -1771,10 +1771,17 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part")
+    # materialize the basket table once: five consumers (totals, item
+    # counts, pruned baskets, pair and triple explodes) would otherwise
+    # each re-run the lineitem⋈part scan — the audited plan had 46
+    # scans / 50 exchanges before this. At 100 TB this localCheckpoint
+    # is the persisted (order, item) basket table every frequent-itemset
+    # pipeline materializes first.
     ob = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint()
     )
     n_orders = ob.agg(F.countDistinct("okey").cast("bigint").alias("n"))
     items = ob.groupBy("brand").agg(
@@ -1784,13 +1791,16 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         items.crossJoin(F.broadcast(n_orders))
         .filter(F.col("nb") * AP_ITEM_DEN >= F.col("n"))
         .select("brand", "nb")
+        .localCheckpoint()  # <= |brands| rows, read by 5 consumers
     )
     fb = ob.join(F.broadcast(freq_items.select("brand")), "brand").select(
         "okey", "brand"
     )
+    # pair AND triple explodes both read the pruned baskets; checkpoint
+    # so the groupBy shuffle runs once (same persisted-table argument).
     grouped = fb.groupBy("okey").agg(
         F.array_sort(F.collect_list("brand")).alias("brands")
-    )
+    ).localCheckpoint()
     k = F.size("brands")
     idx2 = F.expr(
         "flatten(transform(sequence(1, size(brands) - 1), i -> "
@@ -1810,6 +1820,7 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_orders))
         .filter(F.col("nab") * AP_ITEM_DEN >= F.col("n"))
         .select("a", "b")
+        .localCheckpoint()  # <= |brands|^2 rows, read by 3 prune joins
     )
     idx3 = F.expr(
         "flatten(flatten(transform(sequence(1, size(brands) - 2), i -> "
