@@ -1075,3 +1075,95 @@ def profile_entropy_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "profile_chi2_independence",
+    oracle="""
+WITH o AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM documents GROUP BY lang, source
+),
+m AS (
+  SELECT lang, source, obs,
+         CAST(SUM(obs) OVER (PARTITION BY lang) AS BIGINT) AS row_n,
+         CAST(SUM(obs) OVER (PARTITION BY source) AS BIGINT) AS col_n,
+         CAST(SUM(obs) OVER () AS BIGINT) AS n
+  FROM o
+),
+c AS (
+  SELECT lang, source, obs,
+         CAST(row_n AS DOUBLE) * col_n / n AS expected,
+         CAST((obs - CAST(row_n AS DOUBLE) * col_n / n)
+              * (obs - CAST(row_n AS DOUBLE) * col_n / n)
+              / (CAST(row_n AS DOUBLE) * col_n / n)
+              AS DECIMAL(28,6)) AS contrib_q
+  FROM m
+),
+tot AS (
+  SELECT CAST(SUM(contrib_q) AS DOUBLE) AS chi2,
+         CAST((COUNT(DISTINCT lang) - 1)
+              * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof
+  FROM c
+)
+SELECT c.lang, c.source, c.obs, c.expected,
+       CAST(c.contrib_q AS DOUBLE) AS contrib,
+       tot.chi2, tot.dof
+FROM c CROSS JOIN tot
+""",
+)
+def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between lang and source —
+    'does this corpus's language mix differ by source' as a statistic,
+    not an eyeball: per-cell expected counts e = row·col/n from the
+    margins, contributions (o−e)²/e, and the table-level χ² + degrees of
+    freedom repeated on every cell row so the biggest-contributor cells
+    (the actual diagnostic payload) are directly rankable. Complements
+    profile_ks_drift (two numeric samples) and snapshot drift's PSI
+    (fixed bins) with the categorical×categorical case.
+
+    Determinism: observed counts and margins are exact integers computed
+    by three windows over the |langs|×|sources| contingency table (one
+    tiny input, no re-scan per margin); each cell's e and (o−e)²/e are
+    fixed-order IEEE ops on those integers, quantized to DECIMAL(28,6)
+    so the χ² SUM is exact decimal addition.
+
+    Scale shape: ONE hash agg over the corpus builds the contingency
+    table (map-side combine to r×c rows); margins, expecteds and the
+    statistic all run on that grid. At 100 TB: one scan, grid math.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    m = o.select(
+        "lang",
+        "source",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("lang")).cast("bigint").alias("row_n"),
+        F.sum("obs").over(Window.partitionBy("source")).cast("bigint").alias("col_n"),
+        F.sum("obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    contrib_q = (
+        (F.col("obs") - e) * (F.col("obs") - e) / e
+    ).cast("decimal(28,6)")
+    c = m.select(
+        "lang", "source", "obs", e.alias("expected"), contrib_q.alias("contrib_q")
+    )
+    tot = c.agg(
+        F.sum("contrib_q").cast("double").alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "obs",
+        "expected",
+        F.col("contrib_q").cast("double").alias("contrib"),
+        "chi2",
+        "dof",
+    )

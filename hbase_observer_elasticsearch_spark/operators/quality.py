@@ -1743,3 +1743,117 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         auc.alias("auc"),
         (auc * F.lit(2.0) - F.lit(1.0)).alias("gini"),
     )
+
+
+# IPW propensity clamp (standard overlap trimming)
+IPW_CLIP_LO = 0.05
+IPW_CLIP_HI = 0.95
+
+
+@register(
+    "quality_ipw_adjusted_diff",
+    oracle=f"""
+WITH {_SQL_CLF_SCORED},
+ext AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM clf_scored),
+base AS (
+  SELECT d.n_chars AS y,
+         CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END AS t,
+         LEAST({IPW_CLIP_HI}, GREATEST({IPW_CLIP_LO},
+           CASE WHEN e.mx = e.mn THEN 0.5
+                ELSE (s.score - e.mn) / (e.mx - e.mn) END)) AS p
+  FROM clf_scored s
+  JOIN documents d ON d.doc_id = s.doc_id
+  CROSS JOIN ext e
+),
+q AS (
+  SELECT t, y,
+         CAST(CASE WHEN t = 1 THEN 1.0 / p ELSE 1.0 / (1.0 - p) END
+              AS DECIMAL(28,6)) AS w,
+         CAST(CASE WHEN t = 1 THEN y / p ELSE y / (1.0 - p) END
+              AS DECIMAL(28,6)) AS wy
+  FROM base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(t) AS BIGINT) AS n_treated,
+       CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS DOUBLE) / SUM(t)
+         - CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS DOUBLE)
+           / (COUNT(*) - SUM(t)) AS raw_diff,
+       CAST(SUM(CASE WHEN t = 1 THEN wy ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN t = 1 THEN w ELSE 0 END) AS DOUBLE)
+       - CAST(SUM(CASE WHEN t = 0 THEN wy ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN t = 0 THEN w ELSE 0 END) AS DOUBLE)
+         AS ipw_diff
+FROM q
+""",
+)
+def quality_ipw_adjusted_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted comparison of document length between
+    English and non-English docs, with the hashed quality score as the
+    propensity — the observational-causal estimator (Horvitz-Thompson
+    ratio form): raw group means confound 'is English' with 'scores
+    high'; re-weighting each arm by 1/p (treated) and 1/(1−p) (control)
+    balances the score distribution across arms before differencing.
+    Propensities are the min-max-normalized classifier score (the same
+    mapping quality_classifier_calibration certifies) clamped to
+    [{IPW_CLIP_LO}, {IPW_CLIP_HI}] — standard overlap trimming so no
+    single doc's weight explodes.
+
+    Determinism: y is an exact integer; p is fixed-order IEEE ops on
+    exact inputs; each weight and weighted outcome is quantized to
+    DECIMAL(28,6) so the four arm sums are exact decimal additions; the
+    two ratio means and their difference are single fixed-order
+    divisions/subtraction.
+
+    Scale shape: the scorer is the shared one-pass token hash agg; the
+    estimator is ONE conditional aggregation over doc grain (map-side
+    combine to 6 partial sums per mapper) + a 1-row extremes broadcast.
+    At 100 TB: two scans (score, estimate), zero shuffles beyond them.
+    """
+    ensure_session_conf(spark)
+    s = _hash_doc_scores(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ext = s.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    p_raw = F.when(F.col("mx") == F.col("mn"), F.lit(0.5)).otherwise(
+        (F.col("score") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    )
+    p = F.least(
+        F.lit(IPW_CLIP_HI), F.greatest(F.lit(IPW_CLIP_LO), p_raw)
+    )
+    base = (
+        s.join(d, "doc_id")
+        .crossJoin(F.broadcast(ext))
+        .select(
+            F.col("n_chars").alias("y"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("t"),
+            p.alias("p"),
+        )
+    )
+    q = base.select(
+        "t",
+        "y",
+        F.when(F.col("t") == 1, F.lit(1.0) / F.col("p"))
+        .otherwise(F.lit(1.0) / (F.lit(1.0) - F.col("p")))
+        .cast("decimal(28,6)")
+        .alias("w"),
+        F.when(F.col("t") == 1, F.col("y") / F.col("p"))
+        .otherwise(F.col("y") / (F.lit(1.0) - F.col("p")))
+        .cast("decimal(28,6)")
+        .alias("wy"),
+    )
+    t1 = F.col("t") == 1
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("n_treated"),
+        (
+            F.sum(F.when(t1, F.col("y")).otherwise(0)).cast("double")
+            / F.sum("t")
+            - F.sum(F.when(~t1, F.col("y")).otherwise(0)).cast("double")
+            / (F.count(F.lit(1)) - F.sum("t"))
+        ).alias("raw_diff"),
+        (
+            F.sum(F.when(t1, F.col("wy")).otherwise(F.lit(0).cast("decimal(28,6)"))).cast("double")
+            / F.sum(F.when(t1, F.col("w")).otherwise(F.lit(0).cast("decimal(28,6)"))).cast("double")
+            - F.sum(F.when(~t1, F.col("wy")).otherwise(F.lit(0).cast("decimal(28,6)"))).cast("double")
+            / F.sum(F.when(~t1, F.col("w")).otherwise(F.lit(0).cast("decimal(28,6)"))).cast("double")
+        ).alias("ipw_diff"),
+    )

@@ -3156,3 +3156,148 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bp").cast("double") / F.lit(10000.0)).alias("credit"),
         )
     )
+
+
+FC_TEST_DAYS = 7  # holdout horizon: last observed week per series
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(datediff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS di,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y_u
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+t AS (
+  SELECT event_type, di, y_u,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY di DESC)
+           AS rk_desc
+  FROM d
+),
+test AS (SELECT event_type, di, y_u FROM t WHERE rk_desc <= {FC_TEST_DAYS}),
+p AS (
+  SELECT te.event_type, te.di, te.y_u,
+         (COALESCE(l7.y_u, 0) + COALESCE(l14.y_u, 0) + COALESCE(l21.y_u, 0))
+           AS ps,
+         (CASE WHEN l7.y_u IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN l14.y_u IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN l21.y_u IS NULL THEN 0 ELSE 1 END) AS k,
+         l1.y_u AS naive_u
+  FROM test te
+  LEFT JOIN d l7 ON l7.event_type = te.event_type AND l7.di = te.di - 7
+  LEFT JOIN d l14 ON l14.event_type = te.event_type AND l14.di = te.di - 14
+  LEFT JOIN d l21 ON l21.event_type = te.event_type AND l21.di = te.di - 21
+  LEFT JOIN d l1 ON l1.event_type = te.event_type AND l1.di = te.di - 1
+),
+s AS (
+  SELECT event_type,
+         CAST(ABS(y_u - CAST(ps AS DOUBLE) / k) / 100.0 AS DECIMAL(28,6))
+           AS err_s,
+         CAST(ABS(y_u - CAST(naive_u AS DOUBLE)) / 100.0 AS DECIMAL(28,6))
+           AS err_n
+  FROM p WHERE k >= 1 AND naive_u IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(err_s) AS DOUBLE) / COUNT(*) AS mae_seasonal,
+       CAST(SUM(err_n) AS DOUBLE) / COUNT(*) AS mae_naive,
+       1.0 - (CAST(SUM(err_s) AS DOUBLE) / COUNT(*))
+           / (CAST(SUM(err_n) AS DOUBLE) / COUNT(*)) AS skill
+FROM s GROUP BY event_type
+""",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast with a proper BACKTEST: predict each of
+    the last {FC_TEST_DAYS} observed days per event type as the mean of
+    the same weekday's value 1–3 weeks earlier, score MAE against the
+    actuals, and report SKILL vs the naive last-value forecast
+    (skill = 1 − MAE_seasonal/MAE_naive — positive means the weekly
+    pattern carries real signal; a forecast metric without a naive
+    baseline is unfalsifiable). This is the evaluation loop every
+    capacity-planning/alerting forecast needs, in pure joins — no model
+    runtime, and the same-dow-mean is the standard hard-to-beat
+    baseline real forecasting systems benchmark against.
+
+    Determinism: daily totals are exact cents; lag lookups are exact
+    equi-joins on the integer day index (robust to gaps, unlike
+    row-offset lags); each error is fixed-order IEEE ops quantized to
+    DECIMAL(28,6) so the MAE sums are exact; skill is one division of
+    two such means.
+
+    Scale shape: events collapse to the |types|×|days| grid once; the
+    four lag joins are grid×grid equi-joins (thousands of rows at any
+    corpus size). At 100 TB: one scan + grid math — and the same joins
+    maintain incrementally per new day.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y_u"),
+    ).select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint").alias("di"),
+        "y_u",
+    ).localCheckpoint()  # grid table read by 5 joins below
+    w = Window.partitionBy("event_type").orderBy(F.col("di").desc())
+    test = (
+        d.withColumn("rk_desc", F.row_number().over(w))
+        .filter(F.col("rk_desc") <= FC_TEST_DAYS)
+        .select("event_type", "di", "y_u")
+    )
+
+    def lag_join(df: DataFrame, off: int, alias: str) -> DataFrame:
+        lg = d.select(
+            "event_type",
+            (F.col("di") + off).alias("di"),
+            F.col("y_u").alias(alias),
+        )
+        return df.join(lg, ["event_type", "di"], "left")
+
+    p = lag_join(lag_join(lag_join(lag_join(test, 7, "l7"), 14, "l14"), 21, "l21"), 1, "naive_u")
+    ps = (
+        F.coalesce(F.col("l7"), F.lit(0))
+        + F.coalesce(F.col("l14"), F.lit(0))
+        + F.coalesce(F.col("l21"), F.lit(0))
+    )
+    k = (
+        F.when(F.col("l7").isNull(), 0).otherwise(1)
+        + F.when(F.col("l14").isNull(), 0).otherwise(1)
+        + F.when(F.col("l21").isNull(), 0).otherwise(1)
+    )
+    s = (
+        p.withColumn("ps", ps)
+        .withColumn("k", k)
+        .filter((F.col("k") >= 1) & F.col("naive_u").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("y_u") - F.col("ps").cast("double") / F.col("k"))
+                / F.lit(100.0)
+            )
+            .cast("decimal(28,6)")
+            .alias("err_s"),
+            (
+                F.abs(F.col("y_u") - F.col("naive_u").cast("double"))
+                / F.lit(100.0)
+            )
+            .cast("decimal(28,6)")
+            .alias("err_n"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    mae_s = F.sum("err_s").cast("double") / cnt
+    mae_n = F.sum("err_n").cast("double") / cnt
+    return s.groupBy("event_type").agg(
+        cnt.cast("bigint").alias("n_test"),
+        mae_s.alias("mae_seasonal"),
+        mae_n.alias("mae_naive"),
+        (F.lit(1.0) - mae_s / mae_n).alias("skill"),
+    )

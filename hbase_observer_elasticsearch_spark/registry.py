@@ -164,6 +164,9 @@ _PRIORITY = (
     "quality_classifier_auc",
     "events_attribution_position",
     "layout_dynamic_partition_pruning",
+    "profile_chi2_independence",
+    "events_forecast_backtest",
+    "quality_ipw_adjusted_diff",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",
