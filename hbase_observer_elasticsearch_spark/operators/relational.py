@@ -1880,3 +1880,168 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+WITH f AS (
+  SELECT o_custkey,
+         date_trunc('month', MIN(o_orderdate) OVER (PARTITION BY o_custkey))
+           AS cohort_m,
+         date_trunc('month', o_orderdate) AS order_m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT cohort_m,
+         CAST((year(order_m) * 12 + month(order_m))
+              - (year(cohort_m) * 12 + month(cohort_m)) AS BIGINT) AS age_m,
+         CAST(SUM(cents) AS BIGINT) AS rev_c
+  FROM f GROUP BY cohort_m, age_m
+),
+sz AS (
+  SELECT cohort_m, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+  FROM f GROUP BY cohort_m
+)
+SELECT g.cohort_m, g.age_m, sz.n_cust,
+       CAST(g.rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(g.rev_c) OVER (PARTITION BY g.cohort_m ORDER BY g.age_m)
+            AS DOUBLE) / 100.0 / sz.n_cust AS cum_ltv_per_cust
+FROM g JOIN sz ON sz.cohort_m = g.cohort_m
+""",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month, each
+    cohort's revenue tracked by months-since-acquisition, with the
+    running cumulative LTV per customer — the revenue twin of
+    events_retention_cohort (that one counts who comes back; this one
+    integrates what they spend). The triangle's rows are what an LTV
+    forecast extrapolates and what CAC payback is measured against.
+
+    Determinism: revenue is exact cents; cohort month is a window MIN
+    per customer; age is exact integer month arithmetic
+    (year·12+month); the cumulative window sums exact BIGINTs with one
+    final division per row.
+
+    Scale shape: one scan; the per-customer MIN window shuffles on
+    o_custkey once (the same key the (cohort, age) rollup then
+    partially aggregates under); the triangle itself is
+    |cohorts| × |ages| rows — window + join run on grid scale. At
+    100 TB: one customer-keyed shuffle, then tiny math.
+    """
+    ensure_session_conf(spark)
+    o = _t(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey")
+    f = o.select(
+        "o_custkey",
+        F.date_trunc("month", F.min("o_orderdate").over(wc)).alias("cohort_m"),
+        F.date_trunc("month", "o_orderdate").alias("order_m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    age = (
+        F.year("order_m") * 12 + F.month("order_m")
+        - (F.year("cohort_m") * 12 + F.month("cohort_m"))
+    ).cast("bigint")
+    g = f.groupBy("cohort_m", age.alias("age_m")).agg(
+        F.sum("cents").cast("bigint").alias("rev_c")
+    )
+    sz = f.groupBy("cohort_m").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_cust")
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_m")
+    return g.join(sz, "cohort_m").select(
+        "cohort_m",
+        "age_m",
+        "n_cust",
+        (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            F.sum("rev_c").over(w).cast("double")
+            / F.lit(100.0)
+            / F.col("n_cust")
+        ).alias("cum_ltv_per_cust"),
+    )
+
+
+@register(
+    "parts_abc_classification",
+    oracle="""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM lineitem GROUP BY l_partkey
+),
+r AS (
+  SELECT l_partkey, rev_c,
+         CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+              AS BIGINT) AS cum_c,
+         CAST(SUM(rev_c) OVER () AS BIGINT) AS tot_c
+  FROM pr
+),
+c AS (
+  SELECT l_partkey, rev_c,
+         CASE WHEN cum_c * 10 <= tot_c * 8 THEN 'A'
+              WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM r
+)
+SELECT abc,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_c) AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(rev_c) AS DOUBLE) / MAX(tot) AS revenue_share
+FROM (SELECT c.*, CAST((SELECT MAX(tot_c) FROM r) AS DOUBLE) AS tot FROM c) t
+GROUP BY abc
+""",
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank parts by
+    revenue descending, class A = parts inside the first 80% of
+    cumulative revenue, B = to 95%, C = the tail — the inventory-
+    analytics standard for 'which 20% of SKUs earn 80% of revenue',
+    and the same cumulative-share machinery behind corpus token-mass
+    coverage (corpus_vocab_coverage), applied to the sales fact.
+
+    Determinism: revenue is exact cents; the class boundaries are exact
+    integer cross-multiplications (cum·10 ≤ tot·8, cum·100 ≤ tot·95) on
+    the cumulative window with a part-key tiebreak — no float share is
+    compared.
+
+    Scale shape: per-part revenue is one map-side-combined hash agg;
+    the ranking window runs over |parts| pre-aggregated rows (the
+    documented grid-scale single-partition window, same contract as
+    corpus_vocab_coverage); the output is 3 rows. At 100 TB: one scan +
+    one parts-grain window.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w_cum = Window.orderBy(F.col("rev_c").desc(), "l_partkey")
+    w_all = Window.partitionBy()
+    r = pr.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(w_cum).cast("bigint").alias("cum_c"),
+        F.sum("rev_c").over(w_all).cast("bigint").alias("tot_c"),
+    )
+    abc = (
+        F.when(F.col("cum_c") * 10 <= F.col("tot_c") * 8, "A")
+        .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        r.select("rev_c", abc.alias("abc"), F.col("tot_c"))
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            (F.sum("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+            (
+                F.sum("rev_c").cast("double")
+                / F.max("tot_c").cast("double")
+            ).alias("revenue_share"),
+        )
+    )

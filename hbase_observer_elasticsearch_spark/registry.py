@@ -167,6 +167,8 @@ _PRIORITY = (
     "profile_chi2_independence",
     "events_forecast_backtest",
     "quality_ipw_adjusted_diff",
+    "orders_cohort_ltv",
+    "parts_abc_classification",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",
