@@ -1080,3 +1080,67 @@ def stream_live_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("maintained_ok"),
     )
+
+
+@register(
+    "stream_daily_active_entities",
+    oracle=f"""
+WITH cf AS ({_SQL_CF}),
+wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM cf),
+agg AS (
+  SELECT date_trunc('day', ts) AS win_start,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+         CAST(COUNT(DISTINCT rowkey) AS BIGINT) AS n_entities
+  FROM cf GROUP BY 1, 2
+)
+SELECT win_start, n_entities
+FROM agg WHERE win_end <= (SELECT w FROM wm)
+""",
+)
+def stream_daily_active_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming COUNT(DISTINCT) — the streaming-DAU pattern, end to
+    end: daily distinct entities over the live changefeed, computed as
+    dedup-on-(rowkey, day) feeding a 1-day tumbling count, drained in
+    append mode and proven equal to the batch COUNT(DISTINCT rowkey)
+    per day. Streaming engines have no distinct aggregate (it isn't
+    algebraic over micro-batches); the canonical rewrite is exactly
+    this chain — a stateful dedup whose key INCLUDES everything the
+    downstream count uses, which also makes the emission deterministic
+    (whichever duplicate survives carries the same (rowkey, day)).
+    This is the distinct-cardinality face the batch twin
+    events_new_vs_returning reports as `actives`.
+
+    State cost, stated honestly: the dedup holds one row per distinct
+    (entity, day) pair currently inside the watermark-unexpired
+    horizon; because `day` is the dedup key's time component and the
+    shared watermark advances past each day, the window agg closes and
+    emits while dedup state for long-dead days stays until the run
+    ends — at 100 TB you would re-key the dedup on a within-watermark
+    variant per retention policy (the dedup-state audit twin,
+    stream_dedup_within_watermark, carries that contract). Window
+    emission: a day emits iff its end ≤ final watermark
+    (max(ts) − 1 h), mirrored exactly in the oracle's cutoff.
+    """
+    ensure_session_conf(spark)
+    cf_dir = _changefeed_dir(spark, sf_dir)
+    feed = (
+        spark.readStream.schema(_changefeed_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cf_dir)
+    )
+    dedup = (
+        feed.withWatermark("ts", "1 hour")
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .dropDuplicates(["rowkey", "day"])
+    )
+    agg = (
+        dedup.groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+        .select(F.col("window.start").alias("win_start"), "n_entities")
+    )
+    base = _scratch("stream_dau_")
+    try:
+        emitted = _drain_to_local(spark, agg, base, output_mode="append")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted

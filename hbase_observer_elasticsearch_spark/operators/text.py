@@ -4027,3 +4027,131 @@ def search_prefix_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= WILD_TOPK)
         .select("clause", "doc_id", "n_matched_terms", "n_expansions", "rk")
     )
+
+
+LLR_MIN_SUPPORT = 5
+LLR_TOP = 100
+# one 2x2 G^2 term: k * ln(k*N / (rowtot*coltot)), 0 when k = 0 —
+# identical text in both dialects (only the placeholders differ).
+_LLR_TERM_SQL = (
+    "CASE WHEN {k} > 0 THEN CAST(CAST({k} AS DOUBLE)"
+    " * ln((CAST({k} AS DOUBLE) * n) / (CAST({r} AS DOUBLE) * {c}))"
+    " AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END"
+)
+
+
+@register(
+    "corpus_collocations_llr",
+    oracle=f"""
+WITH wp AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+big AS (
+  SELECT w AS w1, LEAD(w) OVER win AS w2
+  FROM wp
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w) OVER win IS NOT NULL
+),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+  FROM big GROUP BY w1, w2
+),
+r1 AS (SELECT w1, CAST(SUM(k11) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+r2 AS (SELECT w2, CAST(SUM(k11) AS BIGINT) AS c2 FROM bc GROUP BY w2),
+nn AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM bc),
+cells AS (
+  SELECT bc.w1, bc.w2, bc.k11, r1.c1, r2.c2, nn.n,
+         bc.k11 AS ka, r1.c1 - bc.k11 AS kb,
+         r2.c2 - bc.k11 AS kc, nn.n - r1.c1 - r2.c2 + bc.k11 AS kd
+  FROM bc JOIN r1 ON r1.w1 = bc.w1 JOIN r2 ON r2.w2 = bc.w2 CROSS JOIN nn
+  WHERE bc.k11 >= {LLR_MIN_SUPPORT}
+),
+sc AS (
+  SELECT w1, w2, k11, c1, c2,
+         CAST(2.0 * CAST(
+           {_LLR_TERM_SQL.format(k="ka", r="c1", c="c2")}
+           + {_LLR_TERM_SQL.format(k="kb", r="c1", c="(n - c2)")}
+           + {_LLR_TERM_SQL.format(k="kc", r="(n - c1)", c="c2")}
+           + {_LLR_TERM_SQL.format(k="kd", r="(n - c1)", c="(n - c2)")}
+         AS DOUBLE) AS DOUBLE) AS llr
+  FROM cells
+)
+SELECT w1, w2, k11, c1, c2, llr
+FROM sc
+ORDER BY k11 DESC, w1, w2
+LIMIT {LLR_TOP}
+""",
+)
+def corpus_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    G² test on each bigram's 2×2 contingency table (first-word ×
+    second-word margins over bigram slots): G² = 2·Σ o·ln(o/e). This is
+    the collocation statistic that stays calibrated at LOW counts where
+    corpus_bigram_pmi's PMI explodes (PMI rewards rarity; LLR asks how
+    improbable the joint count is under independence), and it's the
+    standard phrase-table / tokenizer-merge ranking criterion.
+
+    Determinism: all four cell counts and both margins are exact
+    BIGINTs from one bigram hash agg; each o·ln(o/e) is one ln of a
+    fixed-parenthesization ratio of exact integers, quantized to
+    DECIMAL(28,6) (the bigram-LM discipline) so the 4-term sum is exact
+    decimal addition; output order is integer support with lexical
+    tiebreak — no float ordering crosses the engine boundary.
+
+    Scale shape: the bigram explode feeds ONE hash agg (map-side
+    partials); both margins are re-aggregations of that count table
+    (orders of magnitude under token grain); the scoring join keys on
+    words with the 1-row total broadcast. At 100 TB: one scan, Zipf-
+    bounded count tables.
+    """
+    ensure_session_conf(spark)
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = F.split(F.col("text"), " ")
+    n_w = F.size(words)
+    mk = lambda i: F.struct(  # noqa: E731
+        F.element_at(words, i).alias("w1"),
+        F.element_at(words, i + 1).alias("w2"),
+    )
+    arr = F.when(
+        n_w >= 2, F.transform(F.sequence(F.lit(1), n_w - 1), mk)
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select(F.explode(arr).alias("b")).select("b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k11")
+    )
+    r1 = bc.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("c1"))
+    r2 = bc.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("c2"))
+    nn = bc.agg(F.sum("k11").cast("bigint").alias("n"))
+    cells = (
+        bc.filter(F.col("k11") >= LLR_MIN_SUPPORT)
+        .join(r1, "w1")
+        .join(r2, "w2")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("ka", F.col("k11"))
+        .withColumn("kb", F.col("c1") - F.col("k11"))
+        .withColumn("kc", F.col("c2") - F.col("k11"))
+        .withColumn(
+            "kd", F.col("n") - F.col("c1") - F.col("c2") + F.col("k11")
+        )
+    )
+    llr = F.expr(
+        "CAST(2.0 * CAST("
+        + _LLR_TERM_SQL.format(k="ka", r="c1", c="c2")
+        + " + "
+        + _LLR_TERM_SQL.format(k="kb", r="c1", c="(n - c2)")
+        + " + "
+        + _LLR_TERM_SQL.format(k="kc", r="(n - c1)", c="c2")
+        + " + "
+        + _LLR_TERM_SQL.format(k="kd", r="(n - c1)", c="(n - c2)")
+        + " AS DOUBLE) AS DOUBLE)"
+    )
+    return (
+        cells.select("w1", "w2", "k11", "c1", "c2", llr.alias("llr"))
+        .orderBy(F.col("k11").desc(), "w1", "w2")
+        .limit(LLR_TOP)
+    )

@@ -169,6 +169,8 @@ _PRIORITY = (
     "quality_ipw_adjusted_diff",
     "orders_cohort_ltv",
     "parts_abc_classification",
+    "stream_daily_active_entities",
+    "corpus_collocations_llr",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",
