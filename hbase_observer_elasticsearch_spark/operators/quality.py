@@ -1857,3 +1857,117 @@ def quality_ipw_adjusted_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(~t1, F.col("w")).otherwise(F.lit(0).cast("decimal(28,6)"))).cast("double")
         ).alias("ipw_diff"),
     )
+
+
+@register(
+    "quality_brier_decomposition",
+    oracle=f"""
+WITH {_SQL_CLF_SCORED},
+ext AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM clf_scored),
+ybar_t AS (
+  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS ybar
+  FROM clf_scored
+),
+pred AS (
+  SELECT CASE WHEN e.mx = e.mn THEN 0.5
+              ELSE (s.score - e.mn) / (e.mx - e.mn) END AS p,
+         CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END AS y,
+         NTILE(10) OVER (ORDER BY s.score, s.doc_id) AS b
+  FROM clf_scored s CROSS JOIN ext e
+),
+w AS (
+  SELECT p, y,
+         CAST(SUM(CAST(p AS DECIMAL(28,12))) OVER (PARTITION BY b)
+              AS DOUBLE) / COUNT(*) OVER (PARTITION BY b) AS pb,
+         CAST(SUM(y) OVER (PARTITION BY b) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY b) AS yb
+  FROM pred
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS DOUBLE)
+         / COUNT(*) AS brier,
+       CAST(SUM(CAST((pb - yb) * (pb - yb) AS DECIMAL(28,12))) AS DOUBLE)
+         / COUNT(*) AS reliability,
+       CAST(SUM(CAST((yb - t.ybar) * (yb - t.ybar) AS DECIMAL(28,12)))
+            AS DOUBLE) / COUNT(*) AS resolution,
+       t.ybar * (1.0 - t.ybar) AS uncertainty,
+       CAST(SUM(CAST((p - pb) * (p - pb) AS DECIMAL(28,12))) AS DOUBLE)
+         / COUNT(*) AS within_bin_var
+FROM w CROSS JOIN ybar_t t
+GROUP BY t.ybar
+""",
+)
+def quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition — the proper-scoring-
+    rule evaluation of the classifier-as-probability:
+    Brier = REL − RES + UNC + within-bin variance, where reliability
+    (how far each bin's mean prediction sits from its observed rate) is
+    what quality_classifier_calibration draws, resolution rewards bins
+    that separate outcomes, uncertainty is the data's irreducible
+    ȳ(1−ȳ), and the within-bin variance term closes the identity
+    EXACTLY when it isn't silently dropped (the unit test asserts the
+    identity to 1e-9). AUC (quality_classifier_auc) measures ranking;
+    Brier measures probability accuracy — a scorer can ace one and
+    fail the other.
+
+    Every per-bin component is summed at ROW grain (Σ_rows (p̄_b−ȳ_b)²
+    ≡ Σ_bins n_b(p̄_b−ȳ_b)²), so bin means via one window + ONE fused
+    aggregate produce all five sums — no per-component job fan-out (a
+    first draft with separate bin/total/wbv consumers cost 4× the
+    jobs). Squared terms are fixed-order IEEE ops quantized to
+    DECIMAL(28,12) before summing; ȳ comes from one tiny first pass.
+
+    Scale shape: one scan for ȳ, one scan + decile window + fused agg
+    for everything else. At 100 TB: two linear passes, grid math after.
+    """
+    ensure_session_conf(spark)
+    s = _hash_doc_scores(spark, sf_dir)
+    ext = s.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    ybar_t = s.agg(
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ybar")
+    )
+    p = F.when(F.col("mx") == F.col("mn"), F.lit(0.5)).otherwise(
+        (F.col("score") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    )
+    pred = s.crossJoin(F.broadcast(ext)).select(
+        p.alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.ntile(10).over(Window.orderBy("score", "doc_id")).alias("b"),
+    )
+    wb = Window.partitionBy("b")
+    w = pred.select(
+        "p",
+        "y",
+        (
+            F.sum(F.col("p").cast("decimal(28,12)")).over(wb).cast("double")
+            / F.count(F.lit(1)).over(wb)
+        ).alias("pb"),
+        (
+            F.sum("y").over(wb).cast("double")
+            / F.count(F.lit(1)).over(wb)
+        ).alias("yb"),
+    )
+    sq = lambda a, b: ((a - b) * (a - b)).cast("decimal(28,12)")  # noqa: E731
+    return (
+        w.crossJoin(F.broadcast(ybar_t))
+        .groupBy("ybar")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum(sq(F.col("p"), F.col("y"))).cast("double") / F.count(F.lit(1))).alias("brier"),
+            (F.sum(sq(F.col("pb"), F.col("yb"))).cast("double") / F.count(F.lit(1))).alias("reliability"),
+            (F.sum(sq(F.col("yb"), F.col("ybar"))).cast("double") / F.count(F.lit(1))).alias("resolution"),
+            (F.sum(sq(F.col("p"), F.col("pb"))).cast("double") / F.count(F.lit(1))).alias("within_bin_var"),
+        )
+        .select(
+            "n",
+            "brier",
+            "reliability",
+            "resolution",
+            (F.col("ybar") * (F.lit(1.0) - F.col("ybar"))).alias("uncertainty"),
+            "within_bin_var",
+        )
+    )

@@ -171,6 +171,7 @@ _PRIORITY = (
     "parts_abc_classification",
     "stream_daily_active_entities",
     "corpus_collocations_llr",
+    "quality_brier_decomposition",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",
