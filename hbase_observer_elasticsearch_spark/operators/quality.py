@@ -1893,23 +1893,29 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
             AS DOUBLE) / COUNT(*) AS resolution,
        t.ybar * (1.0 - t.ybar) AS uncertainty,
        CAST(SUM(CAST((p - pb) * (p - pb) AS DECIMAL(28,12))) AS DOUBLE)
-         / COUNT(*) AS within_bin_var
+         / COUNT(*) AS within_bin_var,
+       CAST(SUM(CAST((p - pb) * (y - yb) AS DECIMAL(28,12))) AS DOUBLE)
+         / COUNT(*) AS within_bin_cov
 FROM w CROSS JOIN ybar_t t
 GROUP BY t.ybar
 """,
 )
 def quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brier score with the Murphy decomposition — the proper-scoring-
-    rule evaluation of the classifier-as-probability:
-    Brier = REL − RES + UNC + within-bin variance, where reliability
-    (how far each bin's mean prediction sits from its observed rate) is
-    what quality_classifier_calibration draws, resolution rewards bins
-    that separate outcomes, uncertainty is the data's irreducible
-    ȳ(1−ȳ), and the within-bin variance term closes the identity
-    EXACTLY when it isn't silently dropped (the unit test asserts the
-    identity to 1e-9). AUC (quality_classifier_auc) measures ranking;
-    Brier measures probability accuracy — a scorer can ace one and
-    fail the other.
+    """Brier score with the (generalized) Murphy decomposition — the
+    proper-scoring-rule evaluation of the classifier-as-probability:
+    Brier = REL − RES + UNC + within-bin variance − 2·within-bin
+    covariance of (p, y). Reliability (how far each bin's mean
+    prediction sits from its observed rate) is what
+    quality_classifier_calibration draws, resolution rewards bins that
+    separate outcomes, uncertainty is the data's irreducible ȳ(1−ȳ),
+    and the two within-bin terms close the identity EXACTLY — the
+    covariance term is the one the textbook statement silently assumes
+    to be zero (it is, when every bin holds a single predicted value;
+    on general data it is O(1e-3) and dropping it breaks the identity
+    — r9 ADVICE). The unit test plants correlated (p, y) and asserts
+    the six-term identity to 1e-9. AUC (quality_classifier_auc)
+    measures ranking; Brier measures probability accuracy — a scorer
+    can ace one and fail the other.
 
     Every per-bin component is summed at ROW grain (Σ_rows (p̄_b−ȳ_b)²
     ≡ Σ_bins n_b(p̄_b−ȳ_b)²), so bin means via one window + ONE fused
@@ -1961,6 +1967,14 @@ def quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(sq(F.col("pb"), F.col("yb"))).cast("double") / F.count(F.lit(1))).alias("reliability"),
             (F.sum(sq(F.col("yb"), F.col("ybar"))).cast("double") / F.count(F.lit(1))).alias("resolution"),
             (F.sum(sq(F.col("p"), F.col("pb"))).cast("double") / F.count(F.lit(1))).alias("within_bin_var"),
+            (
+                F.sum(
+                    (
+                        (F.col("p") - F.col("pb")) * (F.col("y") - F.col("yb"))
+                    ).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("within_bin_cov"),
         )
         .select(
             "n",
@@ -1969,5 +1983,6 @@ def quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resolution",
             (F.col("ybar") * (F.lit(1.0) - F.col("ybar"))).alias("uncertainty"),
             "within_bin_var",
+            "within_bin_cov",
         )
     )

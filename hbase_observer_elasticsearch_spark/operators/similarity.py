@@ -3307,7 +3307,11 @@ def similarity_pca_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     At 100 TB: the explode+self-join is the textbook distributed Gram
     matrix (dim² accumulators, map-side partials); power steps touch
     only dim-sized state. dim, not n, bounds everything downstream of
-    the one Gram pass.
+    the one Gram pass. Lineage discipline (r9 verdict fix): cov, nn and
+    every power-step vector are localCheckpoint()ed and v0 is a pure
+    literal range, so the FINAL plan contains zero parquet scans — the
+    corpus is read exactly once, inside the cov build (was 49 re-scans
+    when v's lineage rooted in mu).
     """
     ensure_session_conf(spark)
     from ..catalog import spread
@@ -3322,7 +3326,7 @@ def similarity_pca_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("vec_id", (F.col("pos") + 1).alias("i"), "xi")
     nn = flat.agg(
         F.countDistinct("vec_id").cast("double").alias("n")
-    )
+    ).localCheckpoint()  # 1 row; consumed by mu, cov, and the final select
     mu = (
         flat.groupBy("i")
         .agg(d12(F.col("xi")).alias("sx"))
@@ -3364,19 +3368,27 @@ def similarity_pca_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .localCheckpoint()  # dim² rows; reused by 3 power steps + λ + trace
     )
-    v = mu.select("i", F.lit(0.125).alias("v")).select(
-        F.col("i").alias("j"), "v"
+    # v0 is the uniform unit vector over coordinates 1..dim — a pure
+    # literal (spark.range), NOT a projection of mu: the init needs no
+    # data, and rooting it in mu would drag the full parquet-scan lineage
+    # into every unrolled step (the r9 49-scan plan defect). Each step's
+    # v is localCheckpoint()ed (64 rows) so λ / top-coord / the next step
+    # re-derive nothing beyond the cov checkpoint.
+    v = spark.range(1, EMB_DIM + 1).select(
+        F.col("id").alias("j"), F.lit(0.125).alias("v")
     )
     for _ in range(PCA_ITERS):
         w = (
             cov.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(d12(F.col("c") * F.col("v")).alias("w"))
+            .localCheckpoint()  # dim rows; consumed twice (norm + scale)
         )
         nrm = w.agg(F.sqrt(d12(F.col("w") * F.col("w"))).alias("nm"))
         v = (
             w.crossJoin(F.broadcast(nrm))
             .select(F.col("i").alias("j"), (F.col("w") / F.col("nm")).alias("v"))
+            .localCheckpoint()  # dim rows
         )
     va = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
     vb = v.select("j", F.col("v").alias("vj"))

@@ -2414,6 +2414,7 @@ SELECT event_type, n,
          / (CAST(n * sxx - sx * sx AS DOUBLE)
             * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS r2
 FROM m
+WHERE n >= 2 AND n * sxx - sx * sx <> 0
 """,
 )
 def events_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2435,6 +2436,11 @@ def events_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid. At 100 TB the regression costs one scan + two tiny shuffles.
     At larger day ranges the cents grain keeps Σxy under 2^63 far past
     millennia of data; Σy² carries the one wide accumulator.
+
+    Degenerate series (a type seen on a single day, or any zero x
+    variance) are excluded by an explicit n ≥ 2 AND den_x ≠ 0 filter in
+    BOTH dialects — a slope is undefined there, and the engines'
+    division-by-zero conventions differ (Spark NULL vs DuckDB inf).
     """
     ensure_session_conf(spark)
     ev = load_table(spark, sf_dir, "events")
@@ -2460,6 +2466,14 @@ def events_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    # degenerate-series guard (r9 ADVICE): a single-day series has
+    # den_x = 0, where Spark's non-ANSI Divide yields NULL but DuckDB's
+    # IEEE float division yields inf/nan — filter such series out
+    # EXPLICITLY in both dialects so behavior matches by construction.
+    m = m.filter(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
@@ -2991,13 +3005,18 @@ def events_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure hash-agg work (or one, fusing the analyses on a wider CASE).
     """
     ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    # anchor MIN day over the FILTERED frame — the oracle's MIN(...) OVER ()
+    # runs after WHERE event_type IN ('click','view'), so anchoring on the
+    # unfiltered table would shift every day index whenever the corpus's
+    # earliest day has no click/view event (r9 ADVICE).
     mn = ev.agg(
         F.min(F.date_trunc("day", "ts")).alias("min_day")
     )
     d = (
-        ev.filter(F.col("event_type").isin("click", "view"))
-        .crossJoin(F.broadcast(mn))
+        ev.crossJoin(F.broadcast(mn))
         .select(
             (F.col("event_type") == "click").alias("treated"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),

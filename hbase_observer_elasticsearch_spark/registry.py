@@ -93,11 +93,38 @@ def _load() -> None:
 # in the SAME commit. A query's newest official row must always postdate
 # the code it attests.
 _PRIORITY = (
-    # --- r9 window (the driver checks a ~50-entry prefix) ---
-    # Leads: the 15 r8h queries that sat at positions 51+ of the r8 window
-    # (never officially attested), then search_quality_scorecard, whose
-    # oracle was refactored onto the shared _SQL_SYSTEMS CTE chain after
-    # its r8 row was recorded.
+    # --- r10 window (the driver checks a ~50-entry prefix) ---
+    # Leads: the 16 late-r9 queries that sat at positions 51+ of the r9
+    # window (never officially attested; judge-verified green in r9,
+    # builder rows in CORRECTNESS_FULL_r09.json).
+    "cdc_version_gc_policy",
+    "basket_apriori_triples",
+    "sample_permutation_test",
+    "events_funnel_time_stats",
+    "events_uplift_did",
+    "quality_classifier_auc",
+    "events_attribution_position",
+    "layout_dynamic_partition_pruning",
+    "profile_chi2_independence",
+    "events_forecast_backtest",
+    "quality_ipw_adjusted_diff",
+    "orders_cohort_ltv",
+    "parts_abc_classification",
+    "stream_daily_active_entities",
+    "corpus_collocations_llr",
+    "quality_brier_decomposition",
+    # --- changed in r10 (ADVICE fixes + plan fixes; re-attest per the
+    # hygiene rule: events_uplift_did anchor-from-filtered-frame,
+    # quality_brier_decomposition covariance term, events_ols_trend_daily
+    # degenerate-series guard, similarity_pca_collapse_audit power-step
+    # checkpoints; the first three also lead above / below) ---
+    "events_ols_trend_daily",
+    "similarity_pca_collapse_audit",
+    # --- new in r10 ---
+    # (names prepended here as they land, per the hygiene rule above)
+    "join_range_skew_salted",
+    "sink_bulk_failure_replay",
+    # --- r9 window (official r9 rows; kept for stable ordering) ---
     "search_quality_ndcg",
     "corpus_bigram_pmi",
     "text_readability_score",
@@ -153,25 +180,6 @@ _PRIORITY = (
     "layout_partition_pruning_sim",
     "events_sprt_monitor",
     "sketch_hll_audience_overlap",
-    # --- new late in r9, positions 51+ (the r9 window above is exactly
-    # 50): these five MUST LEAD THE r10 WINDOW for official attestation;
-    # until then their checks live in CORRECTNESS_FULL_r09.json ---
-    "cdc_version_gc_policy",
-    "basket_apriori_triples",
-    "sample_permutation_test",
-    "events_funnel_time_stats",
-    "events_uplift_did",
-    "quality_classifier_auc",
-    "events_attribution_position",
-    "layout_dynamic_partition_pruning",
-    "profile_chi2_independence",
-    "events_forecast_backtest",
-    "quality_ipw_adjusted_diff",
-    "orders_cohort_ltv",
-    "parts_abc_classification",
-    "stream_daily_active_entities",
-    "corpus_collocations_llr",
-    "quality_brier_decomposition",
     # --- r8 window tail (official r8 rows; kept for stable ordering) ---
     "corpus_bigram_familiarity",
     "search_prf_expansion",
