@@ -1015,3 +1015,116 @@ def cdc_version_gc_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(kept_ms).alias("kept_min_ms"),
         F.max(kept_ms).alias("kept_max_ms"),
     )
+
+
+@register(
+    "sink_bulk_failure_replay",
+    oracle="""
+WITH cf AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS rowkey,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+           AS qualifier
+  FROM events
+),
+d AS (
+  SELECT rowkey, CAST(MAX(seq) AS BIGINT) AS del_seq
+  FROM cf WHERE op = 'delete' GROUP BY rowkey
+),
+live AS (
+  SELECT p.rowkey, p.qualifier, p.seq
+  FROM cf p LEFT JOIN d ON p.rowkey = d.rowkey
+  WHERE p.op = 'put' AND (d.del_seq IS NULL OR p.seq > d.del_seq)
+)
+SELECT rowkey, qualifier, CAST(MAX(seq) AS BIGINT) AS last_seq
+FROM live
+GROUP BY rowkey, qualifier
+""",
+)
+def sink_bulk_failure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES sink's FAILURE modes, end-to-end, converging to the clean
+    final state (r9 verdict directive #5). The events changefeed is
+    flushed as 3 seq-range epoch bulks through a fault-injecting `_bulk`
+    endpoint that delivers the reference's three distinguishing failure
+    behaviors: per-item 429 rejections on first delivery (retried, the
+    variant-C semantics — README_zh.md:305-312; variants A/B drop them,
+    observer6/ElasticSearchBulkOperator.java:85-90, which is exactly the
+    data loss this design rejects), one connection-refused transport
+    fault (whole-bulk requeue, :91-98), and one LOST RESPONSE — the bulk
+    applies server-side but the client must blind-replay it. The retry
+    client (sinks/bulk_replay.post_bulk_with_retry) converges because
+    every epoch body follows the one-action-per-_id rule: "delete then
+    surviving puts" for a key is FUSED into one full-document `index`
+    action, so items commute and replays are absorbed.
+
+    The oracle restates the converged endpoint state as plain SQL over
+    the whole feed: per rowkey, puts strictly after the last delete,
+    latest per qualifier — epoch boundaries, rejections, requeues and
+    the double-applied bulk all provably invisible. Doc values carry
+    the winning mutation's seq (not the value string) so the compare is
+    float-format-free and uniquely identifies the winner, the
+    sink_merge_idempotent_epochs convention.
+
+    Scale shape: each epoch compaction is one seq-range-pruned scan +
+    one hash shuffle on rowkey; the driver-side collect ships only the
+    compacted NDJSON lines (O(live keys), not O(mutations)) because
+    this sandbox's endpoint lives in driver memory — a cluster
+    deployment POSTs per partition inside foreachPartition with the
+    same retry loop, state never centralizing.
+    """
+    ensure_session_conf(spark)
+    from ..sinks.bulk_replay import (
+        FaultInjectingBulkEndpoint,
+        epoch_bulk_lines,
+        post_bulk_with_retry,
+    )
+    from ..sources.changefeed import events_as_changefeed
+
+    # doc values carry the winning put's seq; application order for this
+    # feed is seq order (arrival order), so compaction orders by seq only
+    cf = events_as_changefeed(load_table(spark, sf_dir, "events")).select(
+        "seq",
+        "op",
+        "rowkey",
+        "qualifier",
+        F.col("seq").cast("string").alias("value"),
+    )
+    lo, hi = cf.agg(F.min("seq"), F.max("seq")).first()
+    n_epochs = 3
+    span = (hi - lo + n_epochs) // n_epochs
+    ranges = [
+        (lo + i * span, min(lo + (i + 1) * span - 1, hi))
+        for i in range(n_epochs)
+    ]
+
+    # fault schedule (deterministic): the FIRST post is connection-
+    # refused before applying; epoch 1's first successful-apply post
+    # loses its response (blind whole-bulk replay); ~1/4 of the _ids
+    # reject with 429 on their first delivery.
+    endpoint = FaultInjectingBulkEndpoint(
+        item_fail_mod=4, drop_request_before=frozenset({0})
+    )
+    n_keys = 0
+    for i, (e_lo, e_hi) in enumerate(ranges):
+        ep = cf.filter((F.col("seq") >= e_lo) & (F.col("seq") <= e_hi))
+        lines = epoch_bulk_lines(
+            ep, order_cols=("seq",), del_order_cols=("seq",)
+        )
+        if i == 1:
+            endpoint.arm_drop_response_next()
+        post_bulk_with_retry(endpoint, lines)
+        n_keys = max(n_keys, len(lines))
+    # loud failure if the injection machinery silently did nothing
+    assert endpoint.n_transport_faults == 2, endpoint.n_transport_faults
+    if n_keys >= 40:
+        assert endpoint.n_item_rejections > 0
+
+    out_rows = [
+        (rowkey, qual, int(seq_str))
+        for rowkey, doc in endpoint.docs.items()
+        for qual, seq_str in doc.items()
+    ]
+    return spark.createDataFrame(
+        out_rows, "rowkey string, qualifier string, last_seq bigint"
+    )

@@ -49,6 +49,28 @@ def doc_line(doc: Column) -> Column:
     )
 
 
+def index_action_line(
+    rowkey: Column, index: str, doc_type: str = "_doc"
+) -> Column:
+    """`{"index": {"_index": ..., "_type": ..., "_id": ...}}` — the
+    full-document-replace action. Used where a flush fuses "delete then
+    re-insert surviving cells" for one _id into a single commutative
+    action (sinks/bulk_replay.py one-action-per-id rule)."""
+    meta = F.to_json(
+        F.struct(
+            F.lit(index).alias("_index"),
+            F.lit(doc_type).alias("_type"),
+            rowkey.alias("_id"),
+        )
+    )
+    return F.concat(F.lit('{"index":'), meta, F.lit("}"))
+
+
+def index_doc_line(doc: Column) -> Column:
+    """The raw full-document body following an `index` action line."""
+    return F.to_json(doc)
+
+
 def bulk_lines(
     state: DataFrame, index: str, doc_type: str = "_doc"
 ) -> DataFrame:
