@@ -769,3 +769,133 @@ def cdc_live_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("maintained_ok"),
     )
+
+
+# Binned range join under planted skew (r9 verdict directive #8): the
+# telemetry shape that kills naive plans at 100 TB — "which events fall
+# inside each incident window" where one window covers the WHOLE range.
+RANGE_BIN_SEC = 1800  # 30-minute bins = the incident-window length
+RANGE_N_SALT = 8  # replicate interval-bins x salts; points pick one salt
+
+
+@register(
+    "join_range_skew_salted",
+    oracle=f"""
+WITH sec AS (
+  SELECT event_id, user_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS s
+  FROM events
+),
+iv AS (
+  SELECT event_id AS window_id, s AS s0, s + {RANGE_BIN_SEC} AS s1
+  FROM sec WHERE event_type = 'error'
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), MIN(s), MAX(s) + 1 FROM sec
+),
+p AS (SELECT event_id, user_id, s FROM sec WHERE event_type <> 'error')
+SELECT iv.window_id,
+       CAST(((iv.s1 - 1) // {RANGE_BIN_SEC}) - (iv.s0 // {RANGE_BIN_SEC})
+            + 1 AS BIGINT) AS n_bins,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+FROM iv JOIN p ON p.s >= iv.s0 AND p.s < iv.s1
+GROUP BY iv.window_id, iv.s0, iv.s1
+""",
+)
+def join_range_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-point RANGE join under planted skew, executed as a
+    binned + salted equi-join — the 100 TB telemetry-join pattern.
+
+    Semantics: every 'error' event opens a 30-minute incident window;
+    one PLANTED whole-corpus window (window_id = -1, covering the full
+    time range) is the hot interval — a naive range join puts the
+    entire fact table on that single interval's reducer (and without
+    any equi key Spark can only BNL/cartesian the join). The rewrite:
+
+    1. BIN: each interval explodes into the 30-min bins it overlaps
+       (`sequence(s0 div B, (s1-1) div B)`), each point maps to exactly
+       ONE bin — so a (point, interval) candidate pair meets in exactly
+       one bin and needs no dedup. The hot whole-range interval's
+       explosion IS its mitigation: its matches spread over all ~1440
+       bins instead of one reducer.
+    2. SALT: interval-bin rows replicate x{RANGE_N_SALT}; each point
+       picks salt = event_id % {RANGE_N_SALT} — so a hot BIN (a burst
+       of points in one 30-min slice) also spreads x{RANGE_N_SALT}.
+       Same replicated-dimension salt as join_salted_skew, composed
+       with the binning.
+    3. RESIDUAL: the exact `s0 <= p < s1` predicate filters bin-level
+       false candidates after the equi-join.
+
+    The bin fan-out is AUDITED in the output (`n_bins` per window: 1-2
+    for real incidents, ~1440 for the planted one), so the rehearsal
+    can price the replication exactly: interval-bin rows =
+    sum(n_bins) x {RANGE_N_SALT}, and candidate pair mass stays
+    sum over points of overlapping windows — never |points| x |windows|.
+    The oracle states the same join declaratively (DuckDB plans it as
+    an IEJoin — the engines take entirely different physical routes to
+    the same multiset).
+
+    At 100 TB: bin width = interval length keeps fan-out <= 2 per real
+    interval; known whole-range intervals belong out of the join (they
+    aggregate EVERYTHING — compute them as a plain agg); this query
+    keeps one in deliberately to prove the plan survives the mistake.
+    """
+    ensure_session_conf(spark)
+    B = RANGE_BIN_SEC
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("timestampdiff(SECOND, TIMESTAMP'1970-01-01', ts)").alias(
+            "s"
+        ),
+    )
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("s").alias("s0"),
+            (F.col("s") + B).alias("s1"),
+        )
+        .unionByName(
+            ev.agg(
+                F.min("s").alias("s0"), (F.max("s") + 1).alias("s1")
+            ).select(
+                F.lit(-1).cast("bigint").alias("window_id"), "s0", "s1"
+            )
+        )
+    )
+    ibins = iv.select(
+        "window_id",
+        "s0",
+        "s1",
+        F.explode(
+            F.sequence(
+                F.expr(f"s0 div {B}"), F.expr(f"(s1 - 1) div {B}")
+            )
+        ).alias("bin"),
+    )
+    isalted = ibins.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(RANGE_N_SALT - 1)))
+    )
+    pts = ev.filter(F.col("event_type") != "error").select(
+        "event_id",
+        "user_id",
+        F.col("s").alias("p"),
+        F.expr(f"s div {B}").alias("bin"),
+        (F.col("event_id") % RANGE_N_SALT).cast("int").alias("salt"),
+    )
+    cand = pts.join(isalted, ["bin", "salt"]).filter(
+        (F.col("p") >= F.col("s0")) & (F.col("p") < F.col("s1"))
+    )
+    return cand.groupBy("window_id", "s0", "s1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    ).select(
+        "window_id",
+        (
+            F.expr(f"(s1 - 1) div {B}") - F.expr(f"s0 div {B}") + 1
+        ).cast("bigint").alias("n_bins"),
+        "n_points",
+        "n_users",
+    )
