@@ -18,7 +18,7 @@ streaming family drains the three put-delete interval joins over 1x vs
 10x HISTORY (same rate) recording max state-store rows — the empirical
 check of the O(rate x (horizon + within)) state bound.
 
-Writes SCALE_r9.json at the repo root (r8: + semdedup k-scaling section). Usage:
+Writes SCALE_r10.json at the repo root. Usage:
     python tools/gen_scale10.py   # once
     python tools/scale_rehearsal.py
 """
@@ -583,7 +583,13 @@ def main() -> None:
             "(~109x pair mass / ~8x pair wall at 10x)."
         ),
     }
-    with open(os.path.join(REPO, "SCALE_r9.json"), "w") as f:
+    # r10: embed the 100x spot rehearsal (tools/scale100_spot.py) so the
+    # committed artifact carries both decades of scaling evidence.
+    spot = os.path.join(REPO, "SCALE100_SPOT.json")
+    if os.path.exists(spot):
+        with open(spot) as f:
+            result["hundred_x"] = json.load(f)
+    with open(os.path.join(REPO, "SCALE_r10.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k not in ("one_x", "ten_x")}, indent=1))
 
