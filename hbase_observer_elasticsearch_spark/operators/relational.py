@@ -2045,3 +2045,350 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+# --- Fellegi–Sunter probabilistic record linkage (r10) -----------------------
+# Classic large-scale entity resolution (Fellegi & Sunter 1969): blocked
+# candidate pairs, per-field agreement vector, log-odds match weights,
+# three-band decision. Weights are frozen as exact INTEGER micro-units
+# (the events_sprt_monitor discipline) so both engines accumulate
+# identical BIGINTs and divide once at the end.
+import math as _math
+
+_FS_M = (0.95, 0.90, 0.85)  # P(field agrees | true match)
+_FS_U = (0.10, 0.05, 0.20)  # P(field agrees | non-match)
+_FS_AW = tuple(round(_math.log2(m / u) * 1e6) for m, u in zip(_FS_M, _FS_U))
+_FS_DW = tuple(
+    round(_math.log2((1 - m) / (1 - u)) * 1e6) for m, u in zip(_FS_M, _FS_U)
+)
+_FS_UPPER = 3_000_000  # score ≥ upper  -> match
+_FS_LOWER = -6_000_000  # score ≤ lower -> non_match
+
+
+@register(
+    "join_record_linkage_fs",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         FLOOR(CAST(round(c_acctbal * 100) AS BIGINT) / 50000.0) AS band,
+         CAST(round(c_acctbal * 100) AS BIGINT) % 100 AS cents2,
+         CAST(right(c_name, 9) AS BIGINT) % 97 AS keyf
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, s_nationkey,
+         FLOOR(CAST(round(s_acctbal * 100) AS BIGINT) / 50000.0) AS band,
+         CAST(round(s_acctbal * 100) AS BIGINT) % 100 AS cents2,
+         CAST(right(s_name, 9) AS BIGINT) % 97 AS keyf
+  FROM supplier
+),
+p AS (
+  SELECT c_custkey, s_suppkey,
+         (CASE WHEN c.band = s.band
+               THEN {_FS_AW[0]} ELSE {_FS_DW[0]} END
+          + CASE WHEN c.cents2 = s.cents2
+                 THEN {_FS_AW[1]} ELSE {_FS_DW[1]} END
+          + CASE WHEN c.keyf = s.keyf
+                 THEN {_FS_AW[2]} ELSE {_FS_DW[2]} END) AS score_micro
+  FROM c JOIN s ON c.c_nationkey = s.s_nationkey
+)
+SELECT CASE WHEN score_micro >= {_FS_UPPER} THEN 'match'
+            WHEN score_micro <= {_FS_LOWER} THEN 'non_match'
+            ELSE 'possible' END AS decision,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(SUM(score_micro) AS BIGINT) AS sum_score_micro,
+       (CAST(SUM(score_micro) AS DOUBLE) / COUNT(*)) / 1000000.0
+         AS avg_score
+FROM p
+GROUP BY 1
+""",
+)
+def join_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage: customers × suppliers
+    blocked on nation, scored by a 3-field agreement vector (account-
+    balance 500-unit band, balance cents mod 100, name-key mod 97 — the
+    slim fixture's stand-ins for the name/address/phone comparators a
+    real party-matching pipeline uses), each field contributing
+    log2(m/u) on agreement and log2((1−m)/(1−u)) on disagreement, with
+    the classic three-band decision (match / possible / non_match).
+    m/u here are FIXED assumed rates; production systems estimate them
+    by EM over the agreement-pattern counts — which would be one extra
+    groupBy over the same pair frame.
+
+    Determinism: weights are exact integer micro-units; a pair's score
+    is a 3-way sum of constants; band/cents/key fields are exact
+    integer arithmetic (FLOOR over an exact-cents double division —
+    same IEEE op both engines).
+
+    Scale shape: blocking IS the scalability contract — candidate pairs
+    are Σ_block |C_b|×|S_b| (598,990 at sf0.1, audited), never
+    |C|×|S|; the block key join is one hash shuffle each side, scoring
+    is map-side expression work, and the decision aggregate is a
+    3-group hash agg. At 100 TB: salt hot blocks (join_salted_skew) or
+    sub-block on the coarsest comparator band; the EM weight-estimation
+    loop reuses the same pair frame with agreement-pattern groupBys.
+    """
+    ensure_session_conf(spark)
+    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+
+    def fields(df, key, nation, bal, name):
+        return df.select(
+            F.col(key),
+            F.col(nation).alias("nk"),
+            F.floor(cents(bal) / F.lit(50000.0)).alias("band"),
+            (cents(bal) % 100).alias("cents2"),
+            (F.substring(F.col(name), -9, 9).cast("long") % 97).alias(
+                "keyf"
+            ),
+        )
+
+    c = fields(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey", "c_nationkey", "c_acctbal", "c_name",
+    )
+    s = fields(
+        load_table(spark, sf_dir, "supplier"),
+        "s_suppkey", "s_nationkey", "s_acctbal", "s_name",
+    ).withColumnsRenamed({"band": "sband", "cents2": "scents2", "keyf": "skeyf"})
+
+    def w(agree: F.Column, i: int) -> F.Column:
+        return F.when(agree, F.lit(_FS_AW[i])).otherwise(F.lit(_FS_DW[i]))
+
+    p = c.join(s, "nk").select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            w(F.col("band") == F.col("sband"), 0)
+            + w(F.col("cents2") == F.col("scents2"), 1)
+            + w(F.col("keyf") == F.col("skeyf"), 2)
+        ).alias("score_micro"),
+    )
+    decision = (
+        F.when(F.col("score_micro") >= _FS_UPPER, "match")
+        .when(F.col("score_micro") <= _FS_LOWER, "non_match")
+        .otherwise("possible")
+    )
+    return p.groupBy(decision.alias("decision")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+        F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+        F.sum("score_micro").cast("bigint").alias("sum_score_micro"),
+        (
+            (
+                F.sum("score_micro").cast("double")
+                / F.count(F.lit(1))
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_score"),
+    )
+
+
+# EM estimation of the FS parameters from the agreement-pattern counts —
+# unrolled to a fixed iteration count in BOTH dialects (the Lloyd-kmeans
+# precedent: same init, same left-assoc product order, decimal-quantized
+# order-free sums => bit-identical doubles).
+_EM_ITERS = 2
+_EM_P0 = 0.05
+_EM_M0 = (0.90, 0.80, 0.80)
+_EM_U0 = (0.20, 0.10, 0.30)
+
+
+def _em_oracle() -> str:
+    d12 = "DECIMAL(28,12)"
+
+    def estep(params: str, out: str) -> str:
+        t = " * ".join(
+            f"(CASE WHEN g{i} = 1 THEN q.m{i} ELSE 1.0 - q.m{i} END)"
+            for i in (1, 2, 3)
+        )
+        r = " * ".join(
+            f"(CASE WHEN g{i} = 1 THEN q.u{i} ELSE 1.0 - q.u{i} END)"
+            for i in (1, 2, 3)
+        )
+        return (
+            f"{out} AS (SELECT g1, g2, g3, n,\n"
+            f"  ((q.p * {t})) AS a, (((1.0 - q.p) * {r})) AS b\n"
+            f"  FROM pat CROSS JOIN {params} q)"
+        )
+
+    def mstep(est: str, out: str) -> str:
+        sw = f"CAST(SUM(CAST(n * (a / (a + b)) AS {d12})) AS DOUBLE)"
+        snw = (
+            f"CAST(SUM(CAST(n * (1.0 - (a / (a + b))) AS {d12})) AS DOUBLE)"
+        )
+        cols = [f"{sw} / CAST(SUM(n) AS DOUBLE) AS p"]
+        for i in (1, 2, 3):
+            swg = (
+                f"CAST(SUM(CAST((n * (a / (a + b))) * g{i} AS {d12}))"
+                f" AS DOUBLE)"
+            )
+            snwg = (
+                f"CAST(SUM(CAST((n * (1.0 - (a / (a + b)))) * g{i}"
+                f" AS {d12})) AS DOUBLE)"
+            )
+            cols.append(f"{swg} / {sw} AS m{i}")
+            cols.append(f"{snwg} / {snw} AS u{i}")
+        return f"{out} AS (SELECT {', '.join(cols)} FROM {est})"
+
+    chain = [
+        "params0 AS (SELECT "
+        + ", ".join(
+            [f"CAST({_EM_P0} AS DOUBLE) AS p"]
+            + [f"CAST({m} AS DOUBLE) AS m{i+1}" for i, m in enumerate(_EM_M0)]
+            + [f"CAST({u} AS DOUBLE) AS u{i+1}" for i, u in enumerate(_EM_U0)]
+        )
+        + ")"
+    ]
+    for t in range(_EM_ITERS):
+        chain.append(estep(f"params{t}", f"e{t + 1}"))
+        chain.append(mstep(f"e{t + 1}", f"params{t + 1}"))
+    chain.append(estep(f"params{_EM_ITERS}", "efin"))
+    return (
+        """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         FLOOR(CAST(round(c_acctbal * 100) AS BIGINT) / 50000.0) AS band,
+         CAST(round(c_acctbal * 100) AS BIGINT) % 100 AS cents2,
+         CAST(right(c_name, 9) AS BIGINT) % 97 AS keyf
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, s_nationkey,
+         FLOOR(CAST(round(s_acctbal * 100) AS BIGINT) / 50000.0) AS band,
+         CAST(round(s_acctbal * 100) AS BIGINT) % 100 AS cents2,
+         CAST(right(s_name, 9) AS BIGINT) % 97 AS keyf
+  FROM supplier
+),
+pat AS (
+  SELECT CASE WHEN c.band = s.band THEN 1 ELSE 0 END AS g1,
+         CASE WHEN c.cents2 = s.cents2 THEN 1 ELSE 0 END AS g2,
+         CASE WHEN c.keyf = s.keyf THEN 1 ELSE 0 END AS g3,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c JOIN s ON c.c_nationkey = s.s_nationkey
+  GROUP BY 1, 2, 3
+),
+"""
+        + ",\n".join(chain)
+        + """
+SELECT CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
+       CAST(g3 AS BIGINT) AS g3, n AS n_pairs,
+       a / (a + b) AS w_match
+FROM efin
+"""
+    )
+
+
+@register("join_record_linkage_em", oracle=_em_oracle())
+def join_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM estimation of the Fellegi–Sunter m/u parameters from the
+    blocked pairs' agreement-pattern counts — the production counterpart
+    of join_record_linkage_fs's assumed weights (Winkler's unsupervised
+    weight estimation): no labels needed, because the 2³ = 8 agreement
+    patterns' frequencies identify the two-class mixture.
+
+    {_EM_ITERS} EM iterations unrolled to a fixed plan in both dialects
+    (Lloyd-kmeans precedent): E-step joins the 8-row pattern table to
+    the 1-row parameter frame (posterior w_γ = p·Πm / (p·Πm + (1−p)·Πu),
+    left-assoc products); M-step re-estimates (p, m_i, u_i) with
+    decimal-quantized order-free sums over the 8 rows. Output: each
+    pattern's pair count and final match posterior.
+
+    Lineage discipline (the PCA-audit lesson, similarity.py): the
+    pattern table and every parameter step are localCheckpoint()ed
+    (≤ 8 rows / 1 row), so the blocked-pair scan runs EXACTLY once no
+    matter how many EM steps unroll on top.
+
+    Scale shape: everything after the one blocked-join groupBy is
+    constant-size (8 × params) — EM over billions of pairs costs one
+    pair pass + O(iters) driver-tiny algebra. At 100 TB the pattern
+    histogram is the only reduction of the pair stream.
+    """
+    ensure_session_conf(spark)
+    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+
+    def fields(df, key, nation, bal, name):
+        return df.select(
+            F.col(key),
+            F.col(nation).alias("nk"),
+            F.floor(cents(bal) / F.lit(50000.0)).alias("band"),
+            (cents(bal) % 100).alias("cents2"),
+            (F.substring(F.col(name), -9, 9).cast("long") % 97).alias(
+                "keyf"
+            ),
+        )
+
+    c = fields(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey", "c_nationkey", "c_acctbal", "c_name",
+    )
+    s = fields(
+        load_table(spark, sf_dir, "supplier"),
+        "s_suppkey", "s_nationkey", "s_acctbal", "s_name",
+    ).withColumnsRenamed({"band": "sband", "cents2": "scents2", "keyf": "skeyf"})
+    bit = lambda a, b: F.when(F.col(a) == F.col(b), 1).otherwise(0)  # noqa: E731
+    pat = (
+        c.join(s, "nk")
+        .select(
+            bit("band", "sband").alias("g1"),
+            bit("cents2", "scents2").alias("g2"),
+            bit("keyf", "skeyf").alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()  # <= 8 rows; the ONLY pair-scan consumer
+    )
+    params = spark.range(1).select(
+        F.lit(_EM_P0).alias("p"),
+        *[F.lit(m).alias(f"m{i+1}") for i, m in enumerate(_EM_M0)],
+        *[F.lit(u).alias(f"u{i+1}") for i, u in enumerate(_EM_U0)],
+    )
+    d12 = lambda c_: F.sum(c_.cast("decimal(28,12)")).cast("double")  # noqa: E731
+
+    def estep(par):
+        t = a = None
+        t = F.col("p")
+        for i in (1, 2, 3):
+            t = t * F.when(
+                F.col(f"g{i}") == 1, F.col(f"m{i}")
+            ).otherwise(F.lit(1.0) - F.col(f"m{i}"))
+        a = t
+        r = F.lit(1.0) - F.col("p")
+        for i in (1, 2, 3):
+            r = r * F.when(
+                F.col(f"g{i}") == 1, F.col(f"u{i}")
+            ).otherwise(F.lit(1.0) - F.col(f"u{i}"))
+        return pat.crossJoin(F.broadcast(par)).select(
+            "g1", "g2", "g3", "n", a.alias("a"), r.alias("b")
+        )
+
+    def mstep(e):
+        w = F.col("a") / (F.col("a") + F.col("b"))
+        sw = d12(F.col("n") * w)
+        snw = d12(F.col("n") * (F.lit(1.0) - w))
+        aggs = [
+            (sw / F.sum("n").cast("double")).alias("p"),
+        ]
+        for i in (1, 2, 3):
+            aggs.append(
+                (d12((F.col("n") * w) * F.col(f"g{i}")) / sw).alias(f"m{i}")
+            )
+            aggs.append(
+                (
+                    d12((F.col("n") * (F.lit(1.0) - w)) * F.col(f"g{i}"))
+                    / snw
+                ).alias(f"u{i}")
+            )
+        return e.agg(*aggs).localCheckpoint()  # 1 row per EM step
+
+    for _ in range(_EM_ITERS):
+        params = mstep(estep(params))
+    fin = estep(params)
+    return fin.select(
+        F.col("g1").cast("bigint").alias("g1"),
+        F.col("g2").cast("bigint").alias("g2"),
+        F.col("g3").cast("bigint").alias("g3"),
+        F.col("n").alias("n_pairs"),
+        (F.col("a") / (F.col("a") + F.col("b"))).alias("w_match"),
+    )

@@ -124,6 +124,8 @@ _PRIORITY = (
     # (names prepended here as they land, per the hygiene rule above)
     "join_range_skew_salted",
     "sink_bulk_failure_replay",
+    "join_record_linkage_fs",
+    "join_record_linkage_em",
     # --- r9 window (official r9 rows; kept for stable ordering) ---
     "search_quality_ndcg",
     "corpus_bigram_pmi",
