@@ -93,6 +93,13 @@ EVENT_QUERIES = [
     # windows run on the tiny grid at any scale
     "events_survival_km",
     "events_new_vs_returning",
+    # r10: binned+salted interval-point range join under the planted
+    # whole-range hot window. The 10x feed has NO 'error' rows, so only
+    # the planted whole-range window survives — the measurement isolates
+    # the hot-window path pure: 10x points must spread over the same
+    # ~1440 exploded bins (x8 salts), wall ~linear in points, never one
+    # reducer
+    "join_range_skew_salted",
 ]
 VEC_QUERIES = [
     "similarity_topk_bruteforce",
