@@ -2392,3 +2392,143 @@ def join_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         (F.col("a") / (F.col("a") + F.col("b"))).alias("w_match"),
     )
+
+
+@register(
+    "join_record_linkage_entities",
+    oracle=f"""
+WITH RECURSIVE c AS (
+  SELECT c_custkey, c_nationkey,
+         FLOOR(CAST(round(c_acctbal * 100) AS BIGINT) / 50000.0) AS band,
+         CAST(round(c_acctbal * 100) AS BIGINT) % 100 AS cents2,
+         CAST(right(c_name, 9) AS BIGINT) % 97 AS keyf
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, s_nationkey,
+         FLOOR(CAST(round(s_acctbal * 100) AS BIGINT) / 50000.0) AS band,
+         CAST(round(s_acctbal * 100) AS BIGINT) % 100 AS cents2,
+         CAST(right(s_name, 9) AS BIGINT) % 97 AS keyf
+  FROM supplier
+),
+m AS (
+  SELECT 2 * c_custkey AS a, 2 * s_suppkey + 1 AS b
+  FROM c JOIN s ON c.c_nationkey = s.s_nationkey
+  WHERE (CASE WHEN c.band = s.band
+              THEN {_FS_AW[0]} ELSE {_FS_DW[0]} END
+         + CASE WHEN c.cents2 = s.cents2
+                THEN {_FS_AW[1]} ELSE {_FS_DW[1]} END
+         + CASE WHEN c.keyf = s.keyf
+                THEN {_FS_AW[2]} ELSE {_FS_DW[2]} END) >= {_FS_UPPER}
+),
+nodes AS (
+  SELECT 2 * c_custkey AS id FROM c
+  UNION ALL
+  SELECT 2 * s_suppkey + 1 FROM s
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM m
+  UNION ALL
+  SELECT b AS src, a AS dst FROM m
+),
+reach AS (
+  SELECT id AS node, id AS r FROM nodes
+  UNION
+  SELECT e.src AS node, rc.r
+  FROM edges e JOIN reach rc ON rc.node = e.dst
+),
+lab AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+ent AS (
+  SELECT label,
+         COUNT(*) AS n_members,
+         SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS n_cust,
+         SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS n_supp
+  FROM lab GROUP BY label
+)
+SELECT CAST(n_members AS BIGINT) AS entity_size,
+       CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(SUM(n_cust) AS BIGINT) AS n_customers,
+       CAST(SUM(n_supp) AS BIGINT) AS n_suppliers
+FROM ent
+GROUP BY 1
+""",
+)
+def join_record_linkage_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity RESOLUTION on top of the pairwise linkage: the FS 'match'
+    pairs (join_record_linkage_fs's upper band) become edges of a
+    bipartite customer/supplier graph, connected components turn
+    pairwise matches into ENTITIES (a customer matched to two suppliers
+    collapses into one 3-member entity — the transitive step every
+    master-data pipeline needs after pairwise scoring), and the output
+    is the entity-size histogram with per-side membership totals
+    (singletons included: unmatched records are their own entity).
+
+    Node ids interleave the two key spaces (customer 2k, supplier 2k+1)
+    so one integer CC runs over both sides. Spark path: the same
+    alternating large-star/small-star `connected_components` the dedup
+    family uses (O(log d) rounds); oracle: DuckDB recursive transitive
+    closure + MIN over reachable ids — identical fixpoint.
+
+    Scale shape: match edges are a tiny filtered projection of the
+    blocked pair stream; CC state is one (id, label) row per record;
+    the histogram is a two-level hash agg. At 100 TB this is exactly
+    the dedup keep-list pipeline re-pointed at party data.
+    """
+    ensure_session_conf(spark)
+    from .dedup import connected_components
+
+    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+
+    def fields(df, key, nation, bal, name):
+        return df.select(
+            F.col(key),
+            F.col(nation).alias("nk"),
+            F.floor(cents(bal) / F.lit(50000.0)).alias("band"),
+            (cents(bal) % 100).alias("cents2"),
+            (F.substring(F.col(name), -9, 9).cast("long") % 97).alias(
+                "keyf"
+            ),
+        )
+
+    c = fields(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey", "c_nationkey", "c_acctbal", "c_name",
+    )
+    s = fields(
+        load_table(spark, sf_dir, "supplier"),
+        "s_suppkey", "s_nationkey", "s_acctbal", "s_name",
+    ).withColumnsRenamed({"band": "sband", "cents2": "scents2", "keyf": "skeyf"})
+
+    def w(agree: F.Column, i: int) -> F.Column:
+        return F.when(agree, F.lit(_FS_AW[i])).otherwise(F.lit(_FS_DW[i]))
+
+    score = (
+        w(F.col("band") == F.col("sband"), 0)
+        + w(F.col("cents2") == F.col("scents2"), 1)
+        + w(F.col("keyf") == F.col("skeyf"), 2)
+    )
+    edges = (
+        c.join(s, "nk")
+        .filter(score >= _FS_UPPER)
+        .select(
+            (F.col("c_custkey") * 2).alias("src"),
+            (F.col("s_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    nodes = (
+        c.select((F.col("c_custkey") * 2).alias("id"))
+        .unionByName(s.select((F.col("s_suppkey") * 2 + 1).alias("id")))
+    )
+    labels, _rounds = connected_components(nodes, edges)
+    ent = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("id") % 2 == 0, 1).otherwise(0)).alias("n_cust"),
+        F.sum(F.when(F.col("id") % 2 == 1, 1).otherwise(0)).alias("n_supp"),
+    )
+    return ent.groupBy(
+        F.col("n_members").cast("bigint").alias("entity_size")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.sum("n_cust").cast("bigint").alias("n_customers"),
+        F.sum("n_supp").cast("bigint").alias("n_suppliers"),
+    )

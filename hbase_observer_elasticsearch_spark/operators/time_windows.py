@@ -3320,3 +3320,156 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         mae_n.alias("mae_naive"),
         (F.lit(1.0) - mae_s / mae_n).alias("skill"),
     )
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * {OLS_SCALE}) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+),
+x AS (
+  SELECT event_type, y,
+         CAST(datediff('day', MIN(day) OVER (PARTITION BY event_type), day)
+              AS BIGINT) AS x
+  FROM d
+),
+p AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+         a.x AS xa, b.x AS xb
+  FROM x a JOIN x b
+    ON a.event_type = b.event_type AND a.x < b.x
+),
+r AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, xa, xb) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM p
+),
+sl AS (
+  SELECT event_type, slope AS ts_slope_u, cnt AS n_pairs
+  FROM r WHERE rn = (cnt + 1) // 2
+),
+res AS (
+  SELECT x.event_type, sl.ts_slope_u, sl.n_pairs,
+         CAST(x.y AS DOUBLE) - sl.ts_slope_u * CAST(x.x AS DOUBLE) AS resid,
+         x.x
+  FROM x JOIN sl ON x.event_type = sl.event_type
+),
+r2 AS (
+  SELECT event_type, ts_slope_u, n_pairs, resid,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY resid, x) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM res
+)
+SELECT event_type,
+       CAST(cnt AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       ts_slope_u / {OLS_SCALE} AS ts_slope,
+       resid / {OLS_SCALE} AS ts_intercept
+FROM r2 WHERE rn = (cnt + 1) // 2
+""",
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen ROBUST trend per event type: the median of all pairwise
+    day-slopes (and the median residual as the intercept) — the
+    29.3%-breakdown-point complement of events_ols_trend_daily, immune
+    to the single-day outliers that drag a least-squares slope (one
+    flash-sale day moves OLS; it is one vote among n·(n−1)/2 here).
+
+    Determinism: y is exact cents per day, x the integer day index;
+    each pairwise slope is ONE IEEE division of exact integers —
+    identical in both engines — and the median is an integer-rank
+    ELEMENT PICK (row_number at (cnt+1) div 2, ordered by slope with
+    integer tiebreaks), not an interpolation: no float averaging, no
+    percentile-implementation divergence. Residuals reuse the picked
+    slope with one fixed-order multiply-subtract per day.
+
+    Scale shape: the O(d²) pair join runs on the DAY GRID (|types| ×
+    ~30 rows after the map-side-combined daily pre-agg), never on raw
+    events — at 100 TB the pair count is unchanged; only the one
+    linear pre-agg scan grows. The grid self-join is broadcast-size by
+    construction; medians are grid-local windows.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * OLS_SCALE).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wmin = Window.partitionBy("event_type")
+    x = d.select(
+        "event_type",
+        "y",
+        F.datediff(F.col("day"), F.min("day").over(wmin))
+        .cast("long")
+        .alias("x"),
+    )
+    a = x.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = x.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("slope"),
+            "xa",
+            "xb",
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "xa", "xb")
+    wc = Window.partitionBy("event_type")
+    sl = (
+        p.select(
+            "event_type",
+            "slope",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("slope").alias("ts_slope_u"),
+            F.col("cnt").alias("n_pairs"),
+        )
+    )
+    res = x.join(sl, "event_type").select(
+        "event_type",
+        "ts_slope_u",
+        "n_pairs",
+        (
+            F.col("y").cast("double")
+            - F.col("ts_slope_u") * F.col("x").cast("double")
+        ).alias("resid"),
+        "x",
+    )
+    wr2 = Window.partitionBy("event_type").orderBy("resid", "x")
+    return (
+        res.select(
+            "event_type",
+            "ts_slope_u",
+            "n_pairs",
+            "resid",
+            F.row_number().over(wr2).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("cnt").cast("bigint").alias("n_days"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("ts_slope_u") / F.lit(float(OLS_SCALE))).alias("ts_slope"),
+            (F.col("resid") / F.lit(float(OLS_SCALE))).alias("ts_intercept"),
+        )
+    )

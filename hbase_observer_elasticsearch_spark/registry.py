@@ -126,6 +126,8 @@ _PRIORITY = (
     "sink_bulk_failure_replay",
     "join_record_linkage_fs",
     "join_record_linkage_em",
+    "join_record_linkage_entities",
+    "events_theil_sen_trend",
     # --- r9 window (official r9 rows; kept for stable ordering) ---
     "search_quality_ndcg",
     "corpus_bigram_pmi",
