@@ -164,3 +164,55 @@ def test_per_item_retry_is_order_safe_for_fused_bodies(spark):
     stats = post_bulk_with_retry(ep, lines)
     assert ep.docs == EXPECTED_STATE
     assert stats["item_retries"] == len(ids_seen)
+
+
+def test_streaming_foreachbatch_drain_through_faulty_endpoint(
+    spark, tmp_path
+):
+    """End-to-end STREAMING fidelity: a real Structured Streaming query
+    drains the fixture changefeed in micro-batches, each epoch flushed
+    to the fault-injecting `_bulk` endpoint from inside foreachBatch —
+    the reference's actual shape (postPut/postDelete buffer → bulk
+    flush) with its actual failure modes live in the loop: the first
+    POST is connection-refused, one mid-stream POST applies fully but
+    loses its response (blind whole-bulk replay inside the SAME
+    foreachBatch call), and half the _ids 429 on first delivery. The
+    endpoint's final state must equal the golden LWW state — streaming,
+    faults, retries and all."""
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        CHANGEFEED_SCHEMA,
+        write_changefeed_stream_dir,
+    )
+
+    cf_dir = str(tmp_path / "cf")
+    ckpt = str(tmp_path / "ckpt")
+    write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files=3)
+
+    endpoint = FaultInjectingBulkEndpoint(
+        item_fail_mod=2, drop_request_before=frozenset({0})
+    )
+    armed = {"done": False}
+
+    def flush(batch_df, epoch_id):
+        lines = epoch_bulk_lines(batch_df)
+        if not lines:
+            return
+        if not armed["done"] and endpoint.n_posts >= 1:
+            endpoint.arm_drop_response_next()  # mid-stream lost response
+            armed["done"] = True
+        post_bulk_with_retry(endpoint, lines)
+
+    q = (
+        spark.readStream.schema(CHANGEFEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cf_dir)
+        .writeStream.foreachBatch(flush)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert endpoint.docs == EXPECTED_STATE
+    assert endpoint.n_transport_faults == 2
+    assert endpoint.n_item_rejections >= 1
