@@ -3023,3 +3023,178 @@ def corpus_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# --- r10: modularity of the near-dup graph's label partitions ---------------
+
+
+def _sql_modularity_block(tag: str, label_rel: str) -> str:
+    """SQL for modularity of one labeling `label_rel(id, lbl)` over the
+    verified-pair edge list `jp(doc_a, doc_b)`: Q = (4m*Se - Sd2)/(4m^2)
+    where Se = intra-community edges, Sd2 = sum over communities of
+    (degree mass)^2 — the exact-integer rearrangement of
+    sum_c [e_c/m - (d_c/2m)^2]."""
+    return f"""
+intra_{tag} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS se
+  FROM jp e
+  JOIN {label_rel} la ON la.id = e.doc_a
+  JOIN {label_rel} lb ON lb.id = e.doc_b
+  WHERE la.lbl = lb.lbl
+),
+dmass_{tag} AS (
+  SELECT CAST(SUM(dc * dc) AS BIGINT) AS sd2,
+         CAST(COUNT(*) AS BIGINT) AS n_comm
+  FROM (
+    SELECT l.lbl, CAST(SUM(d.deg) AS BIGINT) AS dc
+    FROM deg d JOIN {label_rel} l ON l.id = d.id
+    GROUP BY l.lbl
+  ) t
+),
+q_{tag} AS (
+  SELECT '{tag}' AS labeling, n_comm, m.m AS m_edges, i.se AS intra_edges,
+         CAST(4 * m.m * i.se - d.sd2 AS DOUBLE)
+           / CAST(4 * m.m * m.m AS DOUBLE) AS q_modularity
+  FROM intra_{tag} i CROSS JOIN dmass_{tag} d CROSS JOIN mtot m
+)"""
+
+
+@register(
+    "graph_modularity_score",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM jp
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM jp
+),
+und2 AS (
+  SELECT u, v FROM und
+  UNION ALL
+  SELECT DISTINCT u, u FROM und
+),
+l0 AS (
+  SELECT DISTINCT e.u AS id, d.lang AS lbl
+  FROM (SELECT DISTINCT u FROM und) e
+  JOIN documents d ON d.doc_id = e.u
+),
+{",".join(_sql_lpa_round(i) for i in range(1, _LPA_ROUNDS + 1))},
+deg AS (
+  SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u
+),
+mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM jp),
+{_sql_modularity_block("lang0", "l0")},
+{_sql_modularity_block("lpa_final", f"l{_LPA_ROUNDS}")}
+SELECT * FROM q_lang0 UNION ALL SELECT * FROM q_lpa_final
+""",
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the near-duplicate graph under two node
+    partitions — the raw ``lang`` labels and the LPA-denoised labels —
+    answering "did label propagation actually tighten community
+    structure?" with the standard graph-clustering quality score
+    Q = sum_c [e_c/m - (d_c/2m)^2] (Newman & Girvan 2004). Computed in
+    the exact-integer rearrangement Q = (4m*Se - Sd2)/(4m^2), so the
+    whole statistic is integer arithmetic with ONE final double
+    division per labeling.
+
+    Deterministic: edge/degree masses are BIGINTs; the LPA rounds are
+    the registered stabilized variant (integer votes, total-order
+    tie-break) shared verbatim with graph_label_propagation.
+
+    Scale shape: reuses the memoized verified-pair edge list; per
+    labeling the cost is one edge-grain join against the node-label
+    table (label side orders of magnitude smaller than the corpus) plus
+    a community-grain rollup. Degrees come from one edge-list
+    aggregation shared across labelings. Bounds: Sd2 <= (2m)^2 and
+    4m^2 both fit BIGINT for any m < 1.5e9 edges per evaluated
+    component slice — beyond that the division shifts to DECIMAL(38).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_memo(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    und = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    und2 = und.unionAll(
+        und.select("u").distinct().select("u", F.col("u").alias("v"))
+    )
+    l0 = (
+        und.select("u").distinct()
+        .join(d.select(F.col("doc_id").alias("u"), "lang"), "u")
+        .select(F.col("u").alias("id"), F.col("lang").alias("lbl"))
+    )
+    labels = l0
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            und2.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cur = labels.select("id", F.col("lbl").alias("cur_lbl"))
+        w = Window.partitionBy("id").orderBy(
+            F.col("c").desc(),
+            F.when(F.col("lbl") == F.col("cur_lbl"), 0).otherwise(1),
+            F.col("lbl"),
+        )
+        labels = (
+            cnt.join(cur, "id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lbl")
+        )
+    # Shared edge-grain inputs, cut once: every labeling block re-reads
+    # them, and the LPA label table roots in the same lineage.
+    edges = pairs.localCheckpoint()
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    mtot = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+
+    def q_block(tag: str, lab: DataFrame) -> DataFrame:
+        lab = lab.localCheckpoint()
+        intra = (
+            edges.join(
+                lab.select(F.col("id").alias("u"), F.col("lbl").alias("la")),
+                "u",
+            )
+            .join(
+                lab.select(F.col("id").alias("v"), F.col("lbl").alias("lb")),
+                "v",
+            )
+            .filter(F.col("la") == F.col("lb"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("se"))
+        )
+        dmass = (
+            deg.join(lab, "id")
+            .groupBy("lbl")
+            .agg(F.sum("deg").cast("bigint").alias("dc"))
+            .agg(
+                F.sum(F.col("dc") * F.col("dc")).cast("bigint").alias("sd2"),
+                F.count(F.lit(1)).cast("bigint").alias("n_comm"),
+            )
+        )
+        return (
+            intra.crossJoin(F.broadcast(dmass))
+            .crossJoin(F.broadcast(mtot))
+            .select(
+                F.lit(tag).alias("labeling"),
+                "n_comm",
+                F.col("m").alias("m_edges"),
+                F.col("se").alias("intra_edges"),
+                (
+                    (
+                        F.lit(4) * F.col("m") * F.col("se") - F.col("sd2")
+                    ).cast("double")
+                    / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+                ).alias("q_modularity"),
+            )
+        )
+
+    return q_block("lang0", l0).unionByName(q_block("lpa_final", labels))

@@ -1986,3 +1986,141 @@ def quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bin_cov",
         )
     )
+
+
+# --- r10: isotonic calibration (pool-adjacent-violators) ---------------------
+
+ISO_BINS = 10
+
+
+@register(
+    "quality_isotonic_calibration",
+    oracle=f"""
+WITH {_SQL_CLF_SCORED},
+pred AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         NTILE({ISO_BINS}) OVER (ORDER BY score, doc_id) AS t
+  FROM clf_scored
+),
+bins AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(y) AS BIGINT) AS s
+  FROM pred GROUP BY t
+),
+cum AS (
+  SELECT t, w, s,
+         CAST(SUM(w) OVER (ORDER BY t) AS BIGINT) AS cw,
+         CAST(SUM(s) OVER (ORDER BY t) AS BIGINT) AS cs
+  FROM bins
+),
+seg AS (
+  SELECT j.t AS j, k.t AS k,
+         CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+           / CAST(k.cw - (j.cw - j.w) AS DOUBLE) AS m
+  FROM cum j JOIN cum k ON j.t <= k.t
+),
+inner_min AS (
+  SELECT i.t AS i, s.j, MIN(s.m) AS mn
+  FROM cum i JOIN seg s ON s.j <= i.t AND s.k >= i.t
+  GROUP BY i.t, s.j
+),
+iso AS (SELECT i AS t, MAX(mn) AS iso_rate FROM inner_min GROUP BY i)
+SELECT CAST(b.t AS BIGINT) AS decile, b.w AS n_docs,
+       CAST(b.s AS DOUBLE) / b.w AS obs_rate,
+       iso.iso_rate,
+       COALESCE(iso.iso_rate >= LAG(iso.iso_rate)
+                  OVER (ORDER BY b.t), true) AS monotone_ok
+FROM bins b JOIN iso ON iso.t = b.t
+""",
+)
+def quality_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (monotone) calibration of the hashed quality classifier
+    via pool-adjacent-violators, computed with the PAV minimax identity:
+    the isotonic fit at bin i equals max over j<=i of min over k>=i of
+    the weighted mean of the observed positive rate across bins j..k
+    (Robertson/Wright/Dykstra, "Order Restricted Statistical
+    Inference"). Where Platt/temperature scaling fits a parametric
+    sigmoid, isotonic regression is the non-parametric calibrator every
+    large-scale data-quality gate reaches for once it has enough
+    positives per bin — and the minimax form turns the sequential PAV
+    loop into pure relational algebra over the BIN grain, so no
+    driver-side iteration exists at any scale.
+
+    Deterministic: bin masses are exact BIGINTs; each segment mean is
+    one integer-over-integer double division, and min/max over
+    bit-identical doubles is engine-independent.
+
+    Scale shape: the only corpus-sized stages are the shared classifier
+    scan and the NTILE bin assignment (the documented distributed-rank
+    decomposition at 100 TB); everything after runs on ISO_BINS rows —
+    the segment lattice is BINS^2/2 = 55 rows, broadcast-trivial.
+    """
+    ensure_session_conf(spark)
+    s = _hash_doc_scores(spark, sf_dir)
+    pred = s.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.ntile(ISO_BINS)
+        .over(Window.orderBy("score", "doc_id"))
+        .alias("t"),
+    )
+    # ISO_BINS rows feeding four branches (cum -> seg/i lattice + the
+    # final bin join): cut here so the classifier scan + NTILE run once.
+    bins = pred.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sum("y").cast("bigint").alias("s"),
+    ).localCheckpoint()
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "t", "w", "s",
+        F.sum("w").over(wc).cast("bigint").alias("cw"),
+        F.sum("s").over(wc).cast("bigint").alias("cs"),
+    )
+    j = cum.select(
+        F.col("t").alias("j"),
+        (F.col("cs") - F.col("s")).alias("cs0"),
+        (F.col("cw") - F.col("w")).alias("cw0"),
+    )
+    k = cum.select(
+        F.col("t").alias("k"), F.col("cs").alias("cs1"),
+        F.col("cw").alias("cw1"),
+    )
+    seg = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .select(
+            "j", "k",
+            (
+                (F.col("cs1") - F.col("cs0")).cast("double")
+                / (F.col("cw1") - F.col("cw0")).cast("double")
+            ).alias("m"),
+        )
+    )
+    i = cum.select(F.col("t").alias("i"))
+    inner_min = (
+        i.join(
+            F.broadcast(seg),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("m").alias("mn"))
+    )
+    iso = inner_min.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    wl = Window.orderBy("decile")
+    return (
+        bins.select(
+            F.col("t").cast("bigint").alias("decile"),
+            F.col("w").alias("n_docs"),
+            (F.col("s").cast("double") / F.col("w")).alias("obs_rate"),
+            F.col("t").alias("_t"),
+        )
+        .join(F.broadcast(iso.withColumnRenamed("i", "_t")), "_t")
+        .drop("_t")
+        .select(
+            "decile", "n_docs", "obs_rate", "iso_rate",
+            F.coalesce(
+                F.col("iso_rate") >= F.lag("iso_rate").over(wl), F.lit(True)
+            ).alias("monotone_ok"),
+        )
+    )

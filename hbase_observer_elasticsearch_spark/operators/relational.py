@@ -2532,3 +2532,158 @@ def join_record_linkage_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_cust").cast("bigint").alias("n_customers"),
         F.sum("n_supp").cast("bigint").alias("n_suppliers"),
     )
+
+
+# --- r10: item-item co-visitation top-k (recommender candidate gen) ---------
+
+COVIS_CAP = 8   # per-basket item cap: bounds pair fan-out at C(8,2)=28
+COVIS_TOPK = 3  # neighbors kept per item
+
+
+@register(
+    "basket_covisitation_topk",
+    oracle=f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+grouped AS (
+  SELECT okey,
+         list_slice(list_sort(list(brand)), 1, {COVIS_CAP}) AS brands
+  FROM ob GROUP BY okey
+),
+brand_n AS (
+  SELECT u.b AS brand, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM grouped, unnest(brands) AS t(b), LATERAL (SELECT t.b) u(b)
+  GROUP BY u.b
+),
+pairs AS (
+  SELECT u1.b AS brand_a, u2.b AS brand_b
+  FROM grouped,
+       unnest(brands) AS t1(b),
+       unnest(brands) AS t2(b),
+       LATERAL (SELECT t1.b) u1(b), LATERAL (SELECT t2.b) u2(b)
+  WHERE u1.b < u2.b
+),
+pc AS (
+  SELECT brand_a, brand_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM pairs GROUP BY 1, 2
+),
+sym AS (
+  SELECT brand_a AS item, brand_b AS neighbor, n_both FROM pc
+  UNION ALL
+  SELECT brand_b AS item, brand_a AS neighbor, n_both FROM pc
+),
+scored AS (
+  SELECT s.item, s.neighbor, s.n_both,
+         CAST(s.n_both AS DOUBLE) / sqrt(CAST(na.nb * nn.nb AS DOUBLE))
+           AS cosine_sim
+  FROM sym s
+  JOIN brand_n na ON na.brand = s.item
+  JOIN brand_n nn ON nn.brand = s.neighbor
+)
+SELECT item, neighbor, n_both, cosine_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY item
+           ORDER BY cosine_sim DESC, n_both DESC, neighbor) AS rk
+  FROM scored
+) t WHERE rk <= {COVIS_TOPK}
+""",
+)
+def basket_covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation: top-{COVIS_TOPK} neighbor brands per
+    brand by co-occurrence cosine n_ab / sqrt(n_a * n_b) over capped
+    order baskets — the candidate-generation kernel of every large-scale
+    co-occurrence recommender (the "customers also bought" matrix).
+    The per-basket cap ({COVIS_CAP} items, deterministic smallest-first)
+    is the load-bearing scale control: an uncapped power-law basket
+    contributes O(|basket|^2) pairs, and real clickstreams have sessions
+    thousands of items long; with the cap, pair mass is <= C(cap,2) per
+    basket — linear in baskets, period. Counts n_a/n_b are computed over
+    the SAME capped baskets so the cosine stays a true normalized
+    co-occurrence (no mixed-universe bias).
+
+    Deterministic: integer co-counts; IEEE sqrt and one division are
+    correctly rounded, so doubles match bit-for-bit; the top-k order
+    carries (sim, n_both, neighbor) as a total tie-break.
+
+    Scale shape: basket build = one broadcast dim join + one groupBy
+    (shared idiom with basket_brand_lift, checkpointed); pair fan-out is
+    in-row array combinations (no self-join shuffle); the final top-k is
+    a per-item window over an |items|^2-bounded (but co-occurrence-
+    sparse) table.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+    )
+    grouped = (
+        ob.groupBy("okey")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("brand")), 1, COVIS_CAP
+            ).alias("brands")
+        )
+        .localCheckpoint()
+    )
+    brand_n = (
+        grouped.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("brands"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("brands"), i + 2, F.size("brands")
+                        ),
+                        lambda b: F.struct(
+                            a.alias("brand_a"), b.alias("brand_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select(F.col("pr.brand_a"), F.col("pr.brand_b"))
+    pc = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    sym = pc.select(
+        F.col("brand_a").alias("item"),
+        F.col("brand_b").alias("neighbor"),
+        "n_both",
+    ).unionAll(
+        pc.select(
+            F.col("brand_b").alias("item"),
+            F.col("brand_a").alias("neighbor"),
+            "n_both",
+        )
+    )
+    na = brand_n.select(F.col("brand").alias("item"), F.col("nb").alias("na"))
+    nn = brand_n.select(
+        F.col("brand").alias("neighbor"), F.col("nb").alias("nn")
+    )
+    scored = (
+        sym.join(F.broadcast(na), "item")
+        .join(F.broadcast(nn), "neighbor")
+        .select(
+            "item", "neighbor", "n_both",
+            (
+                F.col("n_both").cast("double")
+                / F.sqrt((F.col("na") * F.col("nn")).cast("double"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine_sim").desc(), F.col("n_both").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= COVIS_TOPK)
+        .select("item", "neighbor", "n_both", "cosine_sim", "rk")
+    )

@@ -580,3 +580,230 @@ def sketch_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_10pct"),
         )
     )
+
+
+# --- r10: theta (KMV) sketch set algebra ------------------------------------
+
+# KMV/theta sketch size: k smallest distinct md5-derived codes per set.
+# RSE ~ 1/sqrt(k-1) ~ 6.3% for unions; intersections degrade with 1/Jaccard
+# (why the exact audit columns ship alongside).
+THETA_K = 256
+_TWO32 = 4294967296.0  # codes are uniform in [0, 2^32); u = code / 2^32
+
+
+@register(
+    "sketch_theta_set_ops",
+    oracle=f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+codes AS (
+  SELECT DISTINCT event_type,
+         {H.sql_token_code("CAST(user_id AS VARCHAR)")} AS code
+  FROM du
+),
+ranked AS (
+  SELECT event_type, code,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY code) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_codes
+  FROM codes
+),
+sk AS (SELECT event_type, code FROM ranked WHERE rk <= {THETA_K}),
+theta AS (
+  SELECT r.event_type,
+         CASE WHEN MAX(r.n_codes) >= {THETA_K}
+              THEN CAST(MAX(CASE WHEN r.rk <= {THETA_K} THEN r.code END)
+                        AS DOUBLE) / {_TWO32!r}
+              ELSE 1.0 END AS theta
+  FROM ranked r GROUP BY r.event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CASE WHEN a.theta < b.theta THEN a.theta ELSE b.theta END AS th
+  FROM theta a JOIN theta b ON a.event_type < b.event_type
+),
+mem AS (
+  SELECT p.type_a, p.type_b, p.th, s.code,
+         MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p
+  JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+       AND CAST(s.code AS DOUBLE) / {_TWO32!r} < p.th
+  GROUP BY p.type_a, p.type_b, p.th, s.code
+),
+est AS (
+  SELECT type_a, type_b, th,
+         CAST(COUNT(*) AS DOUBLE) / th AS est_union,
+         CAST(SUM(in_a * in_b) AS DOUBLE) / th AS est_intersect,
+         CAST(SUM(in_a * (1 - in_b)) AS DOUBLE) / th AS est_diff_ab
+  FROM mem GROUP BY type_a, type_b, th
+),
+pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY event_type
+),
+ix AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_overlap
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b,
+       pa.n + pb.n - i.exact_overlap AS exact_union,
+       i.exact_overlap,
+       pa.n - i.exact_overlap AS exact_diff_ab,
+       e.th AS theta_min,
+       e.est_union, e.est_intersect, e.est_diff_ab
+FROM ix i
+JOIN pt pa ON pa.event_type = i.type_a
+JOIN pt pb ON pb.event_type = i.type_b
+JOIN est e ON e.type_a = i.type_a AND e.type_b = i.type_b
+""",
+)
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (KMV) sketch set algebra over per-event-type user sets:
+    union, intersection, AND-NOT cardinality ESTIMATES for every type
+    pair, alongside the exact values. A KMV sketch is the k smallest
+    distinct hash codes of a set; set operations compose on the sketches
+    alone — union = k smallest of the combined samples, and with
+    theta = min(theta_a, theta_b) every retained code below theta is a
+    uniform sample of the union, so intersection / difference counts
+    below theta divided by theta estimate the true cardinalities
+    (Dasgupta et al., "Theta sketch framework"). This is THE mergeable
+    structure for distinct-count set algebra at 100 TB: per-partition
+    sketches are a few KB, merge associatively (min-k is order-free),
+    and — unlike HLL — support intersection/difference natively.
+
+    Deterministic, hence hash-checked EXACTLY (unlike the HLL battery's
+    band audits): codes come from the shared md5 family
+    (functions/hashing.py), min-k is partitioning-independent, and every
+    estimate is one integer count divided by one exact double theta.
+
+    Scale shape: the sketch side is a per-type top-k over codes (a
+    256-row heap per partition, merged); pair algebra runs on broadcast
+    sketch rows only. The exact side (distinct self-join) exists purely
+    as the audit and is the thing the sketch REPLACES at scale.
+    """
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # One distinct pass feeds FIVE consumers (codes, per-type counts, and
+    # both sides of the exact self-join); cut the lineage once so the
+    # events scan happens exactly once — at 100 TB this materialized
+    # distinct is precisely the table a theta-sketch build replaces the
+    # self-join with.
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint()
+    codes = du.select(
+        "event_type",
+        H.token_code(F.col("user_id").cast("string")).alias("code"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("code")
+    ranked = codes.select(
+        "event_type",
+        "code",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_codes"),
+    )
+    sk = ranked.filter(F.col("rk") <= THETA_K).select("event_type", "code")
+    theta = ranked.groupBy("event_type").agg(
+        F.when(
+            F.max("n_codes") >= THETA_K,
+            F.max(
+                F.when(F.col("rk") <= THETA_K, F.col("code"))
+            ).cast("double")
+            / F.lit(_TWO32),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("theta")
+    )
+    ta = theta.select(
+        F.col("event_type").alias("type_a"), F.col("theta").alias("th_a")
+    )
+    tb = theta.select(
+        F.col("event_type").alias("type_b"), F.col("theta").alias("th_b")
+    )
+    pairs = (
+        ta.join(tb, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.when(F.col("th_a") < F.col("th_b"), F.col("th_a"))
+            .otherwise(F.col("th_b"))
+            .alias("th"),
+        )
+    )
+    sa = (
+        pairs.join(
+            F.broadcast(
+                sk.select(F.col("event_type").alias("type_a"), "code")
+            ),
+            "type_a",
+        )
+        .filter(F.col("code").cast("double") / F.lit(_TWO32) < F.col("th"))
+        .select(
+            "type_a", "type_b", "th", "code",
+            F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+        )
+    )
+    sb = (
+        pairs.join(
+            F.broadcast(
+                sk.select(F.col("event_type").alias("type_b"), "code")
+            ),
+            "type_b",
+        )
+        .filter(F.col("code").cast("double") / F.lit(_TWO32) < F.col("th"))
+        .select(
+            "type_a", "type_b", "th", "code",
+            F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+        )
+    )
+    mem = (
+        sa.unionByName(sb)
+        .groupBy("type_a", "type_b", "th", "code")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    est = mem.groupBy("type_a", "type_b", "th").agg(
+        (F.count(F.lit(1)).cast("double") / F.col("th")).alias("est_union"),
+        (
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double") / F.col("th")
+        ).alias("est_intersect"),
+        (
+            F.sum(F.col("in_a") * (F.lit(1) - F.col("in_b"))).cast("double")
+            / F.col("th")
+        ).alias("est_diff_ab"),
+    )
+    pt = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ix = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    pa = pt.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    pb = pt.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        ix.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .join(F.broadcast(est), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("na") + F.col("nb") - F.col("exact_overlap")).alias(
+                "exact_union"
+            ),
+            "exact_overlap",
+            (F.col("na") - F.col("exact_overlap")).alias("exact_diff_ab"),
+            F.col("th").alias("theta_min"),
+            "est_union",
+            "est_intersect",
+            "est_diff_ab",
+        )
+    )

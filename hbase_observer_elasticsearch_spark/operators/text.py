@@ -4155,3 +4155,319 @@ def corpus_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k11").desc(), "w1", "w2")
         .limit(LLR_TOP)
     )
+
+
+# --- r10: ES function_score (linear decay) + more_like_this -----------------
+
+# ES linear decay params: value 1.0 within `offset` of `origin`, dropping
+# linearly to `decay` at `offset + scale` — i.e. slope span s = scale/(1-decay).
+FS_TERM = "spark"
+FS_ORIGIN = 300   # n_chars origin
+FS_OFFSET = 50
+FS_SCALE = 150
+FS_DECAY_SPAN = 300.0  # scale / (1 - decay) with decay = 0.5
+FS_TOPK = 15
+
+
+@register(
+    "search_function_score_decay",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE w = '{FS_TERM}' GROUP BY doc_id
+),
+dfq AS (SELECT CAST(COUNT(*) AS BIGINT) AS df FROM tf),
+scored AS (
+  SELECT t.doc_id, t.tf, d.n_chars,
+         ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+            / (CAST(f.df AS DOUBLE) + 0.5))
+         * ((CAST(t.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+            / (CAST(t.tf AS DOUBLE)
+               + CAST({BM25_K1!r} AS DOUBLE)
+                 * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                    + CAST({BM25_B!r} AS DOUBLE)
+                      * (CAST(l.dl AS DOUBLE)
+                         / (CAST(s.sum_dl AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))))) AS ts,
+         GREATEST(
+           ({FS_DECAY_SPAN!r} - GREATEST(
+              CAST(ABS(d.n_chars - {FS_ORIGIN}) - {FS_OFFSET} AS DOUBLE),
+              0.0)) / {FS_DECAY_SPAN!r},
+           0.0) AS decay_f
+  FROM tf t
+  JOIN dl l USING (doc_id)
+  JOIN documents d USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN dfq f
+)
+SELECT doc_id, tf, n_chars, ts, decay_f, ts * decay_f AS fscore, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ts * decay_f DESC, doc_id) AS rk
+  FROM scored
+) t WHERE rk <= {FS_TOPK}
+""",
+)
+def search_function_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch ``function_score`` with a LINEAR decay function:
+    BM25 relevance for one term multiplied by a distance decay on a
+    numeric field (n_chars; origin {FS_ORIGIN}, offset {FS_OFFSET},
+    scale {FS_SCALE}, decay 0.5) — full credit within ``offset`` of the
+    origin, linear drop to 0.5 at ``offset + scale``, floor at 0. This
+    is the exact shape of ES's
+    `{{"function_score": {{"linear": {{"n_chars": ...}}}}}}` query
+    (the recency/geo-boost workhorse the reference's ES sink serves),
+    with the linear variant chosen over gauss/exp deliberately: its
+    arithmetic is rational, so scores hash-match across engines with no
+    transcendental-rounding caveat — same reasoning as the rational
+    Robertson idf the BM25 family already uses.
+
+    Scale shape: one postings pass for tf (predicate-pruned to the
+    query term), doc-length and corpus stats from the shared token scan,
+    single-row stats broadcast; the decay multiply is per-matching-doc
+    scalar math and the top-k is one global window over matches only.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # Doc-length table feeds stats AND the per-doc join; the matching-tf
+    # table feeds df AND scoring — cut both so the token scan runs once
+    # per aggregate instead of once per consumer branch.
+    dl = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint()
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("w") == FS_TERM)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    dfq = tf.agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tfn = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+    decay_f = F.greatest(
+        (
+            F.lit(FS_DECAY_SPAN)
+            - F.greatest(
+                (
+                    F.abs(F.col("n_chars") - F.lit(FS_ORIGIN))
+                    - F.lit(FS_OFFSET)
+                ).cast("double"),
+                F.lit(0.0),
+            )
+        )
+        / F.lit(FS_DECAY_SPAN),
+        F.lit(0.0),
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfq))
+        .select(
+            "doc_id", "tf", "n_chars",
+            (idf * tfn).alias("ts"),
+            decay_f.alias("decay_f"),
+        )
+    )
+    w = Window.orderBy((F.col("ts") * F.col("decay_f")).desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= FS_TOPK)
+        .select(
+            "doc_id", "tf", "n_chars", "ts", "decay_f",
+            (F.col("ts") * F.col("decay_f")).alias("fscore"),
+            "rk",
+        )
+    )
+
+
+# ES more_like_this defaults (scaled to the fixture corpus): select up to
+# max_query_terms seed terms with tf >= min_term_freq and df >= min_doc_freq,
+# ranked by seed tf x idf, then run them as a bool-OR BM25 query.
+MLT_MAX_QUERY_TERMS = 10
+MLT_MIN_TERM_FREQ = 2
+MLT_MIN_DOC_FREQ = 2
+MLT_TOPK = 15
+
+
+@register(
+    "search_more_like_this",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+tf_all AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, w
+),
+df_all AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf_all GROUP BY w
+),
+seed AS (SELECT MIN(doc_id) AS seed_id FROM documents),
+qterms AS (
+  SELECT w, idf FROM (
+    SELECT t.w,
+           ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+              / (CAST(f.df AS DOUBLE) + 0.5)) AS idf,
+           ROW_NUMBER() OVER (
+             ORDER BY CAST(t.tf AS DOUBLE)
+                      * ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+                         / (CAST(f.df AS DOUBLE) + 0.5)) DESC,
+                      t.w) AS qrk
+    FROM tf_all t
+    JOIN seed ON t.doc_id = seed.seed_id
+    JOIN df_all f USING (w)
+    CROSS JOIN stats s
+    WHERE t.tf >= {MLT_MIN_TERM_FREQ} AND f.df >= {MLT_MIN_DOC_FREQ}
+  ) r WHERE qrk <= {MLT_MAX_QUERY_TERMS}
+),
+term_scores AS (
+  SELECT t.doc_id,
+         q.idf
+         * ((CAST(t.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+            / (CAST(t.tf AS DOUBLE)
+               + CAST({BM25_K1!r} AS DOUBLE)
+                 * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                    + CAST({BM25_B!r} AS DOUBLE)
+                      * (CAST(l.dl AS DOUBLE)
+                         / (CAST(s.sum_dl AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))))) AS ts
+  FROM tf_all t
+  JOIN qterms q USING (w)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN seed
+  WHERE t.doc_id <> seed.seed_id
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ts AS DECIMAL(28,6))) AS DOUBLE) AS mlt_score,
+         CAST(COUNT(*) AS BIGINT) AS n_matched
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, mlt_score, n_matched, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY mlt_score DESC, doc_id) AS rk
+  FROM agg
+) t WHERE rk <= {MLT_TOPK}
+""",
+)
+def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch ``more_like_this``: given a seed document (the
+    smallest doc_id — deterministic at every sf), select its most
+    interesting terms (tf >= {MLT_MIN_TERM_FREQ} in the seed,
+    df >= {MLT_MIN_DOC_FREQ} in the corpus, top {MLT_MAX_QUERY_TERMS}
+    by seed-tf x idf — ES's term-interestingness ranking), then run
+    them as a bool-OR BM25 query over the rest of the corpus. This is
+    the query-by-example retrieval shape of ES's MLT API — the lexical
+    twin of embedding near-dup search, and the last of the reference-
+    sink query surfaces (bool / prefix / wildcard / function_score /
+    MLT) expressed as a checked operator.
+
+    Deterministic: term selection ranks exact-integer tf against the
+    rational Robertson idf with the term string as tie-break; doc
+    scores sum per-term doubles through DECIMAL(28,6) exactly as the
+    BM25 family does.
+
+    Scale shape: term selection is ONE row's postings joined to the
+    term-df table (seed side is a single-row broadcast, not a collect);
+    the query itself is a {MLT_MAX_QUERY_TERMS}-row broadcast against
+    the postings — identical cost to any other bounded multi-term BM25.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # The postings table (doc, term, tf) is the one corpus-pass artifact;
+    # every downstream relation (doc lengths, term dfs, seed terms, the
+    # scoring join) derives from it — cut it once, exactly the postings
+    # materialization an index build does at 100 TB.
+    tf_all = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df_all = tf_all.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    seed = d.agg(F.min("doc_id").alias("seed_id"))
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    qw = Window.orderBy(
+        (F.col("tf").cast("double") * F.col("idf")).desc(), F.col("w")
+    )
+    qterms = (
+        tf_all.join(
+            F.broadcast(seed), F.col("doc_id") == F.col("seed_id")
+        )
+        .join(df_all, "w")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("tf") >= MLT_MIN_TERM_FREQ)
+            & (F.col("df") >= MLT_MIN_DOC_FREQ)
+        )
+        .select("w", "tf", idf.alias("idf"))
+        .withColumn("qrk", F.row_number().over(qw))
+        .filter(F.col("qrk") <= MLT_MAX_QUERY_TERMS)
+        .select("w", "idf")
+    )
+    tfn = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B)
+            * (F.col("dl").cast("double") / (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")))
+        )
+    )
+    agg = (
+        tf_all.join(F.broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(seed))
+        .filter(F.col("doc_id") != F.col("seed_id"))
+        .select("doc_id", (F.col("idf") * tfn).alias("ts"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("ts").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("mlt_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        )
+    )
+    w = Window.orderBy(F.col("mlt_score").desc(), "doc_id")
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= MLT_TOPK)
+        .select("doc_id", "mlt_score", "n_matched", "rk")
+    )

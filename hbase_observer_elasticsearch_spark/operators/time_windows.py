@@ -3473,3 +3473,244 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("resid") / F.lit(float(OLS_SCALE))).alias("ts_intercept"),
         )
     )
+
+
+# --- r10: quantile regression (pinball-loss grid) + autocorrelation ---------
+
+QR_TAU_NUM, QR_TAU_DEN = 3, 4  # tau = 0.75
+QR_GRID = 20  # candidate order-stat positions k/QR_GRID, k = 0..QR_GRID
+
+
+@register(
+    "events_quantile_regression",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+spine AS (SELECT unnest(generate_series(0, {QR_GRID})) AS k),
+cand AS (
+  SELECT DISTINCT r.event_type, r.value AS c
+  FROM ranked r
+  JOIN spine s
+    ON r.rn = 1 + ((r.n - 1) * s.k) // {QR_GRID}
+),
+loss AS (
+  SELECT e.event_type, c.c,
+         SUM(CAST(CASE WHEN e.value >= c.c
+                       THEN {QR_TAU_NUM} * (e.value - c.c)
+                       ELSE {QR_TAU_DEN - QR_TAU_NUM} * (c.c - e.value)
+                  END AS DECIMAL(28,12))) AS loss4,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events e JOIN cand c ON c.event_type = e.event_type
+  GROUP BY e.event_type, c.c
+)
+SELECT event_type, n_events,
+       CAST({QR_TAU_NUM} AS DOUBLE) / {QR_TAU_DEN} AS tau,
+       c AS q_estimate,
+       CAST(loss4 AS DOUBLE) / {QR_TAU_DEN} AS pinball_loss
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY loss4, c) AS rk
+  FROM loss
+) t WHERE rk = 1
+""",
+)
+def events_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile 'regression' as grid search: the tau=0.75 conditional
+    quantile of `value` per event type, found by minimizing the pinball
+    (check) loss L_tau(c) = sum_i [tau*(v-c)+ + (1-tau)*(c-v)+] over a
+    bounded candidate grid of 21 exact order statistics. This is the
+    estimating-equation view of quantiles (Koenker & Bassett 1978) —
+    the same loss a learned quantile model minimizes — expressed as one
+    broadcast join + one aggregation, which is how you'd fit per-segment
+    quantile baselines at 100 TB without a global sort per segment.
+
+    Deterministic: the loss is scaled by QR_TAU_DEN so both branches
+    carry integer coefficients (3 and 1) on a single double difference,
+    then summed EXACTLY in DECIMAL(28,12); the argmin compares decimals
+    with the candidate value as tie-break, and the one division back to
+    a double happens after aggregation.
+
+    Scale shape: candidates come from one per-type rank pass (the same
+    distributed order-stat machinery the split queries use); the loss
+    table is |events| x 21 via a broadcast of the tiny candidate grid —
+    map-side only, partial-aggregated; the argmin is |types| x 21 rows.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    spine = spark.range(0, QR_GRID + 1).select(F.col("id").alias("k"))
+    cand = (
+        ranked.join(
+            F.broadcast(spine),
+            F.col("rn")
+            == 1 + F.expr(f"((n - 1) * k) div {QR_GRID}"),
+        )
+        .select("event_type", F.col("value").alias("c"))
+        .distinct()
+    )
+    term = F.when(
+        F.col("value") >= F.col("c"),
+        F.lit(QR_TAU_NUM) * (F.col("value") - F.col("c")),
+    ).otherwise(
+        F.lit(QR_TAU_DEN - QR_TAU_NUM) * (F.col("c") - F.col("value"))
+    )
+    loss = (
+        ev.join(F.broadcast(cand), "event_type")
+        .groupBy("event_type", "c")
+        .agg(
+            F.sum(term.cast("decimal(28,12)")).alias("loss4"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    wk = Window.partitionBy("event_type").orderBy("loss4", "c")
+    return (
+        loss.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            (F.lit(QR_TAU_NUM).cast("double") / F.lit(QR_TAU_DEN)).alias(
+                "tau"
+            ),
+            F.col("c").alias("q_estimate"),
+            (F.col("loss4").cast("double") / F.lit(QR_TAU_DEN)).alias(
+                "pinball_loss"
+            ),
+        )
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "events_acf_daily",
+    oracle=f"""
+WITH counts AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM counts),
+spine AS (
+  SELECT CAST(unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS DATE)
+           AS d
+  FROM bounds b
+),
+x AS (
+  SELECT date_diff('day', b.mn, s.d) + 1 AS t, COALESCE(c.x, 0) AS x
+  FROM spine s CROSS JOIN bounds b LEFT JOIN counts c ON c.d = s.d
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM x
+),
+lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT l.lag,
+         CAST(SUM(x1.x * x2.x) AS BIGINT) AS sxy,
+         CAST(SUM(x1.x) AS BIGINT) AS h,
+         CAST(SUM(x2.x) AS BIGINT) AS tt,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM lags l
+  JOIN x x1 ON true
+  JOIN x x2 ON x2.t = x1.t + l.lag
+  GROUP BY l.lag
+)
+SELECT p.lag, s.n AS n_days, p.n_pairs, p.sxy AS sum_xy,
+       CAST(s.n * s.n * p.sxy - s.n * s.s * (p.h + p.tt)
+            + (s.n - p.lag) * s.s * s.s AS DOUBLE)
+         / CAST(s.n * (s.n * s.q - s.s * s.s) AS DOUBLE) AS r_acf
+FROM pairs p CROSS JOIN stats s
+""",
+)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..{ACF_MAX_LAG}: r_l = sum_t (x_t - xbar)(x_t+l - xbar) / sum_t
+    (x_t - xbar)^2 over a GAP-FILLED day spine (missing days count 0 —
+    silently skipping them would splice non-adjacent days together and
+    fabricate correlation). The seasonality detector behind cadence
+    choices every pipeline makes: a spike at lag 7 says weekly
+    periodicity, slow decay says trend (difference before modeling) —
+    the diagnostic companion to events_stl_decompose and the
+    forecast-backtest family.
+
+    Deterministic: daily counts are integers, and r_l is computed in
+    the n^2-cleared exact-integer form
+    (n^2*Sxy - n*S*(H+T) + (n-l)*S^2) / (n*(n*Q - S^2)) — every term a
+    BIGINT product of counts — with ONE final double division.
+
+    Scale shape: the only corpus-pass is the day-grain count (map-side
+    combinable); the series table is |days| rows (localCheckpointed so
+    the stats/lag branches don't re-derive the scan), and the lag join
+    runs on that tiny table. At 100 TB the series is still |days| rows.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = counts.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d"),
+        F.col("mn"),
+    )
+    x = (
+        spine.join(counts, "d", "left")
+        .select(
+            (F.datediff(F.col("d"), F.col("mn")) + 1).alias("t"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .localCheckpoint()
+    )
+    stats = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    x1 = x.select(F.col("t").alias("t1"), F.col("x").alias("xa"))
+    x2 = x.select(F.col("t").alias("t2"), F.col("x").alias("xb"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(x1)
+        .join(x2, F.col("t2") == F.col("t1") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sxy"),
+            F.sum("xa").cast("bigint").alias("h"),
+            F.sum("xb").cast("bigint").alias("tt"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("s") * (F.col("h") + F.col("tt"))
+        + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .select(
+            "lag",
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            F.col("sxy").alias("sum_xy"),
+            (num.cast("double") / den.cast("double")).alias("r_acf"),
+        )
+    )

@@ -122,6 +122,14 @@ _PRIORITY = (
     "similarity_pca_collapse_audit",
     # --- new in r10 ---
     # (names prepended here as they land, per the hygiene rule above)
+    "sketch_theta_set_ops",
+    "events_quantile_regression",
+    "events_acf_daily",
+    "search_function_score_decay",
+    "search_more_like_this",
+    "quality_isotonic_calibration",
+    "graph_modularity_score",
+    "basket_covisitation_topk",
     "join_range_skew_salted",
     "sink_bulk_failure_replay",
     "join_record_linkage_fs",

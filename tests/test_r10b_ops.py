@@ -1,0 +1,233 @@
+"""Round-10 batch-2 operator semantics: theta-sketch set algebra,
+isotonic calibration (PAV), modularity, co-visitation, pinball quantile,
+ACF, and the ES function_score / more_like_this query shapes.
+
+Planted-fixture tests: each writes a tiny corpus whose correct answer is
+known in closed form, so the assertions check SEMANTICS (not just
+engine-vs-oracle agreement, which tools/check.py already covers)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hbase_observer_elasticsearch_spark.operators.quality import (
+    quality_isotonic_calibration,
+)
+from hbase_observer_elasticsearch_spark.operators.relational import (
+    basket_covisitation_topk,
+)
+from hbase_observer_elasticsearch_spark.operators.sketches import (
+    THETA_K,
+    sketch_theta_set_ops,
+)
+from hbase_observer_elasticsearch_spark.operators.text import (
+    search_function_score_decay,
+    search_more_like_this,
+)
+from hbase_observer_elasticsearch_spark.operators.time_windows import (
+    events_acf_daily,
+    events_quantile_regression,
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+# --- theta sketch -----------------------------------------------------------
+
+
+def test_theta_exact_mode_small_sets(spark, tmp_path):
+    """Sets smaller than THETA_K run in exact mode (theta = 1.0): every
+    estimate must EQUAL the exact set-op cardinality."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # A = users 0..99, B = users 50..149 -> |A ∩ B| = 50, |A ∪ B| = 150
+    for u in range(100):
+        rows.append((u, base, u, "a_type", 1.0, "{}"))
+    for u in range(50, 150):
+        rows.append((1000 + u, base, u, "b_type", 1.0, "{}"))
+    d = str(tmp_path / "ev")
+    _write_events(spark, d, rows)
+    assert 100 < THETA_K  # precondition: exact mode
+    r = sketch_theta_set_ops(spark, d).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.theta_min == 1.0
+    assert row.exact_overlap == 50 and row.est_intersect == 50.0
+    assert row.exact_union == 150 and row.est_union == 150.0
+    assert row.exact_diff_ab == 50 and row.est_diff_ab == 50.0
+
+
+def test_theta_estimate_mode_within_rse(spark, tmp_path):
+    """Above THETA_K the estimates must land within ~4 RSE of truth
+    (RSE ~ 1/sqrt(k-1) ~ 6.3%) on a large planted overlap."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # A = 0..3999, B = 2000..5999 -> union 6000, intersection 2000
+    eid = 0
+    for u in range(4000):
+        rows.append((eid, base, u, "a_type", 1.0, "{}")); eid += 1
+    for u in range(2000, 6000):
+        rows.append((eid, base, u, "b_type", 1.0, "{}")); eid += 1
+    d = str(tmp_path / "ev")
+    _write_events(spark, d, rows)
+    row = sketch_theta_set_ops(spark, d).collect()[0]
+    assert row.theta_min < 1.0
+    tol = 4.0 / math.sqrt(THETA_K - 1)
+    assert abs(row.est_union - 6000) / 6000 < tol
+    assert abs(row.est_intersect - 2000) / 2000 < tol
+
+
+# --- isotonic calibration ---------------------------------------------------
+
+
+def test_isotonic_output_is_monotone_and_mass_preserving(spark):
+    df = quality_isotonic_calibration(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    rows = sorted(df, key=lambda r: r.decile)
+    # PAV output is non-decreasing by construction
+    for a, b in zip(rows, rows[1:]):
+        assert b.iso_rate >= a.iso_rate - 1e-12
+        assert b.monotone_ok
+    # PAV preserves the weighted mean (projection property)
+    tot = sum(r.n_docs for r in rows)
+    obs_mass = sum(r.obs_rate * r.n_docs for r in rows)
+    iso_mass = sum(r.iso_rate * r.n_docs for r in rows)
+    assert abs(obs_mass - iso_mass) / tot < 1e-9
+
+
+# --- co-visitation ----------------------------------------------------------
+
+
+def test_covisitation_cosine_and_symmetry(spark):
+    rows = basket_covisitation_topk(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected co-visitation pairs at sf0.001"
+    by_key = {(r.item, r.neighbor): r for r in rows}
+    for r in rows:
+        assert 0.0 < r.cosine_sim <= 1.0
+        assert 1 <= r.rk <= 3
+        # if the reverse direction also survived its own top-k, the
+        # similarity must be identical (cosine is symmetric)
+        rev = by_key.get((r.neighbor, r.item))
+        if rev is not None:
+            assert rev.cosine_sim == r.cosine_sim
+
+
+# --- pinball quantile -------------------------------------------------------
+
+
+def test_quantile_regression_recovers_true_quantile(spark, tmp_path):
+    """On values 1..100 the tau=0.75 pinball argmin over the 21-point
+    order-stat grid must sit at the 75th percentile neighborhood."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i, "t", float(i + 1), "{}")
+        for i in range(100)
+    ]
+    d = str(tmp_path / "ev")
+    _write_events(spark, d, rows)
+    r = events_quantile_regression(spark, d).collect()[0]
+    assert r.tau == 0.75
+    # any minimizer of the 0.75 pinball loss on 1..100 lies in [75, 76];
+    # the grid contains 75.25-ish order stats -> accept the closed range
+    assert 74.0 <= r.q_estimate <= 77.0
+    assert r.n_events == 100
+
+
+# --- ACF --------------------------------------------------------------------
+
+
+def test_acf_period2_series_alternates_sign(spark, tmp_path):
+    """A strict period-2 series (100, 200, 100, 200, ...) has ACF ~ -1
+    at lag 1 and ~ +1 at lag 2."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(20):
+        n = 100 if day % 2 == 0 else 200
+        for k in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, seconds=k), k, "t", 1.0, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "ev")
+    _write_events(spark, d, rows)
+    acf = {r.lag: r.r_acf for r in events_acf_daily(spark, d).collect()}
+    assert acf[1] < -0.9
+    assert acf[2] > 0.85
+    assert all(r <= 1.0 + 1e-12 for r in acf.values())
+
+
+def test_acf_gap_fill_counts_missing_day_as_zero(spark, tmp_path):
+    """A missing calendar day must enter the series as 0, not be spliced
+    out: with days {1,3} present, n_days must be 3."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "t", 1.0, "{}"),
+        (1, base + dt.timedelta(days=2), 1, "t", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "ev")
+    _write_events(spark, d, rows)
+    rows_out = events_acf_daily(spark, d).collect()
+    assert all(r.n_days == 3 for r in rows_out)
+
+
+# --- ES query shapes --------------------------------------------------------
+
+
+def test_function_score_decay_shape(spark, tmp_path):
+    """Linear decay: 1.0 within offset of the origin, 0.5 at
+    offset+scale, linear in between — and the final score is the plain
+    product with the relevance score."""
+    docs = [
+        # same text -> identical relevance; only n_chars differs
+        (1, "spark spark row", "en", "s", 300),   # at origin -> f = 1.0
+        (2, "spark spark row", "en", "s", 350),   # at offset edge -> 1.0
+        (3, "spark spark row", "en", "s", 500),   # dist 150 -> (300-150)/300 = 0.5
+        (4, "spark spark row", "en", "s", 425),   # dist 75 -> 0.75
+        (5, "other words here", "en", "s", 300),  # no term -> absent
+    ]
+    d = str(tmp_path / "docs")
+    _write_docs(spark, d, docs)
+    out = {r.doc_id: r for r in search_function_score_decay(spark, d).collect()}
+    assert 5 not in out
+    assert out[1].decay_f == 1.0 and out[2].decay_f == 1.0
+    assert out[3].decay_f == 0.5
+    assert out[4].decay_f == 0.75
+    for r in out.values():
+        assert abs(r.fscore - r.ts * r.decay_f) < 1e-12
+    # ranking follows the decayed score: doc 1/2 above 4 above 3
+    assert out[1].rk < out[4].rk < out[3].rk
+
+
+def test_more_like_this_finds_near_copy_first(spark, tmp_path):
+    """The top MLT hit for the seed must be its near-copy, not the
+    unrelated documents; seed itself is excluded."""
+    seed_text = "alpha alpha beta beta gamma gamma delta common"
+    docs = [
+        (1, seed_text, "en", "s", len(seed_text)),          # seed (min doc_id)
+        (2, "alpha beta gamma delta common", "en", "s", 29),  # near copy
+        (3, "zeta eta theta common common", "en", "s", 28),   # unrelated
+        (4, "alpha common zeta", "en", "s", 17),              # partial
+        (5, "iota kappa lambda", "en", "s", 17),              # disjoint
+    ]
+    d = str(tmp_path / "docs")
+    _write_docs(spark, d, docs)
+    rows = search_more_like_this(spark, d).collect()
+    ids = [r.doc_id for r in sorted(rows, key=lambda r: r.rk)]
+    assert 1 not in ids  # seed excluded
+    assert ids[0] == 2   # near-copy ranks first
+    assert 5 not in ids  # disjoint doc never matches
