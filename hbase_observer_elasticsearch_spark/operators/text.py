@@ -4471,3 +4471,408 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= MLT_TOPK)
         .select("doc_id", "mlt_score", "n_matched", "rk")
     )
+
+
+# --- r10: ES aggregation-DSL fidelity: terms agg error bounds, percolate,
+# --- term suggester ----------------------------------------------------------
+
+TA_SHARDS = 4      # deterministic pseudo-shards (md5 of doc_id)
+TA_SHARD_SIZE = 5  # per-shard top terms reported to the coordinator
+TA_SIZE = 5        # final top-N the "coordinator" returns
+
+
+@register(
+    "search_terms_agg_shard_error",
+    oracle=f"""
+WITH sharded AS (
+  SELECT doc_id, source,
+         {H.sql_token_code("CAST(doc_id AS VARCHAR)")} % {TA_SHARDS} AS shard
+  FROM documents
+),
+per_shard AS (
+  SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sharded GROUP BY shard, source
+),
+reported AS (
+  SELECT shard, source, c,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY c DESC, source) AS rk
+  FROM per_shard
+),
+top_reported AS (SELECT * FROM reported WHERE rk <= {TA_SHARD_SIZE}),
+shard_floor AS (
+  SELECT shard, MIN(c) AS floor_c,
+         CAST(COUNT(*) AS BIGINT) AS n_reported
+  FROM top_reported GROUP BY shard
+),
+cand AS (SELECT DISTINCT source FROM top_reported),
+shards AS (SELECT DISTINCT shard FROM sharded),
+merged AS (
+  SELECT cd.source,
+         CAST(SUM(COALESCE(tr.c, 0)) AS BIGINT) AS doc_count,
+         CAST(SUM(CASE WHEN tr.source IS NULL
+                        AND sf.n_reported >= {TA_SHARD_SIZE}
+                       THEN sf.floor_c ELSE 0 END) AS BIGINT)
+           AS doc_count_error_upper_bound
+  FROM cand cd
+  CROSS JOIN shards s
+  LEFT JOIN top_reported tr
+    ON tr.shard = s.shard AND tr.source = cd.source
+  LEFT JOIN shard_floor sf ON sf.shard = s.shard
+  GROUP BY cd.source
+),
+truth AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM documents GROUP BY source
+)
+SELECT m.source, m.doc_count, m.doc_count_error_upper_bound,
+       t.true_count,
+       t.true_count - m.doc_count <= m.doc_count_error_upper_bound
+         AS bound_holds,
+       rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY doc_count DESC, source) AS rk
+  FROM merged
+) m JOIN truth t USING (source)
+WHERE m.rk <= {TA_SIZE}
+""",
+)
+def search_terms_agg_shard_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Elasticsearch ``terms`` aggregation with SHARD-LEVEL error
+    accounting: documents hash into {TA_SHARDS} deterministic pseudo-
+    shards, each shard reports only its local top-{TA_SHARD_SIZE} terms
+    (by count), and the coordinator merges the reported counts — so a
+    term missed by some shard under-counts, and ES's published
+    ``doc_count_error_upper_bound`` (the sum of the LAST reported count
+    of every full shard that did NOT report the term) bounds how much.
+    The output asserts the bound against the true count per term
+    (``bound_holds``). This is the distributed-top-k error model behind
+    every terms agg the reference's ES sink serves — and exactly the
+    partial-top-k-then-merge shape a 100 TB GROUP BY ... LIMIT pushes
+    to executors, with the error bound telling you when shard_size must
+    grow.
+
+    Deterministic: shards come from the shared md5 family; all counts
+    are integers; every rank order carries the term as tie-break.
+
+    Scale shape: one count aggregation at (shard, term) grain (map-side
+    combinable), per-shard top-k windows over shard-local rows, then
+    coordinator-side merge on the tiny candidate x shard lattice.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sharded = d.select(
+        "doc_id",
+        "source",
+        (
+            H.token_code(F.col("doc_id").cast("string")) % TA_SHARDS
+        ).alias("shard"),
+    )
+    per_shard = sharded.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wk = Window.partitionBy("shard").orderBy(F.col("c").desc(), "source")
+    top_reported = (
+        per_shard.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TA_SHARD_SIZE)
+        .localCheckpoint()  # candidates/floors/merge all re-read it
+    )
+    shard_floor = top_reported.groupBy("shard").agg(
+        F.min("c").alias("floor_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reported"),
+    )
+    cand = top_reported.select("source").distinct()
+    shards = sharded.select("shard").distinct()
+    merged = (
+        cand.crossJoin(F.broadcast(shards))
+        .join(
+            top_reported.select("shard", "source", "c").withColumnRenamed(
+                "c", "rep_c"
+            ),
+            ["shard", "source"],
+            "left",
+        )
+        .join(F.broadcast(shard_floor), "shard", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.coalesce(F.col("rep_c"), F.lit(0)))
+            .cast("bigint")
+            .alias("doc_count"),
+            F.sum(
+                F.when(
+                    F.col("rep_c").isNull()
+                    & (F.col("n_reported") >= TA_SHARD_SIZE),
+                    F.col("floor_c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("doc_count_error_upper_bound"),
+        )
+    )
+    truth = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    wr = Window.orderBy(F.col("doc_count").desc(), "source")
+    return (
+        merged.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= TA_SIZE)
+        .join(truth, "source")
+        .select(
+            "source",
+            "doc_count",
+            "doc_count_error_upper_bound",
+            "true_count",
+            (
+                F.col("true_count") - F.col("doc_count")
+                <= F.col("doc_count_error_upper_bound")
+            ).alias("bound_holds"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "search_date_histogram_pipeline",
+    oracle="""
+WITH counts AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM counts),
+spine AS (
+  SELECT unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS day
+  FROM bounds b
+),
+filled AS (
+  SELECT s.day, COALESCE(c.c, 0) AS doc_count
+  FROM spine s LEFT JOIN counts c ON c.day = s.day
+)
+SELECT day, doc_count,
+       CAST(SUM(doc_count) OVER (ORDER BY day) AS BIGINT) AS cumulative_count,
+       doc_count - LAG(doc_count) OVER (ORDER BY day) AS derivative
+FROM filled
+""",
+)
+def search_date_histogram_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Elasticsearch ``date_histogram`` with ``min_doc_count: 0``
+    (zero-filled calendar buckets — ES's extended-bounds gap fill) plus
+    the two standard PIPELINE aggregations layered on the bucket
+    series: ``cumulative_sum`` and ``derivative`` (null for the first
+    bucket, exactly as ES emits). The dashboard primitive the
+    reference's users point Kibana at; the zero-fill matters because a
+    silent bucket gap makes derivatives lie.
+
+    Deterministic: pure integer counts and calendar arithmetic; the day
+    key stays a date_trunc TIMESTAMP (a DATE column would hash-compare
+    differently across engines).
+
+    Scale shape: one map-combinable day-grain count; the spine join and
+    both pipeline windows run on |days| rows. The unpartitioned window
+    is the documented aggregated-grain exemption — at 100 TB you'd
+    partition the cumulative by calendar year and stitch offsets.
+    """
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bounds = counts.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    filled = (
+        spine.join(counts, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias(
+                "doc_count"
+            ),
+        )
+    )
+    w = Window.orderBy("day")
+    return filled.select(
+        "day",
+        "doc_count",
+        F.sum("doc_count")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cumulative_count"),
+        (F.col("doc_count") - F.lag("doc_count").over(w)).alias("derivative"),
+    )
+
+
+# Stored percolator queries: bool-must term sets over the fixture vocab.
+PERCOLATE_QUERIES = (
+    ("q_spark_join", ("spark", "join")),
+    ("q_stream_window", ("stream", "window")),
+    ("q_data_table_scan", ("data", "table", "scan")),
+    ("q_vector", ("vector",)),
+    ("q_merge_batch_sort", ("merge", "batch", "sort")),
+)
+
+
+@register(
+    "search_percolate_queries",
+    oracle=f"""
+WITH stored (query_id, term) AS (
+  VALUES {", ".join(f"('{qid}', '{t}')" for qid, ts in PERCOLATE_QUERIES for t in ts)}
+),
+qsize AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM stored GROUP BY query_id
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+hits AS (
+  SELECT s.query_id, t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM stored s JOIN tok t ON t.w = s.term
+  GROUP BY s.query_id, t.doc_id
+),
+matched AS (
+  SELECT h.query_id, h.doc_id
+  FROM hits h JOIN qsize q USING (query_id)
+  WHERE h.n_hit = q.n_terms
+)
+SELECT q.query_id, q.n_terms,
+       CAST(COUNT(m.doc_id) AS BIGINT) AS n_matched_docs,
+       CAST(COALESCE(SUM(m.doc_id), 0) AS BIGINT) AS matched_id_sum
+FROM qsize q LEFT JOIN matched m USING (query_id)
+GROUP BY q.query_id, q.n_terms
+""",
+)
+def search_percolate_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch PERCOLATE: the reverse search — a registry of
+    stored bool-must queries, and for each incoming document, which
+    stored queries match it. Reported per stored query: how many
+    documents percolated into it, plus an id checksum so the match SET
+    (not just its size) is hash-verified. Percolation is how alerting /
+    saved-search / routing works on an ES cluster, and its batch analog
+    is exactly this: a join from the token table to the
+    query-term table, then an ALL-terms-present count filter
+    (relational division).
+
+    Deterministic: integer counts and id sums; the stored queries are
+    frozen literals.
+
+    Scale shape: stored queries are a broadcast-tiny dimension; the
+    token join is one pass over distinct (doc, term); the division
+    check is a (query, doc)-grain count — no per-query scans, which is
+    the whole point at 100 TB (percolating N queries costs ONE pass,
+    not N).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    stored = spark.createDataFrame(
+        [(qid, t) for qid, ts in PERCOLATE_QUERIES for t in ts],
+        "query_id string, term string",
+    )
+    qsize = stored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms")
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    hits = (
+        tok.join(
+            F.broadcast(stored), F.col("w") == F.col("term")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    matched = hits.join(F.broadcast(qsize), "query_id").filter(
+        F.col("n_hit") == F.col("n_terms")
+    )
+    return (
+        qsize.join(matched.select("query_id", "doc_id"), "query_id", "left")
+        .groupBy("query_id", "n_terms")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_matched_docs"),
+            F.coalesce(F.sum("doc_id"), F.lit(0))
+            .cast("bigint")
+            .alias("matched_id_sum"),
+        )
+    )
+
+
+# Term suggester inputs: misspellings absent from the fixture vocabulary.
+SUGGEST_INPUTS = ("spakr", "qurey", "tabel")
+SUGGEST_MAX_EDITS = 2
+SUGGEST_TOPK = 3
+
+
+@register(
+    "search_term_suggester",
+    oracle=f"""
+WITH vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  GROUP BY w
+),
+inputs (misspelled) AS (
+  VALUES {", ".join(f"('{s}')" for s in SUGGEST_INPUTS)}
+),
+scored AS (
+  SELECT i.misspelled, v.w AS suggestion, v.freq,
+         CAST(levenshtein(i.misspelled, v.w) AS BIGINT) AS edit_distance
+  FROM inputs i JOIN vocab v
+    ON levenshtein(i.misspelled, v.w) <= {SUGGEST_MAX_EDITS}
+)
+SELECT misspelled, suggestion, edit_distance, freq, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY misspelled
+           ORDER BY edit_distance, freq DESC, suggestion) AS rk
+  FROM scored
+) t WHERE rk <= {SUGGEST_TOPK}
+""",
+)
+def search_term_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch TERM SUGGESTER ("did you mean"): for each
+    misspelled input term, the top-{SUGGEST_TOPK} vocabulary terms
+    within edit distance {SUGGEST_MAX_EDITS}, ranked ES-style (distance
+    first, then corpus frequency, then the term). Both engines evaluate
+    the same built-in levenshtein, so the ranking hash-matches exactly.
+
+    Scale shape: the vocabulary is a one-pass token count; inputs are a
+    broadcast-tiny dimension, so the distance scan is linear in |vocab|
+    (NOT |corpus|). At real-vocabulary scale (10^7 terms) the linear
+    scan gets the same length-bucket + prefix blocking treatment as
+    join_fuzzy_levenshtein_blocked — the suggester is the single-column
+    special case of that registered blocked fuzzy join.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    inputs = spark.createDataFrame(
+        [(s,) for s in SUGGEST_INPUTS], "misspelled string"
+    )
+    scored = (
+        vocab.crossJoin(F.broadcast(inputs))
+        .select(
+            "misspelled",
+            F.col("w").alias("suggestion"),
+            "freq",
+            F.levenshtein("misspelled", "w").cast("bigint").alias(
+                "edit_distance"
+            ),
+        )
+        .filter(F.col("edit_distance") <= SUGGEST_MAX_EDITS)
+    )
+    wr = Window.partitionBy("misspelled").orderBy(
+        "edit_distance", F.col("freq").desc(), "suggestion"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= SUGGEST_TOPK)
+        .select("misspelled", "suggestion", "edit_distance", "freq", "rk")
+    )

@@ -123,6 +123,10 @@ _PRIORITY = (
     # --- new in r10 ---
     # (names prepended here as they land, per the hygiene rule above)
     "sketch_theta_set_ops",
+    "search_terms_agg_shard_error",
+    "search_date_histogram_pipeline",
+    "search_percolate_queries",
+    "search_term_suggester",
     "events_quantile_regression",
     "events_acf_daily",
     "search_function_score_decay",

@@ -231,3 +231,86 @@ def test_more_like_this_finds_near_copy_first(spark, tmp_path):
     assert 1 not in ids  # seed excluded
     assert ids[0] == 2   # near-copy ranks first
     assert 5 not in ids  # disjoint doc never matches
+
+
+# --- ES aggregation-DSL fidelity (batch 3) ----------------------------------
+
+from hbase_observer_elasticsearch_spark.operators.text import (  # noqa: E402
+    search_date_histogram_pipeline,
+    search_percolate_queries,
+    search_term_suggester,
+    search_terms_agg_shard_error,
+)
+
+
+def test_terms_agg_error_bound_holds_and_is_tight_enough(spark):
+    rows = search_terms_agg_shard_error(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        # ES invariant: reported count never exceeds the truth, and the
+        # truth never exceeds reported + error bound
+        assert r.doc_count <= r.true_count
+        assert r.bound_holds
+        assert r.doc_count_error_upper_bound >= 0
+
+
+def test_date_histogram_zero_fills_and_derivative(spark, tmp_path):
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (0, base, 1, "t", 1.0, "{}"),
+        (1, base, 2, "t", 1.0, "{}"),
+        # day 2 missing entirely -> zero-filled bucket
+        (2, base + dt.timedelta(days=2), 1, "t", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "ev")
+    _write_events(spark, d, rows)
+    out = sorted(
+        search_date_histogram_pipeline(spark, d).collect(),
+        key=lambda r: r.day,
+    )
+    assert [r.doc_count for r in out] == [2, 0, 1]
+    assert [r.cumulative_count for r in out] == [2, 2, 3]
+    assert out[0].derivative is None
+    assert out[1].derivative == -2 and out[2].derivative == 1
+
+
+def test_percolate_bool_must_semantics(spark, tmp_path):
+    docs = [
+        (1, "spark join stream", "en", "s", 17),   # q_spark_join only
+        (2, "spark stream window", "en", "s", 19), # q_stream_window only
+        (3, "spark alone here", "en", "s", 16),    # matches nothing fully
+        (4, "join spark window stream", "en", "s", 24),  # both
+    ]
+    d = str(tmp_path / "docs")
+    _write_docs(spark, d, docs)
+    out = {r.query_id: r for r in search_percolate_queries(spark, d).collect()}
+    assert out["q_spark_join"].n_matched_docs == 2
+    assert out["q_spark_join"].matched_id_sum == 1 + 4
+    assert out["q_stream_window"].n_matched_docs == 2
+    assert out["q_stream_window"].matched_id_sum == 2 + 4
+    assert out["q_vector"].n_matched_docs == 0
+    assert out["q_vector"].matched_id_sum == 0
+
+
+def test_term_suggester_prefers_distance_then_frequency(spark, tmp_path):
+    docs = [
+        (1, "spark spark spark spork stark", "en", "s", 30),
+        (2, "spark table tables", "en", "s", 18),
+    ]
+    d = str(tmp_path / "docs")
+    _write_docs(spark, d, docs)
+    rows = [
+        r
+        for r in search_term_suggester(spark, d).collect()
+        if r.misspelled == "spakr"
+    ]
+    ranked = [r.suggestion for r in sorted(rows, key=lambda r: r.rk)]
+    # 'spark' is 2 transposed chars = distance 2... actually 'spakr' ->
+    # 'spark' is one transposition = 2 single-char edits under plain
+    # levenshtein; 'spork'/'stark' are distance 2 from 'spark' but
+    # 'spakr'->'spork' is 3. Verify ordering is (distance, freq desc):
+    assert ranked[0] == "spark"
+    for r in rows:
+        assert r.edit_distance <= 2
