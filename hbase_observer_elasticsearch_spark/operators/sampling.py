@@ -991,3 +991,114 @@ def sample_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value",
         )
     )
+
+
+# --- r10: duplicate-cluster-aware split (group split, no leakage) -----------
+
+from .dedup import (  # noqa: E402  (late import: avoids a cycle at load)
+    _SQL_JACCARD_PAIRS,
+    _SQL_SHINGLES,
+    _jaccard_cc_labels,
+)
+
+
+@register(
+    "sample_group_split_noleak",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS doc_id, rc.r
+  FROM edges e JOIN reach rc ON rc.doc_id = e.dst
+),
+base AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {_sql_gate("cluster_id", "gsplit:")} < 'cd' THEN 'train'
+              WHEN {_sql_gate("cluster_id", "gsplit:")} < 'e6' THEN 'valid'
+              ELSE 'test' END AS split
+  FROM base
+),
+straddle AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_straddling FROM (
+    SELECT cluster_id FROM assigned
+    GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1
+  ) t
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assigned)
+SELECT a.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS DOUBLE) / t.n_total AS docs_frac,
+       s.n_straddling = 0 AS leak_free
+FROM assigned a CROSS JOIN straddle s CROSS JOIN tot t
+GROUP BY a.split, s.n_straddling, t.n_total
+""",
+)
+def sample_group_split_noleak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/valid/test split: the split is decided per
+    near-duplicate CLUSTER (hash gate on the connected-component id,
+    same 205/25/26-of-256 proportions as split_train_valid_test), and
+    every document inherits its cluster's split — so two near-copies
+    can never land on opposite sides of the train/eval boundary. This
+    is the difference between a split that LOOKS clean and one that IS
+    clean: per-document hashing (the simpler registered split) puts
+    ~20% of each duplicate cluster's members in eval, which is textbook
+    train-test contamination; grouping by the dedup component closes it
+    by construction. The output audits exactly that: ``leak_free`` is
+    computed (clusters straddling >1 split, must be 0), not assumed,
+    alongside per-split doc/cluster masses and fractions.
+
+    Deterministic: cluster ids are min-doc-id labels from the shared CC
+    fixpoint; the gate is the md5 bucket family; counts are integers
+    with one final fraction division.
+
+    Scale shape: reuses the memoized CC labels (the dedup pipeline
+    already paid for them); assignment is a map-side gate on the
+    cluster id; the audit is one (cluster, split)-grain aggregation.
+    The same pattern splits by ANY leakage group — site/domain, user,
+    session — by swapping the label table.
+    """
+    ensure_session_conf(spark)
+    labels = _jaccard_cc_labels(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    g = _gate(F.col("cluster_id"), "gsplit:")
+    assigned = labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(g < "cd", "train").when(g < "e6", "valid").otherwise("test")
+        .alias("split"),
+    ).localCheckpoint()  # straddle audit + totals + rollup all re-read it
+    straddle = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_straddling"))
+    )
+    tot = assigned.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias(
+                "docs_frac"
+            ),
+            (F.col("n_straddling") == 0).alias("leak_free"),
+        )
+    )

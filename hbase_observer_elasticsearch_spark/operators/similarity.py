@@ -3607,3 +3607,118 @@ def similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.select("query_id", "rnk", "cand_id", "rel", "mmr_score")
         )
     return out
+
+
+# --- r10: embedding centroid drift between hash cohorts ----------------------
+
+DRIFT_TOP_DIMS = 10
+
+
+@register(
+    "similarity_centroid_drift",
+    oracle=f"""
+WITH cohorts AS (
+  SELECT vec_id, embedding,
+         CASE WHEN substr(md5('drift:' || CAST(vec_id AS VARCHAR)), 1, 2)
+                   < '80'
+              THEN 'a' ELSE 'b' END AS cohort
+  FROM embeddings
+),
+dims AS (
+  SELECT cohort, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM cohorts
+),
+mu AS (
+  -- CAST(x AS DOUBLE) first: DuckDB's FLOAT->DECIMAL scales in float32;
+  -- DOUBLE->DECIMAL rounds the exact value like Spark.
+  SELECT cohort, CAST(pos AS BIGINT) AS pos,
+         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM dims GROUP BY cohort, pos
+),
+shift AS (
+  SELECT a.pos, a.m AS mu_a, b.m AS mu_b, a.m - b.m AS shift
+  FROM (SELECT pos, m FROM mu WHERE cohort = 'a') a
+  JOIN (SELECT pos, m FROM mu WHERE cohort = 'b') b USING (pos)
+),
+gtot AS (
+  SELECT CAST(SUM(CAST(shift * shift AS DECIMAL(28,16))) AS DOUBLE)
+           AS sq_l2_shift
+  FROM shift
+)
+SELECT s.pos, s.mu_a, s.mu_b, s.shift, g.sq_l2_shift, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(shift) DESC, pos) AS rk
+  FROM shift
+) s CROSS JOIN gtot g
+WHERE s.rk <= {DRIFT_TOP_DIMS}
+""",
+)
+def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space DRIFT detector: split the vector corpus into two
+    deterministic hash cohorts (the batch analog of yesterday's vs
+    today's embedding snapshot), compare per-dimension centroid means,
+    and report the global squared-L2 centroid shift plus the
+    top-{DRIFT_TOP_DIMS} moving dimensions. The embedding-column
+    counterpart of profile_ks_drift / snapshot_distribution_drift:
+    scalar-column drift checks never see an encoder regression or a
+    feature-space rotation, but the centroid shift does — it's the
+    cheapest embedding-health gate a 100 TB vector pipeline can run
+    (one pass, d-row output) before anything expensive (re-clustering,
+    ANN rebuild) is triggered.
+
+    Deterministic: cohort = md5 gate; per-dim means are exact
+    DECIMAL(28,12) sums over doubles divided once; the global shift
+    sums shift^2 through DECIMAL(28,16); ranking ties break on pos.
+
+    Scale shape: one posexplode pass to (cohort, dim) grain — map-side
+    combinable, output 2*d rows regardless of corpus size; everything
+    downstream is d-row arithmetic.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    cohort = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("drift:"), F.col("vec_id").cast("string"))),
+            1,
+            2,
+        )
+        < "80",
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    dims = e.select(
+        cohort.alias("cohort"), F.posexplode("embedding").alias("p0", "x")
+    ).select("cohort", (F.col("p0") + 1).cast("bigint").alias("pos"), "x")
+    mu = dims.groupBy("cohort", "pos").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    shift = (
+        mu.filter(F.col("cohort") == "a")
+        .select("pos", F.col("m").alias("mu_a"))
+        .join(
+            mu.filter(F.col("cohort") == "b").select(
+                "pos", F.col("m").alias("mu_b")
+            ),
+            "pos",
+        )
+        .select(
+            "pos", "mu_a", "mu_b", (F.col("mu_a") - F.col("mu_b")).alias("shift")
+        )
+        .localCheckpoint()  # d rows; feeds the global sum AND the top-k
+    )
+    glob = shift.agg(
+        F.sum((F.col("shift") * F.col("shift")).cast("decimal(28,16)"))
+        .cast("double")
+        .alias("sq_l2_shift")
+    )
+    wr = Window.orderBy(F.abs(F.col("shift")).desc(), "pos")
+    return (
+        shift.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= DRIFT_TOP_DIMS)
+        .crossJoin(F.broadcast(glob))
+        .select("pos", "mu_a", "mu_b", "shift", "sq_l2_shift", "rk")
+    )

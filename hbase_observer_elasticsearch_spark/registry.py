@@ -123,6 +123,8 @@ _PRIORITY = (
     # --- new in r10 ---
     # (names prepended here as they land, per the hygiene rule above)
     "sketch_theta_set_ops",
+    "sample_group_split_noleak",
+    "similarity_centroid_drift",
     "search_terms_agg_shard_error",
     "search_date_histogram_pipeline",
     "search_percolate_queries",

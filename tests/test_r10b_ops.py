@@ -314,3 +314,55 @@ def test_term_suggester_prefers_distance_then_frequency(spark, tmp_path):
     assert ranked[0] == "spark"
     for r in rows:
         assert r.edit_distance <= 2
+
+
+# --- group split + centroid drift (batch 4) ----------------------------------
+
+import hashlib  # noqa: E402
+
+from hbase_observer_elasticsearch_spark.operators.sampling import (  # noqa: E402
+    sample_group_split_noleak,
+)
+from hbase_observer_elasticsearch_spark.operators.similarity import (  # noqa: E402
+    similarity_centroid_drift,
+)
+
+
+def test_group_split_is_leak_free_and_partitions_corpus(spark):
+    rows = sample_group_split_noleak(spark, "/root/testdata/sf0.001").collect()
+    by_split = {r.split: r for r in rows}
+    assert set(by_split) <= {"train", "valid", "test"}
+    assert all(r.leak_free for r in rows)
+    assert abs(sum(r.docs_frac for r in rows) - 1.0) < 1e-12
+    # train must dominate under the 205/25/26 gate
+    assert by_split["train"].n_docs > by_split.get(
+        "valid", by_split["train"]
+    ).n_docs or "valid" not in by_split
+
+
+def _drift_cohort(vec_id: int) -> str:
+    h = hashlib.md5(f"drift:{vec_id}".encode()).hexdigest()[:2]
+    return "a" if h < "80" else "b"
+
+
+def test_centroid_drift_detects_planted_shift(spark, tmp_path):
+    """Plant cohort-a vectors at 0 and cohort-b vectors at 1 in every
+    dimension (cohort computed with the exact md5 gate the operator
+    uses): shift must be -1 per dim and sq_l2_shift == d."""
+    d_dim = 8
+    rows = []
+    for vid in range(200):
+        c = 0.0 if _drift_cohort(vid) == "a" else 1.0
+        rows.append((vid, [c] * d_dim, 0))
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/embeddings.parquet"
+    )
+    out = similarity_centroid_drift(spark, path).collect()
+    assert len(out) == d_dim  # top-10 capped at d=8 dims
+    for r in out:
+        assert r.mu_a == 0.0 and r.mu_b == 1.0
+        assert r.shift == -1.0
+        assert abs(r.sq_l2_shift - d_dim) < 1e-9

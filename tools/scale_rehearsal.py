@@ -83,6 +83,12 @@ TEXT_QUERIES = [
     # track SELECTED fingerprints, never grams^2
     "corpus_bigram_lm_perplexity",
     "text_winnowing_fingerprints",
+    # r10 (second session): MLT is one postings build + a 10-term
+    # broadcast query (wall tracks the token scan); percolate is one
+    # distinct-token join against a broadcast query dim — both must stay
+    # ~linear in corpus size
+    "search_more_like_this",
+    "search_percolate_queries",
 ]
 EVENT_QUERIES = [
     # r8: the blocked prefix-scan — wall must grow ~linearly with event
@@ -100,6 +106,14 @@ EVENT_QUERIES = [
     # ~1440 exploded bins (x8 salts), wall ~linear in points, never one
     # reducer
     "join_range_skew_salted",
+    # r10 (second session): theta sketch — the sketch side is a
+    # per-type min-k (flat); the exact-audit self-join is the thing it
+    # replaces, so total wall tracks the distinct pass. Pinball grid is
+    # one broadcast join over a 21-candidate grid (linear); ACF runs on
+    # the |days| series after one map-combinable count (flat).
+    "sketch_theta_set_ops",
+    "events_quantile_regression",
+    "events_acf_daily",
 ]
 VEC_QUERIES = [
     "similarity_topk_bruteforce",
@@ -562,7 +576,7 @@ def main() -> None:
         for name in ten["queries"]
     }
     result = {
-        "round": 9,
+        "round": 10,
         "families": ["dedup+cc", "text", "ann", "streaming", "semdedup-k"],
         "scale_factor_ratio": 10,
         "one_x": one,
