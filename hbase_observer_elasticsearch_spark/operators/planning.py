@@ -948,3 +948,91 @@ def layout_partition_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_max_over_avg",
         )
     )
+
+
+# --- r10: column clustering factor under a physical sort order --------------
+
+# Probe columns measured under the time-ingested layout (l_shipdate,
+# l_orderkey, l_linenumber) — the order a CDC-fed fact table lands in.
+CF_COLUMNS = ("l_returnflag", "l_partkey", "l_orderkey")
+
+
+def _sql_cf_block(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) FILTER (WHERE chg) AS BIGINT) AS n_runs,
+       CAST(COUNT(*) AS DOUBLE)
+         / COUNT(*) FILTER (WHERE chg) AS avg_run_len,
+       CAST(COUNT(*) FILTER (WHERE chg) AS DOUBLE)
+         / COUNT(DISTINCT {col}) AS runs_per_distinct
+FROM (
+  SELECT {col},
+         {col} IS DISTINCT FROM LAG({col}) OVER w AS chg
+  FROM lineitem
+  WINDOW w AS (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+) t
+WHERE chg IS NOT NULL OR true
+"""
+
+
+@register(
+    "layout_clustering_factor",
+    oracle=" UNION ALL ".join(_sql_cf_block(c) for c in CF_COLUMNS),
+)
+def layout_clustering_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column CLUSTERING FACTOR under the time-ingested physical layout
+    (rows ordered by l_shipdate, l_orderkey, l_linenumber — how a
+    CDC-fed fact table lands on disk): per probe column, the number of
+    value RUNS, the average run length, and runs-per-distinct-value —
+    1.0 means perfectly clustered (every distinct value is one
+    contiguous stripe, so zone maps / min-max pruning skip everything
+    irrelevant), n_rows/n_distinct means fully scattered (zone maps are
+    useless for that column). This is the Oracle-style clustering
+    factor generalized to columnar layouts — the measured input that
+    layout_sort_key_advisor and layout_zone_map_skipping reason FROM:
+    the advisor picks the sort key, this query quantifies what the
+    current layout actually delivers for each filter column.
+
+    Deterministic: run boundaries are integer LAG comparisons under a
+    total order; the two ratios are single divisions of exact counts.
+
+    Scale shape: one window pass per probe column over the same sort
+    order (they fuse into one sort). The global window is the
+    documented aggregated-grain exemption: at 100 TB runs are counted
+    per file/partition and boundaries stitched with one row per file —
+    the same decomposition the zone-map query documents.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_linenumber", *CF_COLUMNS
+    )
+    w = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    out = None
+    for c in CF_COLUMNS:
+        chg = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        block = (
+            li.select(F.col(c), chg.alias("chg"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.sum(F.when(F.col("chg"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_runs"),
+            )
+            .select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_distinct",
+                "n_runs",
+                (
+                    F.col("n_rows").cast("double") / F.col("n_runs")
+                ).alias("avg_run_len"),
+                (
+                    F.col("n_runs").cast("double") / F.col("n_distinct")
+                ).alias("runs_per_distinct"),
+            )
+        )
+        out = block if out is None else out.unionByName(block)
+    return out

@@ -3722,3 +3722,279 @@ def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(glob))
         .select("pos", "mu_a", "mu_b", "shift", "sq_l2_shift", "rk")
     )
+
+
+# --- r10: filtered vector search (pre-filter vs post-filter) + mutual kNN ----
+
+FILTER_PRED_SQL = "label % 2 = 0"  # the metadata predicate under test
+
+
+@register(
+    "similarity_filtered_ann_recall",
+    oracle=f"""
+WITH {_SQL_E_Q.strip().lstrip()},
+{_SQL_BF.strip()},
+exact_f AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {sql_cosine('q.qv', 'e.embedding')} DESC, e.vec_id
+           ) AS rk
+    FROM q JOIN e ON e.vec_id <> q.query_id AND e.{FILTER_PRED_SQL}
+  ) t WHERE rk <= {TOPK}
+),
+post AS (
+  SELECT b.query_id, b.neighbor_id
+  FROM bf b JOIN e ON e.vec_id = b.neighbor_id
+  WHERE e.{FILTER_PRED_SQL}
+),
+hits AS (
+  SELECT x.query_id, CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hit
+  FROM exact_f x
+  LEFT JOIN post p
+    ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+  GROUP BY x.query_id
+),
+ret AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_retained
+  FROM post GROUP BY query_id
+)
+SELECT h.query_id,
+       COALESCE(r.n_retained, 0) AS n_retained,
+       h.n_hit,
+       CAST(h.n_hit AS DOUBLE) / {TOPK} AS recall_postfilter,
+       COALESCE(r.n_retained, 0) < {TOPK} AS shortfall
+FROM hits h LEFT JOIN ret r USING (query_id)
+""",
+)
+def similarity_filtered_ann_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED vector search audit: top-{TOPK} under a metadata
+    predicate (label % 2 = 0), comparing the two strategies every
+    vector store must choose between — PRE-FILTER (apply the predicate
+    to candidates, then search: exact, this query's reference answer)
+    vs POST-FILTER (search unfiltered top-{TOPK}, then drop
+    non-matching hits: cheap but lossy). Per query: how many of the
+    unfiltered top-{TOPK} survive the filter (``n_retained``), how many
+    of the TRUE filtered top-{TOPK} they cover (``recall_postfilter``),
+    and whether the post-filter came up short. With a ~50%-selective
+    filter, post-filtering k results leaves ~k/2 — the measured
+    shortfall is the standard argument for predicate push-down into the
+    ANN probe (filtered IVF lists / filtered HNSW) at 100 TB.
+
+    Deterministic: both rankings are exact cosine with neighbor-id
+    tie-breaks; recall is an integer count divided by the constant k.
+
+    Scale shape: the pre-filter pass is the brute-force shape with the
+    predicate pushed into the candidate scan (Catalyst pushes it to the
+    parquet reader — the 100 TB win this query demonstrates); the
+    post-filter side reuses the memoized unfiltered top-k. Output is
+    one row per query vector.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    # PRE-FILTER: predicate on the candidate side, pushed to the scan.
+    cand = e.filter(F.expr(FILTER_PRED_SQL))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(spread(cand))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("embedding"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    exact_f = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOPK)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()  # tiny; joined twice below
+    )
+    # POST-FILTER: the memoized unfiltered top-k, predicate applied after.
+    bf = _memo_topk(
+        spark, sf_dir, "bf", lambda: _bruteforce_topk(spark, sf_dir)
+    )
+    post = (
+        bf.join(
+            load_table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("neighbor_id"), "label"
+            ),
+            "neighbor_id",
+        )
+        .filter(F.expr(FILTER_PRED_SQL))
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    hits = (
+        exact_f.join(
+            post.select(
+                F.col("query_id").alias("pq"),
+                F.col("neighbor_id").alias("pn"),
+            ),
+            (F.col("query_id") == F.col("pq"))
+            & (F.col("neighbor_id") == F.col("pn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("pn").cast("bigint").alias("n_hit"))
+    )
+    ret = post.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_retained")
+    )
+    return (
+        hits.join(F.broadcast(ret), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_retained"), F.lit(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.lit(TOPK)).alias(
+                "recall_postfilter"
+            ),
+            (
+                F.coalesce(F.col("n_retained"), F.lit(0)) < TOPK
+            ).alias("shortfall"),
+        )
+    )
+
+
+MUTUAL_KNN_K = TOPK  # mutuality tested within the memoized top-k lists
+
+
+@register(
+    "similarity_mutual_knn",
+    oracle=f"""
+WITH {_SQL_E_Q.strip().lstrip()},
+allq AS (SELECT vec_id AS query_id, embedding AS qv FROM e),
+knn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.query_id
+             ORDER BY {sql_cosine('a.qv', 'b.embedding')} DESC, b.vec_id
+           ) AS rk
+    FROM allq a JOIN e b ON b.vec_id <> a.query_id
+  ) t WHERE rk <= {MUTUAL_KNN_K}
+),
+mutual AS (
+  SELECT k1.query_id AS vec_a, k1.neighbor_id AS vec_b
+  FROM knn k1 JOIN knn k2
+    ON k2.query_id = k1.neighbor_id AND k2.neighbor_id = k1.query_id
+  WHERE k1.query_id < k1.neighbor_id
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_mutual FROM (
+    SELECT vec_a AS v FROM mutual UNION ALL SELECT vec_b AS v FROM mutual
+  ) t GROUP BY v
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM mutual
+)
+SELECT d.v AS vec_id, d.n_mutual, t.n_edges,
+       CAST(d.n_mutual AS DOUBLE) / {MUTUAL_KNN_K} AS mutuality_rate
+FROM deg d CROSS JOIN tot t
+""",
+)
+def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-nearest-neighbor graph over the full vector corpus:
+    an edge (a, b) exists iff b is in a's top-{MUTUAL_KNN_K} AND a is
+    in b's top-{MUTUAL_KNN_K}. Mutual-kNN is the standard symmetrized
+    neighborhood graph for clustering and near-dup mining: one-way kNN
+    edges are dominated by hubs (a popular vector appears in everyone's
+    list without reciprocating), and requiring reciprocity removes
+    exactly those hub artifacts — it is the graph SemDeDup-style
+    pipelines and manifold methods (e.g. UMAP's fuzzy union) start
+    from. Output: per vector, its mutual-edge count and mutuality rate
+    (fraction of its k-list that reciprocates), plus the global edge
+    count.
+
+    Deterministic: exact cosine ranking with id tie-breaks; the
+    mutuality join is exact set intersection on integer pairs.
+
+    Scale shape: the all-pairs kNN here is the fixture-scale baseline —
+    at 100 TB the k-lists come from the registered IVF-PQ pipeline
+    (same downstream join); the reciprocity check itself is ONE
+    self-join of the (n x k)-row edge list on the reversed key, and the
+    rollup is node-grain.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        a.join(spread(e), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("embedding"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    knn = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= MUTUAL_KNN_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()  # n x k rows; both sides of the mutuality join
+    )
+    mutual = (
+        knn.alias("k1")
+        .join(
+            knn.select(
+                F.col("query_id").alias("r_q"),
+                F.col("neighbor_id").alias("r_n"),
+            ),
+            (F.col("r_q") == F.col("neighbor_id"))
+            & (F.col("r_n") == F.col("query_id")),
+        )
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+        )
+        .localCheckpoint()
+    )
+    deg = (
+        mutual.select(F.col("vec_a").alias("v"))
+        .unionAll(mutual.select(F.col("vec_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_mutual"))
+    )
+    tot = mutual.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        deg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("v").alias("vec_id"),
+            "n_mutual",
+            "n_edges",
+            (F.col("n_mutual").cast("double") / F.lit(MUTUAL_KNN_K)).alias(
+                "mutuality_rate"
+            ),
+        )
+    )

@@ -123,6 +123,9 @@ _PRIORITY = (
     # --- new in r10 ---
     # (names prepended here as they land, per the hygiene rule above)
     "sketch_theta_set_ops",
+    "similarity_filtered_ann_recall",
+    "similarity_mutual_knn",
+    "layout_clustering_factor",
     "sample_group_split_noleak",
     "similarity_centroid_drift",
     "search_terms_agg_shard_error",

@@ -366,3 +366,70 @@ def test_centroid_drift_detects_planted_shift(spark, tmp_path):
         assert r.mu_a == 0.0 and r.mu_b == 1.0
         assert r.shift == -1.0
         assert abs(r.sq_l2_shift - d_dim) < 1e-9
+
+
+# --- filtered ANN, mutual kNN, clustering factor (batch 5) --------------------
+
+from hbase_observer_elasticsearch_spark.operators.planning import (  # noqa: E402
+    layout_clustering_factor,
+)
+from hbase_observer_elasticsearch_spark.operators.similarity import (  # noqa: E402
+    TOPK,
+    similarity_filtered_ann_recall,
+    similarity_mutual_knn,
+)
+
+
+def test_filtered_ann_postfilter_is_lossy_prefilter_is_exact(spark):
+    rows = similarity_filtered_ann_recall(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        # post-filter keeps at most the unfiltered top-k
+        assert 0 <= r.n_retained <= TOPK
+        # every retained-and-correct hit counts toward recall
+        assert 0 <= r.n_hit <= r.n_retained
+        assert abs(r.recall_postfilter - r.n_hit / TOPK) < 1e-12
+        assert r.shortfall == (r.n_retained < TOPK)
+    # with a ~50%-selective predicate, SOME query must fall short —
+    # that measured shortfall is the point of the audit
+    assert any(r.shortfall for r in rows)
+
+
+def test_mutual_knn_is_symmetric_and_bounded(spark):
+    rows = similarity_mutual_knn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_edges = rows[0].n_edges
+    assert all(r.n_edges == n_edges for r in rows)
+    # sum of degrees = 2 * edges (handshake lemma)
+    assert sum(r.n_mutual for r in rows) == 2 * n_edges
+    for r in rows:
+        assert 1 <= r.n_mutual <= TOPK
+        assert abs(r.mutuality_rate - r.n_mutual / TOPK) < 1e-12
+
+
+def test_clustering_factor_sorted_vs_scattered(spark, tmp_path):
+    """A column equal to the sort key clusters perfectly (runs ==
+    distinct); a column alternating against it scatters (runs ~ rows)."""
+    rows = [
+        # l_orderkey ascending = the sort order; l_partkey alternates
+        (i, i % 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         __import__("datetime").datetime(2024, 1, 1 + i))
+        for i in range(20)
+    ]
+    path = str(tmp_path / "li")
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    out = {r.column_name: r for r in layout_clustering_factor(spark, path).collect()}
+    ok = out["l_orderkey"]
+    assert ok.n_runs == ok.n_distinct == 20  # sort key: one run per value
+    assert ok.runs_per_distinct == 1.0
+    pk = out["l_partkey"]
+    assert pk.n_distinct == 2 and pk.n_runs == 20  # fully scattered
+    assert pk.runs_per_distinct == 10.0
