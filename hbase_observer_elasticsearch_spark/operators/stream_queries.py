@@ -1144,3 +1144,154 @@ def stream_daily_active_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return emitted
+
+
+# --- r10: streaming theta (KMV) distinct-count sketch ------------------------
+
+from .sketches import THETA_K as _THETA_K  # noqa: E402
+from .sketches import _TWO32  # noqa: E402
+
+
+@register(
+    "stream_theta_distinct",
+    oracle=f"""
+WITH cf AS ({_SQL_CF}),
+codes AS (
+  SELECT DISTINCT op,
+         CAST(CONCAT('0x', substr(md5(rowkey), 1, 8)) AS BIGINT) AS code
+  FROM cf
+),
+ranked AS (
+  SELECT op, code,
+         ROW_NUMBER() OVER (PARTITION BY op ORDER BY code) AS rk,
+         COUNT(*) OVER (PARTITION BY op) AS n_codes
+  FROM codes
+),
+sk AS (SELECT op, code, n_codes FROM ranked WHERE rk <= {_THETA_K})
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n_retained,
+       CASE WHEN MAX(n_codes) >= {_THETA_K}
+            THEN CAST(MAX(code) AS DOUBLE) / {_TWO32!r}
+            ELSE 1.0 END AS theta,
+       CASE WHEN MAX(n_codes) >= {_THETA_K}
+            THEN CAST({_THETA_K - 1} AS DOUBLE)
+                 / (CAST(MAX(code) AS DOUBLE) / {_TWO32!r})
+            ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
+FROM sk GROUP BY op
+""",
+)
+def stream_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming THETA (KMV) distinct-count sketch over the live
+    changefeed, keyed by op: Spark-managed keyed state holds ONLY the
+    k smallest md5 codes seen so far (k = {_THETA_K}; a few KB per key,
+    bounded forever), each micro-batch merges its codes in and
+    re-emits the current (theta, estimate) in update mode. The punch
+    line the oracle checks: because min-k is commutative, associative
+    and idempotent, the FINAL drained state is bit-identical to the
+    batch sketch over the same data — arrival order, batching, and
+    restarts cannot change the answer. That is the whole case for theta
+    sketches as streaming state at 100 TB: exact streaming
+    COUNT(DISTINCT) state grows with cardinality (the DAU twin's
+    documented cost), while this state is O(k) per key with a
+    quantified error and supports set algebra downstream
+    (sketch_theta_set_ops).
+
+    Scale shape: codes are computed map-side in the JVM (built-in md5 +
+    conv — no Python in the per-row path); Python touches only the
+    grouped per-batch code arrays; state per key is one short string.
+    Final-row selection takes each key's last emission (max batch
+    counter), which the update-mode memory sink makes deterministic.
+    """
+    ensure_session_conf(spark)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("n_batches", T.LongType(), False),
+            T.StructField("n_retained", T.LongType(), False),
+            T.StructField("theta", T.DoubleType(), False),
+            T.StructField("est_distinct", T.DoubleType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("blob", T.StringType(), False),
+            T.StructField("nb", T.LongType(), False),
+        ]
+    )
+
+    def _theta_merge(key, pdfs, state):
+        (op,) = key
+        arrs = [pdf["code"].to_numpy(dtype=np.int64) for pdf in pdfs]
+        new = (
+            np.unique(np.concatenate(arrs))
+            if arrs
+            else np.array([], dtype=np.int64)
+        )
+        if state.exists:
+            blob, nb = state.get
+            old = (
+                np.array([int(x) for x in blob.split(",")], dtype=np.int64)
+                if blob
+                else np.array([], dtype=np.int64)
+            )
+            merged = np.unique(np.concatenate([old, new]))
+            nb = int(nb) + 1
+        else:
+            merged, nb = new, 1
+        merged = np.sort(merged)[:_THETA_K]
+        state.update(
+            (",".join(str(int(c)) for c in merged), nb)
+        )
+        n = int(len(merged))
+        if n >= _THETA_K:
+            theta = float(merged[_THETA_K - 1]) / _TWO32
+            est = float(_THETA_K - 1) / theta
+        else:
+            theta, est = 1.0, float(n)
+        yield pd.DataFrame(
+            {
+                "op": [op],
+                "n_batches": [nb],
+                "n_retained": [n],
+                "theta": [theta],
+                "est_distinct": [est],
+            }
+        )
+
+    cf_dir = _changefeed_dir(spark, sf_dir)
+    feed = (
+        spark.readStream.schema(_changefeed_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cf_dir)
+        .select(
+            "op",
+            F.conv(F.substring(F.md5("rowkey"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("code"),
+        )
+    )
+    sketched = feed.groupBy("op").applyInPandasWithState(
+        _theta_merge,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    base = _scratch("stream_theta_")
+    try:
+        emitted = _drain_to_local(spark, sketched, base, output_mode="update")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("op").orderBy(F.col("n_batches").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("op", "n_retained", "theta", "est_distinct")
+    )

@@ -123,6 +123,7 @@ _PRIORITY = (
     # --- new in r10 ---
     # (names prepended here as they land, per the hygiene rule above)
     "sketch_theta_set_ops",
+    "stream_theta_distinct",
     "similarity_filtered_ann_recall",
     "similarity_mutual_knn",
     "layout_clustering_factor",

@@ -433,3 +433,27 @@ def test_clustering_factor_sorted_vs_scattered(spark, tmp_path):
     pk = out["l_partkey"]
     assert pk.n_distinct == 2 and pk.n_runs == 20  # fully scattered
     assert pk.runs_per_distinct == 10.0
+
+
+# --- streaming theta sketch (batch 6) ----------------------------------------
+
+from hbase_observer_elasticsearch_spark.operators.stream_queries import (  # noqa: E402
+    stream_theta_distinct,
+)
+
+
+def test_stream_theta_state_is_order_free(spark):
+    """The streaming drain must equal the batch KMV sketch exactly —
+    min-k state is commutative/associative/idempotent, so micro-batch
+    boundaries cannot change the final (theta, estimate)."""
+    rows = {r.op: r for r in stream_theta_distinct(
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    assert set(rows) == {"put", "delete"}
+    for r in rows.values():
+        assert 1 <= r.n_retained <= THETA_K
+        if r.n_retained < THETA_K:  # exact mode
+            assert r.theta == 1.0 and r.est_distinct == float(r.n_retained)
+        else:
+            assert 0.0 < r.theta < 1.0
+            assert r.est_distinct == (THETA_K - 1) / r.theta
