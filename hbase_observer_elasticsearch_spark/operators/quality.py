@@ -2124,3 +2124,142 @@ def quality_isotonic_calibration(
             ).alias("monotone_ok"),
         )
     )
+
+
+# --- r10: split-conformal prediction interval --------------------------------
+
+CONF_LEVEL_NUM, CONF_LEVEL_DEN = 9, 10  # target coverage 0.9
+
+
+@register(
+    "quality_conformal_interval",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS y,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         substr(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+           AS is_calib
+  FROM documents
+),
+model AS (
+  SELECT CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(SUM(n_tok) AS DOUBLE) AS chars_per_tok
+  FROM feat WHERE is_calib
+),
+resid AS (
+  SELECT f.doc_id, f.is_calib,
+         ABS(f.y - m.chars_per_tok * f.n_tok) AS r
+  FROM feat f CROSS JOIN model m
+),
+calib AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, doc_id) AS rk,
+         COUNT(*) OVER () AS n_calib
+  FROM resid WHERE is_calib
+),
+qhat AS (
+  SELECT n_calib, r AS q_hat FROM calib
+  WHERE rk = CAST(ceil((n_calib + 1) * {CONF_LEVEL_NUM}.0
+                       / {CONF_LEVEL_DEN}) AS BIGINT)
+),
+test AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(COUNT(*) FILTER (WHERE t.r <= q.q_hat) AS BIGINT) AS n_covered
+  FROM (SELECT r FROM resid WHERE NOT is_calib) t CROSS JOIN qhat q
+)
+SELECT CAST(q.n_calib AS BIGINT) AS n_calib, t.n_test,
+       q.q_hat,
+       CAST({CONF_LEVEL_NUM} AS DOUBLE) / {CONF_LEVEL_DEN} AS target_level,
+       CAST(t.n_covered AS DOUBLE) / t.n_test AS coverage
+FROM qhat q CROSS JOIN test t
+""",
+)
+def quality_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction interval around a trivial length model
+    (chars ~ chars_per_token x tokens, fitted on a hash-gated
+    calibration half): q_hat is the ceil((n+1)*0.9)-th smallest absolute
+    calibration residual — the distribution-free split-conformal
+    quantile (Vovk et al.; Lei et al. 2018) — and the held-out half
+    measures empirical coverage of y_hat +/- q_hat. Conformal intervals
+    are the model-agnostic uncertainty wrapper a data pipeline can put
+    around ANY scorer with finite-sample marginal-coverage guarantees;
+    the operator shape (one quantile order-stat on calibration
+    residuals + one coverage count) is what that wrapper costs at
+    100 TB: two passes, no model internals touched.
+
+    Deterministic: the model slope is an exact decimal-sum ratio; each
+    residual is three IEEE ops from exact inputs; the quantile is an
+    integer-rank order statistic (no interpolation); coverage is an
+    integer count divided once.
+
+    Scale shape: gate + residual are map-side; the calibration rank is
+    one ordered window over the calibration half (distributed-rank
+    decomposition at scale, as documented for the split family); the
+    coverage pass broadcasts the single-row q_hat.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("y"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))),
+                1,
+                2,
+            )
+            < "80"
+        ).alias("is_calib"),
+    ).localCheckpoint()  # model fit, calib ranks, and test pass share it
+    model = feat.filter("is_calib").agg(
+        (
+            F.sum(F.col("y").cast("decimal(28,6)")).cast("double")
+            / F.sum("n_tok").cast("double")
+        ).alias("chars_per_tok")
+    )
+    resid = feat.crossJoin(F.broadcast(model)).select(
+        "doc_id",
+        "is_calib",
+        F.abs(F.col("y") - F.col("chars_per_tok") * F.col("n_tok")).alias("r"),
+    )
+    wc = Window.orderBy("r", "doc_id")
+    calib = (
+        resid.filter("is_calib")
+        .select(
+            "r",
+            F.row_number().over(wc).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_calib"),
+        )
+    )
+    qhat = calib.filter(
+        F.col("rk")
+        == F.ceil(
+            (F.col("n_calib") + 1)
+            * F.lit(float(CONF_LEVEL_NUM))
+            / F.lit(CONF_LEVEL_DEN)
+        ).cast("bigint")
+    ).select("n_calib", F.col("r").alias("q_hat"))
+    test = (
+        resid.filter(~F.col("is_calib"))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.first("n_calib").alias("n_calib"),
+            F.first("q_hat").alias("q_hat"),
+        )
+    )
+    return test.select(
+        F.col("n_calib").cast("bigint").alias("n_calib"),
+        "n_test",
+        "q_hat",
+        (F.lit(CONF_LEVEL_NUM).cast("double") / F.lit(CONF_LEVEL_DEN)).alias(
+            "target_level"
+        ),
+        (F.col("n_covered").cast("double") / F.col("n_test")).alias(
+            "coverage"
+        ),
+    )

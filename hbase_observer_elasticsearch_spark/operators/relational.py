@@ -2687,3 +2687,73 @@ def basket_covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= COVIS_TOPK)
         .select("item", "neighbor", "n_both", "cosine_sim", "rk")
     )
+
+
+# --- r10: exact weighted median -----------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         CAST(l_quantity AS BIGINT) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, price, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag
+                       ORDER BY price, l_orderkey, l_linenumber) AS cw,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM w
+)
+SELECT l_returnflag,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       MIN(CASE WHEN 2 * cw >= tw THEN price END) AS weighted_median
+FROM cum
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median of l_extendedprice per return flag, with
+    l_quantity as the weight: the smallest price whose cumulative weight
+    reaches half the group's total — i.e. the median of the quantity-
+    expanded multiset without materializing the expansion (the classic
+    trick for "median unit price across items sold", where every line
+    contributes its quantity, not 1). Complements agg_mode_median
+    (unweighted holistic aggregates) and the integer-rank percentile
+    family.
+
+    Deterministic: weights are exact BIGINTs; the defining inequality
+    2*cw >= tw is integer arithmetic; the (price, orderkey, linenumber)
+    window order is total, so the crossing row is unique.
+
+    Scale shape: one partitioned cumulative window per group (no global
+    window), then a group-grain MIN — the same distributed shape as any
+    per-key running total; no quantity-row explosion ever happens.
+    """
+    ensure_session_conf(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(wo).alias("cw"),
+        F.sum("wt").over(wt).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))
+        ).alias("weighted_median"),
+    )

@@ -457,3 +457,53 @@ def test_stream_theta_state_is_order_free(spark):
         else:
             assert 0.0 < r.theta < 1.0
             assert r.est_distinct == (THETA_K - 1) / r.theta
+
+
+# --- conformal interval + weighted median (batch 7) ---------------------------
+
+from hbase_observer_elasticsearch_spark.operators.quality import (  # noqa: E402
+    quality_conformal_interval,
+)
+from hbase_observer_elasticsearch_spark.operators.relational import (  # noqa: E402
+    agg_weighted_median,
+)
+
+
+def test_conformal_coverage_near_target(spark):
+    r = quality_conformal_interval(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.target_level == 0.9
+    assert r.q_hat > 0
+    assert r.n_calib > 0 and r.n_test > 0
+    # split-conformal marginal-coverage guarantee is in expectation over
+    # splits; on one fixed split allow a finite-sample band
+    assert 0.80 <= r.coverage <= 1.0
+
+
+def test_weighted_median_expansion_equivalence(spark, tmp_path):
+    """The weighted median must equal the plain median of the
+    quantity-expanded multiset."""
+    rows = [
+        # flag A: prices 10 (w1), 20 (w1), 30 (w8) -> expanded median 30
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "A", "O",
+         __import__("datetime").datetime(2024, 1, 1)),
+        (2, 1, 1, 1, 1.0, 20.0, 0.0, 0.0, "A", "O",
+         __import__("datetime").datetime(2024, 1, 1)),
+        (3, 1, 1, 1, 8.0, 30.0, 0.0, 0.0, "A", "O",
+         __import__("datetime").datetime(2024, 1, 1)),
+        # flag B: prices 5 (w3), 50 (w1) -> expanded median 5
+        (4, 1, 1, 1, 3.0, 5.0, 0.0, 0.0, "B", "O",
+         __import__("datetime").datetime(2024, 1, 1)),
+        (5, 1, 1, 1, 1.0, 50.0, 0.0, 0.0, "B", "O",
+         __import__("datetime").datetime(2024, 1, 1)),
+    ]
+    path = str(tmp_path / "li")
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    out = {r.l_returnflag: r for r in agg_weighted_median(spark, path).collect()}
+    assert out["A"].weighted_median == 30.0 and out["A"].total_weight == 10
+    assert out["B"].weighted_median == 5.0 and out["B"].total_weight == 4
