@@ -3882,7 +3882,7 @@ MUTUAL_KNN_K = TOPK  # mutuality tested within the memoized top-k lists
     "similarity_mutual_knn",
     oracle=f"""
 WITH {_SQL_E_Q.strip().lstrip()},
-allq AS (SELECT vec_id AS query_id, embedding AS qv FROM e),
+allq AS (SELECT vec_id AS query_id, label, embedding AS qv FROM e),
 knn AS (
   SELECT query_id, neighbor_id FROM (
     SELECT a.query_id, b.vec_id AS neighbor_id,
@@ -3890,7 +3890,7 @@ knn AS (
              PARTITION BY a.query_id
              ORDER BY {sql_cosine('a.qv', 'b.embedding')} DESC, b.vec_id
            ) AS rk
-    FROM allq a JOIN e b ON b.vec_id <> a.query_id
+    FROM allq a JOIN e b ON b.label = a.label AND b.vec_id <> a.query_id
   ) t WHERE rk <= {MUTUAL_KNN_K}
 ),
 mutual AS (
@@ -3915,7 +3915,8 @@ FROM deg d CROSS JOIN tot t
 def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL k-nearest-neighbor graph over the full vector corpus:
     an edge (a, b) exists iff b is in a's top-{MUTUAL_KNN_K} AND a is
-    in b's top-{MUTUAL_KNN_K}. Mutual-kNN is the standard symmetrized
+    in b's top-{MUTUAL_KNN_K}, with candidates blocked to each vector's
+    coarse cell. Mutual-kNN is the standard symmetrized
     neighborhood graph for clustering and near-dup mining: one-way kNN
     edges are dominated by hubs (a popular vector appears in everyone's
     list without reciprocating), and requiring reciprocity removes
@@ -3928,11 +3929,12 @@ def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: exact cosine ranking with id tie-breaks; the
     mutuality join is exact set intersection on integer pairs.
 
-    Scale shape: the all-pairs kNN here is the fixture-scale baseline —
-    at 100 TB the k-lists come from the registered IVF-PQ pipeline
-    (same downstream join); the reciprocity check itself is ONE
-    self-join of the (n x k)-row edge list on the reversed key, and the
-    rollup is node-grain.
+    Scale shape: candidates are BLOCKED to the vector's coarse cell
+    (label = IVF cell id, the same blocking similarity_nn_same_label
+    uses), so the scoring join costs sum(cell^2), never n^2 — the exact
+    shape an IVF-PQ k-list build has at 100 TB. The reciprocity check
+    itself is ONE self-join of the (n x k)-row edge list on the
+    reversed key, and the rollup is node-grain.
     """
     ensure_session_conf(spark)
     e = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -3940,11 +3942,16 @@ def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.select(
         F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlbl"),
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"),
     )
     scored = (
-        a.join(spread(e), F.col("vec_id") != F.col("query_id"))
+        a.join(
+            spread(e),
+            (F.col("label") == F.col("qlbl"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
