@@ -3198,3 +3198,139 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return q_block("lang0", l0).unionByName(q_block("lpa_final", labels))
+
+
+# --- r10: partition agreement (Adjusted Rand Index) --------------------------
+
+
+@register(
+    "dedup_cluster_ari",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().lstrip()},
+{_SQL_JACCARD_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS doc_id, rc.r
+  FROM edges e JOIN reach rc ON rc.doc_id = e.dst
+),
+cc AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+parts AS (
+  SELECT d.doc_id,
+         md5(array_to_string(list_sort(string_split(d.text, ' ')), ' '))
+           AS canon,
+         c.cluster_id
+  FROM documents d JOIN cc c USING (doc_id)
+),
+nij AS (
+  SELECT canon, cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM parts GROUP BY canon, cluster_id
+),
+sums AS (
+  SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s_ij FROM nij
+),
+sa AS (
+  SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS s_a
+  FROM (SELECT CAST(SUM(n) AS BIGINT) AS a FROM nij GROUP BY canon) t
+),
+sb AS (
+  SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS s_b
+  FROM (SELECT CAST(SUM(n) AS BIGINT) AS b FROM nij GROUP BY cluster_id) t
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS s_n
+  FROM parts
+)
+SELECT t.n_docs, s.s_ij, sa.s_a, sb.s_b,
+       CASE WHEN t.s_n * (sa.s_a + sb.s_b) - 2 * sa.s_a * sb.s_b <> 0
+            THEN CAST(2 * t.s_n * s.s_ij - 2 * sa.s_a * sb.s_b AS DOUBLE)
+                 / CAST(t.s_n * (sa.s_a + sb.s_b) - 2 * sa.s_a * sb.s_b
+                        AS DOUBLE)
+            END AS ari
+FROM tot t CROSS JOIN sums s CROSS JOIN sa CROSS JOIN sb
+""",
+)
+def dedup_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADJUSTED RAND INDEX between the two dedup partitions the pipeline
+    maintains — exact duplicates (canonical sorted-bag-of-words hash)
+    vs near-duplicate connected components: the chance-corrected
+    agreement between clusterings (Hubert & Arabie 1985). ARI ~ 1 means
+    near-dup adds nothing over exact hashing; low positive ARI
+    quantifies how much extra merging the fuzzy pass performs — the
+    partition-level complement of the pairwise agreement scorecard.
+    Computed in the integer-cleared form
+    (2*S_n*S_ij - 2*S_a*S_b) / (S_n*(S_a+S_b) - 2*S_a*S_b) where every
+    S is an exact BIGINT sum of C(n,2) terms, so the statistic is ONE
+    double division.
+
+    Deterministic: contingency masses are integer counts over md5 canon
+    hashes and min-id CC labels; no float enters before the final
+    division (products bounded by n^4/4 — BIGINT-safe to ~55 M docs per
+    evaluated slice, beyond which the division shifts to DECIMAL(38)).
+
+    Scale shape: reuses the memoized CC labels; the contingency table
+    is one (canon, cluster)-grain aggregation whose size is bounded by
+    the number of exact-dup groups; everything after runs on grouped
+    sums.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    cc = _jaccard_cc_labels(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    canon = F.md5(F.concat_ws(" ", F.array_sort(F.split(F.col("text"), " "))))
+    parts = d.select("doc_id", canon.alias("canon")).join(cc, "doc_id")
+    nij = (
+        parts.groupBy("canon", "cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()  # contingency table feeds all four sums
+    )
+    comb2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("bigint")  # noqa: E731
+    sums = nij.agg(
+        F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("s_ij")
+    )
+    sa = (
+        nij.groupBy("canon")
+        .agg(F.sum("n").cast("bigint").alias("a"))
+        .agg(F.sum(comb2("a")).cast("bigint").alias("s_a"))
+    )
+    sb = (
+        nij.groupBy("cluster_id")
+        .agg(F.sum("n").cast("bigint").alias("b"))
+        .agg(F.sum(comb2("b")).cast("bigint").alias("s_b"))
+    )
+    tot = parts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("bigint")
+        .alias("s_n"),
+    )
+    num = 2 * F.col("s_n") * F.col("s_ij") - 2 * F.col("s_a") * F.col("s_b")
+    den = F.col("s_n") * (F.col("s_a") + F.col("s_b")) - 2 * F.col("s_a") * F.col(
+        "s_b"
+    )
+    return (
+        tot.crossJoin(F.broadcast(sums))
+        .crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            "n_docs",
+            "s_ij",
+            "s_a",
+            "s_b",
+            # den = 0 iff both partitions are all-singletons (ARI's 0/0
+            # corner): emit NULL in both dialects instead of tripping
+            # Spark's ANSI divide-by-zero.
+            F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+                "ari"
+            ),
+        )
+    )

@@ -4876,3 +4876,94 @@ def search_term_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SUGGEST_TOPK)
         .select("misspelled", "suggestion", "edit_distance", "freq", "rk")
     )
+
+
+# --- r10: ES join-field queries (has_child / has_parent) ---------------------
+
+HC_QUAL_MIN = 45.0  # has_child: a returned line with quantity >= this
+
+
+@register(
+    "search_es_join_field",
+    oracle=f"""
+WITH has_child AS (
+  SELECT 'has_child' AS query_kind,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS id_checksum
+  FROM orders o
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_returnflag = 'R' AND l.l_quantity >= {HC_QUAL_MIN}
+  )
+),
+has_parent AS (
+  SELECT 'has_parent' AS query_kind,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(COALESCE(SUM(l.l_orderkey * 100 + l.l_linenumber), 0)
+              AS BIGINT) AS id_checksum
+  FROM lineitem l
+  WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_orderkey = l.l_orderkey
+      AND o.o_orderpriority = '1-URGENT'
+  )
+)
+SELECT * FROM has_child UNION ALL SELECT * FROM has_parent
+""",
+)
+def search_es_join_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch JOIN-FIELD queries: ``has_child`` (parents with at
+    least one child matching a predicate — orders with a returned line
+    of quantity >= {HC_QUAL_MIN}) and ``has_parent`` (children whose
+    parent matches — lines of urgent orders), the two query shapes ES
+    serves over parent/child mappings where both document types live in
+    one index routed by the parent key. In relational terms these are
+    exactly LEFT SEMI joins in each direction, which is the point of
+    the parity: what ES implements with global ordinals and routing,
+    the engine expresses as semi-joins the optimizer can push, order,
+    and broadcast. Hit sets are verified by id checksums, not just
+    counts.
+
+    Deterministic: integer counts and key checksums only.
+
+    Scale shape: two semi-joins on the parent key — ES's routing
+    requirement (parent and children co-located on one shard) is
+    precisely a co-partitioned join at 100 TB; the bucketed-join twin
+    (join_bucketed_colocated) carries that layout story.
+    """
+    ensure_session_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hc_children = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= HC_QUAL_MIN)
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    hc = (
+        o.join(hc_children, "o_orderkey", "left_semi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+        .select(F.lit("has_child").alias("query_kind"), "n_hits", "id_checksum")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    hp = (
+        li.join(urgent, "l_orderkey", "left_semi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.coalesce(
+                F.sum(F.col("l_orderkey") * 100 + F.col("l_linenumber")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+        .select(
+            F.lit("has_parent").alias("query_kind"), "n_hits", "id_checksum"
+        )
+    )
+    return hc.unionByName(hp)

@@ -123,6 +123,8 @@ _PRIORITY = (
     # --- new in r10 ---
     # (names prepended here as they land, per the hygiene rule above)
     "sketch_theta_set_ops",
+    "dedup_cluster_ari",
+    "search_es_join_field",
     "quality_conformal_interval",
     "agg_weighted_median",
     "stream_theta_distinct",

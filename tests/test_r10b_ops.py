@@ -507,3 +507,74 @@ def test_weighted_median_expansion_equivalence(spark, tmp_path):
     out = {r.l_returnflag: r for r in agg_weighted_median(spark, path).collect()}
     assert out["A"].weighted_median == 30.0 and out["A"].total_weight == 10
     assert out["B"].weighted_median == 5.0 and out["B"].total_weight == 4
+
+
+# --- ARI + ES join-field (batch 8) -------------------------------------------
+
+from hbase_observer_elasticsearch_spark.operators.dedup import (  # noqa: E402
+    dedup_cluster_ari,
+)
+from hbase_observer_elasticsearch_spark.operators.text import (  # noqa: E402
+    search_es_join_field,
+)
+
+
+def test_ari_identical_partitions_on_dup_free_corpus(spark, tmp_path):
+    """With no duplicates at all, both partitions are all-singletons —
+    identical — so ARI is 1.0 by convention (num == den)."""
+    docs = [
+        (i, f"unique{i} word{i} token{i} extra{i}", "en", "s", 30)
+        for i in range(12)
+    ]
+    d = str(tmp_path / "docs")
+    _write_docs(spark, d, docs)
+    r = dedup_cluster_ari(spark, d).collect()[0]
+    assert r.n_docs == 12
+    assert r.s_ij == 0 and r.s_a == 0 and r.s_b == 0
+    # 0/0 form: engines return NULL for 0/0 double division
+    assert r.ari is None
+
+
+def test_ari_fixture_is_bounded_and_consistent(spark):
+    r = dedup_cluster_ari(spark, "/root/testdata/sf0.001").collect()[0]
+    # pair-count invariants: contingency pairs can never exceed either margin
+    assert r.s_ij <= r.s_a and r.s_ij <= r.s_b
+    if r.ari is not None:
+        assert -1.0 <= r.ari <= 1.0
+
+
+def test_es_join_field_semi_join_semantics(spark, tmp_path):
+    import datetime as dtm
+
+    orders = [
+        (1, 1, "O", 10.0, dtm.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "O", 10.0, dtm.datetime(2024, 1, 1), "5-LOW"),
+        (3, 1, "F", 10.0, dtm.datetime(2024, 1, 1), "1-URGENT"),
+    ]
+    lines = [
+        # order 1: returned + big qty -> has_child hit
+        (1, 1, 1, 1, 50.0, 1.0, 0.0, 0.0, "R", "O", dtm.datetime(2024, 1, 2)),
+        # order 2: returned but small qty -> no hit
+        (2, 1, 1, 1, 10.0, 1.0, 0.0, 0.0, "R", "O", dtm.datetime(2024, 1, 2)),
+        # order 3: no lines at all
+    ]
+    path = str(tmp_path / "db")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    out = {r.query_kind: r for r in search_es_join_field(spark, path).collect()}
+    assert out["has_child"].n_hits == 1
+    assert out["has_child"].id_checksum == 1
+    # has_parent: lines of urgent orders -> only order 1's line qualifies
+    # (order 3 is urgent but has no children)
+    assert out["has_parent"].n_hits == 1
+    assert out["has_parent"].id_checksum == 1 * 100 + 1
