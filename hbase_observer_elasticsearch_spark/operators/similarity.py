@@ -17,6 +17,8 @@ Scale design (100 TB of vectors):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -325,30 +327,42 @@ def kmeans_fit(e: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
-# Codebook granularity scales with corpus size (r8 verdict directive #1):
-# k = max(KMEANS_K, ceil(n / SEMDEDUP_CELL)), i.e. a target of ~SEMDEDUP_CELL
-# vectors per cell. A fixed k makes SemDeDup's within-cell pair stage
-# quadratic in n (SCALE_r8 measured 108.8x pair mass / 16.3x wall at 10x
-# data); k ∝ n holds expected cell size — and therefore per-cell pair
-# mass and IVF probe cost — constant as the corpus grows (the rehearsal's
-# k∝n arm: 6.5 s vs 70.4 s at 10x). At every fixture SF (n ≤ 2000) the
-# derived k equals KMEANS_K, so all existing oracle hashes are unchanged;
-# the 10x rehearsal corpus (n = 20000 → k = 80) exercises the scaling.
+# Codebook granularity scales with corpus size — k = max(KMEANS_K, ⌈√n⌉),
+# the FAISS nlist ∝ √n practice (r10 verdict directive #1). History of the
+# law, because both failure modes were MEASURED here:
+# - fixed k (pre-r8): SemDeDup's within-cell pair stage is quadratic in n
+#   (SCALE_r8: 108.8x pair mass / 16.3x wall at 10x data);
+# - k = ⌈n/250⌉ (r8-r10): holds cell size constant, so the PAIR stage is
+#   linear — but the ASSIGNMENT stage (every vector × every centroid) is
+#   then O(n²/250): the 100x spot measured IVF-PQ at 479 s, 12.9x over
+#   its decade-1 fit (SCALE100_SPOT.json, r10).
+# k = ⌈√n⌉ balances the two: assignment O(n·k) = O(n^1.5) and pair mass
+# O(n²/k) = O(n^1.5) — the minimum of their sum, and one decade of
+# corpus growth now costs ~31.6x on both stages instead of 100x on one.
+# At 100 TB the codebook is a persisted index artifact (trained on a
+# sample, assignment via a pre-partitioned broadcast scan), so n^1.5 on
+# the build is paid once per corpus snapshot, not per query.
+# SEMDEDUP_CELL survives only as the legacy name for the expected cell
+# mass at the crossover scale (n = 62.5k, where ⌈√n⌉ = ⌈n/250⌉).
 SEMDEDUP_CELL = 250
 
 
 def _derived_k(n: int) -> int:
-    """Corpus-derived codebook size: ceil(n / SEMDEDUP_CELL), floored at
-    KMEANS_K. Integer arithmetic only, so both engines agree exactly."""
-    return max(KMEANS_K, -(-n // SEMDEDUP_CELL))
+    """Corpus-derived codebook size: ⌈√n⌉ (FAISS nlist ∝ √n), floored at
+    KMEANS_K. Python side uses exact integer isqrt; the oracle twin uses
+    CEIL(SQRT(n)) on DOUBLE, which agrees exactly for n < 2^45 (perfect
+    squares take the exact branch; non-squares are > ulp away from the
+    next integer at that magnitude) — fixture corpora are ≤ 2e5."""
+    return max(KMEANS_K, math.isqrt(max(n - 1, 0)) + 1)
 
 
-# Shared oracle CTE pair: derived k (exact integer ceil-division on the
-# corpus count — GREATEST/// mirror _derived_k) + the seeded init
-# centroids. Every codebook-consuming oracle starts its Lloyd chain here.
+# Shared oracle CTE pair: derived k (CEIL(SQRT(count)) — mirrors
+# _derived_k, see its docstring for the exactness envelope) + the seeded
+# init centroids. Every codebook-consuming oracle starts its Lloyd chain
+# here.
 _SQL_C0 = (
-    f"kk AS (SELECT GREATEST({KMEANS_K}, (COUNT(*) + {SEMDEDUP_CELL - 1})"
-    f" // {SEMDEDUP_CELL}) AS k FROM e),\n"
+    f"kk AS (SELECT GREATEST({KMEANS_K}, CAST(CEIL(SQRT(CAST(COUNT(*)"
+    f" AS DOUBLE))) AS BIGINT)) AS k FROM e),\n"
     "c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv\n"
     "       FROM e, kk WHERE e.vec_id < kk.k)"
 )
@@ -1717,27 +1731,41 @@ def _ivfpq_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k query (rk <= TOPK prefix) and the exact re-rank audit,
     which needs the wider pool."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _coarse_cents(spark, sf_dir)
+    # Centroids ride as ONE broadcast row holding array<struct<cid, cv>>
+    # (the kmeans_fit assignment pattern), NOT as a k×dim literal
+    # expression tree: with the √n codebook law k reaches the hundreds at
+    # rehearsal scale and literal centroids made codegen itself O(k·dim)
+    # per compiled plan — the dominant term in the r10 100x spot's 479 s
+    # IVF-PQ wall. The HOF fold below is arithmetic-identical (float →
+    # double widening of the same float32 values, same left-assoc sum),
+    # so oracle hashes are unaffected by the representation change.
+    cent = spark.createDataFrame(
+        _coarse_cents(spark, sf_dir), "cid int, cv array<float>"
+    )
+    nested = cent.groupBy().agg(
+        F.collect_list(F.struct("cid", "cv")).alias("cents")
+    )
 
-    def d2(cv: list[float]) -> F.Column:
-        lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+    def d2(emb_col, cv_col) -> F.Column:
         return F.aggregate(
             F.zip_with(
-                "embedding",
-                lit_cv,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                emb_col,
+                cv_col,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
 
-    scored = F.array(
-        *[
-            F.struct(d2(cv).alias("d2"), F.lit(cid).alias("cid"))
-            for cid, cv in cents
-        ]
+    scored = F.transform(
+        "cents",
+        lambda c: F.struct(
+            d2(F.col("embedding"), c["cv"]).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
     )
-    es = spread(e)
+    es = spread(e).crossJoin(F.broadcast(nested))
     coarse = es.select(
         "vec_id", F.array_min(scored).getField("cid").alias("cid")
     )
@@ -2673,9 +2701,7 @@ def search_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Python-computed constant inlined VERBATIM into both dialects (math.log2
 # on small ints is one correctly-rounded double each — no cross-engine
 # transcendental in the constant's derivation path).
-import math as _math  # noqa: E402
-
-IDCG_AT_K = sum(1.0 / _math.log2(i + 1) for i in range(1, TOPK + 1))
+IDCG_AT_K = sum(1.0 / math.log2(i + 1) for i in range(1, TOPK + 1))
 
 
 @register(

@@ -93,6 +93,24 @@ def _load() -> None:
 # in the SAME commit. A query's newest official row must always postdate
 # the code it attests.
 _PRIORITY = (
+    # --- r11 window (the driver checks a ~50-entry prefix) ---
+    # Leads: the codebook family re-attestation after the √n _derived_k
+    # law (r10 verdict directive #1) — every query whose executed path
+    # consumes _coarse_cents / _SQL_C0 (k changed 8 → 23 at sf0.01, so
+    # every one of these has new oracle hashes).
+    "similarity_topk_ivfpq",
+    "similarity_recall_ivfpq",
+    "similarity_rerank_recall_ivfpq",
+    "similarity_topk_ivf",
+    "similarity_recall_ivf",
+    "similarity_ivf_kmeans",
+    "similarity_kmeans_silhouette",
+    "dedup_semantic_kmeans",
+    "dedup_semantic_incremental",
+    "quality_knn_label_noise",
+    "stream_semantic_admission",
+    # --- new in r11 ---
+    # (names prepended here as they land, per the hygiene rule above)
     # --- r10 window (the driver checks a ~50-entry prefix) ---
     # Leads: the 16 late-r9 queries that sat at positions 51+ of the r9
     # window (never officially attested; judge-verified green in r9,
