@@ -378,6 +378,117 @@ def cdc_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_replicate_then_query",
+    oracle="""
+WITH cf AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS rowkey,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+           AS qualifier,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+         ts
+  FROM events
+),
+lastdel AS (
+  SELECT rowkey, ts, seq FROM (
+    SELECT rowkey, ts, seq,
+           ROW_NUMBER() OVER (PARTITION BY rowkey
+                              ORDER BY ts DESC, seq DESC) AS rn
+    FROM cf WHERE op = 'delete'
+  ) t
+  WHERE rn = 1
+),
+livecell AS (
+  SELECT rowkey, qualifier, value FROM (
+    SELECT c.rowkey, c.qualifier, c.value,
+           ROW_NUMBER() OVER (PARTITION BY c.rowkey, c.qualifier
+                              ORDER BY c.ts DESC, c.seq DESC) AS rn
+    FROM cf c LEFT JOIN lastdel d USING (rowkey)
+    WHERE c.op = 'put'
+      AND (d.ts IS NULL OR (c.ts, c.seq) > (d.ts, d.seq))
+  ) t
+  WHERE rn = 1
+),
+docs AS (
+  SELECT rowkey,
+         CAST(COUNT(*) AS BIGINT) AS n_fields,
+         MAX(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase
+  FROM livecell GROUP BY rowkey
+)
+SELECT n_fields,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {sum_purchase} AS sum_purchase
+FROM docs WHERE purchase IS NOT NULL
+GROUP BY n_fields
+""".format(sum_purchase=sql_dsum("purchase")),
+)
+def cdc_replicate_then_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL user story in one checked row: bind the
+    coprocessor (CdcReplicator.start — lifecycle #16), let it replicate
+    the mutation feed into the search index (streaming pipeline →
+    EmulatedEsSink, exactly-once epochs), stop it (#17), then run an
+    ES-shaped query against the index it filled (.state() — the read
+    side a reference user points Kibana at). The query is a bool
+    `exists: purchase` filter with a terms-agg over document width:
+    per n_fields bucket, matched-doc count and the exact sum of the
+    `purchase` field.
+
+    The oracle replays the same changefeed in batch SQL: live cell =
+    latest put per (rowkey, qualifier) strictly after the row's last
+    whole-row tombstone — delete widening (#8,
+    HbaseDataSyncEsObserver.java:129) + LWW upsert (#7, :109) — then
+    the same exists-filtered rollup. Values survive the sink's string
+    round-trip exactly (Spark's shortest-repr double→string→double is
+    lossless), so sums are hash-compared through the decimal path.
+
+    Scale shape: replication is the checkpointed micro-batch pipeline
+    (state O(live cells), per-epoch MERGE); the query is one groupBy
+    over the state table — at 100 TB the state is the bucketed sink's
+    partitioned parquet and this exact query prunes to the `purchase`
+    field's column chunk.
+    """
+    ensure_session_conf(spark)
+    import os
+    import shutil
+
+    from ..replicator import CdcReplicator
+    from ..sources.changefeed import shared_changefeed_stream_dir
+
+    cf_dir = shared_changefeed_stream_dir(spark, sf_dir, n_files=2)
+    base = _scratch("replicate_demo_")
+    try:
+        rep = CdcReplicator(
+            spark,
+            cf_dir,
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        rep.start(trigger={"availableNow": True})
+        rep.await_drained(timeout_s=300)
+        rep.stop()
+        res = (
+            rep.state()
+            .select(
+                F.size("doc").cast("bigint").alias("n_fields"),
+                F.element_at(F.col("doc"), F.lit("purchase"))
+                .cast("double")
+                .alias("purchase"),
+            )
+            .filter(F.col("purchase").isNotNull())
+            .groupBy("n_fields")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                dsum("purchase").alias("sum_purchase"),
+            )
+            .localCheckpoint(eager=True)  # pin before the state dir dies
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+@register(
     "cdc_es_bulk_lines",
     oracle="""
 WITH counts AS (

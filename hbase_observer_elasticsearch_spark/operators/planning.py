@@ -998,41 +998,58 @@ def layout_clustering_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: run boundaries are integer LAG comparisons under a
     total order; the two ratios are single divisions of exact counts.
 
-    Scale shape: one window pass per probe column over the same sort
-    order (they fuse into one sort). The global window is the
-    documented aggregated-grain exemption: at 100 TB runs are counted
-    per file/partition and boundaries stitched with one row per file —
-    the same decomposition the zone-map query documents.
+    Scale shape: ONE window pass computes every probe column's
+    change-flag (all three LAGs share one window spec, so Catalyst
+    plans a single sort feeding a single Window operator), and ONE
+    aggregation carries all per-column counts; the prior per-column
+    union re-scanned and re-sorted lineitem 3x (r10 ADVICE — Catalyst
+    does not share sorts across union branches). The global window is
+    the documented aggregated-grain exemption: at 100 TB runs are
+    counted per file/partition and boundaries stitched with one row
+    per file — the same decomposition the zone-map query documents.
     """
     ensure_session_conf(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_orderkey", "l_linenumber", *CF_COLUMNS
     )
     w = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    out = None
-    for c in CF_COLUMNS:
-        chg = ~F.col(c).eqNullSafe(F.lag(c).over(w))
-        block = (
-            li.select(F.col(c), chg.alias("chg"))
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.countDistinct(c).cast("bigint").alias("n_distinct"),
-                F.sum(F.when(F.col("chg"), 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_runs"),
-            )
-            .select(
-                F.lit(c).alias("column_name"),
-                "n_rows",
-                "n_distinct",
-                "n_runs",
-                (
-                    F.col("n_rows").cast("double") / F.col("n_runs")
-                ).alias("avg_run_len"),
-                (
-                    F.col("n_runs").cast("double") / F.col("n_distinct")
-                ).alias("runs_per_distinct"),
-            )
+    flags = li.select(
+        *[F.col(c) for c in CF_COLUMNS],
+        *[
+            (~F.col(c).eqNullSafe(F.lag(c).over(w))).alias(f"chg_{c}")
+            for c in CF_COLUMNS
+        ],
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"nd_{c}")
+            for c in CF_COLUMNS
+        ],
+        *[
+            F.sum(F.when(F.col(f"chg_{c}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nr_{c}")
+            for c in CF_COLUMNS
+        ],
+    )
+    stacked = ", ".join(f"'{c}', nd_{c}, nr_{c}" for c in CF_COLUMNS)
+    return (
+        agg.selectExpr(
+            "n_rows",
+            f"stack({len(CF_COLUMNS)}, {stacked})"
+            " AS (column_name, n_distinct, n_runs)",
         )
-        out = block if out is None else out.unionByName(block)
-    return out
+        .select(
+            "column_name",
+            "n_rows",
+            "n_distinct",
+            "n_runs",
+            (F.col("n_rows").cast("double") / F.col("n_runs")).alias(
+                "avg_run_len"
+            ),
+            (F.col("n_runs").cast("double") / F.col("n_distinct")).alias(
+                "runs_per_distinct"
+            ),
+        )
+    )

@@ -2163,15 +2163,21 @@ qhat AS (
                        / {CONF_LEVEL_DEN}) AS BIGINT)
 ),
 test AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+  -- grouped by the qhat row so degenerate inputs (calib half < 9 rows
+  -- -> qhat empty, or test half empty) yield ZERO rows in BOTH engines
+  -- (a group-less agg would emit its 1 row asymmetrically).
+  SELECT q.n_calib, q.q_hat,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
          CAST(COUNT(*) FILTER (WHERE t.r <= q.q_hat) AS BIGINT) AS n_covered
   FROM (SELECT r FROM resid WHERE NOT is_calib) t CROSS JOIN qhat q
+  GROUP BY q.n_calib, q.q_hat
 )
-SELECT CAST(q.n_calib AS BIGINT) AS n_calib, t.n_test,
-       q.q_hat,
+SELECT CAST(n_calib AS BIGINT) AS n_calib, n_test,
+       q_hat,
        CAST({CONF_LEVEL_NUM} AS DOUBLE) / {CONF_LEVEL_DEN} AS target_level,
-       CAST(t.n_covered AS DOUBLE) / t.n_test AS coverage
-FROM qhat q CROSS JOIN test t
+       CASE WHEN n_test > 0
+            THEN CAST(n_covered AS DOUBLE) / n_test END AS coverage
+FROM test
 """,
 )
 def quality_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2240,16 +2246,20 @@ def quality_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(CONF_LEVEL_DEN)
         ).cast("bigint")
     ).select("n_calib", F.col("r").alias("q_hat"))
+    # groupBy the broadcast qhat row (not a group-less agg): degenerate
+    # inputs (calib half < 9 rows -> qhat empty, or test half empty)
+    # then yield ZERO rows, matching the oracle's grouped shape — a
+    # group-less Spark agg would still emit 1 row over the empty cross
+    # join and divide by n_test = 0 (r10 ADVICE).
     test = (
         resid.filter(~F.col("is_calib"))
         .crossJoin(F.broadcast(qhat))
+        .groupBy("n_calib", "q_hat")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_test"),
             F.sum(F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_covered"),
-            F.first("n_calib").alias("n_calib"),
-            F.first("q_hat").alias("q_hat"),
         )
     )
     return test.select(
@@ -2259,7 +2269,8 @@ def quality_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(CONF_LEVEL_NUM).cast("double") / F.lit(CONF_LEVEL_DEN)).alias(
             "target_level"
         ),
-        (F.col("n_covered").cast("double") / F.col("n_test")).alias(
-            "coverage"
-        ),
+        F.when(
+            F.col("n_test") > 0,
+            F.col("n_covered").cast("double") / F.col("n_test"),
+        ).alias("coverage"),
     )

@@ -4473,6 +4473,162 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: ES fuzzy~1 term query (Lucene FuzzyQuery model) --------------------
+
+# A deliberate TYPO: "sart" is not in the fixture vocabulary, but "sort"
+# and "part" are both one edit away — the typo-tolerance use case fuzzy
+# exists for. Classic Levenshtein (no transpositions): both engines ship
+# the same Wagner-Fischer distance built-in; Lucene's default adds
+# transpositions (fuzzy_transpositions=true), which neither ships — the
+# model here is ES `"fuzziness": 1, "fuzzy_transpositions": false`.
+FUZZY_SEED = "sart"
+FUZZY_MAX_EDITS = 1
+FUZZY_TOPK = 15
+
+
+@register(
+    "search_fuzzy_term",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf_all AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, w
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf_all GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+dict AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf_all GROUP BY w),
+exp AS (
+  SELECT w, df,
+         1.0 - CAST(levenshtein(w, '{FUZZY_SEED}') AS DOUBLE)
+               / LEAST(length(w), {len(FUZZY_SEED)}) AS boost
+  FROM dict WHERE levenshtein(w, '{FUZZY_SEED}') <= {FUZZY_MAX_EDITS}
+),
+blend AS (SELECT CAST(MAX(df) AS BIGINT) AS bdf FROM exp),
+term_scores AS (
+  SELECT t.doc_id,
+         e.boost
+         * ((CAST(s.n_docs - b.bdf AS DOUBLE) + 0.5)
+            / (CAST(b.bdf AS DOUBLE) + 0.5))
+         * ((CAST(t.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+            / (CAST(t.tf AS DOUBLE)
+               + CAST({BM25_K1!r} AS DOUBLE)
+                 * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                    + CAST({BM25_B!r} AS DOUBLE)
+                      * (CAST(l.dl AS DOUBLE)
+                         / (CAST(s.sum_dl AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))))) AS ts
+  FROM tf_all t
+  JOIN exp e USING (w)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN blend b
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ts AS DECIMAL(28,6))) AS DOUBLE) AS fz_score,
+         CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, fz_score, n_matched_terms, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY fz_score DESC, doc_id) AS rk
+  FROM agg
+) t WHERE rk <= {FUZZY_TOPK}
+""",
+)
+def search_fuzzy_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``fuzzy`` query (Lucene FuzzyQuery model): expand the query
+    term against the TERM DICTIONARY to every indexed term within
+    Levenshtein distance {FUZZY_MAX_EDITS} ("{FUZZY_SEED}" → "sort",
+    "part" in the fixture vocabulary), then run the expansion as
+    Lucene's ``top_terms_blended_freqs`` rewrite: every expanded term
+    scores as a term query whose document frequency is OVERRIDDEN by
+    the max df across the expansion set (so a rare typo variant can't
+    out-rank the common intended term on idf alone), weighted by the
+    Lucene fuzzy boost 1 − d/min(|term|, |query|). This is the last ES
+    query-DSL shape next to bool/prefix/wildcard/function_score/MLT/
+    percolate (VERDICT r10 next-#8a), and the query-time complement to
+    search_term_suggester (which corrects the typo; this one searches
+    through it).
+
+    Deterministic: Levenshtein is exact integer Wagner-Fischer in both
+    engines; the boost is one IEEE division; scoring reuses the BM25
+    family's rational raw-odds idf + tf normalization verbatim, and the
+    per-doc sum goes through DECIMAL(28,6).
+
+    Scale shape: the expansion scan is over the TERM DICTIONARY (|vocab|
+    rows — Heaps-law sublinear in corpus size), never the corpus; Lucene
+    walks an FST intersected with a Levenshtein automaton, this walks
+    the df table with a distance predicate — same asymptotics at the
+    dictionary grain. The expansion set (≤ a few terms) broadcasts to
+    the postings join; everything downstream is the bounded multi-term
+    BM25 shape.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf_all = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dict_df = tf_all.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    lev = F.levenshtein(F.col("w"), F.lit(FUZZY_SEED))
+    exp = dict_df.filter(lev <= FUZZY_MAX_EDITS).select(
+        "w",
+        "df",
+        (
+            F.lit(1.0)
+            - lev.cast("double")
+            / F.least(F.length("w"), F.lit(len(FUZZY_SEED)))
+        ).alias("boost"),
+    )
+    blend = exp.agg(F.max("df").alias("bdf"))
+    idf = (
+        (F.col("n_docs") - F.col("bdf")).cast("double") + F.lit(0.5)
+    ) / (F.col("bdf").cast("double") + F.lit(0.5))
+    tfn = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B)
+            * (
+                F.col("dl").cast("double")
+                / (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+            )
+        )
+    )
+    agg = (
+        tf_all.join(F.broadcast(exp), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(blend))
+        .select("doc_id", (F.col("boost") * idf * tfn).alias("ts"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("ts").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("fz_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+        )
+    )
+    w = Window.orderBy(F.col("fz_score").desc(), "doc_id")
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= FUZZY_TOPK)
+        .select("doc_id", "fz_score", "n_matched_terms", "rk")
+    )
+
+
 # --- r10: ES aggregation-DSL fidelity: terms agg error bounds, percolate,
 # --- term suggester ----------------------------------------------------------
 

@@ -3633,9 +3633,13 @@ pairs AS (
   GROUP BY l.lag
 )
 SELECT p.lag, s.n AS n_days, p.n_pairs, p.sxy AS sum_xy,
-       CAST(s.n * s.n * p.sxy - s.n * s.s * (p.h + p.tt)
-            + (s.n - p.lag) * s.s * s.s AS DOUBLE)
-         / CAST(s.n * (s.n * s.q - s.s * s.s) AS DOUBLE) AS r_acf
+       -- zero-variance day series (n*q = s*s) -> NULL, not 0/0: DuckDB
+       -- doubles would give inf/nan where Spark gives NULL (r10 ADVICE)
+       CASE WHEN s.n * s.q - s.s * s.s <> 0
+            THEN CAST(s.n * s.n * p.sxy - s.n * s.s * (p.h + p.tt)
+                      + (s.n - p.lag) * s.s * s.s AS DOUBLE)
+                 / CAST(s.n * (s.n * s.q - s.s * s.s) AS DOUBLE)
+       END AS r_acf
 FROM pairs p CROSS JOIN stats s
 """,
 )
@@ -3711,6 +3715,10 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"),
             "n_pairs",
             F.col("sxy").alias("sum_xy"),
-            (num.cast("double") / den.cast("double")).alias("r_acf"),
+            # zero-variance series -> NULL in both dialects (the same
+            # 0/0 corner dedup_cluster_ari NULL-guards; r10 ADVICE)
+            F.when(
+                den != F.lit(0), num.cast("double") / den.cast("double")
+            ).alias("r_acf"),
         )
     )

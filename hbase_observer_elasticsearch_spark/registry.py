@@ -109,8 +109,17 @@ _PRIORITY = (
     "dedup_semantic_incremental",
     "quality_knn_label_noise",
     "stream_semantic_admission",
+    # --- changed in r11 (ADVICE fixes; re-attest per the hygiene rule:
+    # conformal degenerate-shape guard, ACF zero-variance guard,
+    # clustering-factor single-pass window) ---
+    "quality_conformal_interval",
+    "events_acf_daily",
+    "layout_clustering_factor",
     # --- new in r11 ---
     # (names prepended here as they land, per the hygiene rule above)
+    "search_fuzzy_term",
+    "cdc_replicate_then_query",
+    "multimodal_decode_real",
     # --- r10 window (the driver checks a ~50-entry prefix) ---
     # Leads: the 16 late-r9 queries that sat at positions 51+ of the r9
     # window (never officially attested; judge-verified green in r9,

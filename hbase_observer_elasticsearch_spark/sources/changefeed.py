@@ -190,13 +190,22 @@ def shared_changefeed_stream_dir(
     spark: SparkSession, sf_dir: str, n_files: int = 2
 ) -> str:
     """Path of a memoized micro-batch-ordered changefeed dir derived from
-    the ``events`` table at ``sf_dir`` (see write_changefeed_stream_dir)."""
+    the ``events`` table at ``sf_dir`` (see write_changefeed_stream_dir).
+
+    ``SPARK_GRAFT_CF_FILES`` overrides ``n_files`` (audit/rehearsal knob:
+    a longer-history events fixture needs proportionally more files so
+    each micro-batch still covers a constant slice of event time —
+    constant watermark cadence — otherwise peak state measures the feed's
+    file layout, not the operator's eviction contract). Results are
+    file-count independent (module docstring proof in
+    operators/stream_queries.py), so the default stays 2."""
     import atexit
     import os
     import shutil as _shutil
 
     from ..catalog import load_table
 
+    n_files = int(os.environ.get("SPARK_GRAFT_CF_FILES", n_files))
     key = (spark.sparkContext.applicationId, sf_dir, n_files)
     cached = _SHARED_CF_DIRS.get(key)
     if cached is not None and os.path.isdir(cached):
