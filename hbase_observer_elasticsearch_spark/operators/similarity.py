@@ -239,7 +239,9 @@ def similarity_nn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_fit(e: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+def kmeans_fit(
+    e: DataFrame, k: int = 8, iters: int = 3, train: DataFrame | None = None
+) -> DataFrame:
     """Lloyd's k-means over ARRAY<FLOAT> embeddings in pure DataFrame ops.
 
     The IVF coarse-quantizer trainer. Per iteration: assignment is a
@@ -268,7 +270,11 @@ def kmeans_fit(e: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
         F.col("vec_id").cast("int").alias("cluster_id"),
         F.col("embedding").alias("cv"),
     )
-    e = spread(e)  # assignment math parallelizes across all cores
+    # Lloyd iterations run over `train` when given (the FAISS-style
+    # sample-trained quantizer — _coarse_cents passes the md5-gated
+    # subset); seeding always comes from the full input above so the
+    # init centroids don't depend on the gate.
+    e = spread(train if train is not None else e)
 
     def d2(emb_col, cv_col) -> F.Column:
         return F.aggregate(
@@ -356,15 +362,35 @@ def _derived_k(n: int) -> int:
     return max(KMEANS_K, math.isqrt(max(n - 1, 0)) + 1)
 
 
-# Shared oracle CTE pair: derived k (CEIL(SQRT(count)) — mirrors
-# _derived_k, see its docstring for the exactness envelope) + the seeded
-# init centroids. Every codebook-consuming oracle starts its Lloyd chain
-# here.
+# FAISS trains the coarse quantizer on a SAMPLE (the recommended band is
+# ~39-256 training points per centroid); training on the full corpus
+# makes each Lloyd iteration an O(n·k) pass — measured as half the
+# IVF-PQ 100x wall (97 of ~200 s, r11 decomposition). The gate keeps
+# min(n, TRAIN_PER_CENTROID·k) vectors via an md5 threshold (uniform,
+# deterministic, engine-identical), and is INACTIVE at every fixture SF
+# (n <= cap there), so fixture oracle results are unchanged; the
+# rehearsal decades (20k/200k vectors) exercise it.
+KMEANS_TRAIN_PER_CENTROID = 64
+
+
+# Shared oracle CTE triple: derived k (CEIL(SQRT(count)) — mirrors
+# _derived_k, see its docstring for the exactness envelope), the seeded
+# init centroids, and the md5-gated training sample `et` the Lloyd
+# iterations run on (threshold = floor(2^32·cap/n) as an 8-hex-digit
+# string compare — LEAST caps it below 2^32 so the string stays 8 chars;
+# the `n <= cap` disjunct disables the gate outright at fixture scale).
+# Every codebook-consuming oracle starts its Lloyd chain here.
 _SQL_C0 = (
     f"kk AS (SELECT GREATEST({KMEANS_K}, CAST(CEIL(SQRT(CAST(COUNT(*)"
-    f" AS DOUBLE))) AS BIGINT)) AS k FROM e),\n"
+    f" AS DOUBLE))) AS BIGINT)) AS k,\n"
+    "              CAST(COUNT(*) AS BIGINT) AS n FROM e),\n"
     "c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv\n"
-    "       FROM e, kk WHERE e.vec_id < kk.k)"
+    "       FROM e, kk WHERE e.vec_id < kk.k),\n"
+    "et AS (SELECT e.vec_id, e.embedding FROM e, kk\n"
+    f"       WHERE kk.n <= {KMEANS_TRAIN_PER_CENTROID} * kk.k\n"
+    "          OR substr(md5('kms:' || CAST(e.vec_id AS VARCHAR)), 1, 8)\n"
+    f"             < printf('%08x', LEAST((4294967296 *"
+    f" {KMEANS_TRAIN_PER_CENTROID} * kk.k) // kk.n, 4294967295)))"
 )
 
 
@@ -386,10 +412,32 @@ def _coarse_cents(
     got = _TOPK_CACHE.get(key)
     if got is None:
         e = load_table(spark, sf_dir, "embeddings")
-        k = _derived_k(e.count())
+        n = e.count()
+        k = _derived_k(n)
+        cap = KMEANS_TRAIN_PER_CENTROID * k
+        train = None
+        if n > cap:
+            # md5-gated uniform training sample (~cap vectors), the
+            # exact twin of the oracle's `et` CTE. Inactive at every
+            # fixture SF (n <= cap there).
+            thr = format(min((2**32 * cap) // n, 2**32 - 1), "08x")
+            train = e.filter(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("kms:"), F.col("vec_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                )
+                < thr
+            )
         got = sorted(
             (int(r["cluster_id"]), list(r["cv"]))
-            for r in kmeans_fit(e, k=k, iters=KMEANS_ITERS).collect()
+            for r in kmeans_fit(
+                e, k=k, iters=KMEANS_ITERS, train=train
+            ).collect()
         )
         _TOPK_CACHE[key] = got
     return got
@@ -403,12 +451,15 @@ def _sql_lloyd_iter(prev_cent: str, idx: int) -> str:
     kmeans_fit bit for bit."""
     return f"""
 a{idx} AS (
+  -- training iterations run on the md5-gated sample `et` (FAISS
+  -- sample-trained quantizer); downstream ASSIGNMENT CTEs still run
+  -- the final centroids over the full corpus `e`.
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id
              ORDER BY {sql_sq_dist('e.embedding', 'c.cv')}, c.cid) AS rn
-    FROM e CROSS JOIN {prev_cent} c
+    FROM et e CROSS JOIN {prev_cent} c
   ) t WHERE rn = 1
 ),
 m{idx} AS (

@@ -161,3 +161,49 @@ class TestReplicateThenQuery:
         for k in want:
             assert got[k][0] == want[k][0]
             assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
+
+
+class TestCodebookLawParity:
+    """The √n codebook law and the training-sample threshold are computed
+    Python-side for Spark and SQL-side for DuckDB — pin the integer
+    parity across a wide n range (the oracle compare only exercises the
+    fixture n)."""
+
+    def test_derived_k_matches_duckdb_ceil_sqrt(self):
+        import duckdb
+
+        from hbase_observer_elasticsearch_spark.operators.similarity import (
+            KMEANS_K,
+            _derived_k,
+        )
+
+        ns = [1, 2, 7, 63, 64, 65, 499, 500, 2000, 20000, 200000,
+              10**6, 10**9, 2**44]
+        got = duckdb.sql(
+            "SELECT n, GREATEST(%d, CAST(CEIL(SQRT(CAST(n AS DOUBLE))) "
+            "AS BIGINT)) FROM (SELECT unnest(?::BIGINT[]) AS n)" % KMEANS_K,
+            params=[ns],
+        ).fetchall()
+        for n, k_sql in got:
+            assert k_sql == _derived_k(n), (n, k_sql, _derived_k(n))
+
+    def test_train_threshold_hex_matches_duckdb_printf(self):
+        import duckdb
+
+        from hbase_observer_elasticsearch_spark.operators.similarity import (
+            KMEANS_TRAIN_PER_CENTROID as TPC,
+        )
+        from hbase_observer_elasticsearch_spark.operators.similarity import (
+            _derived_k,
+        )
+
+        for n in [20000, 200000, 10**6, 10**8]:
+            k = _derived_k(n)
+            py_hex = format(
+                min((2**32 * TPC * k) // n, 2**32 - 1), "08x"
+            )
+            (sql_hex,) = duckdb.sql(
+                f"SELECT printf('%08x', LEAST((4294967296 * {TPC} * {k})"
+                f" // {n}, 4294967295))"
+            ).fetchone()
+            assert sql_hex == py_hex, (n, k, sql_hex, py_hex)

@@ -48,6 +48,7 @@ EXECUTING = (
     "stream_",
     "cdc_stateful_stream",
     "cdc_python_datasource_stream",
+    "cdc_replicate_then_query",
     "sink_merge_idempotent_epochs",
 )
 # batch queries whose name matches an EXECUTING prefix but that build a

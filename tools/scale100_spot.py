@@ -87,9 +87,16 @@ def main() -> None:
             "wall_1x": w1,
             "wall_10x": w10,
             "wall_100x": w100,
-            "fitted_exponent": round(exp, 3),
+            "fitted_exponent": exp and round(exp, 3),
             "predicted_100x": round(pred, 3),
             "measured_over_predicted": round(w100 / pred, 3) if pred else None,
+            # The log-linear fit UNDER-predicts any family whose decade-1
+            # wall is fixed-overhead-dominated (small absolute seconds),
+            # so also record the decade-2 growth against the family's
+            # DESIGN law: every anchor here is O(n) or O(n^1.5), so the
+            # 10x->100x wall ratio must stay under 10^1.5 ~= 31.6.
+            "decade2_ratio": round(w100 / max(w10, 1e-3), 2),
+            "within_design_n15": w100 / max(w10, 1e-3) <= 10**1.5,
         }
     out["extrapolation"] = fams
     with open(os.path.join(REPO, "SCALE100_SPOT.json"), "w") as f:

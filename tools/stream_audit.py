@@ -59,6 +59,9 @@ KEYED_SLACK = 1.3  # keyed contract: state ratio <= 1.3x key ratio
 CONTRACTS: dict[str, tuple[str, str | None]] = {
     # changefeed passthrough + stream-static broadcast join: no state.
     "stream_static_enrich": ("stateless", None),
+    # foreachBatch MERGE pipeline: durable state lives in the SINK's
+    # parquet (LWW-compacted), no Spark state-store operator.
+    "cdc_replicate_then_query": ("stateless", None),
     # groupBy(op) complete agg: 2 groups, constant forever.
     "cdc_python_datasource_stream": ("flat", None),
     # watermark-evicted window/session/dedup/join state.
