@@ -4571,8 +4571,13 @@ def search_fuzzy_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf_all = tok.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    # One corpus pass: dl/stats/dictionary/scoring all derive from the
+    # postings table — cut it once (the MLT diamond-DAG doctrine; the
+    # un-checkpointed build audited at 5 parquet scans).
+    tf_all = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
     )
     dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
