@@ -457,6 +457,17 @@ def _real_decode_batches(
     "multimodal_decode_real",
     oracle=f"""
 WITH {_SQL_MEDIA.strip()},
+med AS (
+  -- fixture sources (src0..src19) all fall through media_table's
+  -- source map to 'image'; an md5 split assigns ~half the docs to the
+  -- WAV path so BOTH container parsers run on every fixture.
+  SELECT doc_id,
+         CASE WHEN substr(md5('med:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   < '8'
+              THEN 'audio' ELSE 'image' END AS media_type,
+         byte_len, text
+  FROM media
+),
 units AS (
   SELECT doc_id, media_type, byte_len,
          CASE WHEN media_type = 'audio'
@@ -466,7 +477,7 @@ units AS (
               ELSE ord(substr(text,
                           CAST((u.j % byte_len) + 1 AS BIGINT), 1))
          END AS v
-  FROM media,
+  FROM med,
        unnest(generate_series(0,
          CASE WHEN media_type = 'audio' THEN {REAL_WAV_SAMPLES - 1}
               ELSE {REAL_IMG_W * REAL_IMG_H * 3 - 1} END)) AS u(j)
@@ -506,7 +517,21 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 9-column feature rows reach the (absent) downstream exchange.
     """
     ensure_session_conf(spark)
-    m = media_table(spark, sf_dir)
+    # The fixture's src0..src19 sources all fall through media_table's
+    # source map to 'image'; an md5 modality split sends ~half the docs
+    # down the WAV path so the registered row exercises BOTH parsers.
+    m = media_table(spark, sf_dir).withColumn(
+        "media_type",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("med:"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8",
+            "audio",
+        ).otherwise("image"),
+    )
     return m.mapInPandas(
         _real_decode_batches,
         schema=(

@@ -4634,6 +4634,321 @@ def search_fuzzy_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: ES significant_terms (JLH), rank_feature, dis_max ------------------
+
+SIG_FG_SOURCE = "src7"  # foreground doc set = one source
+SIG_MIN_DOC_COUNT = 3  # ES significant_terms min_doc_count
+SIG_TOPN = 10
+
+
+@register(
+    "search_significant_terms",
+    oracle=f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, source, w FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+    FROM documents
+  ) t
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS bg_total,
+         CAST(COUNT(*) FILTER (WHERE source = '{SIG_FG_SOURCE}') AS BIGINT)
+           AS fg_total
+  FROM documents
+),
+counts AS (
+  SELECT w,
+         CAST(COUNT(*) AS BIGINT) AS bg_df,
+         CAST(COUNT(*) FILTER (WHERE source = '{SIG_FG_SOURCE}') AS BIGINT)
+           AS fg_df
+  FROM postings GROUP BY w
+),
+scored AS (
+  SELECT c.w AS term, c.fg_df, c.bg_df,
+         (CAST(c.fg_df AS DOUBLE) / t.fg_total) AS fg_pct,
+         (CAST(c.bg_df AS DOUBLE) / t.bg_total) AS bg_pct
+  FROM counts c CROSS JOIN totals t
+  WHERE c.fg_df >= {SIG_MIN_DOC_COUNT}
+    AND (CAST(c.fg_df AS DOUBLE) / t.fg_total)
+        > (CAST(c.bg_df AS DOUBLE) / t.bg_total)
+)
+SELECT term, fg_df, bg_df, jlh, rk FROM (
+  SELECT term, fg_df, bg_df,
+         (fg_pct - bg_pct) * (fg_pct / bg_pct) AS jlh,
+         ROW_NUMBER() OVER (
+           ORDER BY (fg_pct - bg_pct) * (fg_pct / bg_pct) DESC, term) AS rk
+  FROM scored
+) t WHERE rk <= {SIG_TOPN}
+""",
+)
+def search_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_terms`` aggregation with the default JLH score:
+    terms over-represented in a FOREGROUND doc set (source =
+    {SIG_FG_SOURCE!r}) relative to the whole index background —
+    jlh = (fg% − bg%) · (fg%/bg%), the product of the absolute and
+    relative lift, with ES's min_doc_count gate and the
+    positive-significance filter (fg% > bg%). The "what is this segment
+    about" aggregation next to plain terms-agg counting
+    (search_terms_agg_shard_error) and the retrieval-side complement of
+    the corpus G² collocations (that one scores term-pair association;
+    this one scores term-segment association).
+
+    Deterministic: document frequencies are exact integers from a
+    DISTINCT (doc, term) pass; the two percentages and their product
+    are IEEE double ops in identical evaluation order in both engines.
+
+    Scale shape: one distinct-postings pass (token grain, the same
+    shuffle class as every postings build), then term-grain counts
+    joined to a one-row broadcast of the two totals; output is a
+    dictionary-grain top-N (Heaps-sublinear in corpus size). At 100 TB
+    the counts table IS the persisted term-stats index; a foreground
+    query touches term stats, never documents.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    postings = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    totals = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("bg_total"),
+        F.sum((F.col("source") == SIG_FG_SOURCE).cast("bigint"))
+        .cast("bigint")
+        .alias("fg_total"),
+    )
+    counts = postings.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bg_df"),
+        F.sum((F.col("source") == SIG_FG_SOURCE).cast("bigint"))
+        .cast("bigint")
+        .alias("fg_df"),
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.col("fg_total")
+    bg_pct = F.col("bg_df").cast("double") / F.col("bg_total")
+    jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    scored = (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(
+            (F.col("fg_df") >= SIG_MIN_DOC_COUNT) & (fg_pct > bg_pct)
+        )
+        .select(
+            F.col("w").alias("term"), "fg_df", "bg_df", jlh.alias("jlh")
+        )
+    )
+    wr = Window.orderBy(F.col("jlh").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= SIG_TOPN)
+        .select("term", "fg_df", "bg_df", "jlh", "rk")
+    )
+
+
+RF_TERM = "spark"
+RF_PIVOT = 500  # explicit saturation pivot (ES rank_feature saturation)
+RF_BOOST = 2.0
+RF_TOPK = 10
+
+
+def _sql_bm25_one_term(term: str) -> str:
+    """BM25 CTE chain for a single query term — `one(doc_id, bm25)`."""
+    return f"""tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+tf_{term} AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE w = '{term}' GROUP BY doc_id
+),
+df_{term} AS (SELECT CAST(COUNT(*) AS BIGINT) AS df FROM tf_{term}),
+bm25_{term} AS (
+  -- the Spark twin (_bm25_agg) sums per-term scores through
+  -- DECIMAL(28,6); with one term the sum is a single quantization —
+  -- mirror it so doubles agree bit-for-bit.
+  SELECT t.doc_id,
+         CAST(CAST(((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+            / (CAST(f.df AS DOUBLE) + 0.5))
+         * ((CAST(t.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+            / (CAST(t.tf AS DOUBLE)
+               + CAST({BM25_K1!r} AS DOUBLE)
+                 * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                    + CAST({BM25_B!r} AS DOUBLE)
+                      * (CAST(l.dl AS DOUBLE)
+                         / (CAST(s.sum_dl AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE))))))
+              AS DECIMAL(28,6)) AS DOUBLE) AS bm25
+  FROM tf_{term} t JOIN dl l USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN df_{term} f
+)"""
+
+
+@register(
+    "search_rank_feature",
+    oracle=f"""
+WITH {_sql_bm25_one_term(RF_TERM)}
+SELECT doc_id, bm25, rf_score, score, rk FROM (
+  SELECT b.doc_id, b.bm25,
+         {RF_BOOST!r} * (CAST(d.n_chars AS DOUBLE)
+                         / (CAST(d.n_chars AS DOUBLE) + {RF_PIVOT}))
+           AS rf_score,
+         b.bm25 + {RF_BOOST!r} * (CAST(d.n_chars AS DOUBLE)
+                                  / (CAST(d.n_chars AS DOUBLE) + {RF_PIVOT}))
+           AS score,
+         ROW_NUMBER() OVER (
+           ORDER BY b.bm25 + {RF_BOOST!r}
+                    * (CAST(d.n_chars AS DOUBLE)
+                       / (CAST(d.n_chars AS DOUBLE) + {RF_PIVOT})) DESC,
+                    b.doc_id) AS rk
+  FROM bm25_{RF_TERM} b JOIN documents d USING (doc_id)
+) t WHERE rk <= {RF_TOPK}
+""",
+)
+def search_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rank_feature`` query in a bool: score = BM25 of a term query
+    + boost · saturation(feature) with saturation f/(f + pivot) — the
+    static-signal re-ranking shape (popularity, pagerank, length prior)
+    every production relevance stack bolts onto lexical scores.
+    `n_chars` stands in for the indexed rank feature; the pivot is the
+    explicit-pivot form of ES's saturation function.
+
+    Deterministic: the term score reuses the BM25 family's rational
+    raw-odds formula verbatim; saturation is two IEEE ops on an exact
+    integer feature; the sum is one double add, same order both engines.
+
+    Scale shape: the term's postings (pruned at the token filter) join
+    doc length + the one-row stats broadcast; the feature rides the
+    documents scan — no extra pass. Top-k compiles to
+    TakeOrderedAndProject.
+    """
+    ensure_session_conf(spark)
+    bm = _bm25_agg(spark, sf_dir, (RF_TERM,)).select(
+        "doc_id", F.col("bm25")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rf = F.lit(RF_BOOST) * (
+        F.col("n_chars").cast("double")
+        / (F.col("n_chars").cast("double") + F.lit(RF_PIVOT))
+    )
+    scored = bm.join(d, "doc_id").select(
+        "doc_id",
+        "bm25",
+        rf.alias("rf_score"),
+        (F.col("bm25") + rf).alias("score"),
+    )
+    wr = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= RF_TOPK)
+        .select("doc_id", "bm25", "rf_score", "score", "rk")
+    )
+
+
+DM_TERM_A = "spark"
+DM_TERM_B = "join"
+DM_TIE_NUM, DM_TIE_DEN = 3, 10  # tie_breaker = 0.3
+DM_TOPK = 10
+
+
+@register(
+    "search_dis_max",
+    oracle=f"""
+WITH {_sql_bm25_one_term(DM_TERM_A)},
+tf_{DM_TERM_B} AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE w = '{DM_TERM_B}' GROUP BY doc_id
+),
+df_{DM_TERM_B} AS (SELECT CAST(COUNT(*) AS BIGINT) AS df FROM tf_{DM_TERM_B}),
+bm25_{DM_TERM_B} AS (
+  SELECT t.doc_id,
+         CAST(CAST(((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+            / (CAST(f.df AS DOUBLE) + 0.5))
+         * ((CAST(t.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+            / (CAST(t.tf AS DOUBLE)
+               + CAST({BM25_K1!r} AS DOUBLE)
+                 * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                    + CAST({BM25_B!r} AS DOUBLE)
+                      * (CAST(l.dl AS DOUBLE)
+                         / (CAST(s.sum_dl AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE))))))
+              AS DECIMAL(28,6)) AS DOUBLE) AS bm25
+  FROM tf_{DM_TERM_B} t JOIN dl l USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN df_{DM_TERM_B} f
+),
+joined AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.bm25, 0.0) AS sa,
+         COALESCE(b.bm25, 0.0) AS sb
+  FROM bm25_{DM_TERM_A} a FULL OUTER JOIN bm25_{DM_TERM_B} b USING (doc_id)
+)
+SELECT doc_id, score_a, score_b, score, rk FROM (
+  SELECT doc_id, sa AS score_a, sb AS score_b,
+         GREATEST(sa, sb)
+         + CAST({DM_TIE_NUM} AS DOUBLE) / {DM_TIE_DEN}
+           * (sa + sb - GREATEST(sa, sb)) AS score,
+         ROW_NUMBER() OVER (
+           ORDER BY GREATEST(sa, sb)
+                    + CAST({DM_TIE_NUM} AS DOUBLE) / {DM_TIE_DEN}
+                      * (sa + sb - GREATEST(sa, sb)) DESC, doc_id) AS rk
+  FROM joined
+) t WHERE rk <= {DM_TOPK}
+""",
+)
+def search_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``dis_max`` query: score = max over the sub-query scores +
+    tie_breaker · (sum of the others) — Lucene's DisjunctionMaxQuery,
+    the best-field scorer multi-field search is built on (vs bool
+    should's sum-of-fields). Two term sub-queries here
+    ({DM_TERM_A!r}, {DM_TERM_B!r}); a doc matching either is scored,
+    the better match dominates, and tie_breaker {DM_TIE_NUM}/{DM_TIE_DEN}
+    credits the weaker one.
+
+    Deterministic: both sub-scores are the BM25 family's rational form;
+    max + one multiply-add in identical order; missing sub-matches are
+    exact 0.0 via COALESCE on a full outer join.
+
+    Scale shape: two postings-pruned per-term score tables full-outer
+    joined on doc_id — cost tracks the two terms' postings, never the
+    corpus; identical shuffle class as any bounded multi-term query.
+    """
+    ensure_session_conf(spark)
+    a = _bm25_agg(spark, sf_dir, (DM_TERM_A,)).select(
+        "doc_id", F.col("bm25").alias("sa")
+    )
+    b = _bm25_agg(spark, sf_dir, (DM_TERM_B,)).select(
+        "doc_id", F.col("bm25").alias("sb")
+    )
+    joined = (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("sa", F.lit(0.0)).alias("sa"),
+            F.coalesce("sb", F.lit(0.0)).alias("sb"),
+        )
+    )
+    mx = F.greatest("sa", "sb")
+    score = mx + (F.lit(DM_TIE_NUM).cast("double") / F.lit(DM_TIE_DEN)) * (
+        F.col("sa") + F.col("sb") - mx
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.col("sa").alias("score_a"),
+            F.col("sb").alias("score_b"),
+            score.alias("score"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rk") <= DM_TOPK)
+    )
+
+
 # --- r10: ES aggregation-DSL fidelity: terms agg error bounds, percolate,
 # --- term suggester ----------------------------------------------------------
 

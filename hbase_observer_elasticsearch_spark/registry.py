@@ -120,6 +120,9 @@ _PRIORITY = (
     "search_fuzzy_term",
     "cdc_replicate_then_query",
     "multimodal_decode_real",
+    "search_significant_terms",
+    "search_rank_feature",
+    "search_dis_max",
     # --- r10 window (the driver checks a ~50-entry prefix) ---
     # Leads: the 16 late-r9 queries that sat at positions 51+ of the r9
     # window (never officially attested; judge-verified green in r9,
