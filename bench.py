@@ -106,6 +106,7 @@ def memo_build_rows(spark, sf_dir: str, per_query: dict) -> None:
     from hbase_observer_elasticsearch_spark.operators import (
         similarity as _sim,
     )
+    from hbase_observer_elasticsearch_spark.operators import text as _txt
     from hbase_observer_elasticsearch_spark.sources.changefeed import (
         shared_changefeed_stream_dir,
     )
@@ -124,6 +125,10 @@ def memo_build_rows(spark, sf_dir: str, per_query: dict) -> None:
         # re-rank) since 40e4beb — the new name marks the semantic change
         # so cross-round deltas aren't misread as regression.
         ("memo_build_similarity_ivfpq_pool", _sim.similarity_topk_ivfpq),
+        # one corpus-pass inverted-index build shared by the whole
+        # lexical-retrieval family (BM25/PRF/champion/MLT/fuzzy/
+        # rank_feature/dis_max) — r11
+        ("memo_build_text_postings", _txt._postings_memo),
         (
             "memo_build_changefeed_dir",
             lambda s, d: shared_changefeed_stream_dir(s, d, n_files=2),

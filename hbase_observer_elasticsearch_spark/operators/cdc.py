@@ -489,6 +489,108 @@ def cdc_replicate_then_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_replicate_bucketed",
+    oracle="""
+WITH cf AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS rowkey,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+           AS qualifier,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+         ts
+  FROM events
+),
+lastdel AS (
+  SELECT rowkey, ts, seq FROM (
+    SELECT rowkey, ts, seq,
+           ROW_NUMBER() OVER (PARTITION BY rowkey
+                              ORDER BY ts DESC, seq DESC) AS rn
+    FROM cf WHERE op = 'delete'
+  ) t
+  WHERE rn = 1
+),
+livecell AS (
+  SELECT rowkey, qualifier, value FROM (
+    SELECT c.rowkey, c.qualifier, c.value,
+           ROW_NUMBER() OVER (PARTITION BY c.rowkey, c.qualifier
+                              ORDER BY c.ts DESC, c.seq DESC) AS rn
+    FROM cf c LEFT JOIN lastdel d USING (rowkey)
+    WHERE c.op = 'put'
+      AND (d.ts IS NULL OR (c.ts, c.seq) > (d.ts, d.seq))
+  ) t
+  WHERE rn = 1
+),
+docs AS (
+  SELECT rowkey,
+         CAST(COUNT(*) AS BIGINT) AS n_fields,
+         MAX(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase
+  FROM livecell GROUP BY rowkey
+)
+SELECT n_fields,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {sum_purchase} AS sum_purchase
+FROM docs WHERE purchase IS NOT NULL
+GROUP BY n_fields
+""".format(sum_purchase=sql_dsum("purchase")),
+)
+def cdc_replicate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc_replicate_then_query's 100-TB-layout twin: the SAME
+    replicate → query story driven through the **BucketedStateSink**
+    (hash-bucketed incremental per-bucket parquet + manifest swap +
+    single-writer lease — the layout that scales, vs EmulatedEsSink's
+    versioned full rewrite), checked against the SAME batch-LWW oracle.
+    A green row here attests the bucketed MERGE path — bucket pruning,
+    per-epoch idempotent swap, lease acquisition — end to end under the
+    driver's correctness gate, not just in unit tests.
+
+    Scale shape: each epoch rewrites only the buckets its rows hash to
+    (O(touched buckets), not O(state)); the read side unions live
+    bucket files from the manifest. The final exists+terms-agg query is
+    identical to the emulated-sink twin.
+    """
+    ensure_session_conf(spark)
+    import os
+    import shutil
+
+    from ..replicator import CdcReplicator
+    from ..sinks.bucketed_state_sink import BucketedStateSink
+    from ..sources.changefeed import shared_changefeed_stream_dir
+
+    cf_dir = shared_changefeed_stream_dir(spark, sf_dir, n_files=2)
+    base = _scratch("replicate_bucketed_")
+    try:
+        rep = CdcReplicator(
+            spark,
+            cf_dir,
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        rep.start(sink_cls=BucketedStateSink, trigger={"availableNow": True})
+        rep.await_drained(timeout_s=300)
+        rep.stop()
+        res = (
+            rep.state()
+            .select(
+                F.size("doc").cast("bigint").alias("n_fields"),
+                F.element_at(F.col("doc"), F.lit("purchase"))
+                .cast("double")
+                .alias("purchase"),
+            )
+            .filter(F.col("purchase").isNotNull())
+            .groupBy("n_fields")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                dsum("purchase").alias("sum_purchase"),
+            )
+            .localCheckpoint(eager=True)  # pin before the state dir dies
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+@register(
     "cdc_es_bulk_lines",
     oracle="""
 WITH counts AS (

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import hashing as H
+from ..memos import register_memo
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -1361,6 +1362,31 @@ agg AS (
 )"""
 
 
+_POSTINGS_MEMO: dict = register_memo("text_postings", {})
+
+
+def _postings_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregated postings table ``(doc_id, w, tf)``, materialized
+    once per (app, sf_dir) and shared by the whole lexical-retrieval
+    family (BM25 top-k / PRF / expanded / champion lists / MLT / fuzzy /
+    rank_feature / dis_max). This IS the inverted-index build a search
+    engine persists at 100 TB — one token-grain corpus pass, then every
+    query touches only its terms' postings. Charged cold to the bench's
+    ``memo_build_text_postings`` row."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _POSTINGS_MEMO.get(key)
+    if got is None:
+        d = load_table(spark, sf_dir, "documents")
+        got = (
+            d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .localCheckpoint()
+        )
+        _POSTINGS_MEMO[key] = got
+    return got
+
+
 def _bm25_agg(
     spark: SparkSession, sf_dir: str, terms: tuple[str, ...]
 ) -> DataFrame:
@@ -1369,17 +1395,17 @@ def _bm25_agg(
     ``agg`` relation (identical formula and evaluation order; the term
     filter is the only parameter). Used by the first-pass top-k and the
     PRF-expanded second pass."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl/stats/tf/df all derive from the shared postings memo — one
+    # corpus pass per (app, sf_dir) for the entire retrieval family
+    # (un-memoized, each consumer re-ran the documents scan — dis_max
+    # audited at 8 scans. dl = per-doc tf sum is identical to the token
+    # count, so every downstream integer is unchanged).
+    tf_all = _postings_memo(spark, sf_dir)
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    tf = (
-        tok.filter(F.col("w").isin(*terms))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tf_all.filter(F.col("w").isin(*terms))
     dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
 
     idf = (
@@ -4402,16 +4428,11 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     # The postings table (doc, term, tf) is the one corpus-pass artifact;
     # every downstream relation (doc lengths, term dfs, seed terms, the
-    # scoring join) derives from it — cut it once, exactly the postings
-    # materialization an index build does at 100 TB.
-    tf_all = (
-        tok.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint()
-    )
+    # scoring join) derives from it — the shared retrieval-family memo,
+    # exactly the postings materialization an index build does at 100 TB.
+    tf_all = _postings_memo(spark, sf_dir)
     dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -4569,16 +4590,10 @@ def search_fuzzy_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25 shape.
     """
     ensure_session_conf(spark)
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    # One corpus pass: dl/stats/dictionary/scoring all derive from the
-    # postings table — cut it once (the MLT diamond-DAG doctrine; the
-    # un-checkpointed build audited at 5 parquet scans).
-    tf_all = (
-        tok.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint()
-    )
+    # dl/stats/dictionary/scoring all derive from the shared postings
+    # memo (the MLT diamond-DAG doctrine; the un-checkpointed build
+    # audited at 5 parquet scans).
+    tf_all = _postings_memo(spark, sf_dir)
     dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")

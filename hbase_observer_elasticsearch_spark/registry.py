@@ -123,6 +123,15 @@ _PRIORITY = (
     "search_significant_terms",
     "search_rank_feature",
     "search_dis_max",
+    "cdc_replicate_bucketed",
+    # --- changed in r11, second wave (re-attest per the hygiene rule):
+    # the lexical-retrieval family now rides the shared text_postings
+    # memo (values unchanged; executed path changed) ---
+    "search_bm25_topk",
+    "search_prf_expansion",
+    "search_bm25_expanded",
+    "search_champion_lists",
+    "search_more_like_this",
     # --- r10 window (the driver checks a ~50-entry prefix) ---
     # Leads: the 16 late-r9 queries that sat at positions 51+ of the r9
     # window (never officially attested; judge-verified green in r9,

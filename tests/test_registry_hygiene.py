@@ -120,6 +120,7 @@ def test_memo_build_rows_match_live_memos():
         "memo_build_similarity_topk_pq": "similarity_topk",
         "memo_build_similarity_ivfpq_pool": "similarity_topk",
         "memo_build_changefeed_dir": "shared_changefeed_dirs",
+        "memo_build_text_postings": "text_postings",
     }
     unmapped = build_rows - set(row_to_memo)
     assert not unmapped, f"bench memo rows with no mapping: {unmapped}"

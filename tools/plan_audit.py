@@ -49,6 +49,7 @@ EXECUTING = (
     "cdc_stateful_stream",
     "cdc_python_datasource_stream",
     "cdc_replicate_then_query",
+    "cdc_replicate_bucketed",
     "sink_merge_idempotent_epochs",
 )
 # batch queries whose name matches an EXECUTING prefix but that build a

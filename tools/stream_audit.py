@@ -62,6 +62,7 @@ CONTRACTS: dict[str, tuple[str, str | None]] = {
     # foreachBatch MERGE pipeline: durable state lives in the SINK's
     # parquet (LWW-compacted), no Spark state-store operator.
     "cdc_replicate_then_query": ("stateless", None),
+    "cdc_replicate_bucketed": ("stateless", None),
     # groupBy(op) complete agg: 2 groups, constant forever.
     "cdc_python_datasource_stream": ("flat", None),
     # watermark-evicted window/session/dedup/join state.
