@@ -335,6 +335,11 @@ def main() -> None:
                 "sf": float(sf),
                 "n_queries": len(per_query),
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
+                # the probe rides the SHORT line too, so the driver's
+                # BENCH_r{N}.json carries it and next round's
+                # net-of-probe ratio comes from committed artifacts
+                # alone (r10 verdict directive #4).
+                "host_probe_s": host_probe_s,
                 "delta": delta,
                 "queries_full": "bench_out.json",
             },
