@@ -4964,6 +4964,94 @@ def search_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: ES match_phrase_prefix ---------------------------------------------
+
+MPP_FIRST = "batch"  # fixed first phrase term
+MPP_PREFIX = "sc"  # last-position prefix ("batch sc*" — type-ahead shape)
+MPP_MAX_EXPANSIONS = 50  # ES default max_expansions
+
+
+@register(
+    "search_match_phrase_prefix",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, w, i FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+  ) t
+),
+exp AS (
+  SELECT w AS term FROM (
+    SELECT DISTINCT w FROM pos WHERE w LIKE '{MPP_PREFIX}%'
+  ) t ORDER BY w LIMIT {MPP_MAX_EXPANSIONS}
+),
+hits AS (
+  SELECT b.w AS matched_term, a.doc_id
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN exp e ON b.w = e.term
+  WHERE a.w = '{MPP_FIRST}'
+)
+SELECT matched_term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM hits GROUP BY matched_term
+""",
+)
+def search_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase_prefix`` ("{MPP_FIRST} {MPP_PREFIX}*"): the
+    type-ahead query — an exact positional phrase whose LAST position
+    matches any of up to max_expansions={MPP_MAX_EXPANSIONS}
+    alphabetically-first dictionary terms with the given prefix
+    (Lucene's MultiPhraseQuery rewrite). Completes the positional
+    family next to the exact phrase (search_phrase_positional) and the
+    dictionary-expansion family next to prefix/wildcard/fuzzy: this one
+    composes BOTH — a positional adjacency join whose last term set
+    comes from a dictionary expansion.
+
+    Deterministic: all-integer positional joins (each engine uses its
+    own consistent token numbering, only RELATIVE offsets cross the
+    join) + exact string prefix match + alphabetic expansion cutoff.
+
+    Scale shape: the first term's postings and the expansion terms'
+    postings are each pruned BEFORE the (doc, position) equi-join —
+    join input is the phrase terms' postings mass, never the corpus;
+    the expansion scan runs on the term dictionary (Heaps-sublinear).
+    At 100 TB the (w, doc_id, i) table is the persisted positional
+    index, partitioned by term.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    exp = (
+        pos.filter(F.col("w").startswith(MPP_PREFIX))
+        .select("w")
+        .distinct()
+        .orderBy("w")
+        .limit(MPP_MAX_EXPANSIONS)
+        .select(F.col("w").alias("term"))
+    )
+    first = pos.filter(F.col("w") == MPP_FIRST).select(
+        "doc_id", F.col("i").alias("i0")
+    )
+    nxt = pos.select(
+        F.col("doc_id").alias("d1"),
+        F.col("i").alias("i1"),
+        F.col("w").alias("matched_term"),
+    ).join(F.broadcast(exp), F.col("matched_term") == F.col("term"))
+    hits = first.join(
+        nxt,
+        (F.col("d1") == F.col("doc_id")) & (F.col("i1") == F.col("i0") + 1),
+    )
+    return hits.groupBy("matched_term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+    )
+
+
 # --- r10: ES aggregation-DSL fidelity: terms agg error bounds, percolate,
 # --- term suggester ----------------------------------------------------------
 

@@ -127,6 +127,7 @@ _PRIORITY = (
     # --- changed in r11, second wave (re-attest per the hygiene rule):
     # the lexical-retrieval family now rides the shared text_postings
     # memo (values unchanged; executed path changed) ---
+    "search_match_phrase_prefix",
     "search_bm25_topk",
     "search_prf_expansion",
     "search_bm25_expanded",

@@ -142,3 +142,24 @@ def test_memo_build_rows_match_live_memos():
             if q.startswith("memo_build_")
         }
         assert charged <= set(row_to_memo), charged - set(row_to_memo)
+
+
+def test_stream_audit_contracts_cover_every_executing_query():
+    """tools/stream_audit.py's CONTRACTS must cover exactly the queries
+    plan_audit skips as EXECUTING — a streaming query with no declared
+    state contract is the silent third state the r9 hygiene rule bans."""
+    executing, batch_exceptions = _plan_audit_lists()
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import stream_audit
+
+    names = set(queries())
+    exec_names = {
+        n
+        for n in names
+        if n not in batch_exceptions
+        and any(n.startswith(p) or n == p for p in executing)
+    }
+    contracts = set(stream_audit.CONTRACTS)
+    assert contracts <= names, f"stale contracts: {sorted(contracts - names)}"
+    uncovered = exec_names - contracts
+    assert not uncovered, f"executing queries with no state contract: {sorted(uncovered)}"

@@ -233,6 +233,21 @@ def main() -> None:
     missing = sorted(set(CONTRACTS) - set(qs))
     if missing:
         raise SystemExit(f"contract names not in registry: {missing}")
+    # completeness: every query plan_audit skips as EXECUTING must carry
+    # a state contract here — no silent third state (the same invariant
+    # tests/test_registry_hygiene.py pins for the plan audit itself).
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import plan_audit as _pa
+
+    executing = sorted(
+        n
+        for n in qs
+        if n not in _pa.BATCH_EXCEPTIONS
+        and any(n.startswith(p) or n == p for p in _pa.EXECUTING)
+    )
+    uncovered = sorted(set(executing) - set(CONTRACTS))
+    if uncovered:
+        raise SystemExit(f"executing queries with no state contract: {uncovered}")
 
     out: dict = {"queries": {}, "hist_mult": HIST_MULT}
     failures = []
