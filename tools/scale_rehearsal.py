@@ -89,6 +89,13 @@ TEXT_QUERIES = [
     # ~linear in corpus size
     "search_more_like_this",
     "search_percolate_queries",
+    # r11: fuzzy rides the dictionary (Heaps-sublinear expansion scan +
+    # bounded postings join); significant_terms is one distinct-postings
+    # pass + term-grain counts; phrase-prefix is postings-pruned
+    # positional joins — all should track token mass, never pairs
+    "search_fuzzy_term",
+    "search_significant_terms",
+    "search_match_phrase_prefix",
 ]
 EVENT_QUERIES = [
     # r8: the blocked prefix-scan — wall must grow ~linearly with event
