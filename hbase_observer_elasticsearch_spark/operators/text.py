@@ -5052,6 +5052,243 @@ def search_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: ES field collapsing ------------------------------------------------
+
+COLLAPSE_TOPK = 8
+COLLAPSE_INNER = 2  # inner_hits per collapsed group
+
+
+@register(
+    "search_collapse_field",
+    oracle=f"""
+WITH {_sql_bm25_one_term(RF_TERM)},
+scored AS (
+  SELECT b.doc_id, b.bm25, d.source
+  FROM bm25_{RF_TERM} b JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, bm25, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY bm25 DESC, doc_id) AS grp_rk,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_in_group
+  FROM scored
+),
+collapsed AS (
+  SELECT doc_id, bm25, source, n_in_group,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+  FROM ranked WHERE grp_rk = 1
+),
+inner_hits AS (
+  SELECT source,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY grp_rk)
+           AS inner_doc_ids
+  FROM ranked WHERE grp_rk <= {COLLAPSE_INNER}
+  GROUP BY source
+)
+SELECT c.rk, c.doc_id, c.source, c.bm25, c.n_in_group, i.inner_doc_ids
+FROM collapsed c JOIN inner_hits i USING (source)
+WHERE c.rk <= {COLLAPSE_TOPK}
+""",
+)
+def search_collapse_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES FIELD COLLAPSING (`collapse` + `inner_hits`): rank the
+    {RF_TERM!r} term query, keep only each source's BEST document in
+    the result list (query-time dedup by field — the search-results
+    counterpart of the dedup keep-best operator), report the group size,
+    and carry the top-{COLLAPSE_INNER} `inner_hits` per collapsed group
+    as a deterministic id list. The result diversification primitive
+    every search UI uses (one hit per domain/site), and the last common
+    ES result-shaping feature next to dis_max/function_score/
+    rank_feature.
+
+    Deterministic: BM25 through the family's DECIMAL(28,6) path; both
+    window orders carry doc_id tiebreaks; inner_hits ids are
+    grp_rk-ordered exact strings.
+
+    Scale shape: one postings-pruned score pass, one window keyed by the
+    collapse field (group grain), one global top-k over |groups| rows —
+    collapse pushes the per-group work into the field-keyed shuffle,
+    never a second corpus pass. At 100 TB this is the per-shard
+    collapse + coordinator merge ES itself runs.
+    """
+    ensure_session_conf(spark)
+    bm = _bm25_agg(spark, sf_dir, (RF_TERM,)).select("doc_id", "bm25")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = bm.join(d, "doc_id")
+    wg = Window.partitionBy("source").orderBy(F.col("bm25").desc(), "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "bm25",
+        "source",
+        F.row_number().over(wg).alias("grp_rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n_in_group"),
+    )
+    inner = (
+        ranked.filter(F.col("grp_rk") <= COLLAPSE_INNER)
+        .groupBy("source")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("grp_rk", F.col("doc_id"))
+                        )
+                    ),
+                    lambda s: s.doc_id.cast("string"),
+                ),
+            ).alias("inner_doc_ids")
+        )
+    )
+    wr = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    collapsed = (
+        ranked.filter(F.col("grp_rk") == 1)
+        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= COLLAPSE_TOPK)
+    )
+    return collapsed.join(inner, "source").select(
+        "rk", "doc_id", "source", "bm25", "n_in_group", "inner_doc_ids"
+    )
+
+
+# --- r11: ES highlighting offsets + composite-agg pagination -----------------
+
+HL_TERMS = ("spark", "join")  # highlight query terms
+HL_TOPK = 5  # highlight only the top-k ranked docs (ES: hits on the page)
+
+_HL_TERMS_SQL = ", ".join(f"'{t}'" for t in HL_TERMS)
+
+
+@register(
+    "search_highlight_offsets",
+    oracle=f"""
+WITH {_SQL_BM25_CTE},
+top AS (
+  SELECT doc_id, bm25 FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM agg
+  ) t WHERE rk <= {HL_TOPK}
+),
+pos AS (
+  SELECT doc_id, w, i FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+  ) t WHERE w IN ({_HL_TERMS_SQL})
+)
+SELECT t.doc_id, p.w AS term,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(p.i) - 1 AS BIGINT) AS first_pos,
+       string_agg(CAST(p.i - 1 AS VARCHAR), ',' ORDER BY p.i) AS positions
+FROM top t JOIN pos p USING (doc_id)
+GROUP BY t.doc_id, p.w
+""",
+)
+def search_highlight_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES HIGHLIGHTING, the index side: for the page's top-{HL_TOPK}
+    BM25 hits, every matched query-term occurrence with its token
+    positions (0-based) — exactly what the unified highlighter reads
+    from a term-vector/offsets-enabled field before painting <em> tags.
+    Positions come from the positional index restricted to (top docs ×
+    query terms); the snippet-painting is presentation, the offsets are
+    the data-engine part.
+
+    Deterministic: integer positions (both engines' 1-based/0-based
+    numbering reconciled by an explicit −1 on the SQL side), exact
+    string aggregation in position order.
+
+    Scale shape: the positional scan prunes to the query terms BEFORE
+    any shuffle, then semi-joins the {HL_TOPK}-row top-docs broadcast —
+    highlight cost tracks the page's hits × their term occurrences,
+    never the corpus.
+    """
+    ensure_session_conf(spark)
+    bm = _bm25_agg(spark, sf_dir, BM25_TERMS)
+    wr = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    top = (
+        bm.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= HL_TOPK)
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    ).filter(F.col("w").isin(*HL_TERMS))
+    return (
+        pos.join(F.broadcast(top), "doc_id")
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("i").cast("bigint").alias("first_pos"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("i")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("positions"),
+        )
+    )
+
+
+COMP_PAGE_SIZE = 8  # ES composite agg page size
+COMP_PAGE = 2  # return the SECOND page (exercises the after-key cursor)
+
+
+@register(
+    "search_composite_agg",
+    oracle=f"""
+WITH buckets AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         ROW_NUMBER() OVER (ORDER BY source, lang) AS pos
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, doc_count, sum_chars,
+       CAST(pos AS BIGINT) AS bucket_pos
+FROM buckets
+WHERE pos > {(COMP_PAGE - 1) * COMP_PAGE_SIZE}
+  AND pos <= {COMP_PAGE * COMP_PAGE_SIZE}
+""",
+)
+def search_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES COMPOSITE aggregation: multi-source buckets (source × lang)
+    in strict after-key order, paginated — page {COMP_PAGE} of size
+    {COMP_PAGE_SIZE} here, i.e. the request a client makes with the
+    `after` cursor set to page 1's last key. Composite is ES's ONLY
+    agg that streams unbounded bucket spaces (terms agg caps at size);
+    its engine meaning: bucket enumeration must be a total order on the
+    key tuple so any page is a contiguous, reproducible slice.
+
+    Deterministic: integer counts/sums, total (source, lang) order.
+
+    Scale shape: one groupBy at bucket grain, one global order over
+    |buckets| rows (dictionary-small), then a contiguous slice — the
+    coordinator-side pagination ES runs; at 100 TB the bucket table is
+    tiny next to the fact scan that built it.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    buckets = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    w = Window.orderBy("source", "lang")
+    return (
+        buckets.withColumn(
+            "bucket_pos", F.row_number().over(w).cast("bigint")
+        )
+        .filter(
+            (F.col("bucket_pos") > (COMP_PAGE - 1) * COMP_PAGE_SIZE)
+            & (F.col("bucket_pos") <= COMP_PAGE * COMP_PAGE_SIZE)
+        )
+        .select("source", "lang", "doc_count", "sum_chars", "bucket_pos")
+    )
+
+
 # --- r10: ES aggregation-DSL fidelity: terms agg error bounds, percolate,
 # --- term suggester ----------------------------------------------------------
 

@@ -128,6 +128,9 @@ _PRIORITY = (
     # the lexical-retrieval family now rides the shared text_postings
     # memo (values unchanged; executed path changed) ---
     "search_match_phrase_prefix",
+    "search_collapse_field",
+    "search_highlight_offsets",
+    "search_composite_agg",
     "search_bm25_topk",
     "search_prf_expansion",
     "search_bm25_expanded",

@@ -35,10 +35,15 @@ def _docs_df(spark, texts_by_source):
 def _patched(spark, df, fn):
     orig = tx.load_table
     tx.load_table = lambda s, d, n: df
+    # the postings memo is keyed by (app, sf_dir) and cannot see that
+    # the patched "synthetic" table changed between hypothesis examples
+    # — drop it on both sides of the call.
+    tx._POSTINGS_MEMO.clear()
     try:
         return fn(spark, "synthetic").collect()
     finally:
         tx.load_table = orig
+        tx._POSTINGS_MEMO.clear()
 
 
 @settings(
