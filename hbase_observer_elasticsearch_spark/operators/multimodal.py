@@ -292,6 +292,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return a.shape[0], a.shape[1], a.shape[2], a.tobytes()
     """
     if payload[:2] == b"BM":
+        if len(payload) < 54:  # BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40)
+            raise ValueError("truncated BMP headers (need >= 54 bytes)")
         # BITMAPFILEHEADER (14 bytes): magic, file size, reserved, offset
         _size, _res, offset = struct.unpack_from("<III", payload, 2)
         # BITMAPINFOHEADER (40 bytes)
@@ -332,8 +334,12 @@ def extract_audio_features(payload: bytes) -> dict:
                 "<I", payload, pos + 4
             )[0]
             if cid == b"fmt ":
+                if pos + 8 + 16 > len(payload):
+                    raise ValueError("truncated WAV fmt chunk")
                 fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
             elif cid == b"data":
+                if pos + 8 + csz > len(payload):
+                    raise ValueError("truncated WAV data chunk")
                 data = payload[pos + 8 : pos + 8 + csz]
             pos += 8 + csz + (csz & 1)
         if fmt is None or data is None:

@@ -75,9 +75,20 @@ class CdcReplicator:
         self._query = None
 
     def await_drained(self, timeout_s: int = 120) -> None:
-        """Block until an availableNow run finishes (test convenience)."""
-        if self._query is not None:
-            self._query.awaitTermination(timeout_s)
+        """Block until an availableNow run finishes (test convenience).
+
+        Raises TimeoutError if the query is still running after
+        `timeout_s` — callers query `state()` right after this, and a
+        silently-partial drain would surface only as an inexplicable
+        result mismatch downstream, so fail loudly here instead."""
+        if self._query is None:
+            return
+        finished = self._query.awaitTermination(timeout_s)
+        if not finished and self._query.isActive:
+            raise TimeoutError(
+                f"replication did not drain within {timeout_s}s "
+                f"(query {self._query.id} still active)"
+            )
 
     @property
     def is_active(self) -> bool:

@@ -205,7 +205,15 @@ def shared_changefeed_stream_dir(
 
     from ..catalog import load_table
 
-    n_files = int(os.environ.get("SPARK_GRAFT_CF_FILES", n_files))
+    raw_n_files = os.environ.get("SPARK_GRAFT_CF_FILES")
+    if raw_n_files is not None:
+        try:
+            n_files = int(raw_n_files)
+        except ValueError as exc:
+            raise ValueError(
+                f"SPARK_GRAFT_CF_FILES must be an integer, "
+                f"got {raw_n_files!r}"
+            ) from exc
     key = (spark.sparkContext.applicationId, sf_dir, n_files)
     cached = _SHARED_CF_DIRS.get(key)
     if cached is not None and os.path.isdir(cached):

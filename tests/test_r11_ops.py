@@ -39,6 +39,31 @@ class TestRealDecode:
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG\r\n\x1a\n....")
 
+    def test_bmp_short_headers_raise_valueerror(self):
+        # ADVICE r11: 'BM' prefix shorter than the 54-byte headers must
+        # be the documented ValueError, not a leaked struct.error.
+        with pytest.raises(ValueError, match="truncated BMP headers"):
+            decode_image(b"BM" + b"\x00" * 10)
+
+    def test_wav_data_size_overrun_raises(self):
+        # ADVICE r11: a data chunk whose declared size overruns the
+        # payload must fail loudly, not return stats over a silent
+        # truncation (mirrors the BMP truncated-pixel-array check).
+        import struct as _struct
+
+        blob = bytearray(_make_wav(b"ab"))
+        # find the data chunk and inflate its declared size
+        pos = 12
+        while pos + 8 <= len(blob):
+            cid = bytes(blob[pos : pos + 4])
+            csz = _struct.unpack_from("<I", blob, pos + 4)[0]
+            if cid == b"data":
+                _struct.pack_into("<I", blob, pos + 4, csz + 1000)
+                break
+            pos += 8 + csz + (csz & 1)
+        with pytest.raises(ValueError, match="truncated WAV data chunk"):
+            extract_audio_features(bytes(blob))
+
     def test_wav_roundtrip(self):
         src = b"stream merge"
         f = extract_audio_features(_make_wav(src))
@@ -53,7 +78,7 @@ class TestRealDecode:
 
     def test_wav_rejects_missing_data_chunk(self):
         blob = _make_wav(b"x")[:20]  # RIFF+WAVE magic but no chunks parse
-        with pytest.raises((ValueError, Exception)):
+        with pytest.raises(ValueError, match="fmt|data"):
             extract_audio_features(blob)
 
     def test_non_wav_gates_on_codec(self):

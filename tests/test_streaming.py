@@ -336,6 +336,42 @@ def test_cdc_replicator_facade(spark, tmp_path):
     assert cells.filter("rowkey = 'r5' AND qualifier IS NULL").count() == 1
 
 
+def test_await_drained_raises_on_timeout(spark, tmp_path):
+    """ADVICE r11: a drain that does not finish must raise, not silently
+    hand back a partially-replicated state table."""
+    from hbase_observer_elasticsearch_spark.replicator import CdcReplicator
+
+    cf_dir = str(tmp_path / "cf")
+    write_changefeed_stream_dir(fixture_changefeed(spark), cf_dir, n_files=4)
+
+    rep = CdcReplicator(
+        spark, cf_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    # default 30s processing-time trigger: the query stays active forever,
+    # so a tiny await_drained window must time out loudly.
+    rep.start(max_files_per_trigger=1)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(TimeoutError, match="did not drain"):
+            rep.await_drained(timeout_s=1)
+    finally:
+        rep.stop()
+
+
+def test_cf_files_env_var_validation(monkeypatch, spark):
+    """ADVICE r11: a non-integer SPARK_GRAFT_CF_FILES names the knob."""
+    import pytest as _pytest
+
+    from hbase_observer_elasticsearch_spark.sources.changefeed import (
+        shared_changefeed_stream_dir,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_CF_FILES", "two")
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_CF_FILES"):
+        shared_changefeed_stream_dir(spark, "/root/testdata/sf0.001")
+
+
 def test_stateful_ttl_eviction(spark, tmp_path):
     """Keys idle past the TTL emit one final evicted=true row, state drops,
     and a later mutation restarts from clean state.
