@@ -75,18 +75,21 @@ def load_prior(
 
 
 def run_probe(spark) -> float:
-    """Fixed pure-JVM host-throughput probe (sum over 2e8 ids, 32
-    partitions — no IO, no Python), best-of-3."""
+    """ONE draw of the fixed pure-JVM host-throughput probe: xxhash64
+    over 8e9 ids, 32 partitions — no IO, no Python, no shuffle. Sized to
+    ~2-3 s of work (r11 verdict directive #2: the old 0.1-0.2 s probe's
+    own spread was 2.15x within one run, too light to bear the
+    net-of-probe conclusions drawn from it; a multi-second draw
+    amortizes task-launch jitter so the draw measures sustained JVM
+    throughput). Callers take >=5 draws spread across the bench run and
+    quote the median + spread, never a single draw."""
     import pyspark.sql.functions as _F
 
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(0, 200_000_000, 1, 32).select(
-            _F.sum(_F.col("id") * 2)
-        ).collect()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+    t0 = time.perf_counter()
+    spark.range(0, 8_000_000_000, 1, 32).select(
+        _F.sum(_F.xxhash64("id") % 1000)
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def memo_build_rows(spark, sf_dir: str, per_query: dict) -> None:
@@ -167,8 +170,14 @@ def main() -> None:
     # 1.3-2.6x (code-unchanged pure-JVM queries measured at 2.6x across
     # boots on an idle machine, zero steal, nominal MHz). The delta block
     # reports BOTH the raw cross-round ratio and the net-of-probe ratio;
-    # neither is quoted without the other.
-    probe_start = run_probe(spark)
+    # neither is quoted without the other. r12: >=5 draws (start, three
+    # in-loop quartile points, end), each a single ~2-3 s fixed job; an
+    # untimed light warm-up first so the start draw doesn't carry
+    # first-job JIT/codegen cost.
+    spark.range(0, 100_000_000, 1, 32).selectExpr(
+        "sum(xxhash64(id) % 1000)"
+    ).collect()  # untimed probe warm-up
+    probe_draws: dict[str, float] = {"start": run_probe(spark)}
 
     # best-of-2 per query, escalating to best-of-3 when the two samples
     # disagree by >30% — r3→r4 diagnosis of the flagged "regressions"
@@ -203,11 +212,15 @@ def main() -> None:
     noisy: list[str] = []
     jvm_system = spark._jvm.System  # noqa: SLF001 — JVM GC hook
     memo_build_rows(spark, sf_dir, per_query)
-    probe_mid = None
     names_sorted = sorted(qs)
+    quartiles = {
+        len(names_sorted) // 4: "q1",
+        len(names_sorted) // 2: "mid",
+        (3 * len(names_sorted)) // 4: "q3",
+    }
     for qi, name in enumerate(names_sorted):
-        if qi == len(names_sorted) // 2:
-            probe_mid = run_probe(spark)
+        if qi in quartiles:
+            probe_draws[quartiles[qi]] = run_probe(spark)
         jvm_system.gc()
         times = []
         for _ in range(2):
@@ -235,14 +248,16 @@ def main() -> None:
         per_query[name] = round(min(times), 3)
 
     total = round(sum(per_query.values()), 3)
-    probe_end = run_probe(spark)
-    probes = [p for p in (probe_start, probe_mid, probe_end) if p is not None]
+    probe_draws["end"] = run_probe(spark)
+    probes = sorted(probe_draws.values())
     host_probe_s = {
-        "start": probe_start,
-        "mid": probe_mid,
-        "end": probe_end,
-        "min": round(min(probes), 3),
-        "median": round(sorted(probes)[len(probes) // 2], 3),
+        **probe_draws,
+        "min": round(probes[0], 3),
+        "median": round(probes[len(probes) // 2], 3),
+        "max": round(probes[-1], 3),
+        # spread = max/min across the >=5 draws: >~1.3 marks a run that
+        # straddled a load window — discard and rerun before comparing.
+        "spread": round(probes[-1] / max(probes[0], 1e-9), 2),
     }
 
     # Bound memo lifetime (r4 verdict directive #7): the per-(app, sf_dir)
