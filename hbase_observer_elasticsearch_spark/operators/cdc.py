@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..functions.deterministic import (
+    davg,
+    dsum,
+    dsum_expr,
+    sql_davg,
+    sql_dsum,
+)
 from ..registry import register
 from ..sources.changefeed import scratch_dir as _scratch
 from ..session import ensure_session_conf
@@ -993,6 +999,80 @@ def cdc_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cf.groupBy("op").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_mutations"),
         F.countDistinct("rowkey").cast("bigint").alias("n_keys"),
+        F.min("seq").cast("bigint").alias("min_seq"),
+        F.max("seq").cast("bigint").alias("max_seq"),
+    )
+
+
+@register(
+    "cdc_pushdown_region_scan",
+    oracle="""
+WITH cf AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS rowkey,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT rowkey,
+       CAST(COUNT(*) AS BIGINT) AS n_mutations,
+       CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deletes,
+       {sum_put} AS sum_put_value,
+       CAST(MIN(seq) AS BIGINT) AS min_seq,
+       CAST(MAX(seq) AS BIGINT) AS max_seq
+FROM cf
+WHERE rowkey LIKE '4%'
+GROUP BY rowkey
+""".format(
+        sum_put=sql_dsum("CASE WHEN op = 'put' THEN value END")
+    ),
+)
+def cdc_pushdown_region_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-SIDE FILTER PUSHDOWN through the custom Python DataSource
+    (r11 verdict directive #3): a rowkey-prefix scan — the HBase
+    region-scan analog (the reference coprocessor routes by rowkey,
+    observer6/HbaseDataSyncEsObserver.java:36-43) — planned so the
+    predicate is applied BY THE CONNECTOR, not by Spark post-scan.
+
+    The reader (sources/python_datasource.RegionChangefeedReader) lays
+    the feed out as pre-split leading-digit rowkey regions; Spark 4.1's
+    `pushFilters` hands it `StringStartsWith(rowkey, '4')`, which
+    (a) prunes partition planning to the single matching region — the
+    other nine regions never get a task — and (b) becomes exact numeric
+    user_id row-group filters inside the region's parquet read. The
+    pruning itself is pinned by tests/test_r12_ops.py (planned-partition
+    counts asserted at the reader level and through the full Spark
+    plan); this query pins the RESULT equivalence: per-rowkey mutation
+    counts, delete counts, put-value sums, and seq bounds must match
+    the relational restatement DuckDB computes from the raw table.
+
+    Scale shape: at 100 TB the feed is region-partitioned exactly like
+    this, and a prefix/range scan touches O(matching regions) tasks and
+    O(matching row groups) IO — the scan cost tracks the SELECTED data,
+    not the corpus. No shuffle until the final small groupBy.
+    """
+    ensure_session_conf(spark)
+    import os
+
+    from ..sources.python_datasource import register_changefeed_datasource
+
+    register_changefeed_datasource(spark)
+    cf = (
+        spark.read.format("changefeed_py")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("partitionBy", "rowkey")
+        .load()
+        .filter(F.col("rowkey").startswith("4"))
+    )
+    return cf.groupBy("rowkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mutations"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes"),
+        dsum_expr(F.when(F.col("op") == "put", F.col("value"))).alias(
+            "sum_put_value"
+        ),
         F.min("seq").cast("bigint").alias("min_seq"),
         F.max("seq").cast("bigint").alias("max_seq"),
     )

@@ -68,4 +68,8 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Source-side filter pushdown for Python DataSources (Spark 4.1):
+    # off by default upstream; required for the changefeed reader's
+    # rowkey-region pruning (sources/python_datasource.py).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark

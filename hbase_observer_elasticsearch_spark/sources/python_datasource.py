@@ -50,7 +50,13 @@ class ChangefeedDataSource(DataSource):
             "value double"
         )
 
-    def reader(self, schema) -> "ChangefeedReader":
+    def reader(self, schema) -> DataSourceReader:
+        # ``partitionBy=rowkey`` opts into the region-scan layout with
+        # Spark 4.1 filter pushdown (RegionChangefeedReader); the
+        # default mod-slice reader stays pushdown-free so it works in
+        # sessions without spark.sql.python.filterPushdown.enabled.
+        if self.options.get("partitionBy", "hash") == "rowkey":
+            return RegionChangefeedReader(self.options)
         return ChangefeedReader(self.options)
 
     def streamReader(self, schema) -> "ChangefeedStreamReader":
@@ -68,19 +74,14 @@ class ChangefeedDataSource(DataSource):
         return ChangefeedSimpleStreamReader(self.options)
 
 
-def _changefeed_record_batches(table, mod: int, n_mod: int):
-    """Executor-side: project a raw events pyarrow Table into changefeed
-    RecordBatches for one mod-slice. Arrow end-to-end — the batch crosses
-    into Spark via the Arrow IPC path with zero per-row Python work,
-    ~10-100x cheaper to serialize than tuple yields."""
+def _project_changefeed(t):
+    """Executor-side: project a raw events pyarrow Table into the
+    changefeed shape. Arrow end-to-end — batches cross into Spark via
+    the Arrow IPC path with zero per-row Python work, ~10-100x cheaper
+    to serialize than tuple yields."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    eids = table["event_id"]
-    mask = pc.equal(
-        pc.subtract(eids, pc.multiply(pc.divide(eids, n_mod), n_mod)), mod
-    )
-    t = table.filter(mask)
     is_del = pc.equal(t["event_type"], "error")
     null_str = pa.scalar(None, pa.string())
     null_dbl = pa.scalar(None, pa.float64())
@@ -98,7 +99,63 @@ def _changefeed_record_batches(table, mod: int, n_mod: int):
     yield from out.to_batches()
 
 
+def _changefeed_record_batches(table, mod: int, n_mod: int):
+    """One mod-slice of the feed (seq % n_mod == mod), projected."""
+    import pyarrow.compute as pc
+
+    eids = table["event_id"]
+    mask = pc.equal(
+        pc.subtract(eids, pc.multiply(pc.divide(eids, n_mod), n_mod)), mod
+    )
+    yield from _project_changefeed(table.filter(mask))
+
+
+class _RegionPartition(InputPartition):
+    """One executor task: the rowkey region whose keys start with
+    ``prefix`` (a leading digit — a pre-split HBase region), narrowed by
+    the numeric user_id ranges the pushed rowkey filters translate to."""
+
+    def __init__(self, prefix: str, path: str, ranges, keys):
+        self.prefix = prefix
+        self.path = path
+        self.ranges = ranges  # list[(lo, hi)] inclusive user_id ranges
+        self.keys = keys  # exact user_id list from EqualTo/In, or None
+
+
+_MAX_ROWKEY_DIGITS = 19  # str(int64.max) is 19 digits
+
+
+def _prefix_ranges(prefix: str) -> list[tuple[int, int]]:
+    """Lexicographic rowkey-prefix → exact numeric user_id ranges.
+
+    rowkey = str(user_id) with no leading zeros, so ``rowkey LIKE 'p%'``
+    ⇔ user_id ∈ ⋃_k [int(p)·10^k, (int(p)+1)·10^k − 1] for k = 0.. —
+    the planning-time translation that lets an HBase-region analog scan
+    row-group statistics instead of rows (reference region-scan slot,
+    observer6/HbaseDataSyncEsObserver.java:36-43). Non-numeric or
+    zero-led prefixes match no canonical rowkey → []."""
+    if prefix == "0":
+        return [(0, 0)]  # "0" is the only canonical rowkey led by '0'
+    if not prefix or not prefix.isdigit() or prefix[0] == "0":
+        return []
+    p = int(prefix)
+    out = []
+    for k in range(_MAX_ROWKEY_DIGITS - len(prefix) + 1):
+        lo = p * 10**k
+        hi = (p + 1) * 10**k - 1
+        if lo > 2**63 - 1:
+            break
+        out.append((lo, min(hi, 2**63 - 1)))
+    return out
+
+
 class ChangefeedReader(DataSourceReader):
+    """Default batch reader: ``numPartitions`` mod-slices of the seq
+    space (region-count stand-in; no pruning surface — the pushdown
+    path lives in RegionChangefeedReader so this class stays usable in
+    sessions that never enable
+    ``spark.sql.python.filterPushdown.enabled``)."""
+
     def __init__(self, options):
         self.path = options.get("path")
         self.n = int(options.get("numPartitions", "4"))
@@ -117,6 +174,146 @@ class ChangefeedReader(DataSourceReader):
         yield from _changefeed_record_batches(
             t, partition.mod, partition.n_mod
         )
+
+
+class RegionChangefeedReader(DataSourceReader):
+    """Batch reader with SOURCE-SIDE FILTER PUSHDOWN (Spark 4.1
+    `pushFilters`; r11 verdict directive #3). Selected via
+    ``.option("partitionBy", "rowkey")``; requires
+    ``spark.sql.python.filterPushdown.enabled`` (set by
+    session.ensure_session_conf).
+
+    Layout: one partition per leading-digit rowkey region ('0'..'9';
+    the '0' region is the single rowkey "0", since canonical str(int)
+    has no leading zeros) — the pre-split-HBase-table layout.
+    ``pushFilters`` accepts EqualTo / In / StringStartsWith on
+    ``rowkey`` and (a) PRUNES whole regions at partition-planning time
+    — Spark never schedules a task for a region the predicate
+    excludes, the HBase region-scan analog
+    (observer6/HbaseDataSyncEsObserver.java:36-43) — and (b) translates
+    the surviving predicate into exact numeric user_id ranges the
+    executor read hands to parquet as row-group filters. Accepted
+    filters are fully applied at the source (the prefix↔range
+    translation is exact for canonical str(int) rowkeys), so they are
+    consumed, not re-evaluated by Spark; everything else is yielded
+    back.
+
+    GOTCHA (upstream Spark 4.1 behavior, verified on this box): the
+    JVM caches the planned read on the shared PythonDataSourceV2
+    relation, so two DataFrames derived from ONE ``.load()`` call
+    interfere — the last pushdown planned wins for both. Build a fresh
+    ``.load()`` per query (every registered query here does).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        self._pushed: list = []  # serializable (kind, value) pairs
+
+    # -- Spark 4.1 filter-pushdown hook -------------------------------------
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import EqualTo, In, StringStartsWith
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("rowkey",):
+                if isinstance(f, EqualTo) and isinstance(f.value, str):
+                    self._pushed.append(("eq", (f.value,)))
+                    continue
+                if isinstance(f, In) and all(
+                    isinstance(v, str) for v in f.value
+                ):
+                    self._pushed.append(("eq", tuple(f.value)))
+                    continue
+                if isinstance(f, StringStartsWith):
+                    self._pushed.append(("prefix", f.value))
+                    continue
+            yield f  # unsupported → Spark evaluates it post-scan
+
+    # -- planning-time region pruning ----------------------------------------
+    def _surviving_regions(self) -> dict[str, tuple[list, object]]:
+        """Region prefix → (user_id ranges, exact key list or None),
+        intersecting every pushed filter. Empty dict = fully pruned."""
+        regions: dict[str, tuple[list, object]] = {
+            d: (_prefix_ranges(d), None) for d in "0123456789"
+        }
+        for kind, val in self._pushed:
+            if kind == "eq":
+                keys = [
+                    int(v)
+                    for v in val
+                    if v.isdigit() and (v == "0" or v[0] != "0")
+                ]
+                nxt = {}
+                for d, (ranges, ks) in regions.items():
+                    mine = [k for k in keys if str(k)[0] == d]
+                    if not mine:
+                        continue
+                    mine = (
+                        mine if ks is None
+                        else [k for k in mine if k in ks]
+                    )
+                    if mine:
+                        nxt[d] = (ranges, mine)
+                regions = nxt
+            else:  # prefix
+                if val == "":
+                    continue  # empty prefix matches every rowkey
+                pr = _prefix_ranges(val)
+                if not pr:
+                    return {}
+                d = val[0]
+                if d not in regions:
+                    return {}
+                ranges, ks = regions[d]
+                narrowed = [
+                    (max(lo1, lo2), min(hi1, hi2))
+                    for lo1, hi1 in ranges
+                    for lo2, hi2 in pr
+                    if max(lo1, lo2) <= min(hi1, hi2)
+                ]
+                if ks is not None:
+                    ks = [
+                        k
+                        for k in ks
+                        if any(lo <= k <= hi for lo, hi in narrowed)
+                    ]
+                    if not ks:
+                        return {}
+                regions = {d: (narrowed, ks)} if narrowed else {}
+        return regions
+
+    def partitions(self):
+        return [
+            _RegionPartition(d, self.path, ranges, keys)
+            for d, (ranges, keys) in sorted(
+                self._surviving_regions().items()
+            )
+        ]
+
+    def read(self, partition: _RegionPartition):
+        if partition is None:
+            # Fully-pruned scan: partitions() returned [] and Spark
+            # schedules one empty task with a None partition.
+            return
+        # Executor-side: import locally so the driver plan never needs it.
+        import pyarrow.parquet as pq
+
+        cols = ["event_id", "event_type", "user_id", "value"]
+        # Region scan: the pushed predicate rides into the parquet read
+        # as DNF row-group filters (exact — see _prefix_ranges), so a
+        # region task touches only row groups whose user_id statistics
+        # overlap its ranges.
+        if partition.keys is not None:
+            dnf = [[("user_id", "in", list(partition.keys))]]
+        else:
+            dnf = [
+                [("user_id", ">=", lo), ("user_id", "<=", hi)]
+                for lo, hi in partition.ranges
+            ]
+        if not dnf:
+            return
+        t = pq.read_table(partition.path, columns=cols, filters=dnf)
+        yield from _project_changefeed(t)
 
 
 def register_changefeed_datasource(spark) -> None:
