@@ -93,6 +93,25 @@ def _load() -> None:
 # in the SAME commit. A query's newest official row must always postdate
 # the code it attests.
 _PRIORITY = (
+    # --- r12 window (the driver checks a ~50-entry prefix) ---
+    # Leads: new surface this round — the pushdown region scan (r11
+    # verdict directive #3) and the two optional-#8 ES shapes.
+    "cdc_pushdown_region_scan",
+    "search_nested_block_join",
+    "search_after_cursor",
+    # --- changed in r12 (re-attest per the hygiene rule) ---
+    # await_drained now raises on timeout (executed by both replicate
+    # demos); multimodal decode gained strict length validation;
+    # cdc_python_datasource's reader module was refactored (projection
+    # split out, reader class split); the shared changefeed fixture's
+    # env-knob parse changed (representative consumers re-attested:
+    # the replicate demos above plus the two below).
+    "cdc_replicate_then_query",
+    "cdc_replicate_bucketed",
+    "multimodal_decode_real",
+    "cdc_python_datasource",
+    "cdc_stateful_stream",
+    "stream_put_delete_join",
     # --- r11 window (the driver checks a ~50-entry prefix) ---
     # Leads: the codebook family re-attestation after the √n _derived_k
     # law (r10 verdict directive #1) — every query whose executed path
