@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import hashing as H
+from ..functions.deterministic import dsum, sql_dsum
 from ..memos import register_memo
 from ..registry import register
 from ..session import ensure_session_conf
@@ -5986,4 +5987,420 @@ def search_after_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("page_rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("page_rk") <= SA_PAGE_SIZE)
         .select("doc_id", "bm25", "page_rk")
+    )
+
+
+# --- r12 second wave: span_near, terms_set, boosting, function_score,
+# --- date_histogram pipeline aggs, adjacency_matrix --------------------------
+
+SPAN_A = "key"
+SPAN_B = "join"
+SPAN_SLOP = 3  # Lucene span_near slop: positions allowed between spans
+SPAN_TOPK = 15
+
+TS_TERMS = ("scan", "merge", "window", "query", "group")
+TS_MSM = 4  # terms_set minimum_should_match
+
+BQ_POS = "stream"
+BQ_NEG = "slow"
+BQ_NEG_BOOST = 0.25  # power of two: double-exact scaling in both engines
+BQ_TOPK = 12
+
+FS_TERM = "query"
+FS_TOPK = 10
+
+AM_FILTERS = ("scan", "merge", "stream")  # adjacency_matrix filter terms
+
+
+@register(
+    "search_span_near",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, w, i FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+  ) t WHERE w IN ('{SPAN_A}', '{SPAN_B}')
+),
+pairs AS (
+  SELECT a.doc_id,
+         abs(a.i - b.i) - 1 AS dist
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND a.w = '{SPAN_A}' AND b.w = '{SPAN_B}'
+  WHERE abs(a.i - b.i) - 1 <= {SPAN_SLOP}
+),
+docs AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_span_pairs,
+         CAST(MIN(dist) AS BIGINT) AS min_dist
+  FROM pairs GROUP BY doc_id
+)
+SELECT doc_id, n_span_pairs, min_dist, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY n_span_pairs DESC, min_dist, doc_id) AS rk
+  FROM docs
+) t WHERE rk <= {SPAN_TOPK}
+""",
+)
+def search_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES/Lucene ``span_near`` (in_order=false): {SPAN_A!r} and
+    {SPAN_B!r} within slop={SPAN_SLOP} positions of each other, in
+    either order — the proximity query BETWEEN exact phrase (slop 0,
+    ordered: search_phrase_positional) and plain co-occurrence bool
+    AND. Per doc: the number of qualifying position pairs (the span
+    count Lucene's scorer enumerates) and the tightest distance;
+    ranked by pair count, then tightness.
+
+    Deterministic: all-integer positional arithmetic (each engine's own
+    token numbering — only position DIFFERENCES cross the comparison).
+
+    Scale shape: both postings lists are filtered to the two terms
+    BEFORE the per-doc position join (`w IN (a, b)` prunes at token
+    grain), so join input is the two terms' postings mass; the pair
+    join is per-doc-keyed, never cross-doc. At 100 TB this is the
+    standard positional-index span scan, partitioned by term then doc.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pos = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+        )
+        .filter(F.col("w").isin(SPAN_A, SPAN_B))
+    )
+    a = pos.filter(F.col("w") == SPAN_A).select("doc_id", F.col("i").alias("ia"))
+    b = pos.filter(F.col("w") == SPAN_B).select(
+        F.col("doc_id").alias("db"), F.col("i").alias("ib")
+    )
+    pairs = a.join(b, a["doc_id"] == b["db"]).select(
+        "doc_id", (F.abs(F.col("ia") - F.col("ib")) - 1).alias("dist")
+    ).filter(F.col("dist") <= SPAN_SLOP)
+    docs = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_span_pairs"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+    )
+    wr = Window.orderBy(
+        F.col("n_span_pairs").desc(), "min_dist", "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= SPAN_TOPK)
+        .select("doc_id", "n_span_pairs", "min_dist", "rk")
+    )
+
+
+@register(
+    "search_terms_set",
+    oracle=f"""
+WITH matched AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_matched
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) t
+  WHERE w IN {TS_TERMS!r}
+  GROUP BY doc_id
+)
+SELECT n_matched,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM matched
+WHERE n_matched >= {TS_MSM}
+GROUP BY n_matched
+""",
+)
+def search_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms_set`` query: match documents containing at least
+    minimum_should_match={TS_MSM} DISTINCT terms of the
+    {len(TS_TERMS)}-term set {TS_TERMS!r} — the quorum query between
+    bool-should (any) and bool-must (all). Hit sets are verified by
+    per-quorum-level doc counts AND id checksums, not just counts.
+
+    Deterministic: distinct-term counting and integer checksums only.
+
+    Scale shape: the token scan prunes to the 5 query terms before any
+    aggregation (postings mass, not corpus mass), then one doc-grain
+    distinct-count — the same plan ES runs against the terms'
+    postings with a CoveringScorer quorum.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    matched = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w").isin(*TS_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("w").cast("bigint").alias("n_matched"))
+    )
+    return (
+        matched.filter(F.col("n_matched") >= TS_MSM)
+        .groupBy("n_matched")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+@register(
+    "search_boosting_query",
+    oracle=f"""
+WITH {_sql_bm25_one_term(BQ_POS)},
+neg AS (
+  SELECT DISTINCT doc_id FROM tok WHERE w = '{BQ_NEG}'
+),
+scored AS (
+  SELECT p.doc_id,
+         p.bm25 * CASE WHEN n.doc_id IS NULL THEN 1.0
+                       ELSE {BQ_NEG_BOOST!r} END AS score,
+         CASE WHEN n.doc_id IS NULL THEN 0 ELSE 1 END AS demoted
+  FROM bm25_{BQ_POS} p LEFT JOIN neg n USING (doc_id)
+)
+SELECT doc_id, score, CAST(demoted AS BIGINT) AS demoted,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+) t WHERE rk <= {BQ_TOPK}
+""",
+)
+def search_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` query: hits matching the positive query
+    ({BQ_POS!r}, BM25-scored) keep their score unless they ALSO match
+    the negative query ({BQ_NEG!r}), in which case the score is
+    multiplied by negative_boost={BQ_NEG_BOOST} — demotion without
+    exclusion, the query ES offers where bool-must_not would be too
+    blunt. The demoted flag is returned so the reordering is visible.
+
+    Deterministic: BM25 rides the family's DECIMAL(28,6) quantization;
+    the negative_boost is a power of two, so the demotion multiply is
+    EXACT in IEEE doubles — both engines compare identical scores.
+
+    Scale shape: positive postings scored as usual; the negative query
+    contributes only a DISTINCT doc-id set LEFT-JOINED at hit grain
+    (postings mass, no corpus scan); top-k at the end.
+    """
+    ensure_session_conf(spark)
+    pos = _bm25_agg(spark, sf_dir, (BQ_POS,)).select("doc_id", "bm25")
+    neg = (
+        _postings_memo(spark, sf_dir)
+        .filter(F.col("w") == BQ_NEG)
+        .select("doc_id")
+        .distinct()
+        .withColumn("demoted_flag", F.lit(1))
+    )
+    scored = pos.join(neg, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.col("bm25")
+            * F.when(F.col("demoted_flag").isNull(), F.lit(1.0)).otherwise(
+                F.lit(BQ_NEG_BOOST)
+            )
+        ).alias("score"),
+        F.coalesce(F.col("demoted_flag"), F.lit(0))
+        .cast("bigint")
+        .alias("demoted"),
+    )
+    wr = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= BQ_TOPK)
+        .select("doc_id", "score", "demoted", "rk")
+    )
+
+
+@register(
+    "search_function_score",
+    oracle=f"""
+WITH {_sql_bm25_one_term(FS_TERM)},
+scored AS (
+  SELECT b.doc_id,
+         b.bm25,
+         sqrt(CAST(d.n_chars AS DOUBLE)) AS field_factor,
+         b.bm25 * sqrt(CAST(d.n_chars AS DOUBLE)) AS score
+  FROM bm25_{FS_TERM} b JOIN documents d USING (doc_id)
+)
+SELECT doc_id, bm25, field_factor, score, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+) t WHERE rk <= {FS_TOPK}
+""",
+)
+def search_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` with ``field_value_factor`` (modifier:
+    sqrt, boost_mode: multiply): final score = BM25({FS_TERM!r}) ×
+    sqrt(n_chars) — relevance re-weighted by a document-level signal
+    (the popularity/recency/length boost every production ranker
+    layers on text score). Both factors are returned so the
+    re-ranking is auditable. Decay functions (gauss/exp/linear) are
+    the same join-then-multiply shape with a distance kernel; sqrt is
+    used here because IEEE 754 requires it correctly rounded, making
+    the oracle comparison exact where exp() would not be.
+
+    Deterministic: BM25 through the family's DECIMAL(28,6)
+    quantization; sqrt and the final multiply are single correctly-
+    rounded IEEE ops on identical inputs in both engines.
+
+    Scale shape: hit-grain join of scored postings to the doc-metadata
+    column (broadcastable at hit grain, column-pruned to n_chars at
+    the scan); top-k at the end. At 100 TB the field factor reads a
+    doc-values column exactly like ES.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = _bm25_agg(spark, sf_dir, (FS_TERM,)).select("doc_id", "bm25")
+    ff = F.sqrt(F.col("n_chars").cast("double"))
+    scored = b.join(d, "doc_id").select(
+        "doc_id",
+        "bm25",
+        ff.alias("field_factor"),
+        (F.col("bm25") * ff).alias("score"),
+    )
+    wr = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= FS_TOPK)
+        .select("doc_id", "bm25", "field_factor", "score", "rk")
+    )
+
+
+@register(
+    "agg_date_histogram_pipeline",
+    oracle=f"""
+WITH hist AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {sql_dsum('value')} AS sum_value
+  FROM events GROUP BY day
+),
+pipe AS (
+  SELECT day, n_events, sum_value,
+         n_events - LAG(n_events) OVER (ORDER BY day) AS deriv_n,
+         CAST(SUM(n_events) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_events,
+         CAST(SUM(CAST(sum_value AS DECIMAL(18,6))) OVER (ORDER BY day
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS moving_sum3_value
+  FROM hist
+)
+SELECT day, n_events, CAST(deriv_n AS BIGINT) AS deriv_n, cum_events,
+       sum_value, moving_sum3_value
+FROM pipe
+WHERE deriv_n > 0
+""",
+)
+def agg_date_histogram_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` + the pipeline-aggregation family in one
+    request: daily buckets over the events feed, then ``derivative``
+    (day-over-day change in doc count), ``cumulative_sum``,
+    ``moving_fn`` (trailing 3-bucket sum of the value metric), and a
+    ``bucket_selector`` keeping only buckets whose derivative is
+    positive (days the feed GREW — the alerting shape pipeline aggs
+    exist for). Pipeline aggs are ES's only post-aggregation compute;
+    their engine meaning is exactly a window over the bucket table,
+    which is what this proves.
+
+    Deterministic: integer counts/derivatives; value sums and the
+    moving window go through DECIMAL(18,6) (exact, order-independent);
+    the day key is emitted as a timestamp (cross-engine DATE hashing
+    differs — repo gotcha).
+
+    Scale shape: one shuffle at bucket (day) grain, then a window over
+    |buckets| rows — 30 here, ~37k for a century of days; the bucket
+    table is always dictionary-small next to the fact scan, so the
+    unpartitioned window is the right plan at any corpus size (the
+    same coordinator-side compute ES runs).
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    w = Window.orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmov = w.rowsBetween(-2, Window.currentRow)
+    pipe = hist.select(
+        "day",
+        "n_events",
+        "sum_value",
+        (F.col("n_events") - F.lag("n_events").over(w))
+        .cast("bigint")
+        .alias("deriv_n"),
+        F.sum("n_events").over(wcum).cast("bigint").alias("cum_events"),
+        F.sum(F.col("sum_value").cast("decimal(18,6)"))
+        .over(wmov)
+        .cast("double")
+        .alias("moving_sum3_value"),
+    )
+    return pipe.filter(F.col("deriv_n") > 0).select(
+        "day",
+        "n_events",
+        "deriv_n",
+        "cum_events",
+        "sum_value",
+        "moving_sum3_value",
+    )
+
+
+@register(
+    "agg_adjacency_matrix",
+    oracle=f"""
+WITH flags AS (
+  SELECT doc_id, w FROM (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents
+  ) t WHERE w IN {AM_FILTERS!r}
+)
+SELECT a.w AS filter_a, b.w AS filter_b,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(a.doc_id) AS BIGINT) AS id_checksum
+FROM flags a JOIN flags b ON a.doc_id = b.doc_id AND a.w <= b.w
+GROUP BY a.w, b.w
+""",
+)
+def agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: given named filters (here
+    the {len(AM_FILTERS)} term filters {AM_FILTERS!r}), one bucket per
+    filter and per pairwise INTERSECTION (a&b), each with its doc
+    count — the co-occurrence matrix ES computes for graph/Venn UIs.
+    Diagonal buckets (a = a) are the plain filter counts; off-diagonal
+    are the overlaps. Checksums pin the hit sets.
+
+    Deterministic: distinct (doc, matched-filter) pairs, integer
+    counts and id checksums.
+
+    Scale shape: the token scan prunes to the filter terms, then the
+    pair join is per-doc-keyed over per-doc filter flags (each doc
+    contributes at most C({len(AM_FILTERS)},2)+{len(AM_FILTERS)}
+    pairs — bounded by the FILTER count, not by corpus or postings
+    skew). ES caps filters at ~100 for the same quadratic-in-filters,
+    linear-in-docs reason.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    flags = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").isin(*AM_FILTERS))
+        .distinct()
+    )
+    a = flags.select(F.col("doc_id"), F.col("w").alias("filter_a"))
+    b = flags.select(
+        F.col("doc_id").alias("db"), F.col("w").alias("filter_b")
+    )
+    return (
+        a.join(
+            b,
+            (a["doc_id"] == b["db"])
+            & (F.col("filter_a") <= F.col("filter_b")),
+        )
+        .groupBy("filter_a", "filter_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
     )

@@ -99,6 +99,12 @@ _PRIORITY = (
     "cdc_pushdown_region_scan",
     "search_nested_block_join",
     "search_after_cursor",
+    "search_span_near",
+    "search_terms_set",
+    "search_boosting_query",
+    "search_function_score",
+    "agg_date_histogram_pipeline",
+    "agg_adjacency_matrix",
     # --- changed in r12 (re-attest per the hygiene rule) ---
     # await_drained now raises on timeout (executed by both replicate
     # demos); multimodal decode gained strict length validation;
