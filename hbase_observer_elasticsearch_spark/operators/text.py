@@ -6404,3 +6404,372 @@ def agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+# --- r12 third wave: histogram w/ empty buckets, extended_stats,
+# --- percentile_ranks, filters agg, top_hits, geo_distance (plane) -----------
+
+HIST_INTERVAL = 50  # events.value histogram interval (ES histogram agg)
+
+XS_SIGMA = 2  # extended_stats std_deviation_bounds sigma
+
+PR_THRESHOLDS = (128, 256, 384)  # percentile_ranks over documents.n_chars
+
+FA_LANG_A = "en"
+FA_LANG_B = "zh"
+
+TH_PER_BUCKET = 2  # top_hits size per terms bucket
+
+GEO_SCALE = 100.0  # synthetic planar projection of embedding dims 0/1
+GEO_RADIUS = 10.0
+GEO_TOPK = 15
+
+
+@register(
+    "agg_histogram_empty_buckets",
+    oracle=f"""
+WITH bounds AS (
+  SELECT CAST(floor(MIN(value) / {HIST_INTERVAL}.0) AS BIGINT) AS lo,
+         CAST(floor(MAX(value) / {HIST_INTERVAL}.0) AS BIGINT) AS hi
+  FROM events
+),
+keys AS (
+  SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS bucket_idx
+  FROM bounds
+),
+counts AS (
+  SELECT CAST(floor(value / {HIST_INTERVAL}.0) AS BIGINT) AS bucket_idx,
+         CAST(COUNT(*) AS BIGINT) AS doc_count,
+         {sql_dsum('value')} AS sum_value
+  FROM events GROUP BY bucket_idx
+)
+SELECT k.bucket_idx,
+       CAST(k.bucket_idx * {HIST_INTERVAL} AS BIGINT) AS bucket_lo,
+       CAST(COALESCE(c.doc_count, 0) AS BIGINT) AS doc_count,
+       CAST(COALESCE(c.sum_value, 0.0) AS DOUBLE) AS sum_value
+FROM keys k LEFT JOIN counts c USING (bucket_idx)
+""",
+)
+def agg_histogram_empty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``histogram`` aggregation with ``min_doc_count: 0``: fixed
+    {HIST_INTERVAL}-wide buckets over events.value INCLUDING empty
+    buckets between the global min and max keys — the gap-filling
+    contract charting clients rely on (a missing bucket and a zero
+    bucket render differently). The engine shape is the interesting
+    part: the key range is generated (sequence/generate_series), not
+    scanned, then LEFT-joined to the measured buckets.
+
+    Deterministic: integer bucket indexes (floor of a single double
+    divide, same IEEE op both engines); sums through DECIMAL(18,6).
+
+    Scale shape: one bucket-grain shuffle for the counts; the
+    generated key spine is |key range| rows (interval-bounded,
+    corpus-independent) and broadcast-joinable. At 100 TB the spine is
+    still tiny; empty-bucket fill never touches the fact table.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.floor(F.col("value") / float(HIST_INTERVAL))
+        .cast("bigint")
+        .alias("bucket_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+        dsum("value").alias("sum_value"),
+    )
+    bounds = e.agg(
+        F.floor(F.min("value") / float(HIST_INTERVAL))
+        .cast("bigint")
+        .alias("lo"),
+        F.floor(F.max("value") / float(HIST_INTERVAL))
+        .cast("bigint")
+        .alias("hi"),
+    )
+    keys = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("bucket_idx")
+    )
+    return keys.join(counts, "bucket_idx", "left").select(
+        "bucket_idx",
+        (F.col("bucket_idx") * HIST_INTERVAL).cast("bigint").alias("bucket_lo"),
+        F.coalesce(F.col("doc_count"), F.lit(0))
+        .cast("bigint")
+        .alias("doc_count"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
+    "agg_extended_stats",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_sq
+  FROM documents GROUP BY source
+)
+SELECT source, n, min_chars, max_chars, sum_chars,
+       CAST(sum_chars AS DOUBLE) / n AS avg_chars,
+       CAST(n * sum_sq - sum_chars * sum_chars AS DOUBLE) / (n * n)
+         AS variance,
+       sqrt(CAST(n * sum_sq - sum_chars * sum_chars AS DOUBLE) / (n * n))
+         AS std_dev,
+       CAST(sum_chars AS DOUBLE) / n
+         + {XS_SIGMA}.0 * sqrt(CAST(n * sum_sq - sum_chars * sum_chars
+                                    AS DOUBLE) / (n * n)) AS upper_bound
+FROM s
+""",
+)
+def agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``extended_stats`` aggregation per terms bucket (source):
+    count/min/max/sum plus variance, std deviation, and the
+    std_deviation_bounds upper bound (avg + {XS_SIGMA}·σ) that ES
+    clients chart as the band. Population variance, like ES.
+
+    Deterministic: n_chars is integral, so sum and sum-of-squares are
+    EXACT BIGINTs; variance = (n·Σx² − (Σx)²)/n² does every lossy step
+    in one double division from exact integer inputs (the two-pass
+    E[x²]−E[x]² form would round twice and disagree across engines);
+    sqrt is IEEE-correctly-rounded; the bound is the same three ops in
+    the same order in both dialects.
+
+    Scale shape: one map-side-combinable aggregation at bucket grain —
+    sums and squared sums are the textbook distributive aggregates, so
+    at 100 TB this is a single shuffle of |buckets| partial states.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("sum_sq"),
+    )
+    var = (
+        (F.col("n") * F.col("sum_sq") - F.col("sum_chars") * F.col("sum_chars"))
+        .cast("double")
+        / (F.col("n") * F.col("n"))
+    )
+    avg = F.col("sum_chars").cast("double") / F.col("n")
+    return s.select(
+        "source",
+        "n",
+        "min_chars",
+        "max_chars",
+        "sum_chars",
+        avg.alias("avg_chars"),
+        var.alias("variance"),
+        F.sqrt(var).alias("std_dev"),
+        (avg + float(XS_SIGMA) * F.sqrt(var)).alias("upper_bound"),
+    )
+
+
+@register(
+    "agg_percentile_ranks",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(unnest({list(PR_THRESHOLDS)!r}) AS BIGINT) AS threshold
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT t.threshold,
+       CAST(COUNT(*) FILTER (WHERE d.n_chars <= t.threshold) AS BIGINT)
+         AS n_at_or_below,
+       100.0 * COUNT(*) FILTER (WHERE d.n_chars <= t.threshold) / MAX(tot.n)
+         AS pct_rank
+FROM t CROSS JOIN documents d CROSS JOIN tot
+GROUP BY t.threshold
+""",
+)
+def agg_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation: for each query value, the
+    percentage of observed values at or below it — the inverse lookup
+    of the percentiles agg. ES computes this on a t-digest sketch with
+    rank error; this is the EXACT answer (strictly stronger, the same
+    relationship the registry's HLL/KLL rows have to their sketches),
+    which is the right trade at engine level because exact rank counts
+    are a distributive aggregate while a mergeable digest only matters
+    when the value multiset itself cannot be re-scanned.
+
+    Deterministic: integer threshold comparisons and counts; one
+    double division per output row (identical op both engines).
+
+    Scale shape: thresholds broadcast against the fact scan; one
+    map-side-combinable conditional count per threshold — a single
+    corpus pass regardless of threshold count, no sort, no holistic
+    buffering (the exact-percentile trap the sort-key advisor row
+    documents is avoided because ranks of GIVEN values need counts,
+    not order statistics).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = spark.createDataFrame(
+        [(int(v),) for v in PR_THRESHOLDS], "threshold bigint"
+    )
+    joined = F.broadcast(t).crossJoin(d.select("n_chars"))
+    tot = d.count()
+    return joined.groupBy("threshold").agg(
+        F.sum((F.col("n_chars") <= F.col("threshold")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_at_or_below"),
+        (
+            F.lit(100.0)
+            * F.sum((F.col("n_chars") <= F.col("threshold")).cast("bigint"))
+            / F.lit(tot)
+        ).alias("pct_rank"),
+    )
+
+
+@register(
+    "agg_filters_other_bucket",
+    oracle=f"""
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT doc_id,
+         CASE WHEN lang = '{FA_LANG_A}' THEN '{FA_LANG_A}'
+              WHEN lang = '{FA_LANG_B}' THEN '{FA_LANG_B}'
+              ELSE '_other_' END AS bucket
+  FROM documents
+) t
+GROUP BY bucket
+""",
+)
+def agg_filters_other_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` aggregation with ``other_bucket: true``: named
+    filter buckets ({FA_LANG_A!r}, {FA_LANG_B!r}) plus the `_other_`
+    bucket catching every document matching none — the disjoint-
+    partition contract (each doc lands in exactly one bucket here,
+    since the filters are mutually exclusive) that dashboards build
+    segment breakdowns on. Hit sets pinned by id checksums.
+
+    Deterministic: string equality, integer counts/checksums.
+
+    Scale shape: a single CASE projection then bucket-grain counts —
+    one map-side-combinable pass, no joins; the cheapest agg in the
+    DSL and deliberately so here (the row exists to pin other_bucket
+    SEMANTICS, not plan complexity).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("lang") == FA_LANG_A, F.lit(FA_LANG_A))
+        .when(F.col("lang") == FA_LANG_B, F.lit(FA_LANG_B))
+        .otherwise(F.lit("_other_"))
+    )
+    return (
+        d.select("doc_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+@register(
+    "agg_top_hits",
+    oracle=f"""
+SELECT source, CAST(hit_rank AS BIGINT) AS hit_rank, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS hit_rank
+  FROM documents
+) t
+WHERE hit_rank <= {TH_PER_BUCKET}
+""",
+)
+def agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation: inside each terms bucket
+    (source), return the top {TH_PER_BUCKET} documents by a sort
+    (n_chars desc, doc_id tiebreak) — the "show me examples per
+    segment" agg. Distinct from field collapsing
+    (search_collapse_field): collapse dedups the global HIT LIST by a
+    key; top_hits enriches an AGGREGATION's buckets with documents.
+
+    Deterministic: integer sort keys, total order via the doc_id
+    tiebreak.
+
+    Scale shape: a per-bucket top-k window — partitioned by the terms
+    key, so it shuffles once at bucket grain and keeps k rows per
+    bucket; at 100 TB this is a rank-pruned window (Spark pushes the
+    rk<=k limit into the sort via WindowGroupLimit), never a global
+    sort.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        d.select(
+            "source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+        )
+        .withColumn("hit_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("hit_rank") <= TH_PER_BUCKET)
+        .select("source", "hit_rank", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "search_geo_distance_plane",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) * {GEO_SCALE!r} AS px,
+         CAST(embedding[2] AS DOUBLE) * {GEO_SCALE!r} AS py
+  FROM embeddings
+),
+dists AS (
+  SELECT vec_id, px, py, sqrt(px * px + py * py) AS dist
+  FROM pts
+)
+SELECT vec_id, dist, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT vec_id, dist,
+         ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rk
+  FROM dists WHERE dist <= {GEO_RADIUS!r}
+) t WHERE rk <= {GEO_TOPK}
+""",
+)
+def search_geo_distance_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_distance`` query with ``distance_type: plane`` plus
+    geo-distance SORT: points within radius {GEO_RADIUS} of the
+    origin, nearest-first top-{GEO_TOPK}. The fixture has no lat/lon,
+    so the first two embedding dims × {GEO_SCALE} stand in as a planar
+    projection — honest about what it is, and exactly the compute
+    shape of ES's plane mode (arc mode swaps in the haversine kernel;
+    plane is chosen here because sqrt is IEEE-correctly-rounded and
+    trig is not, keeping the oracle comparison exact).
+
+    Deterministic: float32→double widening is exact; px·px + py·py and
+    the sqrt are the same three correctly-rounded IEEE ops in both
+    engines; ties break on vec_id.
+
+    Scale shape: a map-only projection + filter then top-k — no
+    shuffle until the k-row ordering. At 100 TB a real geo index
+    prunes by cell first (the IVF-cell pattern the ANN family already
+    carries); the post-prune per-candidate kernel is THIS query.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    px = F.element_at("embedding", 1).cast("double") * GEO_SCALE
+    py = F.element_at("embedding", 2).cast("double") * GEO_SCALE
+    dists = e.select(
+        "vec_id",
+        F.sqrt(px * px + py * py).alias("dist"),
+    ).filter(F.col("dist") <= GEO_RADIUS)
+    w = Window.orderBy("dist", "vec_id")
+    return (
+        dists.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= GEO_TOPK)
+        .select("vec_id", "dist", "rk")
+    )
