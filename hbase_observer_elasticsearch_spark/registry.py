@@ -105,6 +105,12 @@ _PRIORITY = (
     "search_function_score",
     "agg_date_histogram_pipeline",
     "agg_adjacency_matrix",
+    "agg_histogram_empty_buckets",
+    "agg_extended_stats",
+    "agg_percentile_ranks",
+    "agg_filters_other_bucket",
+    "agg_top_hits",
+    "search_geo_distance_plane",
     # --- changed in r12 (re-attest per the hygiene rule) ---
     # await_drained now raises on timeout (executed by both replicate
     # demos); multimodal decode gained strict length validation;
