@@ -6773,3 +6773,392 @@ def search_geo_distance_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= GEO_TOPK)
         .select("vec_id", "dist", "rk")
     )
+
+
+# --- r12 fourth wave: regexp, sampler, weighted_avg, missing, geo_bounds,
+# --- bucket_script+bucket_sort, range agg ------------------------------------
+
+RX_PATTERN = "^[a-z]*n$"  # ES regexp query: anchored automaton over terms
+RX_TOPN = 10
+
+SAMPLER_N = 100  # sampler agg shard_size
+
+WA_MOD = 5  # weighted_avg weight = user_id % 5 + 1
+
+BSS_KEEP = 3  # bucket_sort truncation
+
+RANGE_EDGES = (128, 256, 384)  # range agg bucket edges over n_chars
+
+
+@register(
+    "search_regexp_term",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+matched AS (
+  SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(COUNT(*) AS BIGINT) AS tf_total
+  FROM tok WHERE regexp_matches(w, '{RX_PATTERN}')
+  GROUP BY w
+)
+SELECT w AS term, df, tf_total, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rk FROM matched
+) t WHERE rk <= {RX_TOPN}
+""",
+)
+def search_regexp_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``regexp`` query: the pattern {RX_PATTERN!r} is compiled to
+    an automaton and intersected with the TERM DICTIONARY (never run
+    over document text — Lucene walks the FST), then the matched
+    terms' postings are unioned. Returned at term grain (df + total
+    tf, top-{RX_TOPN} by df) — the expansion set a multi-term query
+    rewrite produces, completing the dictionary-expansion family
+    prefix/wildcard/fuzzy started.
+
+    Deterministic: the pattern is anchored, character-class-only regex
+    (identical semantics in Spark's Java regex and DuckDB's RE2);
+    counts are integers.
+
+    Scale shape: the regex runs once per DISTINCT term (dictionary
+    grain, Heaps-sublinear) after a token-grain count — never per
+    token occurrence; matched-term postings stats come from the same
+    grouped pass. At 100 TB the dictionary is the persisted term FST
+    and this is an index-only query.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    matched = (
+        tok.filter(F.col("w").rlike(RX_PATTERN))
+        .groupBy("w")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+            F.count(F.lit(1)).cast("bigint").alias("tf_total"),
+        )
+    )
+    wr = Window.orderBy(F.col("df").desc(), "w")
+    return (
+        matched.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= RX_TOPN)
+        .select(F.col("w").alias("term"), "df", "tf_total", "rk")
+    )
+
+
+@register(
+    "agg_sampler_lang_breakdown",
+    oracle=f"""
+WITH sampled AS (
+  SELECT doc_id, lang FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {SAMPLER_N}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS sample_count,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM sampled GROUP BY lang
+""",
+)
+def agg_sampler_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``sampler`` aggregation: run the sub-aggregation (a lang
+    terms breakdown) over only the top shard_size={SAMPLER_N} docs
+    instead of every hit — the cost-bounding wrapper for expensive
+    sub-aggs like significant_terms. ES samples by score; with no
+    query score here the deterministic analog is the md5-order prefix
+    (the repo's integer-threshold sampling idiom: a reproducible
+    pseudo-random {SAMPLER_N}-doc sample both engines agree on
+    byte-for-byte, doc_id tiebreak for md5 collisions).
+
+    Deterministic: md5-of-decimal-string ordering is identical in both
+    engines (pinned by the codebook-law parity tests); counts and
+    checksums are integers.
+
+    Scale shape: the sample is a global top-k by hash (k rows out of
+    the scan, no full sort — rank-pruned), and the sub-agg then runs
+    on k rows regardless of corpus size — exactly the cost bound the
+    ES agg exists to provide.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sampled = (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLER_N)
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_count"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle=f"""
+SELECT event_type,
+       CAST(SUM(CAST(user_id % {WA_MOD} + 1 AS BIGINT)) AS BIGINT)
+         AS sum_weight,
+       {sql_dsum(f'value * (user_id % {WA_MOD} + 1)')} AS sum_wv,
+       CAST(CAST(SUM(CAST(value * (user_id % {WA_MOD} + 1)
+              AS DECIMAL(18,6))) AS DOUBLE)
+            / SUM(CAST(user_id % {WA_MOD} + 1 AS BIGINT)) AS DOUBLE)
+         AS weighted_avg
+FROM events GROUP BY event_type
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``weighted_avg`` aggregation per terms bucket (event_type):
+    Σ(w·v)/Σw with weight = user_id % {WA_MOD} + 1 (a deterministic
+    per-row weight standing in for the quantity/confidence field a
+    real mapping would carry). Both running sums are returned so the
+    division is auditable.
+
+    Deterministic: the weighted products go through DECIMAL(18,6)
+    (exact, order-independent); the weight sum is integral; ONE double
+    division at the end.
+
+    Scale shape: two distributive sums per bucket — map-side
+    combinable, one shuffle at bucket grain.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    wcol = (F.col("user_id") % WA_MOD + 1).cast("bigint")
+    wv = F.col("value") * (F.col("user_id") % WA_MOD + 1)
+    return e.groupBy("event_type").agg(
+        F.sum(wcol).cast("bigint").alias("sum_weight"),
+        F.sum(wv.cast("decimal(18,6)")).cast("double").alias("sum_wv"),
+        (
+            F.sum(wv.cast("decimal(18,6)")).cast("double")
+            / F.sum(wcol)
+        )
+        .cast("double")
+        .alias("weighted_avg"),
+    )
+
+
+@register(
+    "agg_missing_bucket",
+    oracle="""
+WITH cf AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+           AS qualifier
+  FROM events
+)
+SELECT COALESCE(qualifier, '_missing_') AS qualifier_bucket,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM cf GROUP BY qualifier_bucket
+""",
+)
+def agg_missing_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``missing`` aggregation composed with a terms agg (the
+    ``missing`` bucket parameter): the changefeed's qualifier field is
+    NULL on delete mutations, and a terms breakdown must surface those
+    as an explicit `_missing_` bucket rather than silently dropping
+    them — the field-absence semantics ES dashboards rely on (documents
+    without the field are a bucket, not an error). Checksums pin
+    membership.
+
+    Deterministic: string/NULL handling and integer counts only.
+
+    Scale shape: single map-side-combinable pass; NULL-coalescing adds
+    no shuffle. The point of the row is semantic (NULL → named bucket
+    at the AGG layer, distinct from the CDC layer's tombstone
+    semantics which delete state).
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    q = F.when(
+        F.col("event_type") == "error", F.lit(None).cast("string")
+    ).otherwise(F.col("event_type"))
+    return (
+        e.select("event_id", q.alias("qualifier"))
+        .groupBy(
+            F.coalesce(F.col("qualifier"), F.lit("_missing_")).alias(
+                "qualifier_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+@register(
+    "agg_geo_bounds_centroid",
+    oracle=f"""
+WITH pts AS (
+  SELECT label,
+         CAST(embedding[1] AS DOUBLE) * {GEO_SCALE!r} AS px,
+         CAST(embedding[2] AS DOUBLE) * {GEO_SCALE!r} AS py
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(px) AS min_x, MAX(px) AS max_x,
+       MIN(py) AS min_y, MAX(py) AS max_y,
+       CAST(CAST(SUM(CAST(px AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS DOUBLE) AS centroid_x,
+       CAST(CAST(SUM(CAST(py AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS DOUBLE) AS centroid_y
+FROM pts GROUP BY label
+""",
+)
+def agg_geo_bounds_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_bounds`` + ``geo_centroid`` aggregations per terms
+    bucket (label), over the same synthetic planar projection as
+    search_geo_distance_plane: the bounding box (min/max of each
+    coordinate) and the centroid (mean coordinate) of each bucket's
+    points — the two metric aggs every ES map UI requests together.
+
+    Deterministic: min/max are order-free; centroid means go through
+    DECIMAL(18,6) sums (exact, order-independent) with one double
+    division each.
+
+    Scale shape: all six metrics are distributive/algebraic —
+    map-side-combined partials, one shuffle at bucket grain, the same
+    plan at any corpus size.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    px = F.element_at("embedding", 1).cast("double") * GEO_SCALE
+    py = F.element_at("embedding", 2).cast("double") * GEO_SCALE
+    pts = e.select(
+        F.col("label").cast("bigint").alias("label"),
+        px.alias("px"),
+        py.alias("py"),
+    )
+    return pts.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("px").alias("min_x"),
+        F.max("px").alias("max_x"),
+        F.min("py").alias("min_y"),
+        F.max("py").alias("max_y"),
+        (F.sum(F.col("px").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("centroid_x"),
+        (F.sum(F.col("py").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("centroid_y"),
+    )
+
+
+@register(
+    "agg_bucket_script_sort",
+    oracle=f"""
+WITH buckets AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source
+),
+scripted AS (
+  SELECT source, n_docs, n_langs, sum_chars,
+         CAST(sum_chars AS DOUBLE) / n_docs AS chars_per_doc
+  FROM buckets
+)
+SELECT source, n_docs, n_langs, sum_chars, chars_per_doc,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY chars_per_doc DESC, source) AS rk
+  FROM scripted
+) t WHERE rk <= {BSS_KEEP}
+""",
+)
+def agg_bucket_script_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_script`` + ``bucket_sort`` pipeline aggregations:
+    per-source terms buckets get a SCRIPTED derived metric
+    (chars_per_doc = sum_chars / doc_count — the ratio metric
+    bucket_script exists for, since no primary agg computes ratios),
+    then bucket_sort orders the buckets by it and TRUNCATES to the top
+    {BSS_KEEP} — pagination/ranking applied to buckets rather than
+    hits. Completes the pipeline-agg family next to
+    derivative/cumulative/moving/selector
+    (agg_date_histogram_pipeline).
+
+    Deterministic: integer inputs; one double division per bucket
+    (identical op both engines); total order via the source tiebreak.
+
+    Scale shape: bucket-grain compute after one aggregation shuffle;
+    the sort/truncate runs over |buckets| rows (dictionary-small) —
+    coordinator-side work in ES, a k-row window here.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    buckets = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    scripted = buckets.withColumn(
+        "chars_per_doc",
+        F.col("sum_chars").cast("double") / F.col("n_docs"),
+    )
+    wr = Window.orderBy(F.col("chars_per_doc").desc(), "source")
+    return (
+        scripted.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= BSS_KEEP)
+        .select(
+            "source", "n_docs", "n_langs", "sum_chars", "chars_per_doc", "rk"
+        )
+    )
+
+
+@register(
+    "agg_range_open_buckets",
+    oracle=f"""
+SELECT bucket_key,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT n_chars,
+         CASE WHEN n_chars < {RANGE_EDGES[0]} THEN '*-{RANGE_EDGES[0]}'
+              WHEN n_chars < {RANGE_EDGES[1]}
+                THEN '{RANGE_EDGES[0]}-{RANGE_EDGES[1]}'
+              WHEN n_chars < {RANGE_EDGES[2]}
+                THEN '{RANGE_EDGES[1]}-{RANGE_EDGES[2]}'
+              ELSE '{RANGE_EDGES[2]}-*' END AS bucket_key
+  FROM documents
+) t
+GROUP BY bucket_key
+""",
+)
+def agg_range_open_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``range`` aggregation over n_chars with OPEN-ENDED first and
+    last buckets (`*-128`, `128-256`, `256-384`, `384-*`) and ES's
+    half-open [from, to) convention — the irregular-edge sibling of
+    the fixed-interval histogram agg (agg_histogram_empty_buckets):
+    edges are explicit, buckets need not be uniform, and the unbounded
+    ends catch outliers instead of growing the key range. Bucket keys
+    use ES's `from-to` naming.
+
+    Deterministic: integer comparisons and sums only.
+
+    Scale shape: one CASE projection + bucket-grain counts, map-side
+    combinable — like the filters agg, the row pins SEMANTICS
+    (half-open edges, open ends, key naming), not plan complexity.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    e0, e1, e2 = RANGE_EDGES
+    bucket = (
+        F.when(F.col("n_chars") < e0, F.lit(f"*-{e0}"))
+        .when(F.col("n_chars") < e1, F.lit(f"{e0}-{e1}"))
+        .when(F.col("n_chars") < e2, F.lit(f"{e1}-{e2}"))
+        .otherwise(F.lit(f"{e2}-*"))
+    )
+    return (
+        d.select(F.col("n_chars"), bucket.alias("bucket_key"))
+        .groupBy("bucket_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

@@ -111,6 +111,13 @@ _PRIORITY = (
     "agg_filters_other_bucket",
     "agg_top_hits",
     "search_geo_distance_plane",
+    "search_regexp_term",
+    "agg_sampler_lang_breakdown",
+    "agg_weighted_avg",
+    "agg_missing_bucket",
+    "agg_geo_bounds_centroid",
+    "agg_bucket_script_sort",
+    "agg_range_open_buckets",
     # --- changed in r12 (re-attest per the hygiene rule) ---
     # await_drained now raises on timeout (executed by both replicate
     # demos); multimodal decode gained strict length validation;
