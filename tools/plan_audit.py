@@ -1,6 +1,6 @@
 """Repo-wide physical-plan audit: one row per registered query with the
 plan-quality facts the 100 TB design cares about, written to
-PLAN_AUDIT_r11.json.
+PLAN_AUDIT_r12.json.
 
 Per query (plans are inspected AFTER any eager build stages run: many
 queries execute real jobs while the DataFrame is constructed — the
@@ -123,7 +123,7 @@ def main() -> None:
         "errors": errors,
         "queries": out,
     }
-    with open(os.path.join(REPO, "PLAN_AUDIT_r11.json"), "w") as f:
+    with open(os.path.join(REPO, "PLAN_AUDIT_r12.json"), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(json.dumps(summary, indent=1, sort_keys=True))
 
