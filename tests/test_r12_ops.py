@@ -238,3 +238,59 @@ class TestNestedAndSearchAfter:
         )
         exp = {(r["doc_id"], r["rk"] - SA_PAGE_SIZE) for r in full}
         assert got == exp and len(got) == SA_PAGE_SIZE
+
+
+class TestPushdownProperty:
+    """Property: for ANY combination of supported rowkey filters, the
+    pruned region plan + range-translated executor read returns exactly
+    the rows a brute-force filter over the full feed returns."""
+
+    def test_random_filter_combos_match_bruteforce(self):
+        import hashlib
+
+        import pyarrow.parquet as pq
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        t = pq.read_table(EVENTS, columns=["event_id", "user_id"])
+        uids = [str(u) for u in t["user_id"].to_pylist()]
+        eids = t["event_id"].to_pylist()
+
+        def run_reader(filters):
+            r = RegionChangefeedReader({"path": EVENTS})
+            leftover = list(r.pushFilters(filters))
+            assert leftover == []
+            got = []
+            for p in r.partitions():
+                for batch in r.read(p):
+                    got.extend(batch.column("seq").to_pylist())
+            return sorted(got)
+
+        prefixes = st.text(alphabet="0123456789x", min_size=0, max_size=3)
+        keys = st.lists(
+            st.integers(min_value=0, max_value=20000).map(str),
+            min_size=1,
+            max_size=5,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            prefix=st.one_of(st.none(), prefixes),
+            inset=st.one_of(st.none(), keys),
+        )
+        def check(prefix, inset):
+            filters, pred = [], []
+            if prefix is not None:
+                filters.append(StringStartsWith(("rowkey",), prefix))
+                pred.append(lambda u: u.startswith(prefix))
+            if inset is not None:
+                filters.append(In(("rowkey",), tuple(inset)))
+                pred.append(lambda u: u in set(inset))
+            expected = sorted(
+                e
+                for e, u in zip(eids, uids)
+                if all(p(u) for p in pred)
+            )
+            assert run_reader(filters) == expected
+
+        check()
