@@ -6006,8 +6006,8 @@ BQ_NEG = "slow"
 BQ_NEG_BOOST = 0.25  # power of two: double-exact scaling in both engines
 BQ_TOPK = 12
 
-FS_TERM = "query"
-FS_TOPK = 10
+FSM_TERM = "query"
+FSM_TOPK = 10
 
 AM_FILTERS = ("scan", "merge", "stream")  # adjacency_matrix filter terms
 
@@ -6212,24 +6212,24 @@ def search_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "search_function_score",
     oracle=f"""
-WITH {_sql_bm25_one_term(FS_TERM)},
+WITH {_sql_bm25_one_term(FSM_TERM)},
 scored AS (
   SELECT b.doc_id,
          b.bm25,
          sqrt(CAST(d.n_chars AS DOUBLE)) AS field_factor,
          b.bm25 * sqrt(CAST(d.n_chars AS DOUBLE)) AS score
-  FROM bm25_{FS_TERM} b JOIN documents d USING (doc_id)
+  FROM bm25_{FSM_TERM} b JOIN documents d USING (doc_id)
 )
 SELECT doc_id, bm25, field_factor, score, CAST(rk AS BIGINT) AS rk
 FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
   FROM scored
-) t WHERE rk <= {FS_TOPK}
+) t WHERE rk <= {FSM_TOPK}
 """,
 )
 def search_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``function_score`` with ``field_value_factor`` (modifier:
-    sqrt, boost_mode: multiply): final score = BM25({FS_TERM!r}) ×
+    sqrt, boost_mode: multiply): final score = BM25({FSM_TERM!r}) ×
     sqrt(n_chars) — relevance re-weighted by a document-level signal
     (the popularity/recency/length boost every production ranker
     layers on text score). Both factors are returned so the
@@ -6249,7 +6249,7 @@ def search_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    b = _bm25_agg(spark, sf_dir, (FS_TERM,)).select("doc_id", "bm25")
+    b = _bm25_agg(spark, sf_dir, (FSM_TERM,)).select("doc_id", "bm25")
     ff = F.sqrt(F.col("n_chars").cast("double"))
     scored = b.join(d, "doc_id").select(
         "doc_id",
@@ -6260,7 +6260,7 @@ def search_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.orderBy(F.col("score").desc(), "doc_id")
     return (
         scored.withColumn("rk", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rk") <= FS_TOPK)
+        .filter(F.col("rk") <= FSM_TOPK)
         .select("doc_id", "bm25", "field_factor", "score", "rk")
     )
 

@@ -163,3 +163,24 @@ def test_stream_audit_contracts_cover_every_executing_query():
     assert contracts <= names, f"stale contracts: {sorted(contracts - names)}"
     uncovered = exec_names - contracts
     assert not uncovered, f"executing queries with no state contract: {sorted(uncovered)}"
+
+
+def test_no_duplicate_module_constants():
+    """A module-level ALL_CAPS constant defined twice in one operator
+    module silently rebinds for every function that reads it at CALL
+    time while module-level oracle f-strings keep the FIRST value —
+    splitting a query from its oracle (r12: a second FS_TERM broke
+    search_function_score_decay). Pin: one definition per name."""
+    import re as _re
+
+    op_dir = os.path.join(
+        REPO, "hbase_observer_elasticsearch_spark", "operators"
+    )
+    pat = _re.compile(r"^([A-Z][A-Z0-9_]*) = ", _re.M)
+    for fname in sorted(os.listdir(op_dir)):
+        if not fname.endswith(".py"):
+            continue
+        src = open(os.path.join(op_dir, fname)).read()
+        names = pat.findall(src)
+        dupes = {n for n in names if names.count(n) > 1}
+        assert not dupes, f"{fname}: duplicate module constants {dupes}"
