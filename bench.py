@@ -174,9 +174,9 @@ def main() -> None:
     # in-loop quartile points, end), each a single ~2-3 s fixed job; an
     # untimed light warm-up first so the start draw doesn't carry
     # first-job JIT/codegen cost.
-    spark.range(0, 100_000_000, 1, 32).selectExpr(
-        "sum(xxhash64(id) % 1000)"
-    ).collect()  # untimed probe warm-up
+    run_probe(spark)  # untimed full-size warm-up: the first draw of the
+    # job pays JIT/codegen (measured 2.9 s vs 1.8 s steady) and would
+    # otherwise inflate the start draw and the spread.
     probe_draws: dict[str, float] = {"start": run_probe(spark)}
 
     # best-of-2 per query, escalating to best-of-3 when the two samples
@@ -317,6 +317,12 @@ def main() -> None:
                         / (host_probe_s["median"] / prev_probe),
                         3,
                     )
+                    # r12 probe redesign (~0.15 s triad -> ~1.8 s 5-draw):
+                    # a prev map carrying the OLD light probe makes the
+                    # net ratio meaningless across the transition — flag
+                    # it so nobody reads 0.07x as a real speedup.
+                    if prev_probe < 1.0 <= host_probe_s["median"]:
+                        delta["probe_methodology_changed"] = True
 
     full = {
         "metric": "total_query_wall_seconds",
