@@ -7162,3 +7162,321 @@ def agg_range_open_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+# --- r12 fifth wave: intervals, multi_terms, auto_date_histogram, pinned -----
+
+IV_A = "group"
+IV_B = "order"
+IV_MAX_GAPS = 2  # intervals: ordered, at most this many tokens between
+IV_TOPK = 15
+
+MT_TOPN = 8  # multi_terms agg size
+
+ADH_TARGET_BUCKETS = 20  # auto_date_histogram target
+# fixed-seconds interval ladder (ES rounds to calendar units; fixed
+# units keep the cross-engine arithmetic exact)
+ADH_LADDER = (60, 3600, 86400, 604800, 2592000)
+
+PIN_IDS = (7, 13, 21)  # pinned query: promoted ids, in this order
+PIN_TERM = "table"
+PIN_TOPK = 10
+
+
+@register(
+    "search_intervals_ordered",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, w, i FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+  ) t WHERE w IN ('{IV_A}', '{IV_B}')
+),
+iv AS (
+  SELECT a.doc_id, b.i - a.i - 1 AS gaps
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND a.w = '{IV_A}' AND b.w = '{IV_B}'
+  WHERE b.i > a.i AND b.i - a.i - 1 <= {IV_MAX_GAPS}
+),
+docs AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         CAST(MIN(gaps) AS BIGINT) AS min_gaps
+  FROM iv GROUP BY doc_id
+)
+SELECT doc_id, n_intervals, min_gaps, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY n_intervals DESC, min_gaps, doc_id) AS rk
+  FROM docs
+) t WHERE rk <= {IV_TOPK}
+""",
+)
+def search_intervals_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``intervals`` query, ``match`` rule with ``ordered: true``
+    and ``max_gaps: {IV_MAX_GAPS}``: {IV_A!r} followed by {IV_B!r}
+    with at most {IV_MAX_GAPS} tokens between them — the ORDERED
+    sibling of span_near's unordered slop (order is the semantic
+    intervals adds over spans: "group … order" matches, "order …
+    group" does not). Per doc: qualifying interval count and the
+    tightest gap, ranked.
+
+    Deterministic: all-integer positional arithmetic, total order via
+    doc_id.
+
+    Scale shape: identical to the span/phrase family — both terms'
+    postings pruned at token grain before the per-doc position join;
+    the order predicate (b.i > a.i) just halves the pair mass.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pos = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+        )
+        .filter(F.col("w").isin(IV_A, IV_B))
+    )
+    a = pos.filter(F.col("w") == IV_A).select("doc_id", F.col("i").alias("ia"))
+    b = pos.filter(F.col("w") == IV_B).select(
+        F.col("doc_id").alias("db"), F.col("i").alias("ib")
+    )
+    iv = (
+        a.join(b, a["doc_id"] == b["db"])
+        .select("doc_id", (F.col("ib") - F.col("ia") - 1).alias("gaps"))
+        .filter((F.col("gaps") >= 0) & (F.col("gaps") <= IV_MAX_GAPS))
+    )
+    docs = iv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.min("gaps").cast("bigint").alias("min_gaps"),
+    )
+    wr = Window.orderBy(F.col("n_intervals").desc(), "min_gaps", "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= IV_TOPK)
+        .select("doc_id", "n_intervals", "min_gaps", "rk")
+    )
+
+
+@register(
+    "agg_multi_terms",
+    oracle=f"""
+WITH buckets AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, doc_count, id_checksum, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY doc_count DESC, source, lang) AS rk
+  FROM buckets
+) t WHERE rk <= {MT_TOPN}
+""",
+)
+def agg_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_terms`` aggregation: buckets keyed by a COMPOSITE
+    term tuple (source, lang) ranked by doc_count and truncated to
+    size {MT_TOPN} — the count-ranked sibling of the composite agg
+    (search_composite_agg pages the same key space in KEY order;
+    multi_terms returns the top buckets by COUNT, which is why it
+    cannot paginate and caps its size). Checksums pin membership.
+
+    Deterministic: integer counts/checksums, total order via the key
+    tiebreak.
+
+    Scale shape: one aggregation shuffle at composite-bucket grain,
+    then a top-N over |buckets| rows. The doc_count ordering is the
+    approximate-at-shard-level part in ES (same error story as
+    search_terms_agg_shard_error documents); the engine computes it
+    exactly.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    buckets = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+    wr = Window.orderBy(F.col("doc_count").desc(), "source", "lang")
+    return (
+        buckets.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= MT_TOPN)
+        .select("source", "lang", "doc_count", "id_checksum", "rk")
+    )
+
+
+@register(
+    "agg_auto_date_histogram",
+    oracle=f"""
+WITH ep AS (
+  SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) AS es, value
+  FROM events
+),
+bounds AS (
+  SELECT MIN(es) AS lo, MAX(es) AS hi FROM ep
+),
+chosen AS (
+  SELECT CASE
+    WHEN hi // {ADH_LADDER[0]} - lo // {ADH_LADDER[0]} + 1
+         <= {ADH_TARGET_BUCKETS} THEN {ADH_LADDER[0]}
+    WHEN hi // {ADH_LADDER[1]} - lo // {ADH_LADDER[1]} + 1
+         <= {ADH_TARGET_BUCKETS} THEN {ADH_LADDER[1]}
+    WHEN hi // {ADH_LADDER[2]} - lo // {ADH_LADDER[2]} + 1
+         <= {ADH_TARGET_BUCKETS} THEN {ADH_LADDER[2]}
+    WHEN hi // {ADH_LADDER[3]} - lo // {ADH_LADDER[3]} + 1
+         <= {ADH_TARGET_BUCKETS} THEN {ADH_LADDER[3]}
+    ELSE {ADH_LADDER[4]} END AS interval_s
+  FROM bounds
+)
+SELECT CAST(c.interval_s AS BIGINT) AS interval_s,
+       CAST(e.es // c.interval_s * c.interval_s AS BIGINT)
+         AS bucket_epoch_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('e.value')} AS sum_value
+FROM ep e CROSS JOIN chosen c
+GROUP BY interval_s, bucket_epoch_s
+""",
+)
+def agg_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``auto_date_histogram``: the engine — not the caller — picks
+    the bucket interval so the bucket count stays at or under
+    ``buckets: {ADH_TARGET_BUCKETS}``, walking a fixed interval ladder
+    (minute/hour/day/week/30d here; ES rounds to calendar units —
+    fixed-seconds units are used so the cross-engine arithmetic is
+    exact integer division). The data-driven interval choice is the
+    semantic: the same query over an hour of data returns
+    minute-grain buckets, over a month week-grain — this fixture's
+    30-day span at target {ADH_TARGET_BUCKETS} selects the week rung.
+    The chosen interval is returned with every bucket, as ES does.
+
+    Deterministic: epoch seconds via whole-second timestamp diffs
+    (the repo's TIMESTAMP_NTZ idiom), integer floor-division
+    bucketing, DECIMAL value sums.
+
+    Scale shape: a 2-value bounds aggregate (map-side min/max)
+    broadcast into the bucketing expression, then one bucket-grain
+    shuffle — the adaptive choice costs one extra tiny pass, the
+    histogram itself is the same plan as the fixed-interval agg.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    ep = e.select(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP'1970-01-01', "
+            "CAST(ts AS TIMESTAMP))"
+        ).alias("es"),
+        "value",
+    )
+    bounds = ep.agg(F.min("es").alias("lo"), F.max("es").alias("hi"))
+    rung = None
+    for iv in ADH_LADDER[:-1]:
+        cond = (
+            F.floor(F.col("hi") / iv) - F.floor(F.col("lo") / iv) + 1
+            <= ADH_TARGET_BUCKETS
+        )
+        rung = (
+            F.when(cond, F.lit(iv)) if rung is None else rung.when(cond, F.lit(iv))
+        )
+    chosen = bounds.select(
+        rung.otherwise(F.lit(ADH_LADDER[-1])).cast("bigint").alias("interval_s")
+    )
+    return (
+        ep.crossJoin(F.broadcast(chosen))
+        .groupBy(
+            "interval_s",
+            (
+                F.floor(F.col("es") / F.col("interval_s"))
+                * F.col("interval_s")
+            )
+            .cast("bigint")
+            .alias("bucket_epoch_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "interval_s", "bucket_epoch_s", "n_events", "sum_value"
+        )
+    )
+
+
+@register(
+    "search_pinned_query",
+    oracle=f"""
+WITH {_sql_bm25_one_term(PIN_TERM)},
+pinned(doc_id, pin_pos) AS (VALUES {", ".join(f"({i}, {p + 1})" for p, i in enumerate(PIN_IDS))}),
+organic AS (
+  SELECT b.doc_id, b.bm25,
+         ROW_NUMBER() OVER (ORDER BY b.bm25 DESC, b.doc_id) AS org_rk
+  FROM bm25_{PIN_TERM} b
+  WHERE b.doc_id NOT IN (SELECT doc_id FROM pinned)
+),
+unioned AS (
+  SELECT p.doc_id, CAST(1 AS BIGINT) AS pinned,
+         CAST(NULL AS DOUBLE) AS score, p.pin_pos AS ord
+  FROM pinned p JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT), bm25, {len(PIN_IDS)} + org_rk
+  FROM organic
+)
+SELECT doc_id, pinned, score, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, pinned, score,
+         ROW_NUMBER() OVER (ORDER BY ord) AS rk
+  FROM unioned
+) t WHERE rk <= {PIN_TOPK}
+""",
+)
+def search_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``pinned`` query: the ids {PIN_IDS!r} are promoted to the
+    top of the result list IN LIST ORDER regardless of relevance
+    (pinned docs need not match the organic query at all — they are
+    joined against the corpus, not the hit list), and organic BM25
+    hits for {PIN_TERM!r} follow, excluding any pinned id. ES
+    implements this by giving pinned docs synthetic above-everything
+    scores; the honest relational statement is the ordered union this
+    query pins — pinned rows carry a NULL score to make the synthetic
+    ranking explicit rather than fabricating score values.
+
+    Deterministic: pinned order is the literal list position; organic
+    order is the quantized-BM25 total order with doc_id tiebreak.
+
+    Scale shape: the pinned list is a literal broadcast joined to the
+    corpus by key (index point-lookups in ES); the organic side is
+    the standard postings-pruned scored top-k. The union sorts
+    |pinned| + top-k rows.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pinned = spark.createDataFrame(
+        [(int(i), p + 1) for p, i in enumerate(PIN_IDS)],
+        "doc_id bigint, pin_pos bigint",
+    )
+    organic = (
+        _bm25_agg(spark, sf_dir, (PIN_TERM,))
+        .select("doc_id", "bm25")
+        .join(F.broadcast(pinned.select("doc_id")), "doc_id", "left_anti")
+    )
+    worg = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    org = organic.select(
+        "doc_id",
+        F.lit(0).cast("bigint").alias("pinned"),
+        F.col("bm25").alias("score"),
+        (F.lit(len(PIN_IDS)) + F.row_number().over(worg)).alias("ord"),
+    )
+    pin = (
+        pinned.join(d.select("doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            F.lit(1).cast("bigint").alias("pinned"),
+            F.lit(None).cast("double").alias("score"),
+            F.col("pin_pos").alias("ord"),
+        )
+    )
+    wall = Window.orderBy("ord")
+    return (
+        pin.unionByName(org)
+        .withColumn("rk", F.row_number().over(wall).cast("bigint"))
+        .filter(F.col("rk") <= PIN_TOPK)
+        .select("doc_id", "pinned", "score", "rk")
+    )

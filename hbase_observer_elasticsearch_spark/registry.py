@@ -118,6 +118,12 @@ _PRIORITY = (
     "agg_geo_bounds_centroid",
     "agg_bucket_script_sort",
     "agg_range_open_buckets",
+    "search_intervals_ordered",
+    "agg_multi_terms",
+    "agg_auto_date_histogram",
+    "search_pinned_query",
+    # --- changed in r12 wave 5: FS_TERM/FS_TOPK rename fallout re-attest
+    "search_function_score_decay",
     # --- changed in r12 (re-attest per the hygiene rule) ---
     # await_drained now raises on timeout (executed by both replicate
     # demos); multimodal decode gained strict length validation;
