@@ -7480,3 +7480,258 @@ def search_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= PIN_TOPK)
         .select("doc_id", "pinned", "score", "rk")
     )
+
+
+# --- r12 sixth wave: sibling pipeline aggs, explain API, track_total_hits ----
+
+SIB_INTERVAL = 86400  # daily buckets for the sibling-pipeline demo
+
+EXP_TERM = "batch"
+EXP_TOPK = 5
+
+TTH_TERM = "scan"
+TTH_TRACK = 300  # track_total_hits cap
+
+
+@register(
+    "agg_sibling_pipeline",
+    oracle=f"""
+WITH ep AS (
+  SELECT date_diff('second', TIMESTAMP '1970-01-01', ts)
+           // {SIB_INTERVAL} AS day_idx,
+         value
+  FROM events
+),
+hist AS (
+  SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+         {sql_dsum('value')} AS sum_value
+  FROM ep GROUP BY day_idx
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n_events) AS BIGINT) AS max_bucket_count,
+       CAST(MIN(n_events) AS BIGINT) AS min_bucket_count,
+       CAST(CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS DOUBLE)
+         AS avg_bucket_count,
+       CAST(CAST(SUM(CAST(sum_value AS DECIMAL(18,6))) AS DOUBLE)
+            AS DOUBLE) AS sum_bucket_value,
+       CAST((SELECT day_idx FROM hist ORDER BY n_events DESC, day_idx
+             LIMIT 1) AS BIGINT) AS argmax_day_idx
+FROM hist
+""",
+)
+def agg_sibling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SIBLING pipeline aggregations — ``max_bucket``,
+    ``min_bucket``, ``avg_bucket``, ``sum_bucket`` — over a daily
+    histogram: where the PARENT pipeline family
+    (agg_date_histogram_pipeline: derivative/cumulative/moving) adds a
+    value to EVERY bucket, the sibling family reduces the whole bucket
+    list to ONE summary value placed beside it, including max_bucket's
+    keys payload (which bucket attained the max — the argmax day).
+    Together the two rows cover ES's full pipeline-agg taxonomy.
+
+    Deterministic: integer bucket counts; avg is one double division;
+    sum-of-bucket-sums re-quantizes through DECIMAL(18,6) (exact);
+    argmax total-ordered by the day tiebreak.
+
+    Scale shape: bucket-grain aggregation then a second reduce over
+    |buckets| rows — the second stage is a 1-row all-reduce, free at
+    any corpus size.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    hist = (
+        e.select(
+            (
+                F.floor(
+                    F.expr(
+                        "timestampdiff(SECOND, TIMESTAMP'1970-01-01', "
+                        "CAST(ts AS TIMESTAMP))"
+                    )
+                    / SIB_INTERVAL
+                )
+            )
+            .cast("bigint")
+            .alias("day_idx"),
+            "value",
+        )
+        .groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+    wmax = Window.orderBy(F.col("n_events").desc(), "day_idx")
+    ranked = hist.withColumn("is_max", F.row_number().over(wmax) == 1)
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("n_events").cast("bigint").alias("max_bucket_count"),
+        F.min("n_events").cast("bigint").alias("min_bucket_count"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("avg_bucket_count"),
+        F.sum(F.col("sum_value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_bucket_value"),
+        F.max(F.when(F.col("is_max"), F.col("day_idx")))
+        .cast("bigint")
+        .alias("argmax_day_idx"),
+    )
+
+
+@register(
+    "search_explain_bm25",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE w = '{EXP_TERM}' GROUP BY doc_id
+),
+dfq AS (SELECT CAST(COUNT(*) AS BIGINT) AS df FROM tf),
+expl AS (
+  SELECT t.doc_id, t.tf, l.dl, f.df,
+         (CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+           / (CAST(f.df AS DOUBLE) + 0.5) AS idf_part,
+         (CAST(t.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+           / (CAST(t.tf AS DOUBLE)
+              + CAST({BM25_K1!r} AS DOUBLE)
+                * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                   + CAST({BM25_B!r} AS DOUBLE)
+                     * (CAST(l.dl AS DOUBLE)
+                        / (CAST(s.sum_dl AS DOUBLE)
+                           / CAST(s.n_docs AS DOUBLE))))) AS tfn_part
+  FROM tf t JOIN dl l USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN dfq f
+)
+SELECT doc_id, tf, dl, df, idf_part, tfn_part,
+       CAST(CAST(idf_part * tfn_part AS DECIMAL(28,6)) AS DOUBLE)
+         AS bm25,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY CAST(CAST(idf_part * tfn_part AS DECIMAL(28,6)) AS DOUBLE)
+             DESC, doc_id) AS rk
+  FROM expl
+) t WHERE rk <= {EXP_TOPK}
+""",
+)
+def search_explain_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain`` API for the BM25 family: every factor of the
+    score decomposed per hit — raw tf, doc length, df, the idf part
+    ((N−df+0.5)/(df+0.5)) and the saturated-tf part (tf·(k1+1)/(tf +
+    k1·(1−b+b·dl/avgdl))) — so a ranking dispute is settled by reading
+    WHICH factor differs, exactly what the explain endpoint exists
+    for. The product re-quantizes through the family's DECIMAL(28,6)
+    so the exposed score equals what search_bm25_topk serves.
+
+    Deterministic: integer inputs; both parts are fixed IEEE
+    expression trees evaluated in identical order in both engines;
+    the final product rides the shared quantization.
+
+    Scale shape: identical to the scoring path (postings-pruned tf
+    join + two one-row broadcasts) — explain costs what scoring
+    costs, per hit, which is why ES scopes it to single documents;
+    here the top-k page is explained in one plan.
+    """
+    ensure_session_conf(spark)
+    tf_all = _postings_memo(spark, sf_dir)
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = tf_all.filter(F.col("w") == EXP_TERM).select("doc_id", "tf")
+    dfq = tf.agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tfn = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+    )
+    expl = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfq))
+        .select(
+            "doc_id",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("dl").cast("bigint").alias("dl"),
+            F.col("df").cast("bigint").alias("df"),
+            idf.alias("idf_part"),
+            tfn.alias("tfn_part"),
+            (idf * tfn).cast("decimal(28,6)").cast("double").alias("bm25"),
+        )
+    )
+    wr = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        expl.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= EXP_TOPK)
+        .select(
+            "doc_id", "tf", "dl", "df", "idf_part", "tfn_part", "bm25", "rk"
+        )
+    )
+
+
+@register(
+    "search_track_total_hits",
+    oracle=f"""
+WITH hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) t WHERE w = '{TTH_TERM}'
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM hits)
+SELECT CASE WHEN total > {TTH_TRACK} THEN {TTH_TRACK} ELSE total END
+         AS total_value,
+       CASE WHEN total > {TTH_TRACK} THEN 'gte' ELSE 'eq' END
+         AS relation,
+       CAST({TTH_TRACK} AS BIGINT) AS track_cap
+FROM n
+""",
+)
+def search_track_total_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``track_total_hits: {TTH_TRACK}``: the hits.total CONTRACT —
+    counting stops at the cap, and the response says either
+    `{{value: N, relation: "eq"}}` (exact, under the cap) or
+    `{{value: {TTH_TRACK}, relation: "gte"}}` (at least this many).
+    The engine meaning ES optimizes for — early-terminating the count
+    so cheap queries stay cheap — is here the semantic CONTRACT row:
+    the capped value and relation must be exactly what a
+    total-hits-tracking coordinator reports. (A distributed engine
+    earns the optimization differently: a LIMIT cap+1 semi-join scan;
+    the contract, not the shortcut, is what clients depend on.)
+
+    Deterministic: one integer count, CASE on an integer threshold.
+
+    Scale shape: a distinct-doc count over one term's postings; with
+    the cap the scan could early-terminate per partition at cap+1
+    (Spark expresses that as LIMIT pushdown on the distinct feed) —
+    documented here, measured irrelevant at fixture scale.
+    """
+    ensure_session_conf(spark)
+    hits = (
+        _postings_memo(spark, sf_dir)
+        .filter(F.col("w") == TTH_TERM)
+        .select("doc_id")
+        .distinct()
+    )
+    n = hits.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return n.select(
+        F.when(F.col("total") > TTH_TRACK, F.lit(TTH_TRACK))
+        .otherwise(F.col("total"))
+        .cast("bigint")
+        .alias("total_value"),
+        F.when(F.col("total") > TTH_TRACK, F.lit("gte"))
+        .otherwise(F.lit("eq"))
+        .alias("relation"),
+        F.lit(TTH_TRACK).cast("bigint").alias("track_cap"),
+    )

@@ -122,6 +122,9 @@ _PRIORITY = (
     "agg_multi_terms",
     "agg_auto_date_histogram",
     "search_pinned_query",
+    "agg_sibling_pipeline",
+    "search_explain_bm25",
+    "search_track_total_hits",
     # --- changed in r12 wave 5: FS_TERM/FS_TOPK rename fallout re-attest
     "search_function_score_decay",
     # --- changed in r12 (re-attest per the hygiene rule) ---
