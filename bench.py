@@ -213,11 +213,17 @@ def main() -> None:
     jvm_system = spark._jvm.System  # noqa: SLF001 — JVM GC hook
     memo_build_rows(spark, sf_dir, per_query)
     names_sorted = sorted(qs)
-    quartiles = {
-        len(names_sorted) // 4: "q1",
-        len(names_sorted) // 2: "mid",
-        (3 * len(names_sorted)) // 4: "q3",
-    }
+    # Dedupe quartile indices (r12 advice, low): at n<4 the three
+    # indices collapse onto the same key and the dict silently dropped
+    # draws; keep the first label per distinct index so a filtered run
+    # still reports however many in-loop draws its size supports.
+    quartiles: dict[int, str] = {}
+    for idx, label in (
+        (len(names_sorted) // 4, "q1"),
+        (len(names_sorted) // 2, "mid"),
+        ((3 * len(names_sorted)) // 4, "q3"),
+    ):
+        quartiles.setdefault(idx, label)
     for qi, name in enumerate(names_sorted):
         if qi in quartiles:
             probe_draws[quartiles[qi]] = run_probe(spark)
@@ -340,6 +346,14 @@ def main() -> None:
                             "bench_out.json")
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1)
+    # TEARDOWN BEFORE PRINTING (r12 verdict directive #1): BENCH_r12
+    # recorded parsed:null because a StateStore maintenance-thread WARN
+    # stacktrace landed on stdout AFTER the summary JSON line. Stop the
+    # SparkSession first — killing the state-store maintenance threads —
+    # then flush, so the summary JSON is the true last thing on stdout.
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
     # stdout: the full object first (for line-scanning parsers), then a
     # SHORT final line that survives tail-capture intact — headline total
     # plus the slowest queries at 2-decimal precision.
@@ -367,7 +381,7 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    spark.stop()
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -238,10 +238,16 @@ class RegionChangefeedReader(DataSourceReader):
         }
         for kind, val in self._pushed:
             if kind == "eq":
+                # Keys beyond int64 can never equal a canonical
+                # str(int64) rowkey — drop them at planning time (they
+                # would otherwise OverflowError pyarrow's int64 in-filter
+                # on the executor), mirroring the _prefix_ranges cap.
                 keys = [
                     int(v)
                     for v in val
-                    if v.isdigit() and (v == "0" or v[0] != "0")
+                    if v.isdigit()
+                    and (v == "0" or v[0] != "0")
+                    and int(v) <= 2**63 - 1
                 ]
                 nxt = {}
                 for d, (ranges, ks) in regions.items():
@@ -252,6 +258,16 @@ class RegionChangefeedReader(DataSourceReader):
                         mine if ks is None
                         else [k for k in mine if k in ks]
                     )
+                    # Intersect with ranges narrowed by any EARLIER
+                    # prefix filter — read() serves keys without
+                    # re-checking ranges, so a key outside the current
+                    # ranges must die here or the conjunction silently
+                    # widens (r12 advice, high).
+                    mine = [
+                        k
+                        for k in mine
+                        if any(lo <= k <= hi for lo, hi in ranges)
+                    ]
                     if mine:
                         nxt[d] = (ranges, mine)
                 regions = nxt

@@ -294,3 +294,70 @@ class TestPushdownProperty:
             assert run_reader(filters) == expected
 
         check()
+
+    def test_prefix_then_eq_conjunction_is_empty(self):
+        # r12 advice (high): StartsWith('43') ∧ EqualTo('4') matches no
+        # rowkey; the eq branch must intersect keys with the ranges the
+        # earlier prefix filter narrowed, or read() (which prefers keys
+        # over ranges) silently widens the conjunction to user_id=4.
+        r = RegionChangefeedReader({"path": EVENTS})
+        leftover = list(
+            r.pushFilters(
+                [
+                    StringStartsWith(("rowkey",), "43"),
+                    EqualTo(("rowkey",), "4"),
+                ]
+            )
+        )
+        assert leftover == []
+        assert r.partitions() == []
+
+    def test_prefix_then_eq_key_inside_prefix_survives(self):
+        # The complementary shape: StartsWith('4') ∧ EqualTo('43') —
+        # key 43 lies inside the prefix ranges, so exactly it survives.
+        import pyarrow.parquet as pq
+
+        r = RegionChangefeedReader({"path": EVENTS})
+        leftover = list(
+            r.pushFilters(
+                [
+                    StringStartsWith(("rowkey",), "4"),
+                    EqualTo(("rowkey",), "43"),
+                ]
+            )
+        )
+        assert leftover == []
+        parts = r.partitions()
+        assert [p.keys for p in parts] == [[43]]
+        got = sorted(
+            s
+            for p in parts
+            for batch in r.read(p)
+            for s in batch.column("seq").to_pylist()
+        )
+        t = pq.read_table(EVENTS, columns=["event_id", "user_id"])
+        expected = sorted(
+            e
+            for e, u in zip(
+                t["event_id"].to_pylist(), t["user_id"].to_pylist()
+            )
+            if str(u) == "43"
+        )
+        assert got == expected
+
+    def test_eq_key_beyond_int64_is_planned_away(self):
+        # r12 advice (low): a >int64 eq key can never equal a canonical
+        # str(int64) rowkey; it must die at planning, not OverflowError
+        # pyarrow's int64 in-filter on the executor.
+        r = RegionChangefeedReader({"path": EVENTS})
+        big = str(2**63)  # one past int64.max
+        leftover = list(r.pushFilters([EqualTo(("rowkey",), big)]))
+        assert leftover == []
+        assert r.partitions() == []
+        r2 = RegionChangefeedReader({"path": EVENTS})
+        list(r2.pushFilters([In(("rowkey",), (big, "43"))]))
+        parts = r2.partitions()
+        assert [p.keys for p in parts] == [[43]]
+        for p in parts:  # executor read must not raise
+            for _ in r2.read(p):
+                pass
