@@ -732,6 +732,116 @@ def cdc_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_pushdown_region_tail",
+    oracle="""
+WITH cf AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS rowkey,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+           AS qualifier,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+  FROM events
+  WHERE CAST(user_id AS VARCHAR) LIKE '4%'
+     OR CAST(user_id AS VARCHAR) LIKE '7%'
+)
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n_mutations,
+       CAST(COUNT(DISTINCT rowkey) AS BIGINT) AS n_keys,
+       CAST(MIN(seq) AS BIGINT) AS min_seq,
+       CAST(MAX(seq) AS BIGINT) AS max_seq
+FROM cf
+GROUP BY op
+""",
+)
+def stream_pushdown_region_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-SIDE REGION PRUNING (r12 verdict directive #3): the
+    changefeed Python DataSource tailed with
+    ``.option("rowkeyPrefix", "4,7")`` — the replication-log analog of
+    an HBase scan bounded to a key range
+    (observer6/HbaseDataSyncEsObserver.java:36-43, the region-scoped
+    replication hook). Every micro-batch plans tasks ONLY for the
+    rowkey regions the prefixes touch (regions '4' and '7' here; the
+    other eight never get a task — pinned by
+    tests/test_r13_ops.py::TestStreamRegionPruning), and each task's
+    parquet read carries both the eid offset range AND the exact
+    prefix→numeric user_id ranges as row-group filters, so per-batch IO
+    tracks selected data, not feed size. The drained aggregate must
+    equal the batch relational restatement over the prefix-filtered
+    feed — the stream face of `cdc_pushdown_region_scan`'s contract.
+    """
+    ensure_session_conf(spark)
+    import os as _os
+    import uuid as _uuid
+
+    from ..sources.python_datasource import register_changefeed_datasource
+
+    register_changefeed_datasource(spark)
+    events_path = _os.path.join(sf_dir, "events.parquet")
+    base = _scratch("pyds_region_tail_")
+    try:
+        name = "pyds_region_" + _uuid.uuid4().hex[:8]
+        # The source emits only rows surviving the region pruning, so
+        # the drain target is the prefix-filtered count (batch side).
+        expected = (
+            spark.read.parquet(events_path)
+            .filter(
+                F.col("user_id").cast("string").startswith("4")
+                | F.col("user_id").cast("string").startswith("7")
+            )
+            .count()
+        )
+        total = spark.read.parquet(events_path).count()
+        # Offsets advance over the FULL eid space (pruning narrows rows
+        # within a batch, not the watermark), so size batches off the
+        # total feed for ~3 micro-batches of offset progression.
+        batch = max(2500, (total + 2) // 3)
+        stream = (
+            spark.readStream.format("changefeed_py")
+            .option("path", events_path)
+            .option("batchSize", str(batch))
+            .option("rowkeyPrefix", "4,7")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time as _time
+
+        deadline = _time.monotonic() + 300
+        while _time.monotonic() < deadline:
+            drained = sum(
+                p["numInputRows"] for p in (q.recentProgress or [])
+            )
+            if drained >= expected:
+                break
+            _time.sleep(0.05)
+        q.stop()
+        q.awaitTermination(60)
+        emitted = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        n_emitted = emitted.count()
+        if n_emitted != expected:
+            raise RuntimeError(
+                "stream_pushdown_region_tail: drain incomplete "
+                f"({n_emitted}/{expected})"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return emitted.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mutations"),
+        F.countDistinct("rowkey").cast("bigint").alias("n_keys"),
+        F.min("seq").cast("bigint").alias("min_seq"),
+        F.max("seq").cast("bigint").alias("max_seq"),
+    )
+
+
+@register(
     "stream_exact_dedup_keyed_state",
     oracle="""
 SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))

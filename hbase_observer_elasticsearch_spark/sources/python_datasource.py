@@ -342,14 +342,19 @@ def register_changefeed_datasource(spark) -> None:
 
 
 class _EidRangePartition(InputPartition):
-    """One executor task: mod-slice ``mod`` of eid range ``(lo, hi]``."""
+    """One executor task: mod-slice ``mod`` of eid range ``(lo, hi]``,
+    optionally narrowed to the user_id ``ranges`` of a rowkey region
+    (stream-side region pruning; None = unpruned)."""
 
-    def __init__(self, mod: int, n_mod: int, path: str, lo: int, hi: int):
+    def __init__(
+        self, mod: int, n_mod: int, path: str, lo: int, hi: int, ranges=None
+    ):
         self.mod = mod
         self.n_mod = n_mod
         self.path = path
         self.lo = lo
         self.hi = hi
+        self.ranges = ranges
 
 
 class ChangefeedStreamReader(DataSourceStreamReader):
@@ -388,6 +393,17 @@ class ChangefeedStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         self.batch = int(options.get("batchSize", "2500"))
         self.n = int(options.get("numPartitions", "4"))
+        # Stream-side region pruning (r12 verdict directive #3): a
+        # comma-separated ``rowkeyPrefix`` option scopes the tail to the
+        # rowkey regions the prefixes touch — the replication-log analog
+        # of an HBase scan bounded to a key range. Spark 4.1 exposes
+        # pushFilters on batch readers only, so the stream face takes
+        # the predicate as an option; the translation reuses the batch
+        # reader's exact prefix→numeric-range machinery. None = the
+        # pruning-free mod-slice layout (unchanged default).
+        self._region_ranges = self._plan_regions(
+            options.get("rowkeyPrefix")
+        )
         self._bounds = None  # (min_eid, max_eid) from the parquet footer
         self._planned = None  # highest eid watermark handed to Spark
         # Observability for the partitions() inverted-range guard (r5
@@ -398,6 +414,24 @@ class ChangefeedStreamReader(DataSourceStreamReader):
         # up — counting + logging each firing makes a protocol-order
         # change observable instead of silent.
         self.inverted_range_count = 0
+
+    @staticmethod
+    def _plan_regions(prefix_opt):
+        """``rowkeyPrefix`` option → {leading digit: union of user_id
+        ranges}, or None when the option is absent/empty (no pruning).
+        A prefix matching no canonical rowkey contributes nothing; all
+        prefixes unmatchable → {} (every micro-batch plans 0 tasks)."""
+        if not prefix_opt:
+            return None
+        regions: dict[str, list[tuple[int, int]]] = {}
+        for prefix in prefix_opt.split(","):
+            prefix = prefix.strip()
+            if not prefix:
+                continue
+            pr = _prefix_ranges(prefix)
+            if pr:
+                regions.setdefault(prefix[0], []).extend(pr)
+        return regions
 
     # -- driver-side helpers (footer metadata only, never data) ------------
     def _eid_bounds(self) -> tuple[int, int]:
@@ -462,24 +496,53 @@ class ChangefeedStreamReader(DataSourceStreamReader):
                     self.inverted_range_count,
                 )
             return []
+        if self._region_ranges is None:
+            return [
+                _EidRangePartition(i, self.n, self.path, lo, hi)
+                for i in range(self.n)
+            ]
+        # Region-pruned plan: only surviving regions get tasks — Spark
+        # never schedules a slice for a region the prefix excludes, the
+        # stream face of cdc_pushdown_region_scan's batch pruning. Each
+        # surviving region is mod-sliced so pruning never costs
+        # parallelism (total tasks ≈ numPartitions regardless of how
+        # many regions survive); fully-pruned plans are empty batches.
+        regions = sorted(self._region_ranges.items())
+        if not regions:
+            return []
+        per_region = max(1, self.n // len(regions))
         return [
-            _EidRangePartition(i, self.n, self.path, lo, hi)
-            for i in range(self.n)
+            _EidRangePartition(i, per_region, self.path, lo, hi, ranges)
+            for _, ranges in regions
+            for i in range(per_region)
         ]
 
     def read(self, partition: _EidRangePartition):
         # Executor-side: eid-range filter prunes at the row-group level,
-        # so each task reads only its slice of its offset range; output
+        # so each task reads only its slice of its offset range; when
+        # the plan is region-pruned the region's user_id ranges ride
+        # into the same parquet read as DNF row-group filters. Output
         # crosses into Spark as Arrow RecordBatches (no per-row Python).
         import pyarrow.parquet as pq
 
+        eid_conj = [
+            ("event_id", ">", partition.lo),
+            ("event_id", "<=", partition.hi),
+        ]
+        if partition.ranges is None:
+            dnf = [eid_conj]
+        else:
+            dnf = [
+                eid_conj
+                + [("user_id", ">=", rlo), ("user_id", "<=", rhi)]
+                for rlo, rhi in partition.ranges
+            ]
+            if not dnf:
+                return
         t = pq.read_table(
             partition.path,
             columns=["event_id", "event_type", "user_id", "value"],
-            filters=[
-                ("event_id", ">", partition.lo),
-                ("event_id", "<=", partition.hi),
-            ],
+            filters=dnf,
         )
         yield from _changefeed_record_batches(
             t, partition.mod, partition.n_mod

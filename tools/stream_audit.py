@@ -65,6 +65,9 @@ CONTRACTS: dict[str, tuple[str, str | None]] = {
     "cdc_replicate_bucketed": ("stateless", None),
     # groupBy(op) complete agg: 2 groups, constant forever.
     "cdc_python_datasource_stream": ("flat", None),
+    # region-pruned passthrough append: no state-store operator; the
+    # groupBy(op) restatement runs batch-side after the drain.
+    "stream_pushdown_region_tail": ("stateless", None),
     # watermark-evicted window/session/dedup/join state.
     "stream_tumbling_agg": ("flat", None),
     "stream_session_agg": ("flat", None),
