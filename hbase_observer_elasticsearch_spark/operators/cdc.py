@@ -1079,6 +1079,63 @@ def cdc_pushdown_region_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_projection_prune_scan",
+    oracle="""
+SELECT CAST(user_id AS VARCHAR) AS rowkey,
+       CAST(COUNT(*) AS BIGINT) AS n_mutations,
+       CAST(MIN(event_id) AS BIGINT) AS min_seq,
+       CAST(MAX(event_id) AS BIGINT) AS max_seq
+FROM events
+WHERE CAST(user_id AS VARCHAR) LIKE '7%'
+GROUP BY 1
+""",
+)
+def cdc_projection_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PRUNING + FILTER PUSHDOWN combined in the custom Python
+    DataSource (r12 verdict directive #4): the query needs only
+    (seq, rowkey), so the connector is opened with
+    ``.option("columns", "seq,rowkey")`` — its declared schema narrows
+    to two columns and every region task's parquet read shrinks to
+    (event_id, user_id); event_type and value are never read (the
+    rowkey-region DNF filter runs on user_id before projection, so even
+    the filter column costs only row-group-statistics IO). Spark 4.1's
+    Python DataSource has no pruneColumns hook, so the projection
+    arrives as an option — the same contract a narrow HBase scan
+    declares with addColumn (reference puts carry per-qualifier cells,
+    observer6/HbaseDataSyncEsObserver.java:60-66; a scan for one
+    qualifier reads one column family slice, not the whole row).
+
+    The executor-side column-set shrinkage is pinned by
+    tests/test_r13_ops.py::TestColumnPruning; this query pins result
+    equivalence of the narrow scan + region pushdown against the
+    relational restatement.
+
+    Scale shape: at 100 TB a 2-of-5-column projection over a pruned
+    region reads O(matching row groups × selected columns) — both
+    dimensions of the scan cost track the query, not the corpus.
+    """
+    ensure_session_conf(spark)
+    import os
+
+    from ..sources.python_datasource import register_changefeed_datasource
+
+    register_changefeed_datasource(spark)
+    cf = (
+        spark.read.format("changefeed_py")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("partitionBy", "rowkey")
+        .option("columns", "seq,rowkey")
+        .load()
+        .filter(F.col("rowkey").startswith("7"))
+    )
+    return cf.groupBy("rowkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mutations"),
+        F.min("seq").cast("bigint").alias("min_seq"),
+        F.max("seq").cast("bigint").alias("max_seq"),
+    )
+
+
+@register(
     "sink_merge_idempotent_epochs",
     oracle="""
 WITH cf AS (

@@ -37,6 +37,53 @@ class _ModPartition(InputPartition):
         self.path = path
 
 
+# Output column → (source parquet columns it derives from, DDL type).
+# The projection contract: an output column's cost is exactly its source
+# columns' IO — e.g. selecting only (seq, rowkey) reads only
+# (event_id, user_id) from parquet.
+_CHANGEFEED_COLS: dict[str, tuple[tuple[str, ...], str]] = {
+    "seq": (("event_id",), "bigint"),
+    "op": (("event_type",), "string"),
+    "rowkey": (("user_id",), "string"),
+    "qualifier": (("event_type",), "string"),
+    "value": (("event_type", "value"), "double"),
+}
+_FULL_COLS = tuple(_CHANGEFEED_COLS)
+
+
+def _parse_columns(options) -> tuple[str, ...]:
+    """``columns`` option → output columns in canonical order (COLUMN
+    PRUNING, r12 verdict directive #4: Spark 4.1's Python DataSource has
+    no pruneColumns hook, so the projection arrives as an option; the
+    DataSource narrows its declared schema AND every reader narrows its
+    executor-side parquet read to the columns the projection derives
+    from). Absent/empty = the full 5-column feed."""
+    raw = options.get("columns")
+    if not raw:
+        return _FULL_COLS
+    want = [c.strip() for c in raw.split(",") if c.strip()]
+    unknown = sorted(set(want) - set(_FULL_COLS))
+    if unknown:
+        raise ValueError(
+            f"changefeed_py: unknown columns {unknown}; "
+            f"valid: {list(_FULL_COLS)}"
+        )
+    return tuple(c for c in _FULL_COLS if c in set(want))
+
+
+def _source_columns(
+    out_cols: tuple[str, ...], extra: tuple[str, ...] = ()
+) -> list[str]:
+    """Source parquet columns an output projection needs, plus any
+    ``extra`` the reader itself requires (e.g. event_id for eid
+    mod-slicing), in stable parquet-schema order."""
+    need = set(extra)
+    for c in out_cols:
+        need.update(_CHANGEFEED_COLS[c][0])
+    order = ["event_id", "event_type", "user_id", "value"]
+    return [c for c in order if c in need]
+
+
 class ChangefeedDataSource(DataSource):
     """`spark.read.format("changefeed_py").option("path", events_parquet)`."""
 
@@ -45,9 +92,9 @@ class ChangefeedDataSource(DataSource):
         return "changefeed_py"
 
     def schema(self) -> str:
-        return (
-            "seq bigint, op string, rowkey string, qualifier string, "
-            "value double"
+        return ", ".join(
+            f"{c} {_CHANGEFEED_COLS[c][1]}"
+            for c in _parse_columns(self.options)
         )
 
     def reader(self, schema) -> DataSourceReader:
@@ -74,32 +121,39 @@ class ChangefeedDataSource(DataSource):
         return ChangefeedSimpleStreamReader(self.options)
 
 
-def _project_changefeed(t):
+def _project_changefeed(t, out_cols=None):
     """Executor-side: project a raw events pyarrow Table into the
-    changefeed shape. Arrow end-to-end — batches cross into Spark via
+    changefeed shape — only the ``out_cols`` projection (column pruning:
+    pruned output columns are never computed, and their source columns
+    were never read). Arrow end-to-end — batches cross into Spark via
     the Arrow IPC path with zero per-row Python work, ~10-100x cheaper
     to serialize than tuple yields."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    is_del = pc.equal(t["event_type"], "error")
+    if out_cols is None:
+        out_cols = _FULL_COLS
+    is_del = (
+        pc.equal(t["event_type"], "error")
+        if "event_type" in t.column_names
+        else None
+    )
     null_str = pa.scalar(None, pa.string())
     null_dbl = pa.scalar(None, pa.float64())
-    out = pa.table(
-        {
-            "seq": pc.cast(t["event_id"], pa.int64()),
-            "op": pc.if_else(is_del, "delete", "put"),
-            "rowkey": pc.cast(t["user_id"], pa.string()),
-            "qualifier": pc.if_else(is_del, null_str, t["event_type"]),
-            "value": pc.if_else(
-                is_del, null_dbl, pc.cast(t["value"], pa.float64())
-            ),
-        }
-    )
+    builders = {
+        "seq": lambda: pc.cast(t["event_id"], pa.int64()),
+        "op": lambda: pc.if_else(is_del, "delete", "put"),
+        "rowkey": lambda: pc.cast(t["user_id"], pa.string()),
+        "qualifier": lambda: pc.if_else(is_del, null_str, t["event_type"]),
+        "value": lambda: pc.if_else(
+            is_del, null_dbl, pc.cast(t["value"], pa.float64())
+        ),
+    }
+    out = pa.table({c: builders[c]() for c in out_cols})
     yield from out.to_batches()
 
 
-def _changefeed_record_batches(table, mod: int, n_mod: int):
+def _changefeed_record_batches(table, mod: int, n_mod: int, out_cols=None):
     """One mod-slice of the feed (seq % n_mod == mod), projected."""
     import pyarrow.compute as pc
 
@@ -107,7 +161,7 @@ def _changefeed_record_batches(table, mod: int, n_mod: int):
     mask = pc.equal(
         pc.subtract(eids, pc.multiply(pc.divide(eids, n_mod), n_mod)), mod
     )
-    yield from _project_changefeed(table.filter(mask))
+    yield from _project_changefeed(table.filter(mask), out_cols)
 
 
 class _RegionPartition(InputPartition):
@@ -159,6 +213,10 @@ class ChangefeedReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
         self.n = int(options.get("numPartitions", "4"))
+        self.out_cols = _parse_columns(options)
+        # event_id always read: the mod-slice mask needs it even when
+        # seq is pruned from the projection.
+        self.src_cols = _source_columns(self.out_cols, extra=("event_id",))
 
     def partitions(self):
         return [_ModPartition(i, self.n, self.path) for i in range(self.n)]
@@ -167,12 +225,9 @@ class ChangefeedReader(DataSourceReader):
         # Executor-side: import locally so the driver plan never needs it.
         import pyarrow.parquet as pq
 
-        t = pq.read_table(
-            partition.path,
-            columns=["event_id", "event_type", "user_id", "value"],
-        )
+        t = pq.read_table(partition.path, columns=self.src_cols)
         yield from _changefeed_record_batches(
-            t, partition.mod, partition.n_mod
+            t, partition.mod, partition.n_mod, self.out_cols
         )
 
 
@@ -208,6 +263,11 @@ class RegionChangefeedReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
         self._pushed: list = []  # serializable (kind, value) pairs
+        self.out_cols = _parse_columns(options)
+        # No reader-side slicing dependency: region tasks filter on
+        # user_id via pyarrow `filters`, which pyarrow evaluates before
+        # the `columns` projection — filter columns need not be read.
+        self.src_cols = _source_columns(self.out_cols)
 
     # -- Spark 4.1 filter-pushdown hook -------------------------------------
     def pushFilters(self, filters):
@@ -314,7 +374,6 @@ class RegionChangefeedReader(DataSourceReader):
         # Executor-side: import locally so the driver plan never needs it.
         import pyarrow.parquet as pq
 
-        cols = ["event_id", "event_type", "user_id", "value"]
         # Region scan: the pushed predicate rides into the parquet read
         # as DNF row-group filters (exact — see _prefix_ranges), so a
         # region task touches only row groups whose user_id statistics
@@ -328,8 +387,10 @@ class RegionChangefeedReader(DataSourceReader):
             ]
         if not dnf:
             return
-        t = pq.read_table(partition.path, columns=cols, filters=dnf)
-        yield from _project_changefeed(t)
+        t = pq.read_table(
+            partition.path, columns=self.src_cols, filters=dnf
+        )
+        yield from _project_changefeed(t, self.out_cols)
 
 
 def register_changefeed_datasource(spark) -> None:
@@ -404,6 +465,10 @@ class ChangefeedStreamReader(DataSourceStreamReader):
         self._region_ranges = self._plan_regions(
             options.get("rowkeyPrefix")
         )
+        self.out_cols = _parse_columns(options)
+        # event_id always read: the eid mod-slice mask needs it even
+        # when seq is pruned from the projection.
+        self.src_cols = _source_columns(self.out_cols, extra=("event_id",))
         self._bounds = None  # (min_eid, max_eid) from the parquet footer
         self._planned = None  # highest eid watermark handed to Spark
         # Observability for the partitions() inverted-range guard (r5
@@ -540,12 +605,10 @@ class ChangefeedStreamReader(DataSourceStreamReader):
             if not dnf:
                 return
         t = pq.read_table(
-            partition.path,
-            columns=["event_id", "event_type", "user_id", "value"],
-            filters=dnf,
+            partition.path, columns=self.src_cols, filters=dnf
         )
         yield from _changefeed_record_batches(
-            t, partition.mod, partition.n_mod
+            t, partition.mod, partition.n_mod, self.out_cols
         )
 
     def commit(self, end):
@@ -573,6 +636,7 @@ class ChangefeedSimpleStreamReader:
     def __init__(self, options):
         self.path = options.get("path")
         self.batch = int(options.get("batchSize", "2500"))
+        self.out_cols = _parse_columns(options)
         self._rows = None
 
     # -- helpers ----------------------------------------------------------
@@ -580,28 +644,35 @@ class ChangefeedSimpleStreamReader:
         if self._rows is None:
             import pyarrow.parquet as pq
 
+            # event_id always read (ordering key); otherwise only the
+            # source columns the projection derives from.
             t = pq.read_table(
                 self.path,
-                columns=["event_id", "event_type", "user_id", "value"],
+                columns=_source_columns(self.out_cols, extra=("event_id",)),
             )
-            rows = sorted(
-                zip(
-                    t["event_id"].to_pylist(),
-                    t["event_type"].to_pylist(),
-                    t["user_id"].to_pylist(),
-                    t["value"].to_pylist(),
-                )
-            )
-            self._rows = [
-                (
-                    eid,
-                    "delete" if etype == "error" else "put",
-                    str(uid),
-                    None if etype == "error" else etype,
-                    None if etype == "error" else val,
-                )
-                for eid, etype, uid, val in rows
-            ]
+            names = t.column_names
+            cols = [t[c].to_pylist() for c in names]
+            rows = sorted(zip(*cols))
+            idx = {c: i for i, c in enumerate(names)}
+
+            def build(r):
+                etype = r[idx["event_type"]] if "event_type" in idx else None
+                full = {
+                    "seq": r[idx["event_id"]],
+                    "op": "delete" if etype == "error" else "put",
+                    "rowkey": (
+                        str(r[idx["user_id"]]) if "user_id" in idx else None
+                    ),
+                    "qualifier": None if etype == "error" else etype,
+                    "value": (
+                        None
+                        if etype == "error" or "value" not in idx
+                        else r[idx["value"]]
+                    ),
+                }
+                return tuple(full[c] for c in self.out_cols)
+
+            self._rows = [build(r) for r in rows]
         return self._rows
 
     # -- SimpleDataSourceStreamReader contract ----------------------------
