@@ -93,6 +93,30 @@ def _load() -> None:
 # in the SAME commit. A query's newest official row must always postdate
 # the code it attests.
 _PRIORITY = (
+    # --- r13 window (the driver checks a ~50-entry prefix) ---
+    # Leads (r12 verdict directive #6): the wave-5/6 rows that landed
+    # after the official r12 window was recorded and so have never had
+    # an official row, then this round's new surface (stream-side
+    # region pruning, directive #3; column pruning, directive #4).
+    "search_intervals_ordered",
+    "agg_multi_terms",
+    "agg_auto_date_histogram",
+    "search_pinned_query",
+    "agg_sibling_pipeline",
+    "search_explain_bm25",
+    "search_track_total_hits",
+    # --- new in r13 ---
+    "stream_pushdown_region_tail",
+    "cdc_projection_prune_scan",
+    # --- changed in r13 (re-attest per the hygiene rule): the Python
+    # DataSource readers were rewritten for projection pruning (all
+    # reader classes now thread out_cols/src_cols through their parquet
+    # reads) and the region planner's eq∩range intersection was fixed
+    # (r12 advice, high) — every query whose executed path goes through
+    # sources/python_datasource.py re-attests.
+    "cdc_pushdown_region_scan",
+    "cdc_python_datasource",
+    "cdc_python_datasource_stream",
     # --- r12 window (the driver checks a ~50-entry prefix) ---
     # Leads: new surface this round — the pushdown region scan (r11
     # verdict directive #3) and the two optional-#8 ES shapes.
