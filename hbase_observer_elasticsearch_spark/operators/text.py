@@ -7735,3 +7735,540 @@ def search_track_total_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("relation"),
         F.lit(TTH_TRACK).cast("bigint").alias("track_cap"),
     )
+
+
+# --- r13 wave: script_score, geohash grid, rare_terms, matrix_stats,
+# string_stats, t_test (r12 verdict directive #8 + agg-DSL closure) ---
+
+SSC_TERM = "query"  # same term family as function_score; different script
+SSC_K = 128.0  # saturation pivot — power of two
+SSC_W = 2.0  # _score weight — power of two: exact multiply
+SSC_TOPK = 20
+
+
+@register(
+    "search_script_score",
+    oracle=f"""
+WITH {{bm25}},
+scored AS (
+  SELECT b.doc_id, b.bm25,
+         CAST(d.n_chars AS DOUBLE)
+           / (CAST(d.n_chars AS DOUBLE) + {SSC_K!r}) AS sat,
+         {SSC_W!r} * b.bm25
+           + CAST(d.n_chars AS DOUBLE)
+             / (CAST(d.n_chars AS DOUBLE) + {SSC_K!r}) AS score
+  FROM bm25_{SSC_TERM} b JOIN documents d USING (doc_id)
+)
+SELECT doc_id, bm25, sat, score, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+) t WHERE rk <= {SSC_TOPK}
+""".format(bm25=_sql_bm25_one_term(SSC_TERM)),
+)
+def search_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``script_score`` query with a deterministic script subset
+    (r12 verdict optional #8a — the last mainstream function_score
+    sibling): script = ``{SSC_W} * _score + saturation(n_chars,
+    {SSC_K})``, i.e. the painless ``saturation(x, k) = x / (x + k)``
+    pivot function ES ships for exactly this use, blended with the
+    query score. Unlike function_score's fixed boost_mode algebra, a
+    script composes arbitrary arithmetic — this is the rank-by-
+    formula slot every learned-ranking rollout starts from.
+
+    Deterministic: BM25 rides the family's DECIMAL(28,6)
+    quantization; the script is (add, divide, exact power-of-two
+    multiply, add) — every op a single correctly-rounded IEEE double
+    op on identical inputs in both engines.
+
+    Scale shape: hit-grain join of scored postings to one doc-values
+    column, script is a map-side expression, top-k at the end — cost
+    tracks hits, not corpus (reference ES sink holds whole docs,
+    observer6/ElasticSearchBulkOperator.java:84; the script here
+    reads one pruned column).
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = _bm25_agg(spark, sf_dir, (SSC_TERM,)).select("doc_id", "bm25")
+    nc = F.col("n_chars").cast("double")
+    sat = nc / (nc + F.lit(SSC_K))
+    scored = b.join(d, "doc_id").select(
+        "doc_id",
+        "bm25",
+        sat.alias("sat"),
+        (F.lit(SSC_W) * F.col("bm25") + sat).alias("score"),
+    )
+    wr = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= SSC_TOPK)
+        .select("doc_id", "bm25", "sat", "score", "rk")
+    )
+
+
+GH_BITS = 5  # 32x32 grid — precision-5-ish cell granularity
+GH_TOPK = 12
+GH_WORLD = 100.0  # fixed world bounds [-100, 100] on both axes
+
+
+def _gh_interleave(xcol: str, ycol: str, intdiv: str) -> str:
+    """Bit-interleave two {GH_BITS}-bit cell indices into a Z-order
+    (geohash-structure) cell id — pure integer div/mod/multiply-add,
+    identical in both dialects (`div` vs `//` is the only difference)."""
+    terms = []
+    for k in range(GH_BITS):
+        terms.append(f"(({xcol} {intdiv} {2**k}) % 2) * {2 ** (2 * k)}")
+        terms.append(f"(({ycol} {intdiv} {2**k}) % 2) * {2 ** (2 * k + 1)}")
+    return " + ".join(terms)
+
+
+_GH_IX = (
+    "CAST(LEAST(GREATEST(FLOOR((px + {w!r}) / {w2!r} * {n!r}), 0.0),"
+    " {top!r}) AS BIGINT)"
+).format(w=GH_WORLD, w2=2 * GH_WORLD, n=float(2**GH_BITS), top=float(2**GH_BITS - 1))
+_GH_IY = _GH_IX.replace("px", "py")
+
+
+@register(
+    "agg_geohash_grid",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(embedding[1] AS DOUBLE) * {GEO_SCALE!r} AS px,
+         CAST(embedding[2] AS DOUBLE) * {GEO_SCALE!r} AS py
+  FROM embeddings
+),
+cells AS (
+  SELECT px, py, {_GH_IX} AS ix, {_GH_IY} AS iy FROM pts
+),
+grid AS (
+  SELECT CAST({_gh_interleave('ix', 'iy', '//')} AS BIGINT) AS cell_id,
+         CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(CAST(SUM(CAST(px AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+              AS DOUBLE) AS centroid_x,
+         CAST(CAST(SUM(CAST(py AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+              AS DOUBLE) AS centroid_y
+  FROM cells GROUP BY 1
+)
+SELECT cell_id, doc_count, centroid_x, centroid_y, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY doc_count DESC, cell_id) AS rk
+  FROM grid
+) t WHERE rk <= {GH_TOPK}
+""",
+)
+def agg_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geohash_grid`` aggregation (r12 verdict optional #8c, next
+    to geo_bounds/centroid): quantize each point to a {2**GH_BITS}x
+    {2**GH_BITS} grid over fixed world bounds and BIT-INTERLEAVE the
+    axis indices into the cell key — the Z-order structure geohash IS
+    (base-32 rendering aside) — then return the top-{GH_TOPK} busiest
+    cells with their centroids, exactly the payload a map heat-layer
+    requests. Fixed world bounds (not data min/max) mirror geohash
+    semantics: a cell id means the same place at any corpus size.
+
+    Deterministic: quantization is (add, divide, multiply, floor) —
+    identical single-rounded ops both engines — then pure integer
+    interleave (div/mod/multiply-add); centroid means ride
+    DECIMAL(18,6) sums; count-desc/cell-asc is a total order.
+
+    Scale shape: cell id is a map-side expression; one hash
+    aggregation at cell grain (<= 1024 cells at this precision — the
+    coordinator-small bucket set ES returns); rank over cells only.
+    At a deeper precision the agg stays distributive — doc_count and
+    centroid sums combine map-side.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        (F.element_at("embedding", 1).cast("double") * GEO_SCALE).alias("px"),
+        (F.element_at("embedding", 2).cast("double") * GEO_SCALE).alias("py"),
+    )
+    cells = pts.select(
+        "px", "py", F.expr(_GH_IX).alias("ix"), F.expr(_GH_IY).alias("iy")
+    )
+    grid = (
+        cells.select(
+            "px",
+            "py",
+            F.expr(_gh_interleave("ix", "iy", "div"))
+            .cast("bigint")
+            .alias("cell_id"),
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            (
+                F.sum(F.col("px").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("centroid_x"),
+            (
+                F.sum(F.col("py").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("centroid_y"),
+        )
+    )
+    wr = Window.orderBy(F.col("doc_count").desc(), "cell_id")
+    return (
+        grid.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= GH_TOPK)
+        .select("cell_id", "doc_count", "centroid_x", "centroid_y", "rk")
+    )
+
+
+RT_MAX_DF = 5  # rare_terms max_doc_count (over the bigram keyword field)
+RT_SIZE = 30
+
+
+@register(
+    "agg_rare_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS term
+  FROM toks
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
+  FROM big GROUP BY term
+)
+SELECT term, doc_count, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY doc_count ASC, term) AS rk
+  FROM df WHERE doc_count <= {RT_MAX_DF}
+) t WHERE rk <= {RT_SIZE}
+""",
+)
+def agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the long-tail complement of
+    ``terms`` — buckets whose document frequency is at most
+    max_doc_count={RT_MAX_DF}, the "what almost never appears" query
+    (typo mining, contamination canaries, PII tokens) that a
+    descending-count terms agg can never surface. Runs over the
+    bigram keyword field (the fixtures' unigram vocab is closed, so
+    rarity lives at phrase grain — same place ES users point
+    rare_terms at a keyword multi-field). A deterministic
+    df-asc/term-asc total order + size={RT_SIZE} cut replaces ES's
+    CuckooFilter approximation with the exact answer.
+
+    Scale shape: one token-grain corpus pass builds distinct
+    (doc, bigram) pairs; df is a map-side-combinable count per term
+    and the rare-side filter keeps the rank window tiny. ES documents
+    rare_terms as heavier than terms for exactly this reason — here
+    it is the same aggregation shape either way.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat(split(text, ' ')[i], ' ',"
+                " split(text, ' ')[i + 1]))"
+            )
+        ).alias("term"),
+    )
+    df_ = (
+        big.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("doc_count"))
+        .filter(F.col("doc_count") <= RT_MAX_DF)
+    )
+    wr = Window.orderBy(F.col("doc_count").asc(), "term")
+    return (
+        df_.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= RT_SIZE)
+        .select("term", "doc_count", "rk")
+    )
+
+
+# matrix_stats over three bounded lineitem measures (quantity <= 50,
+# discount <= 0.1, tax <= 0.08): products stay <= 2500, so per-operand
+# DECIMAL(18,6) casts are exact in both engines (the r4 large-magnitude
+# decimal-cast gotcha rules out extendedprice here).
+_MS_FIELDS = ("l_quantity", "l_discount", "l_tax")
+_MS_SHORT = {"l_quantity": "q", "l_discount": "d", "l_tax": "t"}
+
+
+def _ms_formulas() -> dict[str, str]:
+    """Shared (dialect-identical) formula text over the moment columns
+    n, s_<f>, s_<f><g>: population variance/covariance + Pearson
+    correlation, written once so both engines execute the exact same
+    op sequence."""
+    out = {}
+    for f in _MS_SHORT.values():
+        out[f"mean_{f}"] = f"s_{f} / n"
+        out[f"var_{f}"] = f"(s_{f}{f} - s_{f} * s_{f} / n) / n"
+    pairs = [("q", "d"), ("q", "t"), ("d", "t")]
+    for a, b in pairs:
+        cov = f"(s_{a}{b} - s_{a} * s_{b} / n) / n"
+        out[f"cov_{a}{b}"] = cov
+        out[f"corr_{a}{b}"] = (
+            f"({cov}) / sqrt((({out[f'var_{a}']})) * (({out[f'var_{b}']})))"
+        )
+    return out
+
+
+@register(
+    "agg_matrix_stats",
+    oracle=f"""
+WITH sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {", ".join(
+             f"CAST(SUM(CAST({f} AS DECIMAL(18,6))) AS DOUBLE)"
+             f" AS s_{_MS_SHORT[f]}" for f in _MS_FIELDS
+         )},
+         {", ".join(
+             f"CAST(SUM(CAST({fa} * {fb} AS DECIMAL(18,6))) AS DOUBLE)"
+             f" AS s_{_MS_SHORT[fa]}{_MS_SHORT[fb]}"
+             for i, fa in enumerate(_MS_FIELDS)
+             for fb in _MS_FIELDS[i:]
+         )}
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       {", ".join(f"{expr} AS {name}" for name, expr in _ms_formulas().items())}
+FROM sums
+""",
+)
+def agg_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: the multi-field second-moment
+    matrix — per-field mean and population variance plus pairwise
+    covariance and Pearson correlation over ({", ".join(_MS_FIELDS)})
+    — the one ES agg that reads SEVERAL numeric fields jointly (fraud
+    / pricing covariance dashboards). One row, twelve moments, exactly
+    the payload shape ES returns.
+
+    Deterministic: every raw sum and product-sum rides an exact
+    per-operand DECIMAL(18,6) cast (products bounded by 2500, far
+    under the 2^53 decimal-cast parity limit), and the variance /
+    covariance / correlation formulas are the SAME text in both
+    dialects — identical IEEE op sequences on identical inputs.
+
+    Scale shape: textbook algebraic aggregate — 10 map-side-combinable
+    sums in ONE pass (no per-pair scans), one 1-row reduce, O(1)
+    driver math. ES computes it per shard + combines; this is the
+    same partial-aggregation plan.
+    """
+    ensure_session_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for f in _MS_FIELDS:
+        aggs.append(
+            F.sum(F.col(f).cast("decimal(18,6)"))
+            .cast("double")
+            .alias(f"s_{_MS_SHORT[f]}")
+        )
+    for i, fa in enumerate(_MS_FIELDS):
+        for fb in _MS_FIELDS[i:]:
+            aggs.append(
+                F.sum((F.col(fa) * F.col(fb)).cast("decimal(18,6)"))
+                .cast("double")
+                .alias(f"s_{_MS_SHORT[fa]}{_MS_SHORT[fb]}")
+            )
+    sums = li.agg(*aggs)
+    cols = [F.col("n").cast("bigint").alias("n")]
+    cols += [
+        F.expr(expr).alias(name) for name, expr in _ms_formulas().items()
+    ]
+    return sums.select(*cols)
+
+
+@register(
+    "agg_string_stats",
+    oracle="""
+WITH base AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MIN(length(text)) AS BIGINT) AS min_len,
+         CAST(MAX(length(text)) AS BIGINT) AS max_len,
+         CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_len
+  FROM documents GROUP BY lang
+),
+chars AS (
+  SELECT lang, unnest(string_split(text, '')) AS ch FROM documents
+),
+cc AS (
+  SELECT lang, ch, CAST(COUNT(*) AS BIGINT) AS c FROM chars GROUP BY lang, ch
+),
+tot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+  FROM cc GROUP BY lang
+),
+ent AS (
+  SELECT cc.lang,
+         CAST(-SUM(CAST(
+           (CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+           * log2(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+         AS DECIMAL(18,6))) AS DOUBLE) AS entropy,
+         MAX(n_distinct_chars) AS n_distinct_chars
+  FROM cc JOIN tot USING (lang) GROUP BY cc.lang
+)
+SELECT base.lang, n_docs, min_len, max_len, avg_len,
+       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars, entropy
+FROM base JOIN ent ON base.lang = ent.lang
+""",
+)
+def agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``string_stats`` aggregation (with show_distribution
+    semantics folded into one number): per-lang bucket count,
+    min/max/avg text length, distinct-character count, and the
+    SHANNON ENTROPY of the character distribution — the signal ES
+    ships string_stats for (gibberish/compression-artifact detection
+    in text fields; low entropy = repetitive boilerplate, high =
+    random noise).
+
+    Deterministic: lengths are integers; the entropy's p·log2(p)
+    terms are quantized to DECIMAL(18,6) BEFORE the sum (the PMI
+    family's ln trick: cross-engine log ulp differences are ~1e-16,
+    six orders below the quantum), so the only order-sensitive sum is
+    exact.
+
+    Scale shape: one char-grain corpus pass (linear, map-side
+    explode), then all aggregation at (lang, char) grain —
+    dictionary-small. The length stats are plain distributive
+    aggregates sharing the same shuffle key.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    base = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min(F.length("text")).cast("bigint").alias("min_len"),
+        F.max(F.length("text")).cast("bigint").alias("max_len"),
+        (
+            F.sum(F.length("text")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_len"),
+    )
+    cc = (
+        d.select("lang", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("lang", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cc.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+    )
+    p = F.col("c").cast("double") / F.col("total").cast("double")
+    ent = (
+        cc.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            (-F.sum((p * F.log2(p)).cast("decimal(18,6)")))
+            .cast("double")
+            .alias("entropy"),
+            F.max("n_distinct_chars").cast("bigint").alias(
+                "n_distinct_chars"
+            ),
+        )
+    )
+    return base.join(ent, "lang").select(
+        "lang",
+        "n_docs",
+        "min_len",
+        "max_len",
+        "avg_len",
+        "n_distinct_chars",
+        "entropy",
+    )
+
+
+TT_GROUP_A = "click"
+TT_GROUP_B = "view"
+
+# Welch t statistic over the moment columns — one shared formula text
+# so both engines run the identical op sequence. Sample variance:
+# (ss - s*s/n) / (n - 1); t = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b).
+_TT_VAR = "((ss_{g} - s_{g} * s_{g} / n_{g}) / (n_{g} - 1.0))"
+_TT_T = (
+    "((s_a / n_a) - (s_b / n_b)) / sqrt("
+    + _TT_VAR.format(g="a")
+    + " / n_a + "
+    + _TT_VAR.format(g="b")
+    + " / n_b)"
+)
+
+
+@register(
+    "agg_t_test",
+    oracle=f"""
+WITH sums AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = '{TT_GROUP_A}' THEN 1 ELSE 0 END)
+      AS DOUBLE) AS n_a,
+    CAST(SUM(CASE WHEN event_type = '{TT_GROUP_B}' THEN 1 ELSE 0 END)
+      AS DOUBLE) AS n_b,
+    CAST(SUM(CAST(CASE WHEN event_type = '{TT_GROUP_A}' THEN value END
+      AS DECIMAL(18,6))) AS DOUBLE) AS s_a,
+    CAST(SUM(CAST(CASE WHEN event_type = '{TT_GROUP_B}' THEN value END
+      AS DECIMAL(18,6))) AS DOUBLE) AS s_b,
+    CAST(SUM(CAST(CASE WHEN event_type = '{TT_GROUP_A}' THEN value * value
+      END AS DECIMAL(18,6))) AS DOUBLE) AS ss_a,
+    CAST(SUM(CAST(CASE WHEN event_type = '{TT_GROUP_B}' THEN value * value
+      END AS DECIMAL(18,6))) AS DOUBLE) AS ss_b
+  FROM events
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+       {_TT_VAR.format(g="a")} AS var_a,
+       {_TT_VAR.format(g="b")} AS var_b,
+       {_TT_T} AS t_value
+FROM sums
+""",
+)
+def agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``t_test`` aggregation (type: heteroscedastic — Welch's
+    unpaired t): the statistic between the value metric of
+    '{TT_GROUP_A}' and '{TT_GROUP_B}' events, with the per-group
+    means/variances returned so the test is auditable. The A/B
+    answer every experimentation dashboard asks ES for; the repo's
+    permutation/SPRT/DiD battery covers the heavier designs, this is
+    the one-shot closed-form member.
+
+    Deterministic: counts are integers; value sums and square sums
+    ride exact per-operand DECIMAL(18,6) casts (value <= 491, squares
+    <= ~241k — far under the decimal-cast parity limit); the Welch
+    formula is one shared text in both dialects.
+
+    Scale shape: six conditional map-side-combinable sums in one
+    events pass, one 1-row reduce — the same shard-partial plan ES
+    runs. No shuffle beyond the single global aggregate.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    is_a = F.col("event_type") == TT_GROUP_A
+    is_b = F.col("event_type") == TT_GROUP_B
+    v = F.col("value")
+    sums = e.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("double").alias("n_b"),
+        F.sum(F.when(is_a, v).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s_a"),
+        F.sum(F.when(is_b, v).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s_b"),
+        F.sum(F.when(is_a, v * v).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("ss_a"),
+        F.sum(F.when(is_b, v * v).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("ss_b"),
+    )
+    return sums.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr("s_a / n_a").alias("mean_a"),
+        F.expr("s_b / n_b").alias("mean_b"),
+        F.expr(_TT_VAR.format(g="a")).alias("var_a"),
+        F.expr(_TT_VAR.format(g="b")).alias("var_b"),
+        F.expr(_TT_T).alias("t_value"),
+    )

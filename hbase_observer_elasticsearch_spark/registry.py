@@ -108,6 +108,12 @@ _PRIORITY = (
     # --- new in r13 ---
     "stream_pushdown_region_tail",
     "cdc_projection_prune_scan",
+    "search_script_score",
+    "agg_geohash_grid",
+    "agg_rare_terms",
+    "agg_matrix_stats",
+    "agg_string_stats",
+    "agg_t_test",
     # --- changed in r13 (re-attest per the hygiene rule): the Python
     # DataSource readers were rewritten for projection pruning (all
     # reader classes now thread out_cols/src_cols through their parquet

@@ -56,6 +56,15 @@ FAMILIES = {
     "postings_delta": ("search_postings_delta_stats", 2),
     "dis_max": ("search_dis_max", 2),
     "fuzzy": ("search_fuzzy_term", 2),
+    # positional-join retrieval (r12 verdict directive #5): the one
+    # retrieval shape whose pair mass can exceed postings grain
+    # (positions^2-per-doc in the worst case) — measured here so the
+    # decade-2 ratio either lands within the postings-family cap or
+    # yields an attribution.
+    "span_near": ("search_span_near", 2),
+    "intervals": ("search_intervals_ordered", 2),
+    "match_phrase_prefix": ("search_match_phrase_prefix", 2),
+    "nested_block_join": ("search_nested_block_join", 2),
 }
 
 # Per-family DESIGN scaling law (exponent of wall vs corpus size), the
@@ -74,6 +83,13 @@ DESIGN_EXPONENT = {
     "postings_delta": 1.0,
     "dis_max": 1.0,
     "fuzzy": 1.0,
+    # positional families: per-doc positional joins over the queried
+    # terms' postings — linear corpus passes with a bounded per-doc
+    # positional factor (phrase windows are capped by slop/gaps).
+    "span_near": 1.0,
+    "intervals": 1.0,
+    "match_phrase_prefix": 1.0,
+    "nested_block_join": 1.0,
 }
 # Multiplicative slack on the per-decade design ratio: absorbs fixed
 # scheduling overhead and JVM noise without hiding a real exponent
