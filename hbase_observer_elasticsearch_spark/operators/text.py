@@ -8272,3 +8272,341 @@ def agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_TT_VAR.format(g="b")).alias("var_b"),
         F.expr(_TT_T).alias("t_value"),
     )
+
+
+@register(
+    "agg_cumulative_cardinality",
+    oracle="""
+WITH e AS (
+  SELECT date_trunc('day', ts) AS day, user_id FROM events
+),
+hist AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY day
+),
+fs AS (
+  SELECT user_id, MIN(day) AS fs_day FROM e GROUP BY user_id
+),
+newu AS (
+  SELECT fs_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM fs GROUP BY fs_day
+)
+SELECT h.day, h.n_events,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY h.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cardinality
+FROM hist h LEFT JOIN newu n ON h.day = n.day
+""",
+)
+def agg_cumulative_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation: per daily
+    bucket, the running count of DISTINCT users ever seen — the
+    "total users to date" curve ES computes by merging per-bucket HLL
+    sketches cumulatively. Here the exact distributed form: each
+    user's FIRST-SEEN day (one aggregation), new-user counts per day,
+    and a running sum over the (tiny) day axis — the incremental-
+    distinct idiom that replaces a quadratic per-day COUNT(DISTINCT
+    WHERE ts <= day) rescan.
+
+    Deterministic: all integers; the window sum is over the ordered
+    day dictionary.
+
+    Scale shape: first-seen is one user-grain aggregation (the same
+    shuffle a daily-active rollup pays); everything after runs at day
+    grain. The HLL twin for approximate mode lives in sketches.py —
+    this is the exact-path complement.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "user_id",
+    )
+    hist = e.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    fs = e.groupBy("user_id").agg(F.min("day").alias("fs_day"))
+    newu = fs.groupBy(F.col("fs_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    joined = hist.join(newu, "day", "left").select(
+        "day",
+        "n_events",
+        F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn(
+        "cum_cardinality", F.sum("new_users").over(w).cast("bigint")
+    )
+
+
+@register(
+    "agg_top_metrics",
+    oracle="""
+SELECT source,
+       doc_id AS top_doc_id,
+       CAST(n_chars AS BIGINT) AS top_n_chars,
+       lang AS top_lang
+FROM (
+  SELECT source, doc_id, n_chars, lang,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) t WHERE rk = 1
+""",
+)
+def agg_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_metrics`` aggregation: per terms bucket (source), the
+    metrics of the single document at the top of a sort (n_chars
+    DESC, doc_id tiebreak) — the cheap cousin of top_hits that ES
+    ships for "the latest/largest row per key" dashboards, returning
+    selected metric fields rather than whole documents.
+
+    Deterministic: the sort has a total order via the doc_id
+    tiebreak; all values pass through unchanged.
+
+    Scale shape: the classic argmax-per-key — implemented as a
+    per-key rank window (one shuffle at bucket key), which Spark
+    executes with partial top-1 pushdown (WindowGroupLimit) so no
+    full per-key sort materializes. At 100 TB this is max_by at
+    shard grain, the same plan ES runs.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("doc_id").alias("top_doc_id"),
+            F.col("n_chars").cast("bigint").alias("top_n_chars"),
+            F.col("lang").alias("top_lang"),
+        )
+    )
+
+
+VWH_BUCKETS = 4  # variable_width_histogram target cluster count
+
+
+@register(
+    "agg_variable_width_histogram",
+    oracle=f"""
+WITH vc AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY n_chars
+),
+cum AS (
+  SELECT v, c,
+         CAST(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+           AS BIGINT) AS cum_before,
+         CAST(SUM(c) OVER () AS BIGINT) AS total
+  FROM vc
+),
+bucketed AS (
+  SELECT (cum_before * {VWH_BUCKETS}) // total AS bucket, v, c FROM cum
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(MIN(v) AS BIGINT) AS min_v,
+       CAST(MAX(v) AS BIGINT) AS max_v,
+       CAST(SUM(c) AS BIGINT) AS doc_count,
+       CAST(SUM(v * c) AS DOUBLE) / SUM(c) AS avg_v
+FROM bucketed GROUP BY bucket
+""",
+)
+def agg_variable_width_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``variable_width_histogram`` aggregation: {VWH_BUCKETS}
+    data-adaptive buckets over n_chars whose boundaries follow the
+    value distribution (equal-mass clusters) instead of a fixed
+    interval — ES clusters greedily and non-deterministically; here
+    the deterministic equal-mass form: each DISTINCT value lands in
+    bucket ⌊cum_before·k/total⌋ (the integer-rank discrete-boundary
+    idiom from the r9 sort-key work — no holistic percentile buffers
+    the whole multiset through one reducer), then per-bucket
+    min/max/count/avg exactly as ES returns.
+
+    Deterministic: pure integer arithmetic to the bucket cut; the avg
+    is an exact bigint sum with one double division.
+
+    Scale shape: one value-grain aggregation (|distinct values| rows),
+    a dictionary-size window for the cumulative rank, and a k-bucket
+    reduce. Never sorts the corpus; never buffers it on one node.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    vc = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select(
+        "v",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).cast("bigint").alias(
+            "cum_before"
+        ),
+        F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("total"),
+    )
+    bucketed = cum.select(
+        F.expr(f"(cum_before * {VWH_BUCKETS}) div total").alias("bucket"),
+        "v",
+        "c",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.min("v").cast("bigint").alias("min_v"),
+        F.max("v").cast("bigint").alias("max_v"),
+        F.sum("c").cast("bigint").alias("doc_count"),
+        (
+            F.sum(F.col("v") * F.col("c")).cast("double") / F.sum("c")
+        ).alias("avg_v"),
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "min_v",
+        "max_v",
+        "doc_count",
+        "avg_v",
+    )
+
+
+CT_SIG_TOKENS = 3  # categorize_text: leading tokens forming the signature
+
+
+@register(
+    "agg_categorize_text",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(string_split(text, ' ')[1:{CT_SIG_TOKENS}],
+                          w -> CASE WHEN regexp_matches(w, '^[0-9]+$')
+                                    THEN '#' ELSE w END),
+           ' ') AS category
+  FROM documents
+)
+SELECT category,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+FROM sig GROUP BY category
+""",
+)
+def agg_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``categorize_text`` aggregation (the log-categorization
+    agg): documents grouped by a TOKEN-PATTERN SIGNATURE — the first
+    {CT_SIG_TOKENS} tokens with numeric tokens masked to '#', the
+    deterministic core of ES's categorizer (which drops variable
+    parts and clusters on the stable token skeleton; its ML-driven
+    merging is replaced by the exact skeleton so both engines agree).
+    Per category: count and the smallest doc id as the example ES
+    attaches to each bucket.
+
+    Deterministic: pure string/regex transforms identical in both
+    dialects; min() example selection is a total order.
+
+    Scale shape: signature is a map-side expression (prefix of the
+    token array — no full tokenization needed at scale); one hash
+    aggregation at category grain. The 100 TB log-triage pattern:
+    billions of lines, thousands of categories.
+    """
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform("
+            f"slice(split(text, ' '), 1, {CT_SIG_TOKENS}),"
+            " w -> CASE WHEN w RLIKE '^[0-9]+$' THEN '#' ELSE w END),"
+            " ' ')"
+        ).alias("category"),
+    )
+    return sig.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+        F.min("doc_id").cast("bigint").alias("example_doc_id"),
+    )
+
+
+GL_POINTS = 10  # geo_line: first points kept per track
+
+
+@register(
+    "agg_geo_line",
+    oracle=f"""
+WITH pts AS (
+  SELECT label, vec_id,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {GEO_SCALE!r} * 1000.0)
+              AS BIGINT) AS qx,
+         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {GEO_SCALE!r} * 1000.0)
+              AS BIGINT) AS qy,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       string_agg(CAST(qx AS VARCHAR) || ',' || CAST(qy AS VARCHAR),
+                  '|' ORDER BY vec_id) AS line
+FROM pts WHERE rk <= {GL_POINTS}
+GROUP BY label
+""",
+)
+def agg_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_line`` aggregation: per bucket (label), the track —
+    points joined in sort order (vec_id standing in for the
+    timestamp) truncated to size={GL_POINTS}, serialized as a
+    LineString-style coordinate list. Coordinates are quantized to
+    integer milli-units BEFORE serialization so the string is
+    engine-portable (float formatting differs across engines; a
+    milli-unit integer does not — and matches the ~0.1 m precision a
+    real geo_line cares about).
+
+    Deterministic: the per-track rank and the join order share the
+    vec_id total order; quantization is floor-of-double, identical
+    single ops.
+
+    Scale shape: per-key rank window with partial top-k pushdown
+    (WindowGroupLimit) — only {GL_POINTS} points per track survive to
+    the serialize step, the same size cap ES enforces to bound
+    coordinator memory.
+    """
+    ensure_session_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    qx = F.expr(
+        f"CAST(FLOOR(CAST(element_at(embedding, 1) AS DOUBLE)"
+        f" * {GEO_SCALE!r} * 1000.0) AS BIGINT)"
+    )
+    qy = F.expr(
+        f"CAST(FLOOR(CAST(element_at(embedding, 2) AS DOUBLE)"
+        f" * {GEO_SCALE!r} * 1000.0) AS BIGINT)"
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    pts = (
+        e.select(
+            F.col("label").cast("bigint").alias("label"),
+            "vec_id",
+            qx.alias("qx"),
+            qy.alias("qy"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GL_POINTS)
+    )
+    return pts.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(vec_id, concat(CAST(qx AS STRING), ',',"
+            " CAST(qy AS STRING))))), x -> x.col2), '|')"
+        ).alias("line"),
+    )

@@ -114,6 +114,11 @@ _PRIORITY = (
     "agg_matrix_stats",
     "agg_string_stats",
     "agg_t_test",
+    "agg_cumulative_cardinality",
+    "agg_top_metrics",
+    "agg_variable_width_histogram",
+    "agg_categorize_text",
+    "agg_geo_line",
     # --- changed in r13 (re-attest per the hygiene rule): the Python
     # DataSource readers were rewritten for projection pruning (all
     # reader classes now thread out_cols/src_cols through their parquet
