@@ -65,6 +65,10 @@ FAMILIES = {
     "intervals": ("search_intervals_ordered", 2),
     "match_phrase_prefix": ("search_match_phrase_prefix", 2),
     "nested_block_join": ("search_nested_block_join", 2),
+    # reverse search at scale (r12 verdict optional #8b): registered
+    # queries matched against the incoming corpus — per-doc work is a
+    # bounded query-set probe, so the pass is linear in corpus tokens.
+    "percolate": ("search_percolate_queries", 2),
 }
 
 # Per-family DESIGN scaling law (exponent of wall vs corpus size), the
@@ -90,6 +94,7 @@ DESIGN_EXPONENT = {
     "intervals": 1.0,
     "match_phrase_prefix": 1.0,
     "nested_block_join": 1.0,
+    "percolate": 1.0,
 }
 # Multiplicative slack on the per-decade design ratio: absorbs fixed
 # scheduling overhead and JVM noise without hiding a real exponent
