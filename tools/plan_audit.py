@@ -123,7 +123,7 @@ def main() -> None:
         "errors": errors,
         "queries": out,
     }
-    with open(os.path.join(REPO, "PLAN_AUDIT_r12.json"), "w") as f:
+    with open(os.path.join(REPO, "PLAN_AUDIT_r13.json"), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(json.dumps(summary, indent=1, sort_keys=True))
 
