@@ -44,6 +44,7 @@ _OPERATOR_MODULES = (
     "hbase_observer_elasticsearch_spark.operators.dedup",
     "hbase_observer_elasticsearch_spark.operators.similarity",
     "hbase_observer_elasticsearch_spark.operators.text",
+    "hbase_observer_elasticsearch_spark.operators.es_surface",
     "hbase_observer_elasticsearch_spark.operators.time_windows",
     "hbase_observer_elasticsearch_spark.operators.udf_surface",
     "hbase_observer_elasticsearch_spark.operators.multimodal",
@@ -119,6 +120,23 @@ _PRIORITY = (
     "agg_variable_width_histogram",
     "agg_categorize_text",
     "agg_geo_line",
+    # --- wave 8 (es_surface.py): remaining pipeline aggs, robust-stat
+    # aggs, and search-API surfaces ---
+    "agg_serial_diff",
+    "agg_normalize",
+    "agg_stats_bucket",
+    "agg_boxplot",
+    "agg_mad",
+    "agg_date_range",
+    "agg_global_bucket",
+    "agg_diversified_sampler",
+    "agg_reverse_nested",
+    "search_multi_match_cross_fields",
+    "search_match_bool_prefix",
+    "search_rescore_window",
+    "search_termvectors",
+    "search_sliced_scroll",
+    "search_phrase_suggester",
     # --- changed in r13 (re-attest per the hygiene rule): the Python
     # DataSource readers were rewritten for projection pruning (all
     # reader classes now thread out_cols/src_cols through their parquet
