@@ -1345,3 +1345,190 @@ def search_phrase_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate", "dist", "cand_ug", "bg_prev", "bg_next", "score", "rk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# the ES _search compiler (plans/es_compiler.py) — registered demos
+# ---------------------------------------------------------------------------
+
+# A migration-shaped request: nested bool with every filter-context clause
+# family the compiler supports.  The ORACLE is hand-written SQL — the
+# compiler's output must match an independent human reading of the same
+# JSON, which is exactly the migration guarantee being claimed.
+ESC_FILTER_REQUEST = {
+    "query": {
+        "bool": {
+            "filter": [
+                {"terms": {"lang": ["en", "de"]}},
+                {"range": {"n_chars": {"gte": 200, "lt": 2000}}},
+                {"match": {"text": {"query": "table scan", "operator": "and"}}},
+            ],
+            "must_not": [{"prefix": {"source": "src9"}}],
+            "should": [
+                {"term": {"text": "merge"}},
+                {"term": {"text": "batch"}},
+                {"wildcard": {"source": "src*1"}},
+            ],
+            "minimum_should_match": 2,
+        }
+    },
+    "size": 15,
+}
+
+
+@register(
+    "es_compile_filter_search",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, lang, source, n_chars
+  FROM documents
+  WHERE lang IN ('en', 'de')
+    AND n_chars >= 200 AND n_chars < 2000
+    AND list_contains(string_split(text, ' '), 'table')
+    AND list_contains(string_split(text, ' '), 'scan')
+    AND NOT (source LIKE 'src9%')
+    AND ((CASE WHEN list_contains(string_split(text, ' '), 'merge')
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(string_split(text, ' '), 'batch')
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(source, '^src.*1$')
+               THEN 1 ELSE 0 END)) >= 2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_hits FROM f)
+SELECT doc_id, lang, source, n_chars, t.total_hits, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk FROM f) x
+CROSS JOIN tot t
+WHERE rk <= 15
+""",
+)
+def es_compile_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES ``_search`` COMPILER (plans/es_compiler.py) on a
+    migration-shaped filter request: a nested bool combining terms /
+    range / analyzed match(operator=and) filters, a prefix must_not,
+    and a 3-clause should with minimum_should_match=2 (term-on-text,
+    term-on-text, wildcard-on-keyword) — compiled straight from the
+    JSON a reference user would POST to ``_search``, returning the
+    constant-score hit page with ``track_total_hits`` semantics.
+
+    The oracle is hand-written SQL from an independent reading of the
+    same JSON — the compiler's plan must agree with the human port,
+    which IS the migration guarantee.
+
+    Scale shape: the numeric/keyword conjuncts (lang, n_chars, source)
+    push into the parquet scan as data filters; the token predicates
+    evaluate post-scan map-side (ES's inverted-index-vs-doc-values
+    split); the hit page is a TakeOrderedAndProject, the total a
+    1-row broadcast.
+    """
+    from ..plans.es_compiler import compile_search
+
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return compile_search(d, ESC_FILTER_REQUEST).select(
+        "doc_id", "lang", "source", "n_chars", "total_hits", "rk"
+    )
+
+
+ESC_AGGS_REQUEST = {
+    "query": {"bool": {"filter": [{"range": {"n_chars": {"gte": 100}}}]}},
+    "aggs": {
+        "by_lang": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {
+                "chars_sum": {"sum": {"field": "n_chars"}},
+                "chars_avg": {"avg": {"field": "n_chars"}},
+                "uniq_sources": {"cardinality": {"field": "source"}},
+                "max_id": {"max": {"field": "doc_id"}},
+            },
+        }
+    },
+}
+
+
+@register(
+    "es_compile_aggs_request",
+    oracle="""
+WITH f AS (SELECT * FROM documents WHERE n_chars >= 100),
+b AS (
+  SELECT lang AS key,
+         CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+         CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(n_chars) AS DOUBLE)
+           AS chars_avg,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS uniq_sources,
+         CAST(MAX(doc_id) AS BIGINT) AS max_id
+  FROM f GROUP BY lang
+)
+SELECT key, doc_count, chars_sum, chars_avg, uniq_sources, max_id FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY doc_count DESC, key) AS rk FROM b
+) t WHERE rk <= 10
+""",
+)
+def es_compile_aggs_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES ``_search`` compiler on an agg request: query-filtered
+    ``terms`` bucket agg (field lang, size 10, ES bucket order:
+    doc_count desc then key) carrying four metric sub-aggs — sum, avg,
+    cardinality, max — compiled from the JSON agg tree into one
+    hash-aggregation plan.
+
+    Deterministic: bigint sums (the field is integral), avg as one
+    double division, exact distinct where ES would HLL-approximate
+    (the sketch tradeoff lives in agg_approx_distinct).
+
+    Scale shape: the filter pushes to the scan; ONE shuffle at bucket
+    grain with map-side partials for every metric; the size cut is a
+    top-k over |buckets| rows.
+    """
+    from ..plans.es_compiler import compile_search
+
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return compile_search(d, ESC_AGGS_REQUEST)
+
+
+ESC_HIST_REQUEST = {
+    "query": {"match": {"text": "spark"}},
+    "aggs": {
+        "len_hist": {
+            "histogram": {"field": "n_chars", "interval": 500},
+            "aggs": {
+                "ids_sum": {"sum": {"field": "doc_id"}},
+                "n_langs": {"cardinality": {"field": "lang"}},
+            },
+        }
+    },
+}
+
+
+@register(
+    "es_compile_histogram_request",
+    oracle="""
+WITH f AS (
+  SELECT * FROM documents
+  WHERE list_contains(string_split(text, ' '), 'spark')
+)
+SELECT CAST((n_chars // 500) * 500 AS BIGINT) AS key,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(doc_id) AS BIGINT) AS ids_sum,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM f GROUP BY key
+""",
+)
+def es_compile_histogram_request(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ES ``_search`` compiler on a histogram agg request: an
+    analyzed ``match`` query feeding a fixed-interval histogram bucket
+    agg (interval 500 over n_chars) with sum + cardinality sub-aggs —
+    the third compiler demo covering the histogram bucket path.
+
+    Scale shape: token-membership filter map-side after the scan, one
+    bucket-grain shuffle; the histogram key is integer floor
+    arithmetic, identical in both engines (DuckDB ``//`` ≡ Spark
+    floor-div on positives).
+    """
+    from ..plans.es_compiler import compile_search
+
+    ensure_session_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return compile_search(d, ESC_HIST_REQUEST)

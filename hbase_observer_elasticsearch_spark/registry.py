@@ -137,6 +137,9 @@ _PRIORITY = (
     "search_termvectors",
     "search_sliced_scroll",
     "search_phrase_suggester",
+    "es_compile_filter_search",
+    "es_compile_aggs_request",
+    "es_compile_histogram_request",
     # --- changed in r13 (re-attest per the hygiene rule): the Python
     # DataSource readers were rewritten for projection pruning (all
     # reader classes now thread out_cols/src_cols through their parquet
