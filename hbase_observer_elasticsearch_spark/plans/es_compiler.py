@@ -232,10 +232,12 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     doc_count desc then key; histogram: key asc)."""
     name, spec = _one(aggs)
     sub = spec.get("aggs", {})
-    metrics = [
-        _metric_col(df, sub_name, *_one(sub_spec))
-        for sub_name, sub_spec in sub.items()
-    ]
+    metrics = []
+    for sub_name, sub_spec in sub.items():
+        kind, mbody = _one(sub_spec)
+        if kind not in _METRICS:
+            raise ValueError(f"unsupported metric {kind!r}")
+        metrics.append(_metric_col(df, sub_name, kind, mbody["field"]))
     if "terms" in spec:
         t = spec["terms"]
         keyed = df.groupBy(F.col(t["field"]).alias("key"))
