@@ -104,23 +104,28 @@ def compile_query(q: dict) -> Column:
         return F.col(body["field"]).isNotNull()
 
     if kind == "bool":
+        # Null-collapsing note: AND/OR of raw predicates already treat
+        # SQL UNKNOWN like "no match" (the row is dropped either way),
+        # and raw conjuncts stay pushdown-translatable — a
+        # coalesce-wrapped one reaches the parquet scan as nothing.
+        # Only NOT (must_not) and the minimum_should_match counter
+        # diverge from ES semantics on UNKNOWN, so only those collapse.
         parts: list[Column] = []
         for clause in _as_list(body.get("must", [])) + _as_list(
             body.get("filter", [])
         ):
-            parts.append(_nn(compile_query(clause)))
+            parts.append(compile_query(clause))
         for clause in _as_list(body.get("must_not", [])):
             parts.append(~_nn(compile_query(clause)))
-        should = [
-            _nn(compile_query(c)) for c in _as_list(body.get("should", []))
-        ]
+        should = [compile_query(c) for c in _as_list(body.get("should", []))]
         if should:
             msm = int(body.get("minimum_should_match", 1))
             if msm <= 1:
                 parts.append(reduce(lambda a, b: a | b, should))
             else:
                 cnt = reduce(
-                    lambda a, b: a + b, [c.cast("int") for c in should]
+                    lambda a, b: a + b,
+                    [_nn(c).cast("int") for c in should],
                 )
                 parts.append(cnt >= msm)
         if not parts:

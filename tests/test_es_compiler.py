@@ -196,6 +196,27 @@ def test_hits_page_contract(spark):
     assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
 
 
+def test_compiled_filters_push_to_scan(spark):
+    # the numeric/keyword conjuncts of a compiled bool must reach the
+    # parquet scan (null-collapsing is confined to must_not / msm
+    # counting — a coalesce-wrapped conjunct would push nothing)
+    from hbase_observer_elasticsearch_spark.plans import pushed_filters
+
+    d = docs(spark)
+    q = {
+        "bool": {
+            "filter": [
+                {"range": {"n_chars": {"gte": 100}}},
+                {"terms": {"lang": ["en", "de"]}},
+                {"term": {"text": "spark"}},
+            ]
+        }
+    }
+    pushed = " ".join(pushed_filters(d.filter(compile_query(q))))
+    assert "GreaterThanOrEqual(n_chars,100)" in pushed
+    assert "In(lang" in pushed
+
+
 def test_unsupported_kinds_raise(spark):
     with pytest.raises(ValueError):
         compile_query({"fuzzy": {"text": "spark"}})
