@@ -115,6 +115,12 @@ def memo_build_rows(spark, sf_dir: str, per_query: dict) -> None:
     )
 
     builds = [
+        # r13 optimization round: the corpus shingle pass (explode + md5
+        # per shingle) is now memoized once per (app, sf_dir) — it was
+        # recomputed by 13 queries (and twice inside diamond plans);
+        # charge its cold build first so the verified-pairs/LSH rows
+        # below measure their own incremental work.
+        ("memo_build_dedup_shingles", _dd._shingles_memo),
         ("memo_build_dedup_verified_pairs", _dd._verified_pairs_memo),
         ("memo_build_dedup_lsh_candidates", _dd._lsh_cand_memo),
         ("memo_build_dedup_cc_labels", _dd._jaccard_cc_labels),
@@ -132,6 +138,9 @@ def memo_build_rows(spark, sf_dir: str, per_query: dict) -> None:
         # lexical-retrieval family (BM25/PRF/champion/MLT/fuzzy/
         # rank_feature/dis_max) — r11
         ("memo_build_text_postings", _txt._postings_memo),
+        # r13: index-time doc-length + corpus stats, shared by the whole
+        # BM25 family (each query previously re-aggregated dl twice).
+        ("memo_build_text_dl_stats", _txt._dl_stats_memo),
         (
             "memo_build_changefeed_dir",
             lambda s, d: shared_changefeed_stream_dir(s, d, n_files=2),

@@ -83,6 +83,46 @@ def _coded_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+# Process-wide memo of the corpus shingle pass (r13 optimization round):
+# (doc_id, s, code) — distinct 3-word shingles plus the portable md5
+# token code, localCheckpointed once per (app, sf_dir). Fourteen
+# registered queries started from this exact subtree (explode + md5 per
+# shingle), several of them on BOTH branches of a diamond (the inverted
+# index and the per-doc sizes both re-ran the explode); with the memo
+# each pays one block-manager read instead. Same materialized-view
+# idiom as the verified-pairs/LSH-candidate memos — at 100 TB this is
+# the persisted shingle table a dedup pipeline builds first — and the
+# bench charges the cold build to an explicit memo_build_dedup_shingles
+# row, so warm per-query numbers stay honest.
+_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = register_memo(
+    "dedup_shingles", {}
+)
+
+
+def _shingles_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLES_CACHE.get(key)
+    if cached is None:
+        d = load_table(spark, sf_dir, "documents")
+        cached = (
+            shingle_docs(d)
+            .withColumn("code", H.token_code(F.col("s")))
+            .localCheckpoint()
+        )
+        _SHINGLES_CACHE[key] = cached
+    return cached
+
+
+def _sh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, s) shingle table."""
+    return _shingles_memo(spark, sf_dir).select("doc_id", "s")
+
+
+def _coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, code, s) coded-shingle table."""
+    return _shingles_memo(spark, sf_dir).select("doc_id", "code", "s")
+
+
 def _pairs_from_groups(
     grouped: DataFrame,
     ids_col: str = "ids",
@@ -320,7 +360,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_docs(d).join(F.broadcast(cand_docs), "doc_id", "semi")
+    sh = _sh(spark, sf_dir).join(F.broadcast(cand_docs), "doc_id", "semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -440,7 +480,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
-    coded = _coded_shingles(d)
+    coded = _coded(spark, sf_dir)
     sums = coded.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -545,7 +585,7 @@ def _verified_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _VERIFIED_PAIRS_CACHE.get(key)
     if cached is None:
         d = load_table(spark, sf_dir, "documents")
-        sh = shingle_docs(d)
+        sh = _sh(spark, sf_dir)
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         # inverted index: shingle → sorted doc list → co-occurrence
         # pairs. One pass over the shingle table (vs two for a
@@ -571,6 +611,12 @@ def _verified_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
             inter.join(sa, "doc_a")
             .join(sb, "doc_b")
             .select("doc_a", "doc_b", "n_shared", jac.alias("jaccard"))
+            # checkpoint at full parallelism: AQE coalesces this ~1.1M-row
+            # pair table to a handful of partitions (bytes-sized), but its
+            # consumers do per-pair decimal arithmetic (bbit estimator,
+            # PR curve, agreement scorecards) that is CPU-bound — start
+            # them wide (guide §2.5).
+            .transform(spread)
             .localCheckpoint()
         )
         _VERIFIED_PAIRS_CACHE[key] = cached
@@ -586,13 +632,16 @@ def _lsh_cand_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _LSH_CAND_CACHE.get(key)
     if cached is None:
         d = load_table(spark, sf_dir, "documents")
-        coded = _coded_shingles(d)
+        coded = _coded(spark, sf_dir)
         buckets = (
             _lsh_bands(coded)
             .groupBy("band", "sig")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
             .filter(F.size("ids") > 1)
         )
+        # NOT spread before checkpoint (unlike the verified-pairs memo):
+        # the candidate list is ~hundreds of rows — consumers broadcast
+        # it, and 32 near-empty partitions would just add task overhead.
         cached = _pairs_from_groups(buckets).distinct().localCheckpoint()
         _LSH_CAND_CACHE[key] = cached
     return cached
@@ -902,7 +951,7 @@ def docs_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
-    bands = _lsh_bands(_coded_shingles(d))
+    bands = _lsh_bands(_coded(spark, sf_dir))
     occ = bands.groupBy("band", "sig").agg(
         F.count(F.lit(1)).cast("bigint").alias("bucket_size")
     )
@@ -1261,7 +1310,7 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingle_docs(d)
+    sh = _sh(spark, sf_dir)
     docfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     cover = (
         sh.join(docfreq, "s")
@@ -1602,7 +1651,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_docs(d)
+    sh = _sh(spark, sf_dir)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     shc = sh.join(dfreq, "s").filter(F.col("df") <= PREFIX_DF_CAP)
 
@@ -1621,6 +1670,13 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "prefix", F.slice("arr", 1, F.expr("n - ((4*n+4) div 5) + 1"))
         )
+        # spread BEFORE the checkpoint: the groupBy output is AQE-coalesced
+        # to one partition at fixture scale, so the two posting explodes
+        # and the per-candidate array_intersect verify below would all run
+        # single-core; checkpointing 32 partitions parallelizes every
+        # downstream consumer (guide §2.5 — compute parallelism, not
+        # shuffle bytes, is the constraint here).
+        .transform(spread)
         .localCheckpoint()
     )
 
@@ -1867,7 +1923,7 @@ def corpus_eval_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_docs(d)
+    sh = _sh(spark, sf_dir)
     is_eval = (F.col("doc_id") % EVAL_SPLIT_MOD) == 0
     train_sh = sh.filter(~is_eval).select("s").distinct()
     eval_sh = sh.filter(is_eval)
@@ -1934,7 +1990,7 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     vp = _verified_pairs_memo(spark, sf_dir)
-    sizes = shingle_docs(load_table(spark, sf_dir, "documents")).groupBy(
+    sizes = _sh(spark, sf_dir).groupBy(
         "doc_id"
     ).agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -1998,7 +2054,7 @@ def dedup_pair_mass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly linear.
     """
     ensure_session_conf(spark)
-    sh = shingle_docs(load_table(spark, sf_dir, "documents"))
+    sh = _sh(spark, sf_dir)
     b = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -2078,7 +2134,7 @@ def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
     m = d.agg((F.max("doc_id") + 1).alias("m"))
-    sh = shingle_docs(d)
+    sh = _sh(spark, sf_dir)
     sb = sh.crossJoin(F.broadcast(m)).select(
         "s",
         F.expr(f"doc_id * {NOVELTY_BUCKETS} DIV m").alias("bucket"),
@@ -2673,7 +2729,7 @@ def corpus_decontam_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_docs(d)
+    sh = _sh(spark, sf_dir)
     is_eval = (F.col("doc_id") % EVAL_SPLIT_MOD) == 0
     eval_sh = sh.filter(is_eval).select("s").distinct()
     tr = sh.filter(~is_eval)
@@ -2876,13 +2932,18 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pj.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    coded = _coded_shingles(d).join(F.broadcast(pair_docs), "doc_id", "semi")
+    coded = _coded(spark, sf_dir).join(F.broadcast(pair_docs), "doc_id", "semi")
+    # materialize the 1-bit signature table once: siga and sigb below are
+    # two plan branches over it, and without the checkpoint each branch
+    # re-ran the 16-min aggregate over the semi-joined shingle table
+    # (diamond-DAG recompute — the same fix as basket_apriori_triples'
+    # basket table). docs x 17 ints, block-manager-cheap.
     sig = coded.groupBy("doc_id").agg(
         *[
             (F.min(H.affine(F.col("code"), k)) % 2).alias(f"b{k}")
             for k in range(H.MINHASH_K)
         ]
-    )
+    ).localCheckpoint()
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{k}").alias(f"a{k}") for k in range(H.MINHASH_K)],

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 from ..session import ensure_session_conf
 
@@ -750,10 +750,18 @@ def sample_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     o = load_table(spark, sf_dir, "orders")
-    c = o.select(
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        "o_orderkey",
+    # spread BEFORE the B-fold expansion: the single-row-group fixture
+    # file is one scan split, so without it the 32x explode + per-row
+    # md5 draw runs on ONE core (guide §2.5 input skew — repartition
+    # right after the read; measured 6.4s -> 1.3s at sf0.1). One tiny
+    # shuffle of the 3 pruned columns buys full parallelism for the
+    # hash stage; identical output (groupBy downstream).
+    c = spread(
+        o.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey",
+        )
     )
     u = F.conv(
         F.substring(
@@ -911,12 +919,17 @@ def sample_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(
-        F.col("event_type").isin(PERM_GROUP_A, PERM_GROUP_B)
-    ).select(
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    # spread before the B-fold explode for the same single-split reason
+    # as sample_poisson_bootstrap_ci: the per-(row, replica) md5 draw is
+    # the whole cost and must not run on one core (guide §2.5).
+    base = spread(
+        ev.filter(
+            F.col("event_type").isin(PERM_GROUP_A, PERM_GROUP_B)
+        ).select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
     )
     is_a = F.col("event_type") == PERM_GROUP_A
     obs = base.agg(
