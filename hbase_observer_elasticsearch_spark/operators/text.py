@@ -7981,15 +7981,22 @@ def agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     d = load_table(spark, sf_dir, "documents")
-    big = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 2),"
-                " i -> concat(split(text, ' ')[i], ' ',"
-                " split(text, ' ')[i + 1]))"
-            )
-        ).alias("term"),
+    # split(text) once into a column before the transform (the inline
+    # form re-ran split() three times per bigram: size + both lambda
+    # slots), and spread so the explode doesn't run on the fixture
+    # file's single scan split (r13 optimization round).
+    big = (
+        spread(d)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> concat(ws[i], ' ', ws[i + 1]))"
+                )
+            ).alias("term"),
+        )
     )
     df_ = (
         big.groupBy("term")
@@ -8073,7 +8080,14 @@ def agg_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same partial-aggregation plan.
     """
     ensure_session_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    # project to the 3 measure columns, then spread: the per-row decimal
+    # casts are the whole cost and the single-row-group fixture file
+    # would otherwise run them on one core (guide §2.3 project before
+    # the exchange + §2.5 input parallelism; the shuffle carries 3
+    # narrow columns, the agg itself stays map-side-combinable).
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(*_MS_FIELDS)
+    )
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for f in _MS_FIELDS:
         aggs.append(
