@@ -695,11 +695,43 @@ def layout_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kv")
     ).select("kv.k", "kv.v")
     vc = kv.groupBy("k", "v").agg(F.count(F.lit(1)).alias("c"))
-    cum = vc.select(
-        "k",
-        "v",
-        "c",
-        F.sum("c").over(Window.partitionBy("k").orderBy("v")).alias("cum"),
+    # Distributed cumulative count (r13 optimization round): the old
+    # per-key window (partitionBy(k).orderBy(v)) funneled each key's
+    # whole distinct-value set through ONE reducer — 583k rows for
+    # l_extendedprice at sf0.1, and unboundedly more at 100 TB, i.e. a
+    # single-reducer-per-key scale defect, not just a slow stage. Two-
+    # pass prefix sum instead: range-partition by (k, v), cumsum within
+    # each partition, then add the per-(key, partition) offsets (a tiny
+    # broadcast). The cum value per (k, v) is the same global prefix sum
+    # regardless of where range boundaries land, so results are
+    # partition-invariant.
+    n_part = spark.sparkContext.defaultParallelism
+    vcp = vc.repartitionByRange(n_part, "k", "v").withColumn(
+        "pid", F.spark_partition_id()
+    ).localCheckpoint()  # pin pid: it must not be recomputed per branch
+    woff = (
+        Window.partitionBy("k")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        vcp.groupBy("k", "pid")
+        .agg(F.sum("c").alias("pt"))
+        .select(
+            "k",
+            "pid",
+            F.coalesce(F.sum("pt").over(woff), F.lit(0)).alias("off"),
+        )
+    )
+    wlocal = Window.partitionBy("k", "pid").orderBy("v")
+    cum = (
+        vcp.join(F.broadcast(off), ["k", "pid"])
+        .select(
+            "k",
+            "v",
+            "c",
+            (F.sum("c").over(wlocal) + F.col("off")).alias("cum"),
+        )
     )
     # per-key total = |lineitem| for every key (one value per row per
     # key): a parquet count-star, NOT an agg over vc — deriving n from

@@ -4031,7 +4031,11 @@ def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "nrm", norm(F.col("embedding"))
     )
-    a = e.select(
+    # spread the PROBE side too (r13 optimization round): Catalyst
+    # broadcasts the other (already-spread) side, so the streamed side's
+    # single scan split was where every pair's dot product ran — one
+    # core. Measured 2.9s -> 0.8s for the knn stage, rows identical.
+    a = spread(e).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlbl"),
         F.col("embedding").alias("qv"),
