@@ -32,7 +32,15 @@ from ..functions import hashing as H
 from ..functions.deterministic import dsum, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
-from .text import BM25_B, BM25_K1, BM25_TERMS, _SQL_BM25_CTE, _bm25_agg, _postings_memo
+from .text import (
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+    _SQL_BM25_CTE,
+    _bm25_agg,
+    _postings_memo,
+    ranked_topk,
+)
 
 # ---------------------------------------------------------------------------
 # pipeline aggs over the events date_histogram
@@ -972,13 +980,12 @@ def search_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("prefix_score"), F.lit(0.0)).alias("prefix_score"),
     )
     score = F.col("term_score") + F.col("prefix_score")
-    wr = Window.orderBy(score.desc(), "doc_id")
-    return (
-        u.withColumn("score", score)
-        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rk") <= MBP_TOPK)
-        .select("doc_id", "term_score", "prefix_score", "score", "rk")
-    )
+    return ranked_topk(
+        u.withColumn("score", score),
+        [F.col("score").desc(), "doc_id"],
+        MBP_TOPK,
+        rk_cast="bigint",
+    ).select("doc_id", "term_score", "prefix_score", "score", "rk")
 
 
 RS_FIRST = 50  # first-pass (cheap query) depth
@@ -1082,13 +1089,12 @@ def search_rescore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = (F.lit(RS_QW) * F.col("bm25")) + (
         F.lit(RS_RW) * F.col("n_phrase").cast("double")
     )
-    wr = Window.orderBy(final.desc(), "doc_id")
-    return (
-        win.withColumn("final_score", final)
-        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rk") <= RS_TOPK)
-        .select("doc_id", "bm25", "n_phrase", "final_score", "rk")
-    )
+    return ranked_topk(
+        win.withColumn("final_score", final),
+        [F.col("final_score").desc(), "doc_id"],
+        RS_TOPK,
+        rk_cast="bigint",
+    ).select("doc_id", "bm25", "n_phrase", "final_score", "rk")
 
 
 TV_MAX_DOC = 10  # termvectors target: doc_id < 10
@@ -1337,10 +1343,13 @@ def search_phrase_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    wr = Window.orderBy(F.col("score").desc(), "candidate")
     return (
-        scored.withColumn("rk", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rk") <= PS_TOPK)
+        ranked_topk(
+            scored,
+            [F.col("score").desc(), "candidate"],
+            PS_TOPK,
+            rk_cast="bigint",
+        )
         .select(
             "candidate", "dist", "cand_ug", "bg_prev", "bg_next", "score", "rk"
         )

@@ -121,6 +121,11 @@ def test_memo_build_rows_match_live_memos():
         "memo_build_similarity_ivfpq_pool": "similarity_topk",
         "memo_build_changefeed_dir": "shared_changefeed_dirs",
         "memo_build_text_postings": "text_postings",
+        # r13 optimization round: the corpus shingle pass and the BM25
+        # index-time dl/stats tables became first-class memos with their
+        # own cold-build rows.
+        "memo_build_dedup_shingles": "dedup_shingles",
+        "memo_build_text_dl_stats": "text_dl_stats",
     }
     unmapped = build_rows - set(row_to_memo)
     assert not unmapped, f"bench memo rows with no mapping: {unmapped}"
