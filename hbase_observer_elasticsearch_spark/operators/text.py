@@ -1435,22 +1435,29 @@ def _dl_stats_memo(
     100 TB they are persisted next to the postings, exactly like
     Lucene's norms/sumTotalTermFreq. dl = SUM(tf) per doc is integer-
     identical to counting the raw token stream, so downstream scores
-    are unchanged bit-for-bit."""
+    are unchanged bit-for-bit.
+
+    The memo entry stores the parent postings DataFrame it was derived
+    from and is invalidated whenever the postings memo holds a DIFFERENT
+    object for the same key — a postings rebuild (e.g. a test clearing
+    `_POSTINGS_MEMO` alone) forces a dl/stats rebuild, so the two can
+    never disagree about which corpus they describe (r13 verdict item 1:
+    a derived memo must not outlive its parent)."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    parent = _postings_memo(spark, sf_dir)
     got = _DL_STATS_MEMO.get(key)
-    if got is None:
+    if got is None or got[0] is not parent:
         dl = (
-            _postings_memo(spark, sf_dir)
-            .groupBy("doc_id")
+            parent.groupBy("doc_id")
             .agg(F.sum("tf").alias("dl"))
             .localCheckpoint()
         )
         stats = dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
         ).localCheckpoint()
-        got = (dl, stats)
+        got = (parent, dl, stats)
         _DL_STATS_MEMO[key] = got
-    return got
+    return got[1], got[2]
 
 
 def _bm25_agg(

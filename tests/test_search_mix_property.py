@@ -8,6 +8,7 @@ import math
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import hbase_observer_elasticsearch_spark.memos as memos
 import hbase_observer_elasticsearch_spark.operators.text as tx
 from hbase_observer_elasticsearch_spark.operators.text import (
     BM25_B,
@@ -35,15 +36,17 @@ def _docs_df(spark, texts_by_source):
 def _patched(spark, df, fn):
     orig = tx.load_table
     tx.load_table = lambda s, d, n: df
-    # the postings memo is keyed by (app, sf_dir) and cannot see that
-    # the patched "synthetic" table changed between hypothesis examples
-    # — drop it on both sides of the call.
-    tx._POSTINGS_MEMO.clear()
+    # the memos are keyed by (app, sf_dir) and cannot see that the
+    # patched "synthetic" table changed between hypothesis examples —
+    # drop ALL of them (postings AND every derived memo) on both sides
+    # of the call via the central registry, so no derived cache (e.g.
+    # dl/corpus stats) outlives the corpus it was computed from.
+    memos.clear_memos()
     try:
         return fn(spark, "synthetic").collect()
     finally:
         tx.load_table = orig
-        tx._POSTINGS_MEMO.clear()
+        memos.clear_memos()
 
 
 @settings(
