@@ -565,6 +565,15 @@ def cdc_replicate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cf_dir = shared_changefeed_stream_dir(spark, sf_dir, n_files=2)
     base = _scratch("replicate_bucketed_")
+    # r14 optimization round (guide §2.2 — fewer, larger reduce
+    # partitions): the per-epoch bucketed MERGE shuffles one epoch's
+    # compacted cells (~50 k rows here), so 32 near-empty reduce tasks
+    # per window/join stage dominated the drain. Run the merge loop at 4
+    # partitions like sink_merge_idempotent_epochs — measured 4.4 s vs
+    # 5.8-6.5 s end-to-end at sf0.1 (same-session A/B). At real scale
+    # this knob is the state table's bucket count, not the core count.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         rep = CdcReplicator(
             spark,
@@ -592,6 +601,7 @@ def cdc_replicate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # pin before the state dir dies
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
     return res
 

@@ -1030,27 +1030,76 @@ def layout_clustering_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: run boundaries are integer LAG comparisons under a
     total order; the two ratios are single divisions of exact counts.
 
-    Scale shape: ONE window pass computes every probe column's
-    change-flag (all three LAGs share one window spec, so Catalyst
-    plans a single sort feeding a single Window operator), and ONE
-    aggregation carries all per-column counts; the prior per-column
-    union re-scanned and re-sorted lineitem 3x (r10 ADVICE — Catalyst
-    does not share sorts across union branches). The global window is
-    the documented aggregated-grain exemption: at 100 TB runs are
-    counted per file/partition and boundaries stitched with one row
-    per file — the same decomposition the zone-map query documents.
+    Scale shape (r14 optimization round — guide §2, single-reducer
+    removal): runs are counted PER RANGE PARTITION (local sort + local
+    LAG, fully parallel) and the partition boundaries are stitched with
+    one tiny pass — each partition contributes its (first, last) row
+    (min/max of a struct led by the unique sort triple), and the exact
+    correction ``local_head_chg − global_head_chg`` is summed over the
+    n_partitions boundary rows. The result is integer-identical to the
+    old single global LAG window for any null pattern, but no stage
+    ever funnels row-grain data through one reducer — the decomposition
+    the zone-map query documents, now actually implemented (the prior
+    form shuffled ALL of lineitem to one partition for the sort:
+    `Exchange SinglePartition` + 600 k-row single-threaded Sort at
+    sf0.1, unbounded at 100 TB).
     """
     ensure_session_conf(spark)
+    sort_cols = ("l_shipdate", "l_orderkey", "l_linenumber")
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_shipdate", "l_orderkey", "l_linenumber", *CF_COLUMNS
+        *sort_cols, *CF_COLUMNS
     )
-    w = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    flags = li.select(
+    n_part = spark.sparkContext.defaultParallelism
+    # pid pinned by localCheckpoint: the flags pass and the boundary
+    # pass must agree on the partitioning (same doctrine as
+    # layout_sort_key_advisor's prefix sum).
+    rp = (
+        li.repartitionByRange(n_part, *sort_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wloc = Window.partitionBy("pid").orderBy(*sort_cols)
+    flags = rp.select(
         *[F.col(c) for c in CF_COLUMNS],
         *[
-            (~F.col(c).eqNullSafe(F.lag(c).over(w))).alias(f"chg_{c}")
+            (~F.col(c).eqNullSafe(F.lag(c).over(wloc))).alias(f"chg_{c}")
             for c in CF_COLUMNS
         ],
+    )
+    # per-partition first/last rows: the sort triple is unique, so the
+    # min/max of a struct led by it is exactly the partition's head/tail
+    # (fields renamed: l_orderkey is both a sort and a probe column).
+    edge = F.struct(
+        *[F.col(c).alias(f"s_{i}") for i, c in enumerate(sort_cols)],
+        *[F.col(c).alias(f"c_{c}") for c in CF_COLUMNS],
+    )
+    bnd = rp.groupBy("pid").agg(
+        F.min(edge).alias("first"), F.max(edge).alias("last")
+    )
+    wpid = Window.orderBy("pid")
+    # overcount per boundary & column = local_head_chg − global_head_chg:
+    #   local  = first.c IS NOT NULL          (head LAG is null locally)
+    #   global = NOT eqNullSafe(first.c, prev_last.c)
+    adj = bnd.select(
+        "pid",
+        F.lag("last").over(wpid).alias("prev_last"),
+        "first",
+    ).filter(F.col("prev_last").isNotNull())
+    corr = adj.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.col(f"first.c_{c}").isNotNull().cast("long")
+                    - (
+                        ~F.col(f"first.c_{c}").eqNullSafe(
+                            F.col(f"prev_last.c_{c}")
+                        )
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias(f"corr_{c}")
+            for c in CF_COLUMNS
+        ]
     )
     agg = flags.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -1060,6 +1109,15 @@ def layout_clustering_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         *[
             F.sum(F.when(F.col(f"chg_{c}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"raw_nr_{c}")
+            for c in CF_COLUMNS
+        ],
+    ).crossJoin(F.broadcast(corr)).select(
+        "n_rows",
+        *[F.col(f"nd_{c}") for c in CF_COLUMNS],
+        *[
+            (F.col(f"raw_nr_{c}") - F.col(f"corr_{c}"))
             .cast("bigint")
             .alias(f"nr_{c}")
             for c in CF_COLUMNS

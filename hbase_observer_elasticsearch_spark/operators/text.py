@@ -3702,16 +3702,58 @@ def corpus_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_nll = (
         (-F.col("slp")).cast("double") / F.col("n_bigrams") / F.lit(1e6)
     )
-    return agg.select(
-        "doc_id",
-        "source",
-        "n_bigrams",
-        avg_nll.alias("avg_nll"),
-        F.exp(avg_nll).cast("decimal(18,6)").cast("double").alias("ppl"),
-        F.ntile(4)
-        .over(Window.orderBy(avg_nll, "doc_id"))
-        .cast("bigint")
-        .alias("ppl_quartile"),
+    # r14 optimization round (guide §2, single-reducer removal): the old
+    # NTILE(4) OVER (ORDER BY avg_nll, doc_id) was a global window over
+    # EVERY held-out document — Exchange SinglePartition at corpus grain,
+    # the one-reducer sort that cannot run at 100 TB. Distributed exact
+    # rank instead (the layout_sort_key_advisor prefix-sum pattern):
+    # range-partition by the order key, per-partition row_number plus a
+    # broadcast per-partition offset, then NTILE's bucket arithmetic
+    # applied to the global rank — bit-identical quartiles (first n%4
+    # buckets get floor(n/4)+1 rows, rest floor(n/4), same as NTILE).
+    scored = agg.select(
+        "doc_id", "source", "n_bigrams", avg_nll.alias("avg_nll")
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    rp = (
+        scored.repartitionByRange(n_part, "avg_nll", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid: both branches must agree
+    )
+    woff = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        rp.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("pt"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("pt").over(woff), F.lit(0)).alias("off"),
+            F.sum("pt").over(Window.partitionBy()).alias("n"),
+        )
+    )
+    wlocal = Window.partitionBy("pid").orderBy("avg_nll", "doc_id")
+    r = F.row_number().over(wlocal) + F.col("off")
+    quartile = F.expr(
+        "CASE WHEN __r <= (n % 4) * (n DIV 4 + 1) "
+        "THEN (__r - 1) DIV (n DIV 4 + 1) + 1 "
+        "ELSE (n % 4) + (__r - (n % 4) * (n DIV 4 + 1) - 1) "
+        "DIV greatest(n DIV 4, 1) + 1 END"
+    )
+    return (
+        rp.join(F.broadcast(off), "pid")
+        .withColumn("__r", r)
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            "avg_nll",
+            F.exp(F.col("avg_nll"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("ppl"),
+            quartile.cast("bigint").alias("ppl_quartile"),
+        )
     )
 
 

@@ -292,33 +292,42 @@ def _make_debounce_handler(gap_us: int):
     ) -> Iterator[pd.DataFrame]:
         # keyed by rowkey only; per-qualifier last-seen micros live in a
         # tiny dict (state group count = active keys, not keys×qualifiers
-        # — 5× fewer pandas invocations per micro-batch at this feed)
+        # — 5× fewer pandas invocations per micro-batch at this feed).
+        #
+        # r14 optimization round (guide §4.2): the gap decision is
+        # "previous RAW event of the same qualifier, kept or not" — a
+        # per-qualifier shift(1) over the (ts, seq)-sorted batch, seeded
+        # from keyed state for each qualifier's first row. Vectorized
+        # pandas replaces the per-row Python loop; emission and the
+        # stored last-raw map are identical (the changefeed files are
+        # contiguous time ranges, so sorting the whole batch restores
+        # global per-key time order exactly as before).
         last: dict[str, int] = (
             json.loads(state.get[0]) if state.exists else {}
         )
-        kept = []
-        for pdf in pdfs:
-            # arrival order within a micro-batch is not time order;
-            # cross-batch order is (the changefeed files are contiguous
-            # time ranges), so sorting each batch restores a global
-            # per-key time order.
-            pdf = pdf.sort_values(["ts", "seq"])
-            for row in pdf.itertuples(index=False):
-                q = row.qualifier if row.qualifier == row.qualifier else ""
-                q = q or ""
-                t_us = row.ts.value // 1000
-                prev = last.get(q)
-                if prev is None or t_us - prev > gap_us:
-                    kept.append(
-                        (row.seq, row.rowkey, row.qualifier, row.ts)
-                    )
-                # debounce vs the previous RAW event, kept or not
-                last[q] = int(t_us)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((json.dumps(last),))
+            return
+        pdf = (
+            frames[0]
+            if len(frames) == 1
+            else pd.concat(frames, ignore_index=True)
+        )
+        pdf = pdf.sort_values(["ts", "seq"])
+        q = pdf["qualifier"].fillna("")
+        t_us = pdf["ts"].astype("int64") // 1000
+        prev = t_us.groupby(q).shift(1)
+        seed = q.map(last)  # NaN where the qualifier has no state yet
+        prev = prev.fillna(seed)
+        keep = prev.isna() | ((t_us - prev) > gap_us)
+        kept = pdf.loc[keep.to_numpy(), ["seq", "rowkey", "qualifier", "ts"]]
+        # last raw per qualifier = the final (sorted) row of each group
+        tail = t_us.groupby(q).last()
+        last.update({str(k): int(v) for k, v in tail.items()})
         state.update((json.dumps(last),))
-        if kept:
-            yield pd.DataFrame(
-                kept, columns=["seq", "rowkey", "qualifier", "ts"]
-            )
+        if len(kept):
+            yield kept
 
     return _debounce
 
@@ -372,42 +381,47 @@ def _ivm_delta_handler(
     decimal fold turns into exact (cnt, value) deltas — the streaming
     half of operators/skew_agg.cdc_live_rollup_ivm. State stores the
     previous row's RAW value even for tombstones (prev_live masks it),
-    bit-matching the batch LAG chain."""
+    bit-matching the batch LAG chain.
+
+    r14 optimization round (guide §4.2): the per-row Python loop is a
+    vectorized shift — prev = the seq-sorted batch shifted by one with
+    the keyed state as the seed. Identical emission: the (now, prev)
+    chain is exactly a LAG over the key's full seq order, and the feed
+    files are contiguous seq ranges, so sorting the whole micro-batch
+    chunk set by seq reproduces the global per-key order."""
+    import numpy as np
+
     if state.exists:
         live, val = bool(state.get[0]), float(state.get[1])
     else:
         live, val = False, 0.0
-    out = []
-    for pdf in pdfs:
-        # cross-batch order is seq order (contiguous feed files); within
-        # a batch restore it explicitly
-        pdf = pdf.sort_values("seq")
-        for row in pdf.itertuples(index=False):
-            now_live = not bool(row.is_del)
-            out.append(
-                (
-                    int(row.grp),
-                    int(row.epoch),
-                    now_live,
-                    float(row.value),
-                    bool(live),
-                    float(val),
-                )
-            )
-            live, val = now_live, float(row.value)
-    state.update((bool(live), float(val)))
-    if out:
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "grp",
-                "epoch",
-                "live_now",
-                "val_now",
-                "prev_live",
-                "prev_value",
-            ],
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        pdf = (
+            frames[0]
+            if len(frames) == 1
+            else pd.concat(frames, ignore_index=True)
         )
+        pdf = pdf.sort_values("seq")
+        now_live = ~pdf["is_del"].to_numpy(dtype=bool)
+        vals = pdf["value"].to_numpy(dtype="float64")
+        prev_live = np.concatenate(([live], now_live[:-1]))
+        prev_val = np.concatenate(([val], vals[:-1]))
+        out = pd.DataFrame(
+            {
+                "grp": pdf["grp"].to_numpy(dtype="int64"),
+                "epoch": pdf["epoch"].to_numpy(dtype="int64"),
+                "live_now": now_live,
+                "val_now": vals,
+                "prev_live": prev_live,
+                "prev_value": prev_val,
+            }
+        )
+        live, val = bool(now_live[-1]), float(vals[-1])
+        state.update((live, val))
+        yield out
+        return
+    state.update((bool(live), float(val)))
 
 
 def stateful_ivm_deltas(
