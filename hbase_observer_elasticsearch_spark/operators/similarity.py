@@ -1042,15 +1042,53 @@ def _rhp_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    exu = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).select("vec_id", (F.col("pos") + 1).alias("d"), "x")
+    # r14 optimization round (guide §2.3/§2.4 — shuffle fewer bytes /
+    # remove shuffles): the old projection exploded every vector to
+    # (vec, dim) rows and joined the per-dim hyperplane weights — 128 k
+    # exploded rows × 16 planes = 2 M rows through a hash aggregate.
+    # The hyperplane table is 16×64 ints; nest it into ONE broadcast row
+    # and compute every projection MAP-SIDE with a zip_with/aggregate
+    # fold per plane. Arithmetic is identical: the same
+    # decimal(18,10)·int products, summed exactly (decimal addition is
+    # exact and commutative, so fold order vs hash-agg order cannot
+    # change the value), so the sign bits — and every downstream
+    # candidate set and cosine — are bit-identical. One narrow explode
+    # of (vec, p, s) remains for the band aggregation below.
+    hp_nested = (
+        hp.groupBy("p")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "w"))).alias("dw"))
+        .select("p", F.transform("dw", lambda s: s["w"]).alias("ws"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("p", "ws"))).alias("planes"))
+    )
     proj = (
-        exu.join(F.broadcast(hp), "d")
-        .groupBy("vec_id", "p")
-        .agg(
-            F.sum(F.col("x").cast("decimal(18,10)") * F.col("w")).alias("s")
+        e.crossJoin(F.broadcast(hp_nested))
+        .select(
+            "vec_id",
+            F.explode(
+                F.transform(
+                    "planes",
+                    lambda pl: F.struct(
+                        pl["p"].alias("p"),
+                        # products are decimal(38,9) (the exact type the
+                        # old SUM aggregated); the fold re-casts each
+                        # partial back to (38,9) so the accumulator type
+                        # — and therefore every rounded digit — matches
+                        # SUM's internal accumulator bit for bit.
+                        F.aggregate(
+                            F.zip_with(
+                                "embedding",
+                                pl["ws"],
+                                lambda x, w: x.cast("decimal(18,10)") * w,
+                            ),
+                            F.lit(0).cast("decimal(38,9)"),
+                            lambda acc, v: (acc + v).cast("decimal(38,9)"),
+                        ).alias("s"),
+                    ),
+                )
+            ).alias("ps"),
         )
+        .select("vec_id", F.col("ps.p").alias("p"), F.col("ps.s").alias("s"))
     )
     bits = proj.select(
         "vec_id",

@@ -888,19 +888,27 @@ def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MARKOV_SQL = """
+# Shared transition-matrix SQL: ONE text used by both the DuckDB oracle
+# (formatted with the `events` base table) and the Spark materialization
+# in recursive_markov_paths (formatted with its per-call view name), so
+# the two can never drift (r13 ADVICE, low).
+_MARKOV_TRANS_SQL = """
+SELECT event_type AS step_a, next_type AS step_b,
+       CAST(COUNT(*) AS DOUBLE)
+         / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+FROM (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM {events}
+) s
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+_MARKOV_SQL = f"""
 WITH RECURSIVE trans AS (
-  SELECT event_type AS step_a, next_type AS step_b,
-         CAST(COUNT(*) AS DOUBLE)
-           / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
-  FROM (
-    SELECT event_type,
-           LEAD(event_type) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS next_type
-    FROM events
-  ) s
-  WHERE next_type IS NOT NULL
-  GROUP BY event_type, next_type
+{_MARKOV_TRANS_SQL.format(events="events")}
 ),
 paths(path, last, depth, prob) AS (
   SELECT 'view', 'view', 0, CAST(1.0 AS DOUBLE)
@@ -933,7 +941,8 @@ def recursive_markov_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles agree bitwise.
     """
     ensure_session_conf(spark)
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    import uuid as _uuid
+
     # r13 optimization round: Spark's UnionLoopExec re-evaluates every
     # non-recursive relation referenced from the recursive branch ONCE
     # PER ITERATION — the transition-matrix subquery (events scan +
@@ -942,35 +951,41 @@ def recursive_markov_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the |event_types|^2 table, and recurse over the view; the oracle
     # keeps the original single-statement WITH RECURSIVE text, so the
     # green row proves the restructuring is equivalence-preserving.
-    trans = spark.sql(
-        """
-SELECT event_type AS step_a, next_type AS step_b,
-       CAST(COUNT(*) AS DOUBLE)
-         / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
-FROM (
-  SELECT event_type,
-         LEAD(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS next_type
-  FROM events
-) s
-WHERE next_type IS NOT NULL
-GROUP BY event_type, next_type
-"""
-    ).localCheckpoint()
-    trans.createOrReplaceTempView("markov_trans_mat")
-    return spark.sql(
-        """
+    #
+    # r14 (ADVICE low): view names are per-call-unique and dropped as
+    # soon as spark.sql() has ANALYZED the statement (the resolved plan
+    # embeds the relations, so the returned DataFrame no longer needs
+    # the names) — no session-global 'events'/'markov_trans_mat' names
+    # left registered to collide with concurrent queries. The shared
+    # transition SQL lives in _MARKOV_TRANS_SQL, used by both the
+    # oracle text (over the DuckDB `events` table) and this body.
+    tag = _uuid.uuid4().hex[:8]
+    ev_view = f"markov_events_{tag}"
+    trans_view = f"markov_trans_{tag}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(ev_view)
+    try:
+        trans = spark.sql(
+            _MARKOV_TRANS_SQL.format(events=ev_view)
+        ).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(ev_view)
+    trans.createOrReplaceTempView(trans_view)
+    try:
+        return spark.sql(
+            f"""
 WITH RECURSIVE paths(path, last, depth, prob) AS (
   SELECT 'view', 'view', 0, CAST(1.0 AS DOUBLE)
   UNION ALL
   SELECT p.path || '>' || t.step_b, t.step_b, p.depth + 1, p.prob * t.p
-  FROM paths p JOIN markov_trans_mat t ON t.step_a = p.last
+  FROM paths p JOIN {trans_view} t ON t.step_a = p.last
   WHERE p.depth < 3
 )
 SELECT path, CAST(prob AS DOUBLE) AS prob
 FROM paths WHERE depth = 3
 """
-    )
+        )
+    finally:
+        spark.catalog.dropTempView(trans_view)
 
 
 @register(
