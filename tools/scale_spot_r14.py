@@ -40,33 +40,37 @@ def ensure_scale10() -> None:
             [sys.executable, os.path.join(REPO, "tools", "gen_scale10.py")],
             check=True,
         )
-    li10 = os.path.join(SCALE10, "lineitem.parquet")
-    if not os.path.exists(li10):
+    # 10x fact tables: replicate sf0.1 with per-copy key shifts (keeps
+    # value distributions and sort-uniqueness; a timing fixture, not an
+    # oracle fixture). lineitem feeds the layout queries, orders feeds
+    # sample_poisson_bootstrap_ci.
+    for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        dst = os.path.join(SCALE10, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        src = pq.read_table(os.path.join(SF01, "lineitem.parquet"))
-        okey = src["l_orderkey"]
+        src = pq.read_table(os.path.join(SF01, f"{table}.parquet"))
         shift = (
-            int(okey.combine_chunks().to_numpy().max()) + 1
-            if len(okey)
+            int(src[key].combine_chunks().to_numpy().max()) + 1
+            if len(src[key])
             else 1
         )
         copies = []
         for i in range(10):
             t = src
             if i:
-                import pyarrow.compute as pc
-
                 t = t.set_column(
-                    t.schema.get_field_index("l_orderkey"),
-                    "l_orderkey",
-                    pc.add(t["l_orderkey"], i * shift),
+                    t.schema.get_field_index(key),
+                    key,
+                    pc.add(t[key], i * shift),
                 )
             copies.append(t)
         out = pa.concat_tables(copies)
-        pq.write_table(out, li10, row_group_size=200_000)
-        print(f"wrote {li10}: {out.num_rows} rows")
+        pq.write_table(out, dst, row_group_size=200_000)
+        print(f"wrote {dst}: {out.num_rows} rows")
 
 
 def run_child(sf_dir: str, cpus: int) -> dict:

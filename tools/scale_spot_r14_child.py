@@ -66,7 +66,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # warm the file index + JIT with one scan per touched table
-    for t in ("lineitem", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         noop(load_table(spark, sf_dir, t))
 
     rows: dict[str, float] = {}
